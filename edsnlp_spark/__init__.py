@@ -1,0 +1,24 @@
+"""edsnlp_spark: PySpark-native analytics engine with the query and
+data-processing capabilities of aphp/edsnlp (reference read-only at
+/root/reference — semantics re-expressed Spark-first, not ported).
+
+Two relational planes (schemas.py): ``notes`` (documents) and
+``entities`` (one row per extracted span).  Pipes are Transformers
+(core/base.py) composed MLlib-style; a registry maps ``eds.*`` names to
+factories (registry.py), mirroring edsnlp/core/registries.py:318-457.
+"""
+
+from .core.base import Pipeline, Transformer
+from .registry import available, create, register
+from .session import get_spark
+
+# Import operator modules for their registration side effects.
+from .operators import tokenizer as _t  # noqa: F401
+from .operators import sentences as _s  # noqa: F401
+from .operators import matcher as _m  # noqa: F401
+from .operators import qualifiers as _q  # noqa: F401
+
+__all__ = [
+    "Pipeline", "Transformer", "available", "create", "register", "get_spark",
+]
+__version__ = "0.1.0"

@@ -1,0 +1,170 @@
+"""Native text expressions: tokenizer, normalizers, quality stats.
+
+Everything here is pure Spark SQL (whole-stage-codegen'd, no Python in
+the hot path).
+
+Tokenizer parity: the reference tokenizes with a single regex tuned for
+French clinical text (edsnlp/language.py:46-116, regex at :61-80 — words,
+numbers, per-newline tokens, punctuation as single tokens).  We reproduce
+that shape with a configurable token regex whose alternation ends in
+``\\S`` so it *partitions all non-whitespace text*.  That property makes
+char offsets recoverable natively: tokens appear in order and gaps
+between consecutive tokens are pure whitespace, so
+``locate(token, text, prev_end+1)`` is provably the true start offset.
+The offset computation is a fold (``aggregate``) over
+``regexp_extract_all`` — no UDF.
+
+Normalizers parity: eds.accents (char map,
+edsnlp/pipes/core/normalizer/accents/accents.py:11) and eds.quotes
+(quotes.py:11) are ``translate``/``regexp_replace`` projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word-ish tokens first, then decimal numbers, then any single
+# non-space char (punctuation, symbols).  The trailing \S guarantees the
+# partition property documented above.
+WORD_REGEX = r"[A-Za-zÀ-ɏ]+(?:['’][A-Za-zÀ-ɏ]+)?|\d+(?:[.,]\d+)?|\S"
+
+# Accent fold used by eds.accents (accents.py:11 char list).
+_ACCENTED = "àáâäãåçèéêëìíîïñòóôöõùúûüýÿÀÁÂÄÃÅÇÈÉÊËÌÍÎÏÑÒÓÔÖÕÙÚÛÜÝŸ"
+_PLAIN = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUYY"
+
+# Exotic quotes/apostrophes normalized by eds.quotes (quotes.py:11).
+_QUOTES = "‘’‚‛‹›“”„‟«»"
+_QUOTES_TO = "''''''\"\"\"\"\"\""
+
+
+def normalize_accents(col: Column) -> Column:
+    """eds.accents: strip diacritics via char map (native translate)."""
+    return F.translate(col, _ACCENTED, _PLAIN)
+
+
+def normalize_quotes(col: Column) -> Column:
+    """eds.quotes: fold exotic quotes/apostrophes to ASCII."""
+    return F.translate(col, _QUOTES, _QUOTES_TO)
+
+
+def norm_text(col: Column, lowercase: bool = True, accents: bool = True,
+              quotes: bool = True) -> Column:
+    """eds.normalizer composition (normalizer.py:15): NORM attribute.
+
+    The reference computes NORM per token; since our normalizers are
+    length-preserving char maps, computing NORM on the whole text keeps
+    char offsets aligned between TEXT and NORM space — this is what makes
+    regex-on-NORM offset mapping trivial for the accent/quote/lower
+    subset (the general excluded-token case is handled in the matcher).
+    """
+    out = col
+    if quotes:
+        out = normalize_quotes(out)
+    if accents:
+        out = normalize_accents(out)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def tokenize(text: Column, regex: str = WORD_REGEX) -> Column:
+    """Offset-bearing tokens as array<struct<i,text,start,end>> — native.
+
+    Fold over the in-order match list; ``locate`` from the previous
+    token's end recovers exact char offsets (see module docstring for the
+    proof sketch).  0-based, end-exclusive offsets, matching the
+    reference's span convention (converters.py:690-707).
+    """
+    toks = F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(regex), F.lit(0))
+    # acc: struct<pos:int (1-based locate cursor), out:array<token>>
+    zero = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.expr(
+            "cast(array() as array<struct<i:int,text:string,start:int,end:int>>)"
+        ).alias("out"),
+    )
+
+    # Lambda let-bindings don't exist in Spark SQL, so locate() appears
+    # three times per step; each scan starts from the cursor, so total
+    # work stays near-linear in text length.  locate is 1-based; 0 =
+    # not-found cannot happen given the partition property.
+    safe_text = F.coalesce(text, F.lit(""))
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.struct(
+            (_locate(t, safe_text, acc["pos"] + 1) + F.length(t) - F.lit(1))
+            .cast("int")
+            .alias("pos"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    F.size(acc["out"]).cast("int").alias("i"),
+                    t.alias("text"),
+                    (_locate(t, safe_text, acc["pos"] + 1) - F.lit(1))
+                    .cast("int")
+                    .alias("start"),
+                    (_locate(t, safe_text, acc["pos"] + 1) - F.lit(1) + F.length(t))
+                    .cast("int")
+                    .alias("end"),
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+
+
+def _locate(substr: Column, string: Column, pos: Column) -> Column:
+    """1-based locate(substr, string, pos) as a Column expression."""
+    return F.call_function("locate", substr, string, pos)
+
+
+def token_texts(text: Column, regex: str = WORD_REGEX) -> Column:
+    """Token strings only (no offsets) — the cheap analytical path."""
+    return F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(regex), F.lit(0))
+
+
+def word_tokens(text: Column) -> Column:
+    """Whitespace-ish word split used by the text-analysis aggregates
+    (token_count / quality / lang-id), chosen because it is expressible
+    identically in ANSI SQL for the DuckDB oracle."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != "")
+
+
+# ---- text-analysis metrics (north-star "text analysis" ops) -----------
+
+def char_count(text: Column) -> Column:
+    return F.length(F.coalesce(text, F.lit("")))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = word_tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / F.size(toks),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space chars that are not alphanumeric."""
+    t = F.coalesce(text, F.lit(""))
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9À-ɏ]", ""))
+    return F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = word_tokens(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks),
+    ).otherwise(F.lit(None).cast("double"))

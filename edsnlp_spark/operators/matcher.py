@@ -1,0 +1,293 @@
+"""Matchers: the engine's scan predicates → entities plane.
+
+PhraseMatcher parity: EDSPhraseMatcher (edsnlp/matchers/phrase.pyx:25-177)
+matches a term dictionary over token attributes (TEXT/LOWER/NORM).  Spark
+design: tokenize the dictionary once on the driver, build token n-grams of
+each needed length natively on the nested tokens column, then
+broadcast-hash-join n-grams against the terms table — the classic
+broadcast join; zero shuffle on the notes side, scales to any corpus size
+with the dictionary staying driver/broadcast-side.  For 100k+-term
+dictionaries (UMLS tier) the same join simply stops being broadcast and
+Catalyst/AQE picks a shuffle hash join keyed by the n-gram — still fully
+relational.
+
+RegexMatcher parity: edsnlp/matchers/regex.py:166-494 — regex scan over
+TEXT or NORM with char matches aligned back to spans.  Because our NORM is
+length-preserving (see operators/tokenizer.py), TEXT/NORM offsets
+coincide; exact match offsets come from an Arrow-batched ``mapInPandas``
+(re.finditer).  A native variant (`native=True`) uses
+regexp_extract_all + in-order locate folding — exact whenever the pattern
+has no zero-width assertions that can reject earlier occurrences of an
+identical match string.
+
+Output schema = the entities plane (schemas.ENTITIES_SCHEMA) + tok_start /
+tok_end / sent anchors when produced from tokens.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.base import Transformer
+from ..functions.text import WORD_REGEX, norm_text
+from .. import registry
+
+
+def _tokenize_term(term: str, regex: str = WORD_REGEX) -> list[str]:
+    return re.findall(regex, term)
+
+
+class PhraseMatcher(Transformer):
+    """Dictionary matcher: terms -> entities via n-gram broadcast join."""
+
+    requires = ("note_id", "tokens")
+    provides = ("entities",)
+    name = "eds.matcher"
+
+    def __init__(self, terms: dict[str, Iterable[str]], attr: str = "NORM",
+                 span_type: str = "ents", tokens_col: str = "tokens",
+                 text_col: str = "note_text"):
+        """terms: {label: [surface forms]} — mirrors GenericMatcher
+        (pipes/core/matcher/matcher.py:15)."""
+        self.attr = attr
+        self.span_type = span_type
+        self.tokens_col = tokens_col
+        self.text_col = text_col
+        self.requires = ("note_id", tokens_col)
+        # Driver-side: tokenize every term with the same rules as the corpus.
+        self.term_rows: list[tuple[str, str, int]] = []  # (ngram_key, label, n)
+        for label, forms in terms.items():
+            for form in forms:
+                toks = _tokenize_term(self._norm(form))
+                if toks:
+                    self.term_rows.append((" ".join(toks), label, len(toks)))
+        self.ns = sorted({n for _, _, n in self.term_rows})
+
+    def _norm(self, s: str) -> str:
+        if self.attr == "TEXT":
+            return s
+        if self.attr == "LOWER":
+            return s.lower()
+        # NORM: lower + accent/quote fold — keep in sync with norm_text.
+        import unicodedata
+        s = "".join(
+            c for c in unicodedata.normalize("NFD", s)
+            if unicodedata.category(c) != "Mn"
+        )
+        return s.lower()
+
+    def _tok_attr(self, tok):
+        t = tok["text"]
+        if self.attr == "TEXT":
+            return t
+        if self.attr == "LOWER":
+            return F.lower(t)
+        return norm_text(t)
+
+    def entities(self, df: DataFrame) -> DataFrame:
+        """Return the matched entities as their own DataFrame (flat plane)."""
+        spark = df.sparkSession
+        terms_df = spark.createDataFrame(
+            self.term_rows, "ngram_key string, label string, n int"
+        )
+        toks = F.col(self.tokens_col)
+        # n-grams for each needed length, built natively on the array.
+        def gram_fn(n):
+            def fn(j):
+                return F.struct(
+                    F.concat_ws(
+                        " ",
+                        *[self._tok_attr(F.element_at(toks, j + k + 1))
+                          for k in range(n)],
+                    ).alias("ngram_key"),
+                    F.element_at(toks, j + 1)["start"].alias("start_char"),
+                    F.element_at(toks, j + n)["end"].alias("end_char"),
+                    F.element_at(toks, j + 1)["i"].alias("tok_start"),
+                    (F.element_at(toks, j + n)["i"] + 1).cast("int").alias("tok_end"),
+                )
+            return fn
+
+        grams = []
+        for n in self.ns:
+            idx = F.sequence(F.lit(0), F.size(toks) - n)
+            grams.append(
+                F.when(
+                    F.size(toks) >= n,
+                    F.transform(idx, gram_fn(n)),
+                ).otherwise(F.expr(
+                    "cast(array() as array<struct<ngram_key:string,start_char:int,"
+                    "end_char:int,tok_start:int,tok_end:int>>)"
+                ))
+            )
+        exploded = (
+            df.select("note_id", F.col(self.text_col).alias("__text"),
+                      F.explode(F.flatten(F.array(*grams))).alias("g"))
+            .select("note_id", "__text", "g.*")
+        )
+        joined = exploded.join(F.broadcast(terms_df), "ngram_key", "inner")
+        return joined.select(
+            "note_id",
+            F.col("start_char").cast("int"),
+            F.col("end_char").cast("int"),
+            F.col("label"),
+            F.substring(
+                F.col("__text"), F.col("start_char") + 1,
+                F.col("end_char") - F.col("start_char")
+            ).alias("lexical_variant"),
+            F.lit(self.span_type).alias("span_type"),
+            "tok_start", "tok_end",
+        )
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Attach matches as a nested ``entities`` column (doc-wise view)."""
+        ents = self.entities(df)
+        agg = ents.groupBy("note_id").agg(
+            F.sort_array(F.collect_list(F.struct(
+                "start_char", "end_char", "label", "lexical_variant",
+                "span_type", "tok_start", "tok_end"
+            ))).alias("entities")
+        )
+        return df.join(agg, "note_id", "left").withColumn(
+            "entities",
+            F.coalesce(F.col("entities"), F.expr(
+                "cast(array() as array<struct<start_char:int,end_char:int,"
+                "label:string,lexical_variant:string,span_type:string,"
+                "tok_start:int,tok_end:int>>)"
+            )),
+        )
+
+
+class RegexMatcher(Transformer):
+    """Regex scan -> entities plane with exact char offsets."""
+
+    requires = ("note_id",)
+    name = "eds.regex_matcher"
+
+    def __init__(self, patterns: dict[str, Iterable[str]], attr: str = "TEXT",
+                 span_type: str = "ents", text_col: str = "note_text",
+                 flags: int = 0, native: bool = False):
+        self.patterns = {k: list(v) for k, v in patterns.items()}
+        self.attr = attr
+        self.span_type = span_type
+        self.text_col = text_col
+        self.flags = flags
+        self.native = native
+        self.requires = ("note_id", text_col)
+
+    def _match_col(self, df: DataFrame):
+        if self.attr == "NORM":
+            return norm_text(F.col(self.text_col))
+        if self.attr == "LOWER":
+            return F.lower(F.col(self.text_col))
+        return F.col(self.text_col)
+
+    def entities(self, df: DataFrame) -> DataFrame:
+        if self.native:
+            return self._entities_native(df)
+        return self._entities_udf(df)
+
+    def _entities_native(self, df: DataFrame) -> DataFrame:
+        """regexp_extract_all + in-order locate fold (no Python)."""
+        src = self._match_col(df)
+        parts = []
+        for label, pats in self.patterns.items():
+            rx = "|".join(f"(?:{p})" for p in pats)
+            matches = F.regexp_extract_all(F.coalesce(src, F.lit("")), F.lit(rx), F.lit(0))
+            zero = F.struct(
+                F.lit(0).cast("int").alias("pos"),
+                F.expr("cast(array() as array<struct<start_char:int,end_char:int>>)").alias("out"),
+            )
+            spans = F.aggregate(
+                matches, zero,
+                lambda acc, m: F.struct(
+                    (F.call_function("locate", m, src, acc["pos"] + 1) + F.length(m) - 1)
+                    .cast("int").alias("pos"),
+                    F.array_append(
+                        acc["out"],
+                        F.struct(
+                            (F.call_function("locate", m, src, acc["pos"] + 1) - 1)
+                            .cast("int").alias("start_char"),
+                            (F.call_function("locate", m, src, acc["pos"] + 1) - 1 + F.length(m))
+                            .cast("int").alias("end_char"),
+                        ),
+                    ).alias("out"),
+                ),
+                lambda acc: acc["out"],
+            )
+            parts.append(
+                df.select(
+                    "note_id", F.col(self.text_col).alias("__text"),
+                    F.explode(spans).alias("s")
+                ).select(
+                    "note_id", F.col("s.start_char"), F.col("s.end_char"),
+                    F.lit(label).alias("label"),
+                    F.substring(F.col("__text"), F.col("s.start_char") + 1,
+                                F.col("s.end_char") - F.col("s.start_char"))
+                    .alias("lexical_variant"),
+                    F.lit(self.span_type).alias("span_type"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _entities_udf(self, df: DataFrame) -> DataFrame:
+        """Arrow-batched mapInPandas with re.finditer — exact semantics,
+        the reference's own algorithm class (regex.py:166-494)."""
+        compiled = [
+            (label, re.compile("|".join(f"(?:{p})" for p in pats), self.flags))
+            for label, pats in self.patterns.items()
+        ]
+        span_type = self.span_type
+        text_col = self.text_col
+        attr = self.attr
+        out_schema = (
+            "note_id long, start_char int, end_char int, label string, "
+            "lexical_variant string, span_type string"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import unicodedata
+
+            def norm(s: str) -> str:
+                s = "".join(c for c in unicodedata.normalize("NFD", s)
+                            if unicodedata.category(c) != "Mn")
+                return s.lower()
+
+            for pdf in batches:
+                rows = []
+                for note_id, text in zip(pdf["note_id"], pdf[text_col]):
+                    if text is None:
+                        continue
+                    hay = norm(text) if attr == "NORM" else (
+                        text.lower() if attr == "LOWER" else text)
+                    for label, rx in compiled:
+                        for m in rx.finditer(hay):
+                            s, e = m.start(), m.end()
+                            rows.append((note_id, s, e, label, text[s:e], span_type))
+                yield pd.DataFrame(
+                    rows, columns=["note_id", "start_char", "end_char",
+                                   "label", "lexical_variant", "span_type"])
+
+        return df.select("note_id", text_col).mapInPandas(run, out_schema)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        ents = self.entities(df)
+        agg = ents.groupBy("note_id").agg(
+            F.sort_array(F.collect_list(F.struct(
+                "start_char", "end_char", "label", "lexical_variant", "span_type"
+            ))).alias("entities")
+        )
+        return df.join(agg, "note_id", "left")
+
+
+@registry.register("eds.matcher")
+def _make_matcher(terms=None, regex=None, attr="NORM", **kw):
+    if regex:
+        return RegexMatcher(regex, attr=attr, **kw)
+    return PhraseMatcher(terms or {}, attr=attr, **kw)

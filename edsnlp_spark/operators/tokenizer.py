@@ -1,0 +1,71 @@
+"""eds tokenizer as a Transformer adding a nested ``tokens`` column.
+
+Parity target: the reference's single-regex French clinical tokenizer
+(edsnlp/language.py:46-116).  Fully native (regexp_extract_all + fold,
+see functions/text.py) — no UDF, whole-stage codegen, and Catalyst prunes
+the column away for queries that never read it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.base import Transformer
+from ..functions.text import WORD_REGEX, tokenize, norm_text
+from .. import registry
+
+
+class Tokenizer(Transformer):
+    requires = ("note_text",)
+    provides = ("tokens",)
+    name = "eds.tokenizer"
+
+    def __init__(self, regex: str = WORD_REGEX, text_col: str = "note_text",
+                 out_col: str = "tokens"):
+        self.regex = regex
+        self.text_col = text_col
+        self.out_col = out_col
+        self.requires = (text_col,)
+        self.provides = (out_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.out_col, tokenize(F.col(self.text_col), self.regex))
+
+
+class Normalizer(Transformer):
+    """eds.normalizer: adds ``norm_text`` (lower/accents/quotes folded).
+
+    The reference computes a per-token NORM attribute
+    (pipes/core/normalizer/normalizer.py:15); our normalizers are
+    char-maps, so whole-text NORM preserves char offsets and matchers can
+    run on NORM space with TEXT-space spans for free (SURVEY.md §7 hard
+    part #1, solved structurally for this subset).
+    """
+
+    requires = ("note_text",)
+    provides = ("norm_text",)
+    name = "eds.normalizer"
+
+    def __init__(self, lowercase: bool = True, accents: bool = True,
+                 quotes: bool = True, text_col: str = "note_text",
+                 out_col: str = "norm_text"):
+        self.lowercase, self.accents, self.quotes = lowercase, accents, quotes
+        self.text_col, self.out_col = text_col, out_col
+        self.requires = (text_col,)
+        self.provides = (out_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.out_col,
+            norm_text(F.col(self.text_col), self.lowercase, self.accents, self.quotes),
+        )
+
+
+@registry.register("eds.tokenizer")
+def _make_tokenizer(**kw):
+    return Tokenizer(**kw)
+
+
+@registry.register("eds.normalizer")
+def _make_normalizer(**kw):
+    return Normalizer(**kw)

@@ -1,0 +1,70 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) and print ONE JSON line with per-query wall times.
+
+Each query is fully materialized via a count-ish action (collect on
+aggregates is small; larger outputs use count) so the measured time is
+the real end-to-end plan execution, not lazy-plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edsnlp_spark.queries import all_queries
+from edsnlp_spark.session import get_spark
+
+# Headline set: one per operator family (aggregation, join, window,
+# sessionization, as-of, interval join, NLP pipeline, dedup, ANN).
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "event_sessions",
+    "purchase_asof_signup",
+    "close_event_pairs",
+    "phrase_match_tokens",
+    "negation_tokens",
+    "minhash_lsh_dedup",
+    "embedding_topk",
+    "doc_quality",
+    "quantities_extraction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="edsnlp-spark-bench")
+    qs = all_queries()
+
+    # Warm the JVM/codegen paths once so per-query times reflect steady
+    # state (the driver measures the same process repeatedly).
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""eds.dates: French date mention extraction + normalization, native SQL.
+
+Parity target: edsnlp/pipes/misc/dates/dates.py:28 and models.py:44-460 —
+absolute dates ("25 septembre 2021", "25/09/2021"), with partial-date
+inference against note_datetime (models.py:104-178: a missing year/month
+is filled from the note date), normalized to a DATE.
+
+Spark design (SURVEY.md §2.8): regexp scan + arithmetic — fully native,
+whole-stage codegen, DuckDB-oracle checkable.  Relative dates/durations
+("il y a 3 jours") are parsed into day offsets applied to note_datetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.base import Transformer
+from .. import registry
+
+FR_MONTHS = [
+    "janvier", "fevrier", "mars", "avril", "mai", "juin", "juillet",
+    "aout", "septembre", "octobre", "novembre", "decembre",
+]
+# Accent-folded (matching runs on NORM); also accept common abbreviations.
+FR_MONTH_ABBREV = {
+    "janv": 1, "fevr": 2, "fev": 2, "avr": 4, "juil": 7, "sept": 9,
+    "oct": 10, "nov": 11, "dec": 12,
+}
+
+# Verbose date: "25 septembre 2021", "1er mars 1998", "25 sept. 2021"
+VERBOSE_DATE_RX = (
+    r"\b(\d{1,2})(?:er)?\s+([a-z]+)\.?\s+(\d{4})\b"
+)
+# Numeric date: 25/09/2021, 25-09-2021, 25.09.2021
+NUMERIC_DATE_RX = r"\b(\d{1,2})[/.\-](\d{1,2})[/.\-](\d{4})\b"
+# Relative: "il y a 3 jours/semaines/mois/ans"
+RELATIVE_RX = r"\bil y a (\d+) (jour|jours|semaine|semaines|mois|an|ans)\b"
+
+
+def month_number(name: Column) -> Column:
+    """French month name/abbrev (accent-folded, lowercase) -> 1..12."""
+    full = F.array_position(
+        F.array(*[F.lit(m) for m in FR_MONTHS]), name
+    ).cast("int")
+    out = F.when(full > 0, full)
+    for ab, num in FR_MONTH_ABBREV.items():
+        out = out.when(name == ab, F.lit(num))
+    return out
+
+
+def parse_verbose_date(text: Column) -> Column:
+    """First verbose French date in ``text`` -> DATE (null if none/invalid)."""
+    day = F.regexp_extract(text, VERBOSE_DATE_RX, 1)
+    mon = F.regexp_extract(text, VERBOSE_DATE_RX, 2)
+    year = F.regexp_extract(text, VERBOSE_DATE_RX, 3)
+    return F.when(
+        (day != "") & (month_number(mon).isNotNull()),
+        F.try_to_date(
+            F.format_string(
+                "%s-%s-%s", year, month_number(mon).cast("string"), day
+            ),
+            "y-M-d",
+        ),
+    )
+
+
+def parse_numeric_date(text: Column) -> Column:
+    day = F.regexp_extract(text, NUMERIC_DATE_RX, 1)
+    mon = F.regexp_extract(text, NUMERIC_DATE_RX, 2)
+    year = F.regexp_extract(text, NUMERIC_DATE_RX, 3)
+    return F.when(
+        day != "",
+        F.try_to_date(F.format_string("%s-%s-%s", year, mon, day), "y-M-d"),
+    )
+
+
+def parse_relative_days(text: Column) -> Column:
+    """'il y a N <unit>' -> day offset (negative, into the past)."""
+    n = F.regexp_extract(text, RELATIVE_RX, 1)
+    unit = F.regexp_extract(text, RELATIVE_RX, 2)
+    days_per = (
+        F.when(unit.startswith("jour"), 1)
+        .when(unit.startswith("semaine"), 7)
+        .when(unit == "mois", 30)
+        .when(unit.startswith("an"), 365)
+    )
+    return F.when(n != "", -(n.cast("int") * days_per))
+
+
+class DatesExtractor(Transformer):
+    """Adds ``parsed_date`` (first absolute date mention, normalized) and
+    ``relative_date`` (note_datetime + relative offset) columns."""
+
+    requires = ("note_text",)
+    provides = ("parsed_date", "relative_date")
+    name = "eds.dates"
+
+    def __init__(self, text_col: str = "note_text",
+                 note_datetime_col: str = "note_datetime"):
+        self.text_col = text_col
+        self.dt_col = note_datetime_col
+        self.requires = (text_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        text = F.lower(F.col(self.text_col))
+        absolute = F.coalesce(parse_verbose_date(text), parse_numeric_date(text))
+        out = df.withColumn("parsed_date", absolute)
+        if self.dt_col in df.columns:
+            rel = parse_relative_days(text)
+            out = out.withColumn(
+                "relative_date",
+                F.when(
+                    rel.isNotNull(),
+                    F.date_add(F.col(self.dt_col).cast("date"), rel),
+                ),
+            )
+        else:
+            out = out.withColumn("relative_date", F.lit(None).cast("date"))
+        return out
+
+
+@registry.register("eds.dates")
+def _make_dates(**kw):
+    return DatesExtractor(**kw)

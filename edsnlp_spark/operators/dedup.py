@@ -1,0 +1,163 @@
+"""Near-duplicate detection: MinHash-LSH, n-gram Jaccard, SimHash.
+
+North-star LLM-data-pipeline operators (BASELINE.json): built to scale —
+shingling and signatures are per-row projections (no shuffle); candidate
+generation is an equi-join on band keys / shared shingles (one shuffle);
+verification joins only the candidate pairs.
+
+All hashing is md5-based so a DuckDB oracle can reproduce results
+bit-for-bit (Spark xxhash64/hash have no DuckDB equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a single-space-tokenized text."""
+    toks = F.split(text, " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(k >= 1, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(toks, j + i + 1) for i in range(n)]
+        ),
+    ))).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """array<string>: per hash i, min over shingles of md5(i || ':' || s).
+
+    md5-as-hash-family keeps the signature engine-portable; the min of the
+    hex strings is a valid min-hash (uniform over the md5 codomain).
+    Computed as ONE fold over the shingles (12 md5s per element), not 12
+    separate array_min passes — the shingle-construction subtree would
+    otherwise be re-evaluated per hash.
+    """
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit("g"), num_hashes)  # 'g' > any hex digit
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: concat `rows` consecutive signature slots per band."""
+    return F.array(*[
+        F.concat_ws(
+            "|", F.lit(str(b)),
+            *[F.element_at(signature, b * rows + r + 1) for r in range(rows)],
+        )
+        for b in range(bands)
+    ])
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 12, bands: int = 6) -> DataFrame:
+    """Candidate near-dup pairs sharing >=1 LSH band, with the estimated
+    Jaccard = fraction of equal signature slots.
+
+    Plan: project signatures (no shuffle) -> explode band keys ->
+    self-join on band key (one shuffle, ~uniform since keys are hashes)
+    -> distinct pairs -> zip signatures for the estimate.
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # Signatures are reused on both sides of the candidate join and for
+    # the final estimate: persist once, and keep the candidate join
+    # ids-only so the shuffle rows are two longs, not md5 arrays.
+    sig_tbl = sh.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).persist()
+    banded = sig_tbl.select(
+        "id", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "bk")
+    b = banded.select(F.col("id").alias("id_b"), "bk")
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withsigs = (
+        pairs.join(
+            sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a")
+        .join(
+            sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b")
+    )
+    est = F.size(F.filter(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                   lambda x, y: x == y), lambda eq: eq
+    )) / F.size(F.col("sig_a"))
+    return withsigs.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash from word tokens, md5-derived bit votes.
+
+    Per token: take 64 bits of md5 as two 32-bit halves (keeps all
+    arithmetic in signed-long range, portable to the SQL oracle); per
+    bit position, sum +-1 votes across tokens; the sign vector is the
+    fingerprint, emitted as a 64-char '0'/'1' string (bit 0 first).
+    Array HOFs only — per-row projection, no shuffle, no UDF.
+    """
+    toks = F.split(text, " ")
+    halves = F.transform(toks, lambda t: F.struct(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("lo"),
+    ))
+
+    def vote(b):
+        def step(acc, h):
+            word = h["lo"] if b < 32 else h["hi"]
+            bit = F.shiftright(word, b % 32).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+        return F.aggregate(halves, F.lit(0), step)
+
+    return F.concat(*[
+        F.when(vote(b) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(64)
+    ])

@@ -1,0 +1,103 @@
+"""eds.quantities: value + unit extraction with dimensional conversion.
+
+Parity target: edsnlp/pipes/misc/quantities/quantities.py:379 — a unit
+registry mapping unit tokens to (dimension, scale factor)
+(UnitRegistry.parse_unit, quantities.py:142-167), value and range
+parsing (SimpleQuantity :169, RangeQuantity :276), and cross-unit
+conversion/comparison (convert_to, :209-274).
+
+Spark design (SURVEY.md §2.8): regex scan + broadcast unit table +
+arithmetic — classic dimensional analysis in native SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.base import Transformer
+from .. import registry
+
+# unit -> (dimension, factor to SI base of that dimension)
+UNIT_REGISTRY: dict[str, tuple[str, float]] = {
+    "kg": ("mass", 1e3), "g": ("mass", 1.0), "mg": ("mass", 1e-3),
+    "µg": ("mass", 1e-6), "ug": ("mass", 1e-6),
+    "km": ("length", 1e3), "m": ("length", 1.0), "cm": ("length", 1e-2),
+    "mm": ("length", 1e-3),
+    "l": ("volume", 1.0), "dl": ("volume", 1e-1), "cl": ("volume", 1e-2),
+    "ml": ("volume", 1e-3),
+    "h": ("time", 3600.0), "min": ("time", 60.0), "s": ("time", 1.0),
+    "%": ("ratio", 1e-2),
+}
+
+_UNITS_ALT = "|".join(
+    sorted((u.replace("%", "%") for u in UNIT_REGISTRY), key=len, reverse=True)
+)
+# value + unit: "65 kg", "65,5kg", "1.75 m"
+QUANTITY_RX = rf"(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT})\b"
+# range: "de 10 à 20 mg" / "10 - 20 mg"
+RANGE_RX = rf"(\d+(?:[.,]\d+)?)\s*(?:-|a|à)\s*(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT})\b"
+
+
+def _num(col: Column) -> Column:
+    return F.replace(col, F.lit(","), F.lit(".")).cast("double")
+
+
+def unit_factor(unit: Column) -> Column:
+    out = F.lit(None).cast("double")
+    for u, (_, f) in UNIT_REGISTRY.items():
+        out = F.when(unit == u, F.lit(f)).otherwise(out)
+    return out
+
+
+def unit_dimension(unit: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for u, (d, _) in UNIT_REGISTRY.items():
+        out = F.when(unit == u, F.lit(d)).otherwise(out)
+    return out
+
+
+def extract_quantity(text: Column) -> Column:
+    """First quantity mention -> struct<value double, unit string,
+    value_si double, dimension string> (null if none)."""
+    raw_v = F.regexp_extract(text, QUANTITY_RX, 1)
+    raw_u = F.regexp_extract(text, QUANTITY_RX, 2)
+    value = _num(raw_v)
+    return F.when(
+        raw_v != "",
+        F.struct(
+            value.alias("value"),
+            raw_u.alias("unit"),
+            (value * unit_factor(raw_u)).alias("value_si"),
+            unit_dimension(raw_u).alias("dimension"),
+        ),
+    )
+
+
+def convert_to(value: Column, from_unit: Column, to_unit: Column) -> Column:
+    """Cross-unit conversion; null when dimensions differ (the reference
+    raises — we stay relational and yield null)."""
+    return F.when(
+        unit_dimension(from_unit) == unit_dimension(to_unit),
+        value * unit_factor(from_unit) / unit_factor(to_unit),
+    )
+
+
+class QuantitiesExtractor(Transformer):
+    requires = ("note_text",)
+    provides = ("quantity",)
+    name = "eds.quantities"
+
+    def __init__(self, text_col: str = "note_text", out_col: str = "quantity"):
+        self.text_col, self.out_col = text_col, out_col
+        self.requires = (text_col,)
+        self.provides = (out_col,)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.out_col, extract_quantity(F.lower(F.col(self.text_col)))
+        )
+
+
+@registry.register("eds.quantities")
+def _make_quantities(**kw):
+    return QuantitiesExtractor(**kw)

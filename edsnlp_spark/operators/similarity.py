@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (north-star ANN ops).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the full corpus, ranked per query.  Scale path:
+LSH-bucketed search via random hyperplane signatures — candidates only
+meet inside a bucket (equi-join), turning O(Q x N) into O(Q x N / 2^bits)
+per table scan.  All arithmetic in double precision, left-to-right, so a
+DuckDB oracle reproduces values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is expected to be small — broadcast it; the corpus streams
+    through one projection + per-query top-k (window over rank).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
+    qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id", "n_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one bit per plane (sign of dot)."""
+    return F.concat(*[
+        F.when(
+            dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ])
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list[list[float]],
+             k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(
+        F.col(id_col).alias("n_id"), vec.alias("v"),
+        hyperplane_signature(vec, planes).alias("bucket"),
+    )
+    qs = queries.select(
+        F.col(q_id_col).alias("q_id"), qvec.alias("qv"),
+        hyperplane_signature(qvec, planes).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                F.round("cos", 4).alias("cos_sim"))
+    )

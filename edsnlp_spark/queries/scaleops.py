@@ -1,0 +1,184 @@
+"""Scale-path queries: dedup, similarity search, simhash, multimodal.
+
+The north-star LLM-data-pipeline operators (BASELINE.json) as
+oracle-checked queries.  Hashing is md5-based everywhere so DuckDB can
+reproduce signatures exactly; cosine arithmetic is double-precision
+left-to-right on both engines, rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .relational import _t
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.multimodal import attach_blob, extract_features
+
+
+# ---- MinHash-LSH near-dup candidates ----------------------------------
+
+def minhash_lsh_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, n=3, num_hashes=12, bands=6)
+
+
+_MINHASH_SIG_SQL = """
+sigs AS (
+  SELECT doc_id,
+         [ {mins} ] AS sig
+  FROM (
+    SELECT doc_id,
+           list_distinct([
+             array_to_string(toks[i:i+2], ' ')
+             for i in range(1, len(toks) - 1)
+           ]) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
+  )
+)
+""".format(mins=", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+    for i in range(12)
+))
+
+MINHASH_LSH_DEDUP_SQL = f"""
+WITH {_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, sig,
+         unnest([
+           '0|' || sig[1] || '|' || sig[2],
+           '1|' || sig[3] || '|' || sig[4],
+           '2|' || sig[5] || '|' || sig[6],
+           '3|' || sig[7] || '|' || sig[8],
+           '4|' || sig[9] || '|' || sig[10],
+           '5|' || sig[11] || '|' || sig[12]
+         ]) AS bk
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_filter([sig_a[i] = sig_b[i] for i in range(1, 13)],
+                             x -> x)) / 12.0, 4) AS est_jaccard
+FROM pairs
+"""
+
+
+# ---- exact n-gram Jaccard over shared-shingle candidates --------------
+
+def ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, len(toks) - 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(shared / (na + nb - shared), 4) AS jaccard
+FROM inter
+WHERE shared / (na + nb - shared) >= 0.2
+"""
+
+
+# ---- SimHash fingerprints ---------------------------------------------
+
+def simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash64(F.col("text")).alias("simhash_bits")
+    )
+
+
+SIMHASH_FINGERPRINTS_SQL = """
+WITH tokh AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+            t -> {'hi': ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                  'lo': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string([
+         CASE WHEN list_sum(list_transform(hs,
+                h -> CASE WHEN
+                       ((CASE WHEN b < 32 THEN h.lo ELSE h.hi END
+                         >> (b % 32)) & 1) = 1
+                     THEN 1 ELSE -1 END)) > 0
+              THEN '1' ELSE '0' END
+         for b in range(0, 64)
+       ], '') AS simhash_bits
+FROM tokh
+"""
+
+
+# ---- brute-force + LSH cosine top-k -----------------------------------
+
+def embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.brute_force_topk(emb, queries, k=10)
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, ROUND(cos, 4) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---- multimodal plumbing (stubbed decode -> rows-only check) ----------
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column pipeline with stubbed decode; no SQL oracle (the
+    pseudo-decode is python-side) -> driver records a rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = attach_blob(docs)
+    return extract_features(blobs, decode_stub=True)
+
+
+QUERIES = {
+    "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
+    "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
+    "multimodal_features": (multimodal_features, None),
+}

@@ -1,0 +1,506 @@
+"""Text/NLP operator queries with DuckDB oracles.
+
+These exercise the engine's NLP operators (SURVEY.md §2.3-§2.8) on the
+``documents`` table at token granularity — document texts are
+single-spaced lowercase words, so the engine tokenizer's token indices
+coincide with SQL word-split ordinality and every operator's semantics
+can be independently reproduced in ANSI SQL.  Char-offset fidelity on
+real clinical text is covered by the pytest golden tests instead.
+
+The engine-backed queries (phrase_match_tokens, negation_tokens,
+section_spans) run the REAL operators (PhraseMatcher, QualifierEngine,
+SectionSegmenter); the oracles re-derive the same semantics from
+first principles in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .relational import _t
+from ..core.base import Pipeline
+from ..operators.tokenizer import Tokenizer, Normalizer
+from ..operators.sentences import SentenceSegmenter
+from ..operators.matcher import PhraseMatcher
+from ..operators.qualifiers import QualifierEngine
+from ..operators.sections import SectionSegmenter
+from ..operators.dates import FR_MONTHS, parse_verbose_date
+from ..operators.quantities import extract_quantity
+from ..functions import text as X
+
+# DuckDB token CTE: 1-based positions via zipped unnest.
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+)
+"""
+
+
+def _notes(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id as note_id", "text as note_text")
+    )
+
+
+def _pipe_notes(spark, sf_dir):
+    return Pipeline([Tokenizer(), SentenceSegmenter()])(_notes(spark, sf_dir))
+
+
+# ---- token stats / quality / lang-id / fingerprint --------------------
+
+def token_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ntok = X.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+TOKEN_STATS_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = X.word_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(X.avg_word_len(F.col("text")), 4).alias("avg_word_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("distinct_ratio"),
+    )
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+             / len(string_split(text, ' ')), 4) AS avg_word_len,
+       ROUND(len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')), 4) AS distinct_ratio
+FROM documents
+"""
+
+
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "fr": ["le", "la", "de", "et"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "de", "y"],
+}
+
+
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-vote language ID (north-star text-analysis op): argmax of
+    per-language stopword hits, deterministic tiebreak by language code."""
+    d = _t(spark, sf_dir, "documents")
+    toks = X.word_tokens(F.lower(F.col("text")))
+
+    def contains_fn(sw):
+        arr = F.array(*[F.lit(s) for s in sw])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = F.array(*[
+        F.struct(
+            (-F.size(F.filter(toks, contains_fn(sw))))
+            .cast("bigint").alias("neg_score"),
+            F.lit(code).alias("lang"),
+        )
+        for code, sw in sorted(_LANG_STOPWORDS.items())
+    ])
+    best = F.array_min(scores)
+    return d.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        (-best["neg_score"]).cast("bigint").alias("score"),
+    )
+
+
+_lang_score_sql = ", ".join(
+    f"len(list_filter(string_split(lower(text), ' '), "
+    f"t -> list_contains({sw!r}, t))) AS score_{code}"
+    for code, sw in sorted(_LANG_STOPWORDS.items())
+)
+LANG_ID_HEURISTIC_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, {_lang_score_sql} FROM documents
+), ranked AS (
+  SELECT doc_id,
+         list_min([
+           {{'neg_score': -score_de, 'lang': 'de'}},
+           {{'neg_score': -score_en, 'lang': 'en'}},
+           {{'neg_score': -score_es, 'lang': 'es'}},
+           {{'neg_score': -score_fr, 'lang': 'fr'}}
+         ]) AS best
+  FROM scored
+)
+SELECT doc_id, best.lang AS pred_lang, -best.neg_score AS score FROM ranked
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """md5 content fingerprint + 16-hex prefix bucket (north-star
+    document-fingerprinting op; md5 is identical across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return d.select("doc_id", fp.alias("fp"),
+                    F.substring(fp, 1, 8).alias("fp_bucket"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 8) AS fp_bucket
+FROM documents
+"""
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: keep the smallest doc_id per content hash."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---- engine-backed: phrase matcher ------------------------------------
+
+_MATCH_TERMS = {"op": ["join", "merge", "hash join"], "sys": ["spark"]}
+
+
+def phrase_match_tokens(spark, sf_dir):
+    """PhraseMatcher (n-gram broadcast join) at token granularity."""
+    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    m = PhraseMatcher(_MATCH_TERMS, attr="TEXT")
+    ents = m.entities(notes)
+    return ents.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        "label",
+        F.col("lexical_variant").alias("term"),
+    )
+
+
+PHRASE_MATCH_TOKENS_SQL = f"""
+WITH {_TOK_CTE},
+big AS (
+  SELECT doc_id, pos,
+         token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bigram
+  FROM tok
+)
+SELECT doc_id, pos, 'op' AS label, token AS term
+  FROM tok WHERE token IN ('join', 'merge')
+UNION ALL
+SELECT doc_id, pos, 'sys', token FROM tok WHERE token = 'spark'
+UNION ALL
+SELECT doc_id, pos, 'op', bigram FROM big WHERE bigram = 'hash join'
+"""
+
+
+# ---- engine-backed: negation qualifier (flagship) ---------------------
+
+_NEG_TARGETS = {"target": ["spark", "merge", "table"]}
+_NEG_CUES = {"preceding": ["slow", "small"], "termination": ["filter"]}
+
+
+def negation_tokens(spark, sf_dir):
+    """Full qualifier engine: cue scan -> boundary sessionization ->
+    interval join -> grouped EXISTS.  Oracle re-derives the same
+    semantics with a last-marker window (the last cue-or-termination
+    before the entity must be a cue)."""
+    notes = _pipe_notes(spark, sf_dir).persist()
+    ents = PhraseMatcher(_NEG_TARGETS, attr="TEXT").entities(notes)
+    q = QualifierEngine("negated", _NEG_CUES, attr="TEXT")
+    out = q.qualify(notes, ents)
+    res = out.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("term"),
+        "negated",
+    )
+    return res
+
+
+NEGATION_TOKENS_SQL = f"""
+WITH {_TOK_CTE},
+marked AS (
+  SELECT doc_id, pos, token,
+         LAST_VALUE(
+           CASE WHEN token = 'filter' THEN 'T'
+                WHEN token IN ('slow', 'small') THEN 'C' END
+           IGNORE NULLS) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_marker
+  FROM tok
+)
+SELECT doc_id, pos, token AS term,
+       COALESCE(prev_marker = 'C', FALSE) AS negated
+FROM marked WHERE token IN ('spark', 'merge', 'table')
+"""
+
+
+# ---- engine-backed: sections ------------------------------------------
+
+_SECTION_HEADERS = {"window": ["window"], "stream": ["stream"]}
+
+
+def section_spans(spark, sf_dir):
+    """SectionSegmenter: header scan + lead() window -> intervals."""
+    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    s = SectionSegmenter(_SECTION_HEADERS, attr="TEXT")
+    secs = s.sections_table(notes)
+    return secs.select(
+        F.col("note_id").alias("doc_id"),
+        F.col("sec_id").cast("bigint").alias("sec_id"),
+        F.col("section"),
+        (F.col("tok_start") + 1).cast("bigint").alias("start_pos"),
+        (F.col("tok_until") + 1).cast("bigint").alias("end_pos"),
+    )
+
+
+SECTION_SPANS_SQL = f"""
+WITH {_TOK_CTE},
+hdr AS (
+  SELECT doc_id, pos, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS sec_id,
+         LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next_pos
+  FROM tok WHERE token IN ('window', 'stream')
+), ntok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+)
+SELECT h.doc_id, h.sec_id, h.token AS section,
+       h.pos AS start_pos,
+       COALESCE(h.next_pos, n.n + 1) AS end_pos
+FROM hdr h JOIN ntok n ON h.doc_id = n.doc_id
+"""
+
+
+# ---- split/explode (eds.split fragment windows) -----------------------
+
+def split_windows(spark, sf_dir):
+    """eds.split analog: fragment docs into token windows of max length
+    20 with stride 15 (overlap 5) — explode over a native sequence."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = X.token_count(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(ntok, F.lit(1)), F.lit(15))
+    return (
+        d.select("doc_id", ntok.alias("n"), F.explode(starts).alias("start_pos"))
+        .filter(F.col("start_pos") <= F.col("n"))
+        .select(
+            "doc_id",
+            ((F.col("start_pos") - 1) / 15).cast("bigint").alias("frag_id"),
+            F.col("start_pos").cast("bigint"),
+            F.least(F.col("start_pos") + 20, F.col("n") + 1)
+            .cast("bigint").alias("end_pos"),
+        )
+    )
+
+
+SPLIT_WINDOWS_SQL = """
+WITH n AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+SELECT doc_id,
+       (s - 1) // 15 AS frag_id,
+       s AS start_pos,
+       LEAST(s + 20, n + 1) AS end_pos
+FROM n, unnest(range(1, n + 1, 15)) AS t(s)
+"""
+
+
+# ---- metrics: grouped precision/recall/F1 (metrics/ner.py parity) -----
+
+_PRED_TERMS = ["spark", "join", "merge"]
+_GOLD_TERMS = ["spark", "merge", "filter"]
+
+
+def ner_token_metrics(spark, sf_dir):
+    """Exact-position NER metrics via full outer join + rollup micro row
+    (edsnlp/metrics/ner.py:34-100 semantics at token granularity)."""
+    notes = _notes(spark, sf_dir)
+    toks = notes.select(
+        F.col("note_id").alias("doc_id"),
+        F.posexplode(F.split("note_text", " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    pred = toks.filter(F.col("token").isin(_PRED_TERMS)).select(
+        "doc_id", "pos", F.col("token").alias("label"))
+    gold = toks.filter(F.col("token").isin(_GOLD_TERMS)).select(
+        "doc_id", "pos", F.col("token").alias("label"))
+    j = pred.withColumn("p", F.lit(1)).join(
+        gold.withColumn("g", F.lit(1)), ["doc_id", "pos", "label"], "full_outer")
+    per = j.groupBy("label").agg(
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNotNull(), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("g").isNull(), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("p").isNull() & F.col("g").isNotNull(), 1)
+              .otherwise(0)).alias("fn"),
+    )
+    micro = per.groupBy().agg(
+        F.lit("ALL").alias("label"), F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"), F.sum("fn").alias("fn"))
+    allrows = per.unionByName(micro)
+    prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
+    rec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fn"))
+    f1 = F.try_divide(2 * prec * rec, prec + rec)
+    return allrows.select(
+        "label", "tp", "fp", "fn",
+        F.round(prec, 4).alias("precision"),
+        F.round(rec, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+    )
+
+
+NER_TOKEN_METRICS_SQL = f"""
+WITH {_TOK_CTE},
+pred AS (SELECT doc_id, pos, token AS label FROM tok
+         WHERE token IN ('spark', 'join', 'merge')),
+gold AS (SELECT doc_id, pos, token AS label FROM tok
+         WHERE token IN ('spark', 'merge', 'filter')),
+j AS (
+  SELECT COALESCE(p.label, g.label) AS label,
+         CASE WHEN p.doc_id IS NOT NULL AND g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS tp,
+         CASE WHEN p.doc_id IS NOT NULL AND g.doc_id IS NULL THEN 1 ELSE 0 END AS fp,
+         CASE WHEN p.doc_id IS NULL AND g.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fn
+  FROM pred p FULL OUTER JOIN gold g
+    ON p.doc_id = g.doc_id AND p.pos = g.pos AND p.label = g.label
+),
+per AS (
+  SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+  FROM j GROUP BY label
+  UNION ALL
+  SELECT 'ALL', SUM(tp), SUM(fp), SUM(fn) FROM j
+)
+SELECT label, tp, fp, fn,
+       ROUND(tp / NULLIF(tp + fp, 0), 4) AS precision,
+       ROUND(tp / NULLIF(tp + fn, 0), 4) AS recall,
+       ROUND(2.0 * (tp / NULLIF(tp + fp, 0)) * (tp / NULLIF(tp + fn, 0))
+             / NULLIF(tp / NULLIF(tp + fp, 0) + tp / NULLIF(tp + fn, 0), 0),
+             4) AS f1
+FROM per
+"""
+
+
+# ---- eds.dates on constructed French date text ------------------------
+
+def dates_extraction(spark, sf_dir):
+    """Build 'Consultation du <j> <mois> <aaaa>' from o_orderdate, then
+    recover the date with the engine's French date parser (eds.dates).
+    The oracle re-parses the text independently in SQL."""
+    o = _t(spark, sf_dir, "orders")
+    months = F.array(*[F.lit(m) for m in FR_MONTHS])
+    text = F.concat(
+        F.lit("consultation du "),
+        F.dayofmonth("o_orderdate").cast("string"), F.lit(" "),
+        F.element_at(months, F.month("o_orderdate")), F.lit(" "),
+        F.year("o_orderdate").cast("string"),
+    )
+    d = o.select("o_orderkey", text.alias("date_text"))
+    return d.select(
+        "o_orderkey", "date_text",
+        F.date_format(parse_verbose_date(F.col("date_text")), "yyyy-MM-dd")
+        .alias("parsed_date"),
+    )
+
+
+_MONTH_CASE = " ".join(
+    f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(FR_MONTHS)
+)
+DATES_EXTRACTION_SQL = f"""
+WITH built AS (
+  SELECT o_orderkey,
+         'consultation du ' || day(o_orderdate)::VARCHAR || ' ' ||
+         (['janvier','fevrier','mars','avril','mai','juin','juillet',
+           'aout','septembre','octobre','novembre','decembre'])[month(o_orderdate)]
+         || ' ' || year(o_orderdate)::VARCHAR AS date_text
+  FROM orders
+)
+SELECT o_orderkey, date_text,
+       CAST(make_date(
+         CAST(regexp_extract(date_text, 'du (\\d+) ([a-z]+) (\\d+)', 3) AS INT),
+         CASE regexp_extract(date_text, 'du (\\d+) ([a-z]+) (\\d+)', 2)
+              {_MONTH_CASE} END,
+         CAST(regexp_extract(date_text, 'du (\\d+) ([a-z]+) (\\d+)', 1) AS INT)
+       ) AS VARCHAR) AS parsed_date
+FROM built
+"""
+
+
+# ---- eds.quantities on constructed dose text --------------------------
+
+def quantities_extraction(spark, sf_dir):
+    """Build 'dose : <v> <unit>' from l_quantity, extract value+unit with
+    the engine's quantity parser, convert to SI (grams-scale mass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        F.when(F.col("l_linenumber") % 3 == 0, "mg")
+        .when(F.col("l_linenumber") % 3 == 1, "kg")
+        .otherwise("g")
+    )
+    text = F.concat(F.lit("dose : "), F.col("l_quantity").cast("string"),
+                    F.lit(" "), unit)
+    d = li.select("l_orderkey", "l_linenumber", text.alias("qty_text"))
+    q = extract_quantity(F.col("qty_text"))
+    return d.select(
+        "l_orderkey", "l_linenumber", "qty_text",
+        q["value"].alias("value"),
+        q["unit"].alias("unit"),
+        F.round(q["value_si"], 6).alias("value_si"),
+    )
+
+
+QUANTITIES_EXTRACTION_SQL = """
+WITH built AS (
+  SELECT l_orderkey, l_linenumber,
+         'dose : ' || l_quantity::VARCHAR || ' ' ||
+         CASE l_linenumber % 3 WHEN 0 THEN 'mg' WHEN 1 THEN 'kg' ELSE 'g' END
+           AS qty_text
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, qty_text,
+       CAST(regexp_extract(qty_text, '(\\d+(?:\\.\\d+)?)\\s*(kg|mg|g)', 1)
+            AS DOUBLE) AS value,
+       regexp_extract(qty_text, '(\\d+(?:\\.\\d+)?)\\s*(kg|mg|g)', 2) AS unit,
+       ROUND(CAST(regexp_extract(qty_text, '(\\d+(?:\\.\\d+)?)\\s*(kg|mg|g)', 1)
+             AS DOUBLE) *
+             CASE regexp_extract(qty_text, '(\\d+(?:\\.\\d+)?)\\s*(kg|mg|g)', 2)
+                  WHEN 'kg' THEN 1000.0 WHEN 'g' THEN 1.0 ELSE 0.001 END,
+             6) AS value_si
+FROM built
+"""
+
+
+QUERIES = {
+    "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "phrase_match_tokens": (phrase_match_tokens, PHRASE_MATCH_TOKENS_SQL),
+    "negation_tokens": (negation_tokens, NEGATION_TOKENS_SQL),
+    "section_spans": (section_spans, SECTION_SPANS_SQL),
+    "split_windows": (split_windows, SPLIT_WINDOWS_SQL),
+    "ner_token_metrics": (ner_token_metrics, NER_TOKEN_METRICS_SQL),
+    "dates_extraction": (dates_extraction, DATES_EXTRACTION_SQL),
+    "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
+}

@@ -1,0 +1,201 @@
+"""Golden-example operator tests, modeled on the reference's inline-markup
+test style (tests/pipelines/qualifiers/test_negation.py:10-95): each case
+is a French clinical sentence with expected entity attributes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import edsnlp_spark as es
+from edsnlp_spark.operators.tokenizer import Tokenizer, Normalizer
+from edsnlp_spark.operators.sentences import SentenceSegmenter
+from edsnlp_spark.operators.matcher import PhraseMatcher, RegexMatcher
+from edsnlp_spark.operators.qualifiers import make_qualifier
+from edsnlp_spark.operators.dates import (
+    parse_verbose_date, parse_numeric_date, parse_relative_days,
+)
+from edsnlp_spark.operators.quantities import extract_quantity, convert_to
+from edsnlp_spark.operators.dedup import simhash64, token_shingles
+from edsnlp_spark.functions.text import tokenize, norm_text
+
+
+def notes_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "note_id long, note_text string"
+    )
+
+
+def run_pipeline(spark, texts):
+    return es.Pipeline([Tokenizer(), Normalizer(), SentenceSegmenter()])(
+        notes_df(spark, texts)
+    )
+
+
+# ---- tokenizer offsets are exact --------------------------------------
+
+def test_tokenizer_offsets_exact(spark):
+    texts = [
+        "Le patient n'a pas de métastases. Poids : 65 kg.",
+        "ligne 1\nLigne 2 !  Des espaces   multiples.",
+        "",
+    ]
+    rows = notes_df(spark, texts).select(
+        "note_id", "note_text", tokenize(F.col("note_text")).alias("toks")
+    ).collect()
+    for r in rows:
+        for t in r.toks:
+            assert r.note_text[t.start:t.end] == t.text
+
+
+# ---- negation golden examples (reference test_negation.py style) ------
+
+NEG_CASES = [
+    ("Le patient n'a pas de métastases.", "metastases", True),
+    ("Pas de métastases détectées.", "metastases", True),
+    ("Absence de métastases.", "metastases", True),
+    ("Le patient présente des métastases.", "metastases", False),
+    # termination cue resets the negation scope
+    ("Pas de fièvre mais des métastases.", "metastases", False),
+]
+
+
+@pytest.mark.parametrize("text,term,expected", NEG_CASES)
+def test_negation_golden(spark, text, term, expected):
+    ndf = run_pipeline(spark, [text]).persist()
+    ents = PhraseMatcher({"dis": [term]}).entities(ndf)
+    out = make_qualifier("negation").qualify(ndf, ents).collect()
+    assert len(out) == 1, f"expected 1 entity in {text!r}"
+    assert out[0]["negation"] is expected, text
+
+
+FAMILY_CASES = [
+    ("Antécédents familiaux : diabète.", "diabete", True),
+    ("Sa mère a un diabète.", "diabete", True),
+    ("Le patient a un diabète.", "diabete", False),
+]
+
+
+@pytest.mark.parametrize("text,term,expected", FAMILY_CASES)
+def test_family_golden(spark, text, term, expected):
+    ndf = run_pipeline(spark, [text]).persist()
+    ents = PhraseMatcher({"dis": [term]}).entities(ndf)
+    out = make_qualifier("family").qualify(ndf, ents).collect()
+    assert len(out) == 1 and out[0]["family"] is expected, text
+
+
+HYPOTHESIS_CASES = [
+    ("Suspicion de pneumopathie.", "pneumopathie", True),
+    ("Pneumopathie possible.", "pneumopathie", True),
+    ("Pneumopathie confirmée ce jour.", "pneumopathie", False),
+]
+
+
+@pytest.mark.parametrize("text,term,expected", HYPOTHESIS_CASES)
+def test_hypothesis_golden(spark, text, term, expected):
+    ndf = run_pipeline(spark, [text]).persist()
+    ents = PhraseMatcher({"dis": [term]}).entities(ndf)
+    out = make_qualifier("hypothesis").qualify(ndf, ents).collect()
+    assert len(out) == 1 and out[0]["hypothesis"] is expected, text
+
+
+# ---- pseudo-negation suppression --------------------------------------
+
+def test_pseudo_negation_not_negated(spark):
+    # "sans doute" is a pseudo cue: must NOT negate.
+    ndf = run_pipeline(spark, ["Sans doute une pneumopathie."]).persist()
+    ents = PhraseMatcher({"dis": ["pneumopathie"]}).entities(ndf)
+    out = make_qualifier("negation").qualify(ndf, ents).collect()
+    assert out[0]["negation"] is False
+
+
+# ---- sentence split across newline + uppercase ------------------------
+
+def test_sentence_boundaries(spark):
+    df = run_pipeline(spark, ["Premiere phrase. Deuxieme phrase !\nTroisieme"])
+    sents = df.select(F.size("sentences").alias("n")).collect()[0]["n"]
+    assert sents == 3
+
+
+# ---- dates -------------------------------------------------------------
+
+def test_dates_parsing(spark):
+    df = spark.createDataFrame(
+        [("le 25 septembre 2021",), ("vu le 03/02/1999",),
+         ("le 1er mars 1998",), ("il y a 3 jours",), ("aucune date",)],
+        "t string",
+    )
+    out = df.select(
+        F.date_format(parse_verbose_date(F.col("t")), "yyyy-MM-dd").alias("v"),
+        F.date_format(parse_numeric_date(F.col("t")), "yyyy-MM-dd").alias("n"),
+        parse_relative_days(F.col("t")).alias("rel"),
+    ).collect()
+    assert out[0]["v"] == "2021-09-25"
+    assert out[1]["n"] == "1999-02-03"
+    assert out[2]["v"] == "1998-03-01"
+    assert out[3]["rel"] == -3
+    assert out[4]["v"] is None and out[4]["n"] is None
+
+
+# ---- quantities --------------------------------------------------------
+
+def test_quantities(spark):
+    df = spark.createDataFrame(
+        [("poids : 65 kg",), ("dose de 37,5 mg",), ("taille 1.75 m",),
+         ("rien ici",)],
+        "t string",
+    )
+    out = df.select(extract_quantity(F.col("t")).alias("q")).collect()
+    assert out[0]["q"]["value"] == 65.0 and out[0]["q"]["unit"] == "kg"
+    assert out[0]["q"]["value_si"] == 65000.0
+    assert out[1]["q"]["value"] == 37.5 and out[1]["q"]["unit"] == "mg"
+    assert out[2]["q"]["dimension"] == "length"
+    assert out[3]["q"] is None
+
+
+def test_unit_conversion(spark):
+    df = spark.range(1)
+    out = df.select(
+        convert_to(F.lit(2.5), F.lit("kg"), F.lit("mg")).alias("a"),
+        convert_to(F.lit(1.0), F.lit("kg"), F.lit("m")).alias("bad"),
+    ).collect()[0]
+    assert out["a"] == 2.5e6
+    assert out["bad"] is None
+
+
+# ---- regex matcher NORM space -----------------------------------------
+
+def test_regex_matcher_norm_offsets(spark):
+    # Match on accent-folded NORM, spans must index the ORIGINAL text.
+    df = notes_df(spark, ["Présence de Métastases évoquée."])
+    ents = RegexMatcher({"dis": [r"metastases"]}, attr="NORM").entities(df)
+    r = ents.collect()[0]
+    assert r["lexical_variant"] == "Métastases"
+
+
+# ---- simhash similarity property --------------------------------------
+
+def test_simhash_similarity(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated text here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.h for r in
+            df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_token_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d")], "doc_id long, text string")
+    rows = {r.doc_id: r.sh for r in
+            df.select("doc_id", token_shingles(F.col("text"), 3).alias("sh"))
+            .collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c"]
+    assert rows[3] == ["a b c", "b c d"]

@@ -23,4 +23,9 @@ def all_queries() -> dict:
         out.update(scaleops.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import advanced
+        out.update(advanced.QUERIES)
+    except ImportError:
+        pass
     return out

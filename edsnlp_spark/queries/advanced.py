@@ -1,0 +1,137 @@
+"""Advanced NLP-operator queries: contextual matcher, filter_spans.
+
+filter_spans' greedy longest-then-leftmost scan is order-dependent — the
+oracle reproduces it with a recursive CTE that replays the greedy fold
+rank by rank.  The contextual matcher oracle re-derives anchor/exclude/
+assign semantics with EXISTS + min_by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .relational import _t
+from .textops import _TOK_CTE, _notes
+from ..core.base import Pipeline
+from ..operators.tokenizer import Tokenizer
+from ..operators.matcher import PhraseMatcher
+from ..operators.contextual import AssignRule, ContextRule, ContextualMatcher
+from ..operators.filter_spans import filter_spans
+
+
+def contextual_match(spark, sf_dir):
+    """Anchor 'spark'; excluded when 'slow' is within 2 tokens; assigns
+    the closest 'join'/'merge' within 5 tokens (ties -> leftmost)."""
+    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    rule = ContextRule(
+        label="anchor",
+        anchor_terms=["spark"],
+        exclude_terms=["slow"],
+        exclude_window=(-2, 2),
+        assigns=[AssignRule("op", ["join", "merge"], (-5, 5), "closest")],
+    )
+    m = ContextualMatcher(rule, attr="TEXT")
+    out = m.entities(notes)
+    return out.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("term"),
+        F.col("op"),
+    )
+
+
+CONTEXTUAL_MATCH_SQL = f"""
+WITH {_TOK_CTE},
+anchors AS (SELECT doc_id, pos FROM tok WHERE token = 'spark'),
+ok AS (
+  SELECT a.* FROM anchors a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tok c
+    WHERE c.doc_id = a.doc_id AND c.token = 'slow'
+      AND c.pos BETWEEN a.pos - 2 AND a.pos + 2)
+)
+SELECT o.doc_id, o.pos, 'spark' AS term,
+       MIN_BY(c.token, (ABS(o.pos - c.pos) - 1) * 100000 + c.pos) AS op
+FROM ok o LEFT JOIN tok c
+  ON c.doc_id = o.doc_id AND c.token IN ('join', 'merge')
+ AND c.pos BETWEEN o.pos - 5 AND o.pos + 5
+GROUP BY o.doc_id, o.pos
+"""
+
+
+_FS_TERMS = {"op2": ["hash join"], "op1": ["join"], "h": ["hash"],
+             "m": ["merge"]}
+
+
+def filter_spans_greedy(spark, sf_dir):
+    """Overlapping matches ('hash join' vs 'hash' vs 'join') resolved by
+    the greedy longest-then-leftmost fold."""
+    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    ents = PhraseMatcher(_FS_TERMS, attr="TEXT").entities(notes)
+    kept = filter_spans(ents)
+    return kept.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("term"),
+        "label",
+    )
+
+
+FILTER_SPANS_GREEDY_SQL = f"""
+WITH RECURSIVE {_TOK_CTE},
+big AS (
+  SELECT doc_id, pos,
+         token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bigram
+  FROM tok
+),
+spans0 AS (
+  SELECT doc_id, pos AS s, pos + 1 AS e, 'op1' AS label, token AS term
+    FROM tok WHERE token = 'join'
+  UNION ALL
+  SELECT doc_id, pos, pos + 1, 'h', token FROM tok WHERE token = 'hash'
+  UNION ALL
+  SELECT doc_id, pos, pos + 1, 'm', token FROM tok WHERE token = 'merge'
+  UNION ALL
+  SELECT doc_id, pos, pos + 2, 'op2', bigram FROM big
+   WHERE bigram = 'hash join'
+),
+spans AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id
+      ORDER BY -len(term), s, e, label) AS rn
+  FROM spans0
+),
+greedy AS (
+  SELECT doc_id, rn, [{{'s': s, 'e': e}}] AS kept, [rn] AS kept_rn
+  FROM spans WHERE rn = 1
+  UNION ALL
+  SELECT g.doc_id, s.rn,
+         CASE WHEN len(list_filter(g.kept,
+                    k -> s.s < k.e AND k.s < s.e)) > 0
+              THEN g.kept
+              ELSE list_append(g.kept, {{'s': s.s, 'e': s.e}}) END,
+         CASE WHEN len(list_filter(g.kept,
+                    k -> s.s < k.e AND k.s < s.e)) > 0
+              THEN g.kept_rn
+              ELSE list_append(g.kept_rn, s.rn) END
+  FROM greedy g JOIN spans s ON s.doc_id = g.doc_id AND s.rn = g.rn + 1
+),
+final AS (
+  SELECT g.doc_id, g.kept_rn
+  FROM greedy g
+  JOIN (SELECT doc_id, MAX(rn) AS m FROM spans GROUP BY doc_id) mx
+    ON g.doc_id = mx.doc_id AND g.rn = mx.m
+),
+kept_flat AS (
+  SELECT doc_id, unnest(kept_rn) AS rn FROM final
+)
+SELECT s.doc_id, s.s AS pos, s.term, s.label
+FROM kept_flat k JOIN spans s ON s.doc_id = k.doc_id AND s.rn = k.rn
+"""
+
+
+QUERIES = {
+    "contextual_match": (contextual_match, CONTEXTUAL_MATCH_SQL),
+    "filter_spans_greedy": (filter_spans_greedy, FILTER_SPANS_GREEDY_SQL),
+}

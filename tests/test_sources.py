@@ -1,0 +1,117 @@
+"""Sources/converters round-trip tests (reference: tests/data/*)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edsnlp_spark.sources.converters import (
+    from_markup, from_omop, parse_markup, to_ents, to_markup, to_note_nlp,
+)
+from edsnlp_spark.sources.standoff import read_standoff, write_standoff
+from edsnlp_spark.sources.conll import read_conll
+from edsnlp_spark.sources import io as eio
+
+
+def test_parse_markup_offsets():
+    text, ents = parse_markup(
+        "Le patient n'est pas <ent label=dis negated=true>malade</ent>, fin."
+    )
+    assert text == "Le patient n'est pas malade, fin."
+    assert len(ents) == 1
+    e = ents[0]
+    assert text[e["start_char"]:e["end_char"]] == "malade"
+    assert e["label"] == "dis" and e["attrs"] == {"negated": "true"}
+
+
+def test_markup_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a <ent label=x>b</ent> c"), (2, "no entities here")],
+        "note_id long, markup string",
+    )
+    notes, ents = from_markup(df)
+    back = to_markup(notes, ents).orderBy("note_id").collect()
+    assert back[0]["markup"] == "a <ent label=x>b</ent> c"
+    assert back[1]["markup"] == "no entities here"
+
+
+def test_omop_and_exports(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "hello world", "2024-01-01 10:00:00")],
+        "note_id int, person_id int, note_text string, note_datetime string",
+    ).withColumn("note_datetime", F.to_timestamp("note_datetime"))
+    notes = from_omop(df)
+    assert dict(notes.dtypes)["note_id"] == "bigint"
+    ents = spark.createDataFrame(
+        [(1, 0, 5, "w", "hello", "ents")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string",
+    )
+    nlp = to_note_nlp(ents).collect()[0]
+    assert nlp["note_nlp_source_value"] == "w"
+    assert to_ents(ents).columns[0] == "note_id"
+
+
+def test_standoff_roundtrip(spark, tmp_path):
+    notes = spark.createDataFrame(
+        [(1, "Le patient est malade."), (2, "Rien.")],
+        "note_id long, note_text string",
+    )
+    ents = spark.createDataFrame(
+        [(1, 15, 21, "dis", "malade")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string",
+    )
+    out = str(tmp_path / "brat")
+    write_standoff(notes, ents, out)
+    tables = read_standoff(spark, out)
+    assert tables["notes"].count() == 2
+    e = tables["entities"].collect()[0]
+    assert (e["label"], e["start_char"], e["end_char"], e["lexical_variant"]) == \
+        ("dis", 15, 21, "malade")
+
+
+def test_standoff_attr_rel_parsing(spark, tmp_path):
+    d = tmp_path / "brat2"
+    d.mkdir()
+    (d / "doc.txt").write_text("Jean a mal au bras gauche.")
+    (d / "doc.ann").write_text(
+        "T1\tPER 0 4\tJean\n"
+        "T2\tANAT 14 18\tbras\n"
+        "A1\tNegation T2\n"
+        "A2\tCertainty T2 high\n"
+        "R1\tlocated_in Arg1:T1 Arg2:T2\n"
+        "#1\tAnnotatorNotes T1\tprenom\n"
+    )
+    t = read_standoff(spark, str(d))
+    assert t["entities"].count() == 2
+    attrs = {r["attr"]: r["value"] for r in t["attributes"].collect()}
+    assert attrs == {"Negation": None, "Certainty": "high"}
+    rel = t["relations"].collect()[0]
+    assert (rel["relation"], rel["arg1"], rel["arg2"]) == ("located_in", "T1", "T2")
+    assert t["notes_annot"].collect()[0]["note"] == "prenom"
+
+
+def test_conll_reader(spark, tmp_path):
+    p = tmp_path / "x.conllu"
+    p.write_text(
+        "# sent_id = 1\n"
+        "1\tLe\tle\tDET\t_\t_\t2\tdet\t_\t_\n"
+        "2\tpatient\tpatient\tNOUN\t_\t_\t0\troot\t_\t_\n"
+        "\n"
+        "1\tBonjour\tbonjour\tINTJ\t_\t_\t0\troot\t_\t_\n"
+    )
+    df = read_conll(spark, str(p))
+    rows = df.orderBy("sent_id", "id").collect()
+    assert [r["form"] for r in rows] == ["Le", "patient", "Bonjour"]
+    assert rows[0]["sent_id"] == 0 and rows[2]["sent_id"] == 1
+    assert rows[1]["upos"] == "NOUN"
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    out = str(tmp_path / "j")
+    eio.write_json(df, out)
+    back = eio.read_json(spark, out)
+    assert back.count() == 2
+    assert eio.to_pandas(df).shape == (2, 2)

@@ -17,6 +17,14 @@ from .operators import tokenizer as _t  # noqa: F401
 from .operators import sentences as _s  # noqa: F401
 from .operators import matcher as _m  # noqa: F401
 from .operators import qualifiers as _q  # noqa: F401
+from .operators import sections as _sec  # noqa: F401
+from .operators import dates as _d  # noqa: F401
+from .operators import quantities as _qt  # noqa: F401
+from .operators import split_explode as _se  # noqa: F401
+from .operators import contextual as _cm  # noqa: F401
+from .operators import history as _h  # noqa: F401
+from .operators import scores as _sc  # noqa: F401
+from .operators import terminology as _tm  # noqa: F401
 
 __all__ = [
     "Pipeline", "Transformer", "available", "create", "register", "get_spark",

@@ -1,0 +1,109 @@
+"""LLM pipes: async remote inference inside partitions (SURVEY.md §2.10).
+
+Parity target: eds.llm_markup_extractor
+(pipes/llm/llm_markup_extractor/llm_markup_extractor.py:33-560): prompt
+an OpenAI-compatible endpoint to annotate text with inline markup, keep
+``max_concurrent_requests`` in flight, parse the returned markup back to
+spans; and eds.llm_span_qualifier (llm_span_qualifier.py:29): per-span
+attribute classification via JSON answers.
+
+Spark design: ``mapInPandas`` partition-level asyncio fan-out — each
+partition runs its own event loop with a bounded semaphore, so total
+in-flight requests = partitions x max_concurrent.  The HTTP client is
+injected; there is no network in this container, so the default client
+raises NotImplementedError and tests inject a fake.  Markup -> span
+parsing reuses sources/converters.parse_markup.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Awaitable, Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.converters import parse_markup
+
+CompleteFn = Callable[[str], Awaitable[str]]
+
+
+def _default_client(prompt: str) -> Awaitable[str]:
+    raise NotImplementedError(
+        "no LLM endpoint in this container; inject complete_fn "
+        "(an async prompt -> completion callable)"
+    )
+
+
+def llm_markup_extract(notes: DataFrame,
+                       complete_fn: CompleteFn | None = None,
+                       prompt_template: str = "Annotate entities: {text}",
+                       max_concurrent: int = 8,
+                       text_col: str = "note_text") -> DataFrame:
+    """-> entities plane rows parsed from the LLM's markup output."""
+    fn = complete_fn or _default_client
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def process(pdf: pd.DataFrame):
+            sem = asyncio.Semaphore(max_concurrent)
+
+            async def one(note_id, text):
+                async with sem:
+                    out = await fn(prompt_template.format(text=text or ""))
+                return note_id, out
+
+            return await asyncio.gather(*[
+                one(nid, txt)
+                for nid, txt in zip(pdf["note_id"], pdf[text_col])
+            ])
+
+        for pdf in batches:
+            results = asyncio.run(process(pdf))
+            rows = []
+            for note_id, markup in results:
+                _, ents = parse_markup(markup or "")
+                for e in ents:
+                    rows.append((
+                        note_id, e["start_char"], e["end_char"], e["label"],
+                        e["lexical_variant"], "llm",
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "note_id", "start_char", "end_char", "label",
+                "lexical_variant", "span_type"])
+
+    return notes.select("note_id", text_col).mapInPandas(
+        run,
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string",
+    )
+
+
+def llm_span_qualify(entities: DataFrame,
+                     complete_fn: CompleteFn | None = None,
+                     attribute: str = "negation",
+                     max_concurrent: int = 8) -> DataFrame:
+    """Per-span boolean attribute from an LLM JSON answer ('true'/'false'
+    accepted loosely, as the reference's tolerant JSON parsing does)."""
+    fn = complete_fn or _default_client
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        async def process(pdf):
+            sem = asyncio.Semaphore(max_concurrent)
+
+            async def one(idx, variant):
+                async with sem:
+                    out = await fn(f"Is '{variant}' {attribute}? json bool")
+                return idx, "true" in (out or "").lower()
+
+            return await asyncio.gather(*[
+                one(i, v) for i, v in enumerate(pdf["lexical_variant"])
+            ])
+
+        for pdf in batches:
+            verdicts = dict(asyncio.run(process(pdf)))
+            pdf = pdf.copy()
+            pdf[attribute] = [verdicts[i] for i in range(len(pdf))]
+            yield pdf
+
+    fields = ", ".join(f"{n} {t}" for n, t in entities.dtypes)
+    return entities.mapInPandas(run, f"{fields}, {attribute} boolean")

@@ -1,0 +1,99 @@
+"""Tests for history (cross-pipe), scores, TNM, ADICAP, terminology."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import edsnlp_spark as es
+from edsnlp_spark.operators.tokenizer import Tokenizer, Normalizer
+from edsnlp_spark.operators.sentences import SentenceSegmenter
+from edsnlp_spark.operators.matcher import PhraseMatcher
+from edsnlp_spark.operators.history import HistoryQualifier
+from edsnlp_spark.operators.scores import (
+    ScoreMatcher, parse_tnm, AdicapDecoder,
+)
+from edsnlp_spark.operators.terminology import TerminologyMatcher
+
+
+def pipe_notes(spark, rows):
+    df = spark.createDataFrame(
+        rows, "note_id long, note_text string, note_datetime timestamp")
+    return es.Pipeline([Tokenizer(), Normalizer(), SentenceSegmenter()])(df)
+
+
+def test_history_cross_pipe(spark):
+    import datetime as dt
+    now = dt.datetime(2024, 6, 1)
+    rows = [
+        # (a) cue-based: 'ancien' cue (not a section header), then the
+        # 'Actuellement' termination resets the scope
+        (1, "Ancien diabète. Actuellement une pneumopathie.", now),
+        # (b) section gating: everything under the header is history
+        (2, "Antécédents : diabète ancien.", now),
+        # (c) old date precedes the mention
+        (3, "En 12/01/2010 diagnostic de diabète.", now),
+        # current: no cue, no section, no old date
+        (4, "Le patient a un diabète.", now),
+    ]
+    notes = pipe_notes(spark, rows).persist()
+    ents = PhraseMatcher({"dis": ["diabete", "pneumopathie"]}).entities(notes)
+    hq = HistoryQualifier(history_limit_days=365)
+    out = {(r["note_id"], r["lexical_variant"]): r["history"]
+           for r in hq.qualify(notes, ents).collect()}
+    assert out[(1, "diabète")] is True
+    assert out[(1, "pneumopathie")] is False  # after "Actuellement" cue reset
+    assert out[(2, "diabète")] is True        # section containment
+    assert out[(3, "diabète")] is True        # 2010 << 2024 - 365d
+    assert out[(4, "diabète")] is False
+
+
+def test_score_matcher(spark):
+    df = spark.createDataFrame(
+        [(1, "Charlson : 6. SOFA à 3."), (2, "charlson=55"), (3, "rien")],
+        "note_id long, note_text string",
+    )
+    ch = ScoreMatcher("charlson", ["charlson"], max_value=40)
+    rows = ch.entities(df).collect()
+    assert [(r["note_id"], r["value"]) for r in rows] == [(1, 6.0)]  # 55 > max
+    sofa = ScoreMatcher("sofa", ["sofa"], max_value=24)
+    assert sofa.entities(df).collect()[0]["value"] == 3.0
+
+
+def test_tnm(spark):
+    df = spark.createDataFrame(
+        [(1, "Tumeur classée pT2 N1 M0."), (2, "stade T4"), (3, "rien")],
+        "note_id long, t string")
+    out = df.select("note_id", parse_tnm(F.col("t")).alias("tnm")).collect()
+    assert out[0]["tnm"]["norm"] == "pT2N1M0"
+    assert out[0]["tnm"]["prefix"] == "p" and out[0]["tnm"]["n"] == "1"
+    assert out[1]["tnm"]["norm"] == "T4" and out[1]["tnm"]["m"] is None
+    assert out[2]["tnm"] is None
+
+
+def test_adicap(spark):
+    df = spark.createDataFrame(
+        [(1, "Prélèvement codé BHGS0040 au laboratoire.")],
+        "note_id long, note_text string")
+    r = AdicapDecoder().entities(df).collect()[0]
+    assert r["code"] == "BHGS0040"
+    assert r["sampling_mode"] == "biopsie chirurgicale"
+    assert r["technic"] == "histologie"
+    assert r["organ_code"] == "GS" and r["pathology_code"] == "0040"
+
+
+def test_terminology_kb_id(spark):
+    notes = pipe_notes(spark, [
+        (1, "Prescription de Doliprane et morphine.", None)]).persist()
+    m = TerminologyMatcher("drug", {
+        "N02BE01": ["paracetamol", "doliprane"], "N02AA01": ["morphine"]})
+    rows = sorted((r["kb_id"], r["lexical_variant"])
+                  for r in m.entities(notes).collect())
+    assert rows == [("N02AA01", "morphine"), ("N02BE01", "Doliprane")]
+    assert all(r["label"] == "drug" for r in m.entities(notes).collect())
+
+
+def test_registry_domain_pipes(spark):
+    for name in ("eds.covid", "eds.drugs", "eds.cim10", "eds.charlson",
+                 "eds.tnm", "eds.adicap", "eds.history_full"):
+        assert name in es.available(), name

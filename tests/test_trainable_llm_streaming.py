@@ -1,0 +1,130 @@
+"""Tests: trainable plumbing, LLM async plumbing, streaming surface."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import edsnlp_spark as es
+from edsnlp_spark.operators.tokenizer import Tokenizer
+from edsnlp_spark.operators.trainable import (
+    ner_crf_decode, resolve_overlaps, transformer_embeddings, window_tokens,
+)
+from edsnlp_spark.operators.llm import llm_markup_extract, llm_span_qualify
+from edsnlp_spark.streaming.pipeline_stream import (
+    annotate_stream, stream_notes_json,
+)
+from edsnlp_spark.operators.matcher import PhraseMatcher
+
+
+def make_notes(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "note_id long, note_text string")
+    return Tokenizer()(df)
+
+
+# ---- trainable ---------------------------------------------------------
+
+def test_window_fanout_covers_all_tokens(spark):
+    notes = make_notes(spark, ["a b c d e f g h i j"])
+    w = window_tokens(notes, window=4, stride=2).orderBy("win_id").collect()
+    assert [r["win_start"] for r in w] == [0, 2, 4, 6, 8]
+    assert w[0]["toks"] == ["a", "b", "c", "d"]
+    assert w[-1]["toks"] == ["i", "j"]
+
+
+def test_transformer_embeddings_one_vector_per_token(spark):
+    notes = make_notes(spark, ["a b c d e f g h i j", "x y"])
+    out = transformer_embeddings(notes, window=4, stride=2, dim=8)
+    rows = out.collect()
+    assert len(rows) == 12  # one embedding per token, overlaps resolved
+    assert all(len(r["emb"]) == 8 for r in rows)
+    # same token text -> same pseudo-embedding (deterministic stub)
+    notes2 = make_notes(spark, ["a"])
+    v1 = transformer_embeddings(notes2, window=4, stride=2, dim=8).collect()[0]
+    va = [r for r in rows if r["note_id"] == 0 and r["tok_i"] == 0][0]
+    assert v1["emb"] == va["emb"]
+
+
+def test_ner_crf_decode_schema_invariant(spark):
+    notes = make_notes(spark, ["alpha beta gamma delta"])
+    tagger = lambda toks: ["B-ENT", "I-ENT", "O", "B-ENT"]
+    out = ner_crf_decode(notes, tagger=tagger).orderBy("start_char").collect()
+    assert [(r["lexical_variant"], r["tok_start"], r["tok_end"]) for r in out] \
+        == [("alpha beta", 0, 2), ("delta", 3, 4)]
+    text = "alpha beta gamma delta"
+    for r in out:
+        assert text[r["start_char"]:r["end_char"]] == r["lexical_variant"]
+    # ML spans share the rule-matcher schema (design invariant)
+    m = PhraseMatcher({"x": ["alpha"]}, attr="TEXT").entities(notes)
+    assert set(out[0].asDict().keys()) == set(m.columns)
+
+
+# ---- LLM ---------------------------------------------------------------
+
+def test_llm_markup_extract_with_fake_client(spark):
+    notes = spark.createDataFrame(
+        [(1, "Le patient est malade."), (2, "Rien.")],
+        "note_id long, note_text string")
+
+    async def fake(prompt):
+        if "malade" in prompt:
+            return "Le patient est <ent label=dis>malade</ent>."
+        return "Rien."
+
+    out = llm_markup_extract(notes, complete_fn=fake).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["note_id"], r["label"], r["lexical_variant"], r["span_type"]) == \
+        (1, "dis", "malade", "llm")
+    assert "Le patient est malade."[r["start_char"]:r["end_char"]] == "malade"
+
+
+def test_llm_span_qualify_with_fake_client(spark):
+    ents = spark.createDataFrame(
+        [(1, 0, 5, "dis", "fever", "ents"), (1, 6, 10, "dis", "cold", "ents")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string")
+
+    async def fake(prompt):
+        return json.dumps({"answer": "fever" in prompt})
+
+    out = {r["lexical_variant"]: r["negation"]
+           for r in llm_span_qualify(ents, complete_fn=fake).collect()}
+    assert out == {"fever": True, "cold": False}
+
+
+def test_llm_default_client_raises(spark):
+    notes = spark.createDataFrame([(1, "x")], "note_id long, note_text string")
+    with pytest.raises(Exception):
+        llm_markup_extract(notes).collect()
+
+
+# ---- streaming ---------------------------------------------------------
+
+def test_streaming_annotate(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    recs = [
+        {"note_id": 1, "person_id": 1,
+         "note_text": "spark et merge ici", "note_datetime": None},
+        {"note_id": 2, "person_id": 1,
+         "note_text": "rien du tout", "note_datetime": None},
+    ]
+    with open(src / "batch1.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    def batch_fn(batch):
+        ndf = Tokenizer()(batch)
+        return PhraseMatcher({"kw": ["spark", "merge"]}, attr="TEXT").entities(ndf)
+
+    stream = stream_notes_json(spark, str(src))
+    assert stream.isStreaming
+    q = annotate_stream(
+        stream, batch_fn, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["lexical_variant"] for r in out.collect()) == ["merge", "spark"]

@@ -47,13 +47,23 @@ def main() -> None:
     spark.range(1).count()
 
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = qs[name]
+        # Cold run includes codegen/compile of the query's expression
+        # tree; the second run measures steady-state execution (what a
+        # long-running cluster job sees).  Cache cleared between queries
+        # so internally-persisted tables don't cross-contaminate.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        n = fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: warm {times[name]}s / cold {cold[name]}s ({n} rows)",
+              file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -61,6 +71,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
+        "total_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -120,6 +120,43 @@ def _locate(substr: Column, string: Column, pos: Column) -> Column:
     return F.call_function("locate", substr, string, pos)
 
 
+def tokenize_pretokenized(text: Column) -> Column:
+    """Offset-bearing tokens for PRETOKENIZED text (tokens separated by
+    exactly one space, no leading/trailing space) — the reference's
+    whitespace tokenizer for already-tokenized corpora.
+
+    Offsets come from a prefix-sum fold (no per-token string scans), so
+    this is much cheaper than the locate-fold general tokenizer.  The
+    single-space precondition is the caller's contract; on free text use
+    ``tokenize`` instead.
+    """
+    toks = F.split(F.coalesce(text, F.lit("")), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    zero = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.expr(
+            "cast(array() as array<struct<i:int,text:string,start:int,end:int>>)"
+        ).alias("out"),
+    )
+    return F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.struct(
+            (acc["pos"] + F.length(t) + 1).cast("int").alias("pos"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    F.size(acc["out"]).cast("int").alias("i"),
+                    t.alias("text"),
+                    acc["pos"].alias("start"),
+                    (acc["pos"] + F.length(t)).cast("int").alias("end"),
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+
+
 def token_texts(text: Column, regex: str = WORD_REGEX) -> Column:
     """Token strings only (no offsets) — the cheap analytical path."""
     return F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(regex), F.lit(0))

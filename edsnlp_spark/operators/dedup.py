@@ -26,25 +26,44 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     ))).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """array<string>: per hash i, min over shingles of md5(i || ':' || s).
+# Universal-hash family over a 31-bit base hash: h_i = (a_i*h + b_i) mod M.
+# Constants are fixed odd multipliers so Spark and the SQL oracle agree.
+MINHASH_MOD = 2147483647  # 2^31 - 1
+MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317,
+             196613, 393241, 786433, 1572869]
+MINHASH_B = [7, 101, 1009, 10007, 100003, 999983, 101, 211, 3011,
+             40009, 500009, 6000011]
 
-    md5-as-hash-family keeps the signature engine-portable; the min of the
-    hex strings is a valid min-hash (uniform over the md5 codomain).
-    Computed as ONE fold over the shingles (12 md5s per element), not 12
-    separate array_min passes — the shingle-construction subtree would
-    otherwise be re-evaluated per hash.
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """array<long>: per hash i, min over shingles of (a_i*h + b_i) mod M,
+    where h = the first 8 hex chars of md5(shingle) as an int.
+
+    ONE md5 per shingle + cheap integer arithmetic per hash (the classic
+    universal-hashing min-hash) — and bit-for-bit reproducible in the
+    DuckDB oracle, unlike Spark's xxhash64.
     """
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    init = F.array_repeat(F.lit("g"), num_hashes)  # 'g' > any hex digit
-    return F.aggregate(
+    assert num_hashes <= len(MINHASH_A)
+    # Hash each shingle ONCE (md5 is the expensive part), then fold the
+    # cheap per-hash arithmetic over the integer array.
+    hashed = F.transform(
         shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B])
+    init = F.array_repeat(F.lit(MINHASH_MOD + 1).cast("long"), num_hashes)
+    return F.aggregate(
+        hashed,
         init,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                idx,
-                lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: (
+                    (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1))
+                    % MINHASH_MOD
+                ).cast("long"),
             ),
             lambda x, y: F.least(x, y),
         ),

@@ -11,25 +11,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.base import Transformer
-from ..functions.text import WORD_REGEX, tokenize, norm_text
+from ..functions.text import (
+    WORD_REGEX, norm_text, tokenize, tokenize_pretokenized,
+)
 from .. import registry
 
 
 class Tokenizer(Transformer):
+    """mode='eds': the French-clinical regex tokenizer (exact offsets via
+    locate fold).  mode='pretokenized': prefix-sum offsets for corpora
+    whose tokens are single-space separated — much cheaper, same schema.
+    """
+
     requires = ("note_text",)
     provides = ("tokens",)
     name = "eds.tokenizer"
 
     def __init__(self, regex: str = WORD_REGEX, text_col: str = "note_text",
-                 out_col: str = "tokens"):
+                 out_col: str = "tokens", mode: str = "eds"):
         self.regex = regex
         self.text_col = text_col
         self.out_col = out_col
+        self.mode = mode
         self.requires = (text_col,)
         self.provides = (out_col,)
 
     def transform(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(self.out_col, tokenize(F.col(self.text_col), self.regex))
+        if self.mode == "pretokenized":
+            col = tokenize_pretokenized(F.col(self.text_col))
+        else:
+            col = tokenize(F.col(self.text_col), self.regex)
+        return df.withColumn(self.out_col, col)
 
 
 class Normalizer(Transformer):

@@ -22,7 +22,7 @@ from ..operators.filter_spans import filter_spans
 def contextual_match(spark, sf_dir):
     """Anchor 'spark'; excluded when 'slow' is within 2 tokens; assigns
     the closest 'join'/'merge' within 5 tokens (ties -> leftmost)."""
-    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(_notes(spark, sf_dir))
     rule = ContextRule(
         label="anchor",
         anchor_terms=["spark"],
@@ -66,7 +66,7 @@ _FS_TERMS = {"op2": ["hash join"], "op1": ["join"], "h": ["hash"],
 def filter_spans_greedy(spark, sf_dir):
     """Overlapping matches ('hash join' vs 'hash' vs 'join') resolved by
     the greedy longest-then-leftmost fold."""
-    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(_notes(spark, sf_dir))
     ents = PhraseMatcher(_FS_TERMS, attr="TEXT").entities(notes)
     kept = filter_spans(ents)
     return kept.select(

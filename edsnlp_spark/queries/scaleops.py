@@ -18,10 +18,18 @@ from ..operators.multimodal import attach_blob, extract_features
 
 # ---- MinHash-LSH near-dup candidates ----------------------------------
 
-def minhash_lsh_dedup(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, n=3, num_hashes=12, bands=6)
+def _docs(spark, sf_dir):
+    # Single small parquet file -> 1 split; shingling/hashing is
+    # compute-bound, so spread rows across cores (see textops._notes).
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
 
+
+def minhash_lsh_dedup(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=12, bands=6)
+
+
+from ..operators.dedup import MINHASH_A, MINHASH_B, MINHASH_MOD  # noqa: E402
 
 _MINHASH_SIG_SQL = """
 sigs AS (
@@ -29,17 +37,20 @@ sigs AS (
          [ {mins} ] AS sig
   FROM (
     SELECT doc_id,
-           list_distinct([
-             array_to_string(toks[i:i+2], ' ')
-             for i in range(1, len(toks) - 1)
-           ]) AS shingles
+           list_transform(
+             list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               for i in range(1, len(toks) - 1)
+             ]),
+             s -> ('0x' || substr(md5(s), 1, 8))::BIGINT
+           ) AS hs
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     WHERE len(toks) >= 3
   )
 )
 """.format(mins=", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
-    for i in range(12)
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_MOD}))"
+    for a, b in zip(MINHASH_A, MINHASH_B)
 ))
 
 MINHASH_LSH_DEDUP_SQL = f"""
@@ -71,8 +82,7 @@ FROM pairs
 # ---- exact n-gram Jaccard over shared-shingle candidates --------------
 
 def ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
 NGRAM_JACCARD_SQL = """
@@ -104,7 +114,7 @@ WHERE shared / (na + nb - shared) >= 0.2
 # ---- SimHash fingerprints ---------------------------------------------
 
 def simhash_fingerprints(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", D.simhash64(F.col("text")).alias("simhash_bits")
     )
@@ -170,7 +180,7 @@ FROM ranked WHERE rank <= 10
 def multimodal_features(spark, sf_dir):
     """Binary-column pipeline with stubbed decode; no SQL oracle (the
     pseudo-decode is python-side) -> driver records a rows-only check."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     blobs = attach_blob(docs)
     return extract_features(blobs, decode_stub=True)
 

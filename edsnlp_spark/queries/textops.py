@@ -40,14 +40,23 @@ tok AS (
 
 
 def _notes(spark, sf_dir):
+    # The documents parquet is one small file -> one input split; the
+    # per-row NLP work (tokenize fold, n-grams) is compute-bound, so
+    # spread it across cores.  On a real 100 TB corpus the file splits
+    # provide this parallelism and the repartition collapses to a no-op
+    # cost relative to the scan.
     return (
         _t(spark, sf_dir, "documents")
         .selectExpr("doc_id as note_id", "text as note_text")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
 def _pipe_notes(spark, sf_dir):
-    return Pipeline([Tokenizer(), SentenceSegmenter()])(_notes(spark, sf_dir))
+    # documents texts are pretokenized (single-space words, verified in
+    # TESTDATA): use the cheap prefix-sum tokenizer
+    return Pipeline([Tokenizer(mode="pretokenized"), SentenceSegmenter()])(
+        _notes(spark, sf_dir))
 
 
 # ---- token stats / quality / lang-id / fingerprint --------------------
@@ -191,7 +200,7 @@ _MATCH_TERMS = {"op": ["join", "merge", "hash join"], "sys": ["spark"]}
 
 def phrase_match_tokens(spark, sf_dir):
     """PhraseMatcher (n-gram broadcast join) at token granularity."""
-    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(_notes(spark, sf_dir))
     m = PhraseMatcher(_MATCH_TERMS, attr="TEXT")
     ents = m.entities(notes)
     return ents.select(
@@ -268,7 +277,7 @@ _SECTION_HEADERS = {"window": ["window"], "stream": ["stream"]}
 
 def section_spans(spark, sf_dir):
     """SectionSegmenter: header scan + lead() window -> intervals."""
-    notes = Pipeline([Tokenizer()])(_notes(spark, sf_dir))
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(_notes(spark, sf_dir))
     s = SectionSegmenter(_SECTION_HEADERS, attr="TEXT")
     secs = s.sections_table(notes)
     return secs.select(

@@ -25,6 +25,10 @@ from .operators import contextual as _cm  # noqa: F401
 from .operators import history as _h  # noqa: F401
 from .operators import scores as _sc  # noqa: F401
 from .operators import terminology as _tm  # noqa: F401
+from .operators import pollution as _pl  # noqa: F401
+from .operators import simstring as _ss  # noqa: F401
+from .operators import tables as _tb  # noqa: F401
+from .operators import misc_pipes as _mp  # noqa: F401
 
 __all__ = [
     "Pipeline", "Transformer", "available", "create", "register", "get_spark",

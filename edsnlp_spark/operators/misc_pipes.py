@@ -1,0 +1,91 @@
+"""eds.reason and eds.consultation_dates — config-not-code pipes.
+
+eds.reason (pipes/misc/reason/reason.py:13): hospitalisation-reason
+spans, via patterns ("motif de l'hospitalisation : ...") or via the
+'motif' section.
+
+eds.consultation_dates (pipes/misc/consultation_dates/
+consultation_dates.py:14): date mentions gated by a consultation cue in
+the surrounding window — a dates ∩ context join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .matcher import RegexMatcher
+from .dates import (
+    NUMERIC_DATE_RX, VERBOSE_DATE_RX, parse_numeric_date, parse_verbose_date,
+)
+from .sections import SectionSegmenter
+from .. import registry
+
+# (?i:...) scoped flag: legal mid-pattern when matchers OR patterns together
+REASON_RX = (
+    r"(?i:motif\s*(?:de\s*(?:l['’]hospitalisation|la\s*consultation))?"
+    r"\s*:?\s*([^\n.]{3,80}))"
+)
+
+
+def reason_spans(notes: DataFrame, use_sections: bool = True) -> DataFrame:
+    """(note_id, start_char, end_char, reason_text, source)."""
+    rx = RegexMatcher({"reason": [REASON_RX]}, attr="TEXT", native=False)
+    pat = rx.entities(notes).select(
+        "note_id", "start_char", "end_char",
+        F.regexp_replace(
+            F.col("lexical_variant"),
+            r"(?i)^motif\s*(?:de\s*(?:l['’]hospitalisation|la\s*consultation))?\s*:?\s*",
+            "",
+        ).alias("reason_text"),
+        F.lit("pattern").alias("source"),
+    )
+    if not use_sections:
+        return pat
+    secs = SectionSegmenter().sections_table(notes).filter(
+        F.col("section") == "motif"
+    ).select(
+        "note_id", F.col("start_char"),
+        F.lit(None).cast("int").alias("end_char"),
+        F.lit(None).cast("string").alias("reason_text"),
+        F.lit("section").alias("source"),
+    )
+    return pat.unionByName(secs)
+
+
+CONSULT_CUES = ["consultation", "consulte", "vu en consultation", "cs"]
+
+
+def consultation_dates(notes: DataFrame, window_chars: int = 60) -> DataFrame:
+    """Date mentions within ``window_chars`` of a consultation cue."""
+    dates = RegexMatcher(
+        {"date": [VERBOSE_DATE_RX, NUMERIC_DATE_RX]},
+        attr="NORM", native=True,
+    ).entities(notes)
+    cues = RegexMatcher(
+        {"cue": ["|".join(rf"\b{c}\b" for c in CONSULT_CUES)]},
+        attr="NORM", native=True,
+    ).entities(notes).select(
+        F.col("note_id").alias("c_note"),
+        F.col("start_char").alias("c_s"),
+        F.col("end_char").alias("c_e"),
+    )
+    gated = dates.join(
+        cues,
+        (dates["note_id"] == cues["c_note"])
+        & (cues["c_e"] > dates["start_char"] - window_chars)
+        & (cues["c_s"] < dates["end_char"] + window_chars),
+        "left_semi",
+    )
+    parsed = F.coalesce(
+        parse_verbose_date(F.col("lexical_variant")),
+        parse_numeric_date(F.col("lexical_variant")),
+    )
+    return gated.select(
+        "note_id", "start_char", "end_char",
+        F.col("lexical_variant"),
+        F.date_format(parsed, "yyyy-MM-dd").alias("consultation_date"),
+    )
+
+
+registry.register("eds.reason")(lambda **kw: reason_spans)
+registry.register("eds.consultation_dates")(lambda **kw: consultation_dates)

@@ -131,7 +131,65 @@ FROM kept_flat k JOIN spans s ON s.doc_id = k.doc_id AND s.rn = k.rn
 """
 
 
+from ..operators.simstring import SimstringMatcher  # noqa: E402
+
+_FUZZY_TERMS = {"engine": ["sparkk", "marge"], "db": ["tabel"]}
+
+
+def simstring_fuzzy(spark, sf_dir):
+    """Approximate dictionary match: char-3gram dice >= 0.75 between
+    corpus tokens and (misspelled) dictionary forms — vocabulary-dedup
+    candidate join, no UDF."""
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(_notes(spark, sf_dir))
+    m = SimstringMatcher(_FUZZY_TERMS, threshold=0.75, measure="dice",
+                         attr="TEXT")
+    out = m.entities(notes)
+    return out.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("token"),
+        "label", "matched_term", "similarity",
+    )
+
+
+_DICT_VALUES = ", ".join(
+    f"('{t}', '{lbl}')" for lbl, ts in _FUZZY_TERMS.items() for t in ts
+)
+SIMSTRING_FUZZY_SQL = f"""
+WITH {_TOK_CTE},
+dict(term, label) AS (VALUES {_DICT_VALUES}),
+dgrams AS (
+  SELECT term, label,
+         len(list_distinct([('##' || term || '##')[i:i+2]
+                            for i in range(1, len(term) + 3)])) AS nb,
+         unnest(list_distinct([('##' || term || '##')[i:i+2]
+                               for i in range(1, len(term) + 3)])) AS g
+  FROM dict
+),
+vocab AS (SELECT DISTINCT token FROM tok),
+vgrams AS (
+  SELECT token,
+         len(list_distinct([('##' || token || '##')[i:i+2]
+                            for i in range(1, len(token) + 3)])) AS na,
+         unnest(list_distinct([('##' || token || '##')[i:i+2]
+                               for i in range(1, len(token) + 3)])) AS g
+  FROM vocab
+),
+matches AS (
+  SELECT v.token, d.term AS matched_term, d.label,
+         ROUND(2.0 * COUNT(*) / (ANY_VALUE(v.na) + ANY_VALUE(d.nb)), 4)
+           AS similarity
+  FROM vgrams v JOIN dgrams d ON v.g = d.g
+  GROUP BY v.token, d.term, d.label
+  HAVING 2.0 * COUNT(*) / (ANY_VALUE(v.na) + ANY_VALUE(d.nb)) >= 0.75
+)
+SELECT t.doc_id, t.pos, t.token, m.label, m.matched_term, m.similarity
+FROM tok t JOIN matches m ON t.token = m.token
+"""
+
+
 QUERIES = {
     "contextual_match": (contextual_match, CONTEXTUAL_MATCH_SQL),
     "filter_spans_greedy": (filter_spans_greedy, FILTER_SPANS_GREEDY_SQL),
+    "simstring_fuzzy": (simstring_fuzzy, SIMSTRING_FUZZY_SQL),
 }

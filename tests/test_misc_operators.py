@@ -1,0 +1,105 @@
+"""Tests: pollution, simstring, tables, reason, consultation_dates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import edsnlp_spark as es
+from edsnlp_spark.operators.tokenizer import Tokenizer
+from edsnlp_spark.operators.matcher import PhraseMatcher
+from edsnlp_spark.operators.pollution import PollutionTagger, exclude_polluted
+from edsnlp_spark.operators.simstring import SimstringMatcher, char_ngrams
+from edsnlp_spark.operators.tables import TablesExtractor
+from edsnlp_spark.operators.misc_pipes import consultation_dates, reason_spans
+
+
+def notes_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "note_id long, note_text string")
+
+
+def test_pollution_tagging_and_exclusion(spark):
+    texts = [
+        "Le patient est malade NbNbWbNbNbWbNb malade encore.",
+        "Pas de pollution ici malade.",
+    ]
+    notes = Tokenizer()(notes_df(spark, texts)).persist()
+    tagger = PollutionTagger()
+    poll = tagger.pollution_table(notes)
+    p = poll.collect()
+    assert len(p) == 1 and p[0]["label"] == "nbnb"
+    # entity inside the noise span is dropped; clean ones survive
+    ents = PhraseMatcher({"dis": ["malade"]}, attr="NORM").entities(notes)
+    kept = exclude_polluted(ents, poll)
+    assert ents.count() == 3 and kept.count() == 3  # none overlap the noise
+    fake = spark.createDataFrame(
+        [(0, 22, 36)], "note_id long, start_char int, end_char int")
+    # a synthetic entity overlapping the noise is excluded
+    overlapping = spark.createDataFrame(
+        [(0, 25, 30, "x", "y", "ents")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string")
+    assert exclude_polluted(overlapping, poll).count() == 0
+
+
+def test_simstring_fuzzy_match(spark):
+    notes = Tokenizer()(notes_df(spark, [
+        "Le patient a un diabette severe.",   # misspelling
+        "Aucun probleme cardiaque.",
+    ])).persist()
+    m = SimstringMatcher({"dia": ["diabete"]}, threshold=0.7, measure="dice")
+    rows = m.entities(notes).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lexical_variant"] == "diabette" and r["matched_term"] == "diabete"
+    assert r["similarity"] >= 0.7
+    # exact form scores 1.0
+    m2 = SimstringMatcher({"dia": ["diabette"]}, threshold=0.99)
+    assert m2.entities(notes).collect()[0]["similarity"] == 1.0
+
+
+def test_tables_extraction(spark):
+    text = (
+        "Résultats biologiques :\n"
+        "| param | valeur | unité |\n"
+        "| Na | 140 | mmol/l |\n"
+        "| K | 4.1 | mmol/l |\n"
+        "Conclusion : rien.\n"
+        "| a | b |\n"
+    )
+    t = TablesExtractor(min_cells=2).tables(notes_df(spark, [text]))
+    rows = t.collect()
+    t1 = [r for r in rows if r["table_id"] == 1]
+    t2 = [r for r in rows if r["table_id"] == 2]
+    assert {r["row_id"] for r in t1} == {1, 2, 3}
+    cells = {(r["row_id"], r["col_id"]): r["cell"] for r in t1}
+    assert cells[(2, 0)] == "Na" and cells[(2, 1)] == "140"
+    # second block is its own table (run-id grouping separated by prose)
+    assert [(r["row_id"], r["cell"]) for r in sorted(
+        t2, key=lambda r: r["col_id"])] == [(1, "a"), (1, "b")]
+
+
+def test_reason(spark):
+    notes = notes_df(spark, [
+        "Motif de l'hospitalisation : douleur thoracique.\nSuite du texte.",
+        "Rien de special.",
+    ])
+    rows = reason_spans(notes, use_sections=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["reason_text"].startswith("douleur thoracique")
+
+
+def test_consultation_dates(spark):
+    notes = notes_df(spark, [
+        "Consultation du 25/09/2021 pour suivi.",
+        "Né le 03/02/1999.",  # date without consultation context
+    ])
+    rows = consultation_dates(notes).collect()
+    assert len(rows) == 1
+    assert rows[0]["consultation_date"] == "2021-09-25"
+
+
+def test_char_ngrams(spark):
+    out = spark.range(1).select(
+        char_ngrams(F.lit("ab"), 3).alias("g")).collect()[0]["g"]
+    assert out == ["##a", "#ab", "ab#", "b##"]

@@ -28,4 +28,9 @@ def all_queries() -> dict:
         out.update(advanced.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import relational2
+        out.update(relational2.QUERIES)
+    except ImportError:
+        pass
     return out

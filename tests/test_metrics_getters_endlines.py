@@ -1,0 +1,83 @@
+"""Tests: metrics, span getters, endlines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edsnlp_spark.operators.metrics import (
+    ner_exact_metrics, ner_overlap_metrics, span_attribute_accuracy,
+)
+from edsnlp_spark.functions.span_getters import (
+    deduplicate_spans, get_spans, set_span_group, union_span_groups,
+)
+from edsnlp_spark.operators.endlines import EndLinesClassifier
+
+ENT_DDL = ("note_id long, start_char int, end_char int, label string, "
+           "lexical_variant string, span_type string")
+
+
+def ents(spark, rows):
+    return spark.createDataFrame(rows, ENT_DDL)
+
+
+def test_ner_exact_metrics(spark):
+    pred = ents(spark, [(1, 0, 5, "a", "x", "ents"), (1, 10, 15, "a", "y", "ents"),
+                        (1, 20, 25, "b", "z", "ents")])
+    gold = ents(spark, [(1, 0, 5, "a", "x", "ents"), (1, 30, 35, "a", "w", "ents"),
+                        (1, 20, 25, "b", "z", "ents")])
+    m = {r["label"]: r for r in ner_exact_metrics(pred, gold).collect()}
+    assert (m["a"]["tp"], m["a"]["fp"], m["a"]["fn"]) == (1, 1, 1)
+    assert m["a"]["precision"] == 0.5 and m["a"]["recall"] == 0.5
+    assert m["b"]["f1"] == 1.0
+    assert (m["micro"]["tp"], m["micro"]["fp"], m["micro"]["fn"]) == (2, 1, 1)
+
+
+def test_ner_overlap_metrics(spark):
+    # pred span overlaps gold partially -> TP under overlap semantics
+    pred = ents(spark, [(1, 0, 8, "a", "x", "ents")])
+    gold = ents(spark, [(1, 5, 12, "a", "x", "ents")])
+    m = {r["label"]: r for r in ner_overlap_metrics(pred, gold).collect()}
+    assert (m["a"]["tp"], m["a"]["fp"], m["a"]["fn"]) == (1, 0, 0)
+    # exact metrics would call this a miss
+    e = {r["label"]: r for r in ner_exact_metrics(pred, gold).collect()}
+    assert e["a"]["tp"] == 0
+
+
+def test_span_attribute_accuracy(spark):
+    ddl = ENT_DDL + ", negation boolean"
+    pred = spark.createDataFrame(
+        [(1, 0, 5, "a", "x", "ents", True), (1, 10, 15, "a", "y", "ents", False)],
+        ddl)
+    gold = spark.createDataFrame(
+        [(1, 0, 5, "a", "x", "ents", True), (1, 10, 15, "a", "y", "ents", True)],
+        ddl)
+    r = span_attribute_accuracy(pred, gold, ["negation"]).collect()[0]
+    assert (r["n"], r["correct"], r["accuracy"]) == (2, 1, 0.5)
+
+
+def test_span_getters(spark):
+    e = ents(spark, [(1, 0, 5, "covid", "x", "ents"),
+                     (1, 0, 5, "covid", "x", "ents"),   # duplicate
+                     (1, 6, 9, "dis", "y", "ents"),
+                     (1, 10, 12, "covid", "z", "dates")])
+    assert get_spans(e, {"ents": True}).count() == 3
+    assert get_spans(e, {"ents": ["covid"]}).count() == 2
+    assert get_spans(e, {"dates": True, "ents": ["dis"]}).count() == 2
+    assert deduplicate_spans(e).count() == 3
+    g = set_span_group(get_spans(e, {"ents": ["dis"]}), "diseases")
+    assert g.collect()[0]["span_type"] == "diseases"
+    assert union_span_groups(e, g).count() == 5
+
+
+def test_endlines(spark):
+    text = ("Le patient va bien.\n"       # true end (punctuation)
+            "Compte rendu du jour\n"      # artifact: next starts lowercase
+            "suite de la ligne coupée.\n"
+            "CONCLUSION :\n"              # true end (colon)
+            "rien à signaler")
+    df = spark.createDataFrame([(1, text)], "note_id long, note_text string")
+    t = EndLinesClassifier().endlines_table(df).orderBy("line_no").collect()
+    assert [r["true_end"] for r in t] == [True, False, True, True, True]
+    clean = EndLinesClassifier()(df).collect()[0]["clean_text"]
+    assert "Compte rendu du jour suite de la ligne coupée." in clean
+    assert "Le patient va bien.\nCompte" in clean

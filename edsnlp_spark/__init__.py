@@ -9,6 +9,7 @@ factories (registry.py), mirroring edsnlp/core/registries.py:318-457.
 """
 
 from .core.base import Pipeline, Transformer
+from .core.facade import SparkNLP, blank
 from .registry import available, create, register
 from .session import get_spark
 
@@ -32,6 +33,7 @@ from .operators import misc_pipes as _mp  # noqa: F401
 from .operators import endlines as _el  # noqa: F401
 
 __all__ = [
-    "Pipeline", "Transformer", "available", "create", "register", "get_spark",
+    "Pipeline", "Transformer", "SparkNLP", "blank", "available", "create",
+    "register", "get_spark",
 ]
 __version__ = "0.1.0"

@@ -87,6 +87,26 @@ def parse_relative_days(text: Column) -> Column:
     return F.when(n != "", -(n.cast("int") * days_per))
 
 
+# Period: "du <date> au <date>" (bounds/periods, dates.py linking logic)
+PERIOD_RX = r"\bdu\s+(.{4,30}?)\s+(?:au|jusqu'au)\s+(.{4,30}?)(?=[,.;]|$)"
+
+
+def parse_period(text: Column) -> Column:
+    """First 'du X au Y' period -> struct<start date, end date> (null
+    unless both bounds parse)."""
+    left = F.regexp_extract(text, PERIOD_RX, 1)
+    right = F.regexp_extract(text, PERIOD_RX, 2)
+
+    def any_date(c: Column) -> Column:
+        return F.coalesce(parse_verbose_date(c), parse_numeric_date(c))
+
+    start, end = any_date(left), any_date(right)
+    return F.when(
+        start.isNotNull() & end.isNotNull(),
+        F.struct(start.alias("start"), end.alias("end")),
+    )
+
+
 class DatesExtractor(Transformer):
     """Adds ``parsed_date`` (first absolute date mention, normalized) and
     ``relative_date`` (note_datetime + relative offset) columns."""

@@ -169,13 +169,17 @@ class RegexMatcher(Transformer):
 
     def __init__(self, patterns: dict[str, Iterable[str]], attr: str = "TEXT",
                  span_type: str = "ents", text_col: str = "note_text",
-                 flags: int = 0, native: bool = False):
+                 flags: int = 0, native: bool = False,
+                 span_from_group: bool = False):
+        """span_from_group: emit the first non-null capturing group's span
+        instead of the whole match (regex.py:192 semantics; UDF path)."""
         self.patterns = {k: list(v) for k, v in patterns.items()}
         self.attr = attr
         self.span_type = span_type
         self.text_col = text_col
         self.flags = flags
         self.native = native
+        self.span_from_group = span_from_group
         self.requires = ("note_id", text_col)
 
     def _match_col(self, df: DataFrame):
@@ -246,6 +250,7 @@ class RegexMatcher(Transformer):
         span_type = self.span_type
         text_col = self.text_col
         attr = self.attr
+        from_group = self.span_from_group
         out_schema = (
             "note_id long, start_char int, end_char int, label string, "
             "lexical_variant string, span_type string"
@@ -269,6 +274,11 @@ class RegexMatcher(Transformer):
                     for label, rx in compiled:
                         for m in rx.finditer(hay):
                             s, e = m.start(), m.end()
+                            if from_group and m.lastindex:
+                                for gi in range(1, m.lastindex + 1):
+                                    if m.group(gi) is not None:
+                                        s, e = m.span(gi)
+                                        break
                             rows.append((note_id, s, e, label, text[s:e], span_type))
                 yield pd.DataFrame(
                     rows, columns=["note_id", "start_char", "end_char",

@@ -73,6 +73,22 @@ def extract_quantity(text: Column) -> Column:
     )
 
 
+def extract_range(text: Column) -> Column:
+    """First range mention ('de 10 à 20 mg', '10 - 20 mg') -> struct<low,
+    high, unit, low_si, high_si> (RangeQuantity, quantities.py:276)."""
+    lo = _num(F.regexp_extract(text, RANGE_RX, 1))
+    hi = _num(F.regexp_extract(text, RANGE_RX, 2))
+    u = F.regexp_extract(text, RANGE_RX, 3)
+    return F.when(
+        F.regexp_extract(text, RANGE_RX, 1) != "",
+        F.struct(
+            lo.alias("low"), hi.alias("high"), u.alias("unit"),
+            (lo * unit_factor(u)).alias("low_si"),
+            (hi * unit_factor(u)).alias("high_si"),
+        ),
+    )
+
+
 def convert_to(value: Column, from_unit: Column, to_unit: Column) -> Column:
     """Cross-unit conversion; null when dimensions differ (the reference
     raises — we stay relational and yield null)."""

@@ -199,3 +199,51 @@ def test_token_shingles_edges(spark):
     assert rows[1] == []
     assert rows[2] == ["a b c"]
     assert rows[3] == ["a b c", "b c d"]
+
+
+# ---- facade (reference composition API) --------------------------------
+
+def test_facade_blank_pipe(spark):
+    import edsnlp_spark as es2
+    nlp = es2.blank()
+    nlp.add_pipe("eds.matcher", terms={"covid": ["covid", "coronavirus"],
+                                       "dis": ["metastases"]})
+    nlp.add_pipe("eds.negation")
+    notes = notes_df(spark, ["Le patient n'a pas de métastases.",
+                             "Il a le coronavirus."])
+    ents = nlp.pipe(notes).collect()
+    got = {(r["lexical_variant"], r["negation"]) for r in ents}
+    assert got == {("métastases", True), ("coronavirus", False)}
+    # eager single-doc path
+    doc = nlp("Pas de covid aujourd'hui.", spark=spark)
+    assert [(r["lexical_variant"], r["negation"]) for r in doc] == [("covid", True)]
+
+
+def test_quantity_range(spark):
+    from edsnlp_spark.operators.quantities import extract_range
+    df = spark.createDataFrame(
+        [("dose de 10 - 20 mg",), ("entre rien",)], "t string")
+    out = df.select(extract_range(F.col("t")).alias("r")).collect()
+    r = out[0]["r"]
+    assert (r["low"], r["high"], r["unit"]) == (10.0, 20.0, "mg")
+    assert abs(r["high_si"] - 0.02) < 1e-9
+    assert out[1]["r"] is None
+
+
+def test_date_period(spark):
+    from edsnlp_spark.operators.dates import parse_period
+    df = spark.createDataFrame(
+        [("hospitalise du 3 mars 2020 au 15/03/2020, sortie ok",),
+         ("du debut au 15/03/2020.",)], "t string")
+    out = df.select(parse_period(F.lower(F.col("t"))).alias("p")).collect()
+    p = out[0]["p"]
+    assert str(p["start"]) == "2020-03-03" and str(p["end"]) == "2020-03-15"
+    assert out[1]["p"] is None  # left bound is not a date
+
+
+def test_regex_span_from_group(spark):
+    df = notes_df(spark, ["Poids : 65 kg mesure ce jour."])
+    m = RegexMatcher({"weight": [r"Poids\s*:\s*(\d+)"]}, span_from_group=True)
+    r = m.entities(df).collect()[0]
+    assert r["lexical_variant"] == "65"
+    assert "Poids : 65 kg mesure ce jour."[r["start_char"]:r["end_char"]] == "65"

@@ -1,0 +1,101 @@
+"""Streaming window/stateful tests: file-source micro-batches with
+availableNow triggers; results checked against batch equivalents."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from edsnlp_spark.streaming.windows import (
+    running_user_stats, session_counts, tumbling_counts,
+)
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double")
+
+
+def write_events_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+ROWS1 = [
+    {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1,
+     "event_type": "click", "value": 1.0},
+    {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 1,
+     "event_type": "click", "value": 2.0},
+    {"event_id": 3, "ts": "2024-01-01 11:10:00", "user_id": 2,
+     "event_type": "buy", "value": 5.0},
+]
+
+
+def stream_events(spark, src):
+    from pyspark.sql.types import StructType
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    return spark.readStream.schema(schema).json(str(src))
+
+
+def run_to_memory(df, name, mode="update"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    return q
+
+
+def test_tumbling_counts_stream(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    write_events_jsonl(src / "a.jsonl", ROWS1)
+    q = run_to_memory(tumbling_counts(stream_events(spark, src)),
+                      "tumbling", mode="update")
+    out = {(str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+           for r in spark.sql("select * from tumbling").collect()}
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert out[("2024-01-01 11:00:00", "buy")] == (1, 5.0)
+
+
+def test_session_counts_stream(spark, tmp_path):
+    src = tmp_path / "ev2"
+    src.mkdir()
+    write_events_jsonl(src / "a.jsonl", ROWS1)
+    q = run_to_memory(session_counts(stream_events(spark, src), gap="30 minutes"),
+                      "sessions", mode="complete")
+    rows = spark.sql("select * from sessions").collect()
+    by_user = {r["user_id"]: r["n_events"] for r in rows}
+    # user 1: events 15min apart -> one session of 2; user 2: one of 1
+    assert by_user == {1: 2, 2: 1}
+
+
+def test_running_user_stats_state_across_batches(spark, tmp_path):
+    src = tmp_path / "ev3"
+    src.mkdir()
+    ck = str(tmp_path / "ck3")
+    write_events_jsonl(src / "a.jsonl", ROWS1)
+
+    out = str(tmp_path / "out3")
+
+    def run(tag):
+        df = running_user_stats(stream_events(spark, src))
+        q = (df.writeStream.outputMode("update")
+             .option("checkpointLocation", ck)
+             .foreachBatch(lambda b, bid, tag=tag: b.withColumn(
+                 "run", F.lit(tag)).write.mode("append").parquet(out))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run("r1")
+    first = {r["user_id"]: (r["n"], r["total"])
+             for r in spark.read.parquet(out).filter("run = 'r1'").collect()}
+    assert first[1] == (2, 3.0) and first[2] == (1, 5.0)
+
+    # second batch: state must carry over (user 1 grows to 3 events)
+    write_events_jsonl(src / "b.jsonl", [
+        {"event_id": 4, "ts": "2024-01-01 12:00:00", "user_id": 1,
+         "event_type": "click", "value": 4.0}])
+    run("r2")
+    second = {r["user_id"]: (r["n"], r["total"])
+              for r in spark.read.parquet(out).filter("run = 'r2'").collect()}
+    assert second[1] == (3, 7.0)

@@ -31,6 +31,7 @@ from .operators import simstring as _ss  # noqa: F401
 from .operators import tables as _tb  # noqa: F401
 from .operators import misc_pipes as _mp  # noqa: F401
 from .operators import endlines as _el  # noqa: F401
+from .operators import disorders as _dis  # noqa: F401
 
 __all__ = [
     "Pipeline", "Transformer", "SparkNLP", "blank", "available", "create",

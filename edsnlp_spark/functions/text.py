@@ -25,9 +25,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Word-ish tokens first, then decimal numbers, then any single
-# non-space char (punctuation, symbols).  The trailing \S guarantees the
-# partition property documented above.
-WORD_REGEX = r"[A-Za-zÀ-ɏ]+(?:['’][A-Za-zÀ-ɏ]+)?|\d+(?:[.,]\d+)?|\S"
+# non-space char (punctuation, symbols).  The trailing catch-all
+# guarantees the partition property documented above.  Whitespace is an
+# EXPLICIT class: Java's \s is ASCII-only while Python's is Unicode-wide,
+# so NBSP & friends must be excluded by hand to keep the engine's
+# semantics identical to the reference's Python tokenizer (found by the
+# hypothesis property test on '\xa0').
+_WS = ("\\s\\x1c-\\x1f\\x85\xa0\u1680"
+       "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000")
+WORD_REGEX = (
+    r"[A-Za-zÀ-ɏ]+(?:['’][A-Za-zÀ-ɏ]+)?|\d+(?:[.,]\d+)?|[^" + _WS + r"]"
+)
 
 # Accent fold used by eds.accents (accents.py:11 char list).
 _ACCENTED = "àáâäãåçèéêëìíîïñòóôöõùúûüýÿÀÁÂÄÃÅÇÈÉÊËÌÍÎÏÑÒÓÔÖÕÙÚÛÜÝŸ"

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): invariants that must hold on ANY
+input, not just goldens — SURVEY §7 calls for property-testing the
+offset machinery.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from edsnlp_spark.functions.text import tokenize, tokenize_pretokenized
+from edsnlp_spark.operators.filter_spans import filter_spans
+
+# Latin-ish text incl. accents, punctuation, newlines, digits.
+TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        whitelist_characters="\n'’àéèêïç",
+        max_codepoint=0x024F,
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_tokenizer_offsets_always_exact(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "note_id long, note_text string")
+    rows = df.select("note_id", "note_text",
+                     tokenize(F.col("note_text")).alias("toks")).collect()
+    for r in rows:
+        prev_end = 0
+        for t in r.toks:
+            # offsets index the original text exactly
+            assert r.note_text[t.start:t.end] == t.text
+            # tokens are in order and non-overlapping
+            assert t.start >= prev_end
+            prev_end = t.end
+        # every non-space char is covered by some token
+        covered = sum(t.end - t.start for t in r.toks)
+        nonspace = sum(1 for c in r.note_text if not c.isspace())
+        assert covered == nonspace
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(WORD, min_size=1, max_size=20))
+def test_pretokenized_offsets(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(0, text)], "note_id long, note_text string")
+    toks = df.select(
+        tokenize_pretokenized(F.col("note_text")).alias("t")).collect()[0]["t"]
+    assert [t["text"] for t in toks] == words
+    for t in toks:
+        assert text[t["start"]:t["end"]] == t["text"]
+
+
+SPAN = st.tuples(st.integers(0, 30), st.integers(1, 10), st.sampled_from("xyz"))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(SPAN, min_size=1, max_size=12))
+def test_filter_spans_invariants(spark, raw):
+    rows = [(1, s, s + ln, lbl, "t", "ents") for s, ln, lbl in raw]
+    ents = spark.createDataFrame(
+        rows, "note_id long, start_char int, end_char int, label string, "
+              "lexical_variant string, span_type string")
+    kept = filter_spans(ents).collect()
+    spans = sorted((r["start_char"], r["end_char"]) for r in kept)
+    # invariant 1: output spans never overlap
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2
+    # invariant 2: every dropped span overlaps some kept longer-or-equal span
+    kept_set = {(r["start_char"], r["end_char"], r["label"]) for r in kept}
+    for s, ln, lbl in raw:
+        if (s, s + ln, lbl) not in kept_set:
+            assert any(s < e2 and s2 < s + ln for s2, e2 in spans)

@@ -87,6 +87,25 @@ def parse_relative_days(text: Column) -> Column:
     return F.when(n != "", -(n.cast("int") * days_per))
 
 
+def date_mentions(notes: DataFrame) -> DataFrame:
+    """ALL date mentions with char anchors + parsed values — the dates
+    TABLE other pipes consume (eds.history recency, consultation_dates).
+    Native regex scan; one row per mention."""
+    from .matcher import RegexMatcher
+    d = RegexMatcher(
+        {"date": [VERBOSE_DATE_RX, NUMERIC_DATE_RX]},
+        attr="NORM", span_type="date", native=True,
+    ).entities(notes)
+    parsed = F.coalesce(
+        parse_verbose_date(F.col("lexical_variant")),
+        parse_numeric_date(F.col("lexical_variant")),
+    )
+    return d.select(
+        "note_id", "start_char", "end_char", "lexical_variant",
+        parsed.alias("parsed_date"),
+    )
+
+
 # Period: "du <date> au <date>" (bounds/periods, dates.py linking logic)
 PERIOD_RX = r"\bdu\s+(.{4,30}?)\s+(?:au|jusqu'au)\s+(.{4,30}?)(?=[,.;]|$)"
 
@@ -142,3 +161,8 @@ class DatesExtractor(Transformer):
 @registry.register("eds.dates")
 def _make_dates(**kw):
     return DatesExtractor(**kw)
+
+
+# eds.dates_normalizer re-normalizes existing date spans with the same
+# parser (misc/dates/factory.py registers both names on one pipe).
+registry.register("eds.dates_normalizer")(lambda **kw: DatesExtractor(**kw))

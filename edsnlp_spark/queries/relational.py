@@ -117,7 +117,8 @@ def top_orders_per_customer(spark, sf_dir):
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey",
-                F.round("o_totalprice", 2).alias("total"), "rn")
+                F.round("o_totalprice", 2).alias("total"),
+                F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -226,7 +227,8 @@ WITH flagged AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
        MIN(event_id) AS first_event, MAX(event_id) AS last_event,
        ROUND(SUM(value), 2) AS session_value
 FROM sess GROUP BY user_id, session_id
@@ -302,7 +304,8 @@ def hourly_event_rollup(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("value"), 4).alias("avg_value"))
@@ -310,7 +313,8 @@ def hourly_event_rollup(spark, sf_dir):
 
 
 HOURLY_EVENT_ROLLUP_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type,
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
        COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """

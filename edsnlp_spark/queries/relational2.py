@@ -63,10 +63,10 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 )
 SELECT doc_id, pos, ts[pos] AS token,
-       COALESCE(list_sum([len(x) for x in ts[1:pos-1]]), 0) + pos - 1
-         AS start_char,
-       COALESCE(list_sum([len(x) for x in ts[1:pos-1]]), 0) + pos - 1
-         + len(ts[pos]) AS end_char
+       CAST(COALESCE(list_sum([len(x) for x in ts[1:pos-1]]), 0) + pos - 1
+         AS BIGINT) AS start_char,
+       CAST(COALESCE(list_sum([len(x) for x in ts[1:pos-1]]), 0) + pos - 1
+         + len(ts[pos]) AS BIGINT) AS end_char
 FROM toks, unnest(range(1, len(ts) + 1)) AS u(pos)
 """
 

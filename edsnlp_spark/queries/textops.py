@@ -68,13 +68,13 @@ def token_stats_by_lang(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(ntok).alias("total_tokens"),
         F.round(F.avg(ntok), 4).alias("avg_tokens"),
-        F.max(ntok).alias("max_tokens"),
+        F.max(ntok).cast("bigint").alias("max_tokens"),
     )
 
 
 TOKEN_STATS_BY_LANG_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
        MAX(len(string_split(text, ' '))) AS max_tokens
 FROM documents GROUP BY lang
@@ -395,10 +395,12 @@ j AS (
     ON p.doc_id = g.doc_id AND p.pos = g.pos AND p.label = g.label
 ),
 per AS (
-  SELECT label, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn
+  SELECT label, CAST(SUM(tp) AS BIGINT) AS tp, CAST(SUM(fp) AS BIGINT) AS fp,
+         CAST(SUM(fn) AS BIGINT) AS fn
   FROM j GROUP BY label
   UNION ALL
-  SELECT 'ALL', SUM(tp), SUM(fp), SUM(fn) FROM j
+  SELECT 'ALL', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+         CAST(SUM(fn) AS BIGINT) FROM j
 )
 SELECT label, tp, fp, fn,
        ROUND(tp / NULLIF(tp + fp, 0), 4) AS precision,

@@ -6,8 +6,9 @@ the hot path).
 Tokenizer parity: the reference tokenizes with a single regex tuned for
 French clinical text (edsnlp/language.py:46-116, regex at :61-80 — words,
 numbers, per-newline tokens, punctuation as single tokens).  We reproduce
-that shape with a configurable token regex whose alternation ends in
-``\\S`` so it *partitions all non-whitespace text*.  That property makes
+that shape with a configurable token regex whose trailing catch-all
+alternative matches any single non-whitespace char, so the regex
+*partitions all non-whitespace text*.  That property makes
 char offsets recoverable natively: tokens appear in order and gaps
 between consecutive tokens are pure whitespace, so
 ``locate(token, text, prev_end+1)`` is provably the true start offset.

@@ -501,7 +501,57 @@ FROM built
 """
 
 
+# ---- engine-backed: hypothesis qualifier (following-direction cues) ---
+
+_HYP_TARGETS = {"target": ["join", "scan"]}
+_HYP_CUES = {"preceding": ["slow"], "following": ["big"],
+             "termination": ["filter"]}
+
+
+def hypothesis_tokens(spark, sf_dir):
+    """Qualifier with BOTH cue directions: preceded by 'slow' OR followed
+    by 'big' within the boundary.  The oracle derives each direction with
+    its own last/first-marker window (negation_tokens only covers the
+    preceding direction)."""
+    notes = _pipe_notes(spark, sf_dir).persist()
+    ents = PhraseMatcher(_HYP_TARGETS, attr="TEXT").entities(notes)
+    q = QualifierEngine("hypothesis", _HYP_CUES, attr="TEXT")
+    out = q.qualify(notes, ents)
+    return out.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("term"),
+        "hypothesis",
+    )
+
+
+HYPOTHESIS_TOKENS_SQL = f"""
+WITH {_TOK_CTE},
+marked AS (
+  SELECT doc_id, pos, token,
+         LAST_VALUE(
+           CASE WHEN token = 'filter' THEN 'T'
+                WHEN token = 'slow' THEN 'C' END
+           IGNORE NULLS) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_marker,
+         FIRST_VALUE(
+           CASE WHEN token = 'filter' THEN 'T'
+                WHEN token = 'big' THEN 'C' END
+           IGNORE NULLS) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_marker
+  FROM tok
+)
+SELECT doc_id, pos, token AS term,
+       (COALESCE(prev_marker = 'C', FALSE)
+        OR COALESCE(next_marker = 'C', FALSE)) AS hypothesis
+FROM marked WHERE token IN ('join', 'scan')
+"""
+
+
 QUERIES = {
+    "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),

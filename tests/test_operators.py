@@ -247,3 +247,18 @@ def test_regex_span_from_group(spark):
     r = m.entities(df).collect()[0]
     assert r["lexical_variant"] == "65"
     assert "Poids : 65 kg mesure ce jour."[r["start_char"]:r["end_char"]] == "65"
+
+
+RSPEECH_CASES = [
+    ("Le patient dit avoir une douleur thoracique.", "douleur", True),
+    ("Le patient rapporte des vertiges.", "vertiges", True),
+    ("À l'examen une douleur thoracique.", "douleur", False),
+]
+
+
+@pytest.mark.parametrize("text,term,expected", RSPEECH_CASES)
+def test_reported_speech_golden(spark, text, term, expected):
+    ndf = run_pipeline(spark, [text]).persist()
+    ents = PhraseMatcher({"sym": [term]}).entities(ndf)
+    out = make_qualifier("reported_speech").qualify(ndf, ents).collect()
+    assert len(out) == 1 and out[0]["reported_speech"] is expected, text

@@ -43,14 +43,20 @@ class QualifierEngine(Transformer):
     def __init__(self, qualifier: str,
                  cues: dict[str, Iterable[str]],
                  attr: str = "NORM",
-                 on_ents_only: bool = True):
+                 within_ents: bool = False):
         """cues: {'preceding': [...], 'following': [...], 'pseudo': [...],
         'termination': [...], 'verbs': [...]} — classes as enumerated at
-        negation.py:327-332; any subset may be provided."""
+        negation.py:327-332; any subset may be provided.
+
+        within_ents (negation.py:346-354): when False (the reference's
+        default), a cue whose span lies inside a qualified entity does
+        not count as evidence for that entity — relationally, the cue
+        join adds a non-containment predicate.
+        """
         self.qualifier = qualifier
         self.cues = {k: list(v) for k, v in cues.items() if v}
         self.attr = attr
-        self.on_ents_only = on_ents_only
+        self.within_ents = within_ents
         self._cue_matcher = PhraseMatcher(
             {cls: terms for cls, terms in self.cues.items()},
             attr=attr, span_type="cue",
@@ -148,6 +154,14 @@ class QualifierEngine(Transformer):
             | ((F.col("cue_class") == "following")
                & (F.col("c_s") >= F.col("tok_end")))
         )
+        if self.within_ents:
+            # negation.py:346-354: a cue contained in the entity span
+            # itself qualifies it (multi-word entities embedding a cue).
+            hit = hit | (
+                (F.col("c_s") >= F.col("tok_start"))
+                & (F.col("c_e") <= F.col("tok_end"))
+                & (F.col("cue_class") != "termination")
+            )
         return joined.groupBy(*entities.columns).agg(
             F.coalesce(F.max(F.when(hit, True)), F.lit(False)).alias(self.qualifier)
         )

@@ -57,6 +57,65 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 2, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF-style ANN: MLlib KMeans coarse quantizer; each query probes its
+    ``n_probe`` nearest cells and ranks only those cells' vectors.
+
+    The cluster assignment is a one-time batch job (like building an
+    index); per-query work drops from O(N) to O(N * n_probe / n_cells).
+    Non-deterministic across environments (KMeans init) — exposed as a
+    rows-only query, not an oracle-checked one.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
+    train = corpus.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        "n_id", "v", F.col("prediction").alias("cell"))
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers_arr = F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(x) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+    qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
+    # pick the n_probe closest centroids per query (tiny: done via array ops)
+    probed = qs.select(
+        "q_id", "qv",
+        F.explode(F.slice(
+            F.sort_array(F.transform(
+                centers_arr,
+                lambda c: F.struct(
+                    (-cosine(F.col("qv"), c["cv"])).alias("negcos"),
+                    c["cell"].alias("cell"),
+                ),
+            )),
+            1, n_probe,
+        )).alias("p"),
+    ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one bit per plane (sign of dot)."""
     return F.concat(*[

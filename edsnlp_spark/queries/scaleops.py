@@ -175,6 +175,18 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# ---- IVF ANN (MLlib KMeans coarse quantizer; rows-only check) ---------
+
+def embedding_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k: KMeans cells + n_probe search.  KMeans
+    init is environment-dependent -> rows-only driver check; recall vs
+    the exact brute force is asserted in pytest instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
+
+
 # ---- multimodal plumbing (stubbed decode -> rows-only check) ----------
 
 def multimodal_features(spark, sf_dir):
@@ -190,5 +202,6 @@ QUERIES = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
+    "embedding_topk_ivf": (embedding_topk_ivf, None),
     "multimodal_features": (multimodal_features, None),
 }

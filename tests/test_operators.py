@@ -262,3 +262,15 @@ def test_reported_speech_golden(spark, text, term, expected):
     ents = PhraseMatcher({"sym": [term]}).entities(ndf)
     out = make_qualifier("reported_speech").qualify(ndf, ents).collect()
     assert len(out) == 1 and out[0]["reported_speech"] is expected, text
+
+
+def test_within_ents_flag(spark):
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    # entity "absence de douleur" CONTAINS the cue "absence de"
+    ndf = run_pipeline(spark, ["Conclusion : absence de douleur."]).persist()
+    ents = PhraseMatcher({"sym": ["absence de douleur"]}).entities(ndf)
+    cues = {"preceding": ["absence de"], "termination": ["mais"]}
+    off = QualifierEngine("negation", cues, within_ents=False)
+    on = QualifierEngine("negation", cues, within_ents=True)
+    assert off.qualify(ndf, ents).collect()[0]["negation"] is False
+    assert on.qualify(ndf, ents).collect()[0]["negation"] is True

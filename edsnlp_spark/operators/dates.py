@@ -87,6 +87,39 @@ def parse_relative_days(text: Column) -> Column:
     return F.when(n != "", -(n.cast("int") * days_per))
 
 
+# Partial dates (models.py:104-178): missing components fall back to
+# note_datetime.  "en mars" -> (year of note, 3, 1); "le 25" -> (year,
+# month of note, 25); "en 2019" -> (2019, 1, 1).
+PARTIAL_MONTH_RX = r"\ben ([a-z]+)\b(?!\s+\d{4})"
+PARTIAL_DAY_RX = r"\ble (\d{1,2})\b(?![/.\-\d])(?!\s+[a-z]+\s+\d{4})"
+PARTIAL_YEAR_RX = r"\ben (\d{4})\b"
+
+
+def parse_partial_date(text: Column, note_dt: Column) -> Column:
+    """First partial date resolved against note_datetime; null when the
+    needed component of note_datetime is itself null (the reference's
+    nullability rule: inference requires an anchor)."""
+    mon_name = F.regexp_extract(text, PARTIAL_MONTH_RX, 1)
+    day = F.regexp_extract(text, PARTIAL_DAY_RX, 1)
+    year = F.regexp_extract(text, PARTIAL_YEAR_RX, 1)
+    m = month_number(mon_name)
+    by_year = F.when(
+        year != "", F.try_to_date(F.concat(year, F.lit("-1-1")), "y-M-d"))
+    by_month = F.when(
+        (mon_name != "") & m.isNotNull() & note_dt.isNotNull(),
+        F.try_to_date(
+            F.format_string("%s-%s-1", F.year(note_dt).cast("string"),
+                            m.cast("string")), "y-M-d"),
+    )
+    by_day = F.when(
+        (day != "") & note_dt.isNotNull(),
+        F.try_to_date(
+            F.format_string("%s-%s-%s", F.year(note_dt).cast("string"),
+                            F.month(note_dt).cast("string"), day), "y-M-d"),
+    )
+    return F.coalesce(by_month, by_year, by_day)
+
+
 def date_mentions(notes: DataFrame) -> DataFrame:
     """ALL date mentions with char anchors + parsed values — the dates
     TABLE other pipes consume (eds.history recency, consultation_dates).

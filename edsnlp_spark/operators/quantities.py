@@ -98,6 +98,32 @@ def convert_to(value: Column, from_unit: Column, to_unit: Column) -> Column:
     )
 
 
+# Unitless patterns gated by context (quantities.py:379 "poids: 65" ->
+# kg): context word -> implied unit.
+CONTEXT_UNITS = {"poids": "kg", "taille": "m", "temperature": "°C"}
+
+
+def extract_contextual_quantity(text: Column) -> Column:
+    """Bare number after a known context word -> struct<value, unit,
+    context> with the implied unit (only when no explicit unit follows).
+    """
+    out = F.lit(None).cast(
+        "struct<value:double,unit:string,context:string>")
+    for ctx, unit in CONTEXT_UNITS.items():
+        # (?!\d)(?![.,]\d) blocks backtracking into a shorter number when
+        # the full number is followed by an explicit unit, while still
+        # allowing a sentence-final "poids : 65." to match.
+        rx = (rf"\b{ctx}\s*(?::|a|de)?\s*(\d+(?:[.,]\d+)?)"
+              rf"(?!\d)(?![.,]\d)(?!\s*(?:{_UNITS_ALT})\b)")
+        raw = F.regexp_extract(text, rx, 1)
+        out = F.when(
+            raw != "",
+            F.struct(_num(raw).alias("value"), F.lit(unit).alias("unit"),
+                     F.lit(ctx).alias("context")),
+        ).otherwise(out)
+    return out
+
+
 class QuantitiesExtractor(Transformer):
     requires = ("note_text",)
     provides = ("quantity",)

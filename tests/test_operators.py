@@ -274,3 +274,35 @@ def test_within_ents_flag(spark):
     on = QualifierEngine("negation", cues, within_ents=True)
     assert off.qualify(ndf, ents).collect()[0]["negation"] is False
     assert on.qualify(ndf, ents).collect()[0]["negation"] is True
+
+
+def test_partial_date_inference(spark):
+    from edsnlp_spark.operators.dates import parse_partial_date
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("hospitalise en mars", dt.datetime(2021, 9, 15)),
+         ("vu le 25", dt.datetime(2021, 9, 15)),
+         ("opere en 2019", dt.datetime(2021, 9, 15)),
+         ("vu le 25", None),           # no anchor -> null
+         ("rien", dt.datetime(2021, 9, 15))],
+        "t string, nd timestamp")
+    out = [str(r["d"]) for r in df.select(
+        parse_partial_date(F.lower(F.col("t")), F.col("nd")).alias("d")).collect()]
+    assert out == ["2021-03-01", "2021-09-25", "2019-01-01", "None", "None"]
+    # full dates are NOT captured by the partial patterns
+    df2 = spark.createDataFrame(
+        [("le 25 septembre 2021", dt.datetime(2020, 1, 1))], "t string, nd timestamp")
+    assert df2.select(parse_partial_date(
+        F.col("t"), F.col("nd")).alias("d")).collect()[0]["d"] is None
+
+
+def test_contextual_unitless_quantity(spark):
+    from edsnlp_spark.operators.quantities import extract_contextual_quantity
+    df = spark.createDataFrame(
+        [("poids : 65 ce jour",), ("poids : 65 kg",), ("taille 1,75",),
+         ("valeur 65",)], "t string")
+    out = df.select(extract_contextual_quantity(F.lower(F.col("t"))).alias("q")).collect()
+    assert (out[0]["q"]["value"], out[0]["q"]["unit"]) == (65.0, "kg")
+    assert out[1]["q"] is None          # explicit unit -> handled by extract_quantity
+    assert (out[2]["q"]["value"], out[2]["q"]["unit"]) == (1.75, "m")
+    assert out[3]["q"] is None          # unknown context word

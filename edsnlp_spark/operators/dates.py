@@ -91,6 +91,7 @@ def parse_relative_days(text: Column) -> Column:
 # note_datetime.  "en mars" -> (year of note, 3, 1); "le 25" -> (year,
 # month of note, 25); "en 2019" -> (2019, 1, 1).
 PARTIAL_MONTH_RX = r"\ben ([a-z]+)\b(?!\s+\d{4})"
+MONTH_YEAR_RX = r"\ben ([a-z]+) (\d{4})\b"
 PARTIAL_DAY_RX = r"\ble (\d{1,2})\b(?![/.\-\d])(?!\s+[a-z]+\s+\d{4})"
 PARTIAL_YEAR_RX = r"\ben (\d{4})\b"
 
@@ -102,7 +103,16 @@ def parse_partial_date(text: Column, note_dt: Column) -> Column:
     mon_name = F.regexp_extract(text, PARTIAL_MONTH_RX, 1)
     day = F.regexp_extract(text, PARTIAL_DAY_RX, 1)
     year = F.regexp_extract(text, PARTIAL_YEAR_RX, 1)
+    my_mon = F.regexp_extract(text, MONTH_YEAR_RX, 1)
+    my_year = F.regexp_extract(text, MONTH_YEAR_RX, 2)
     m = month_number(mon_name)
+    my_m = month_number(my_mon)
+    by_month_year = F.when(
+        (my_mon != "") & my_m.isNotNull(),
+        F.try_to_date(
+            F.format_string("%s-%s-1", my_year, my_m.cast("string")),
+            "y-M-d"),
+    )
     by_year = F.when(
         year != "", F.try_to_date(F.concat(year, F.lit("-1-1")), "y-M-d"))
     by_month = F.when(
@@ -117,7 +127,7 @@ def parse_partial_date(text: Column, note_dt: Column) -> Column:
             F.format_string("%s-%s-%s", F.year(note_dt).cast("string"),
                             F.month(note_dt).cast("string"), day), "y-M-d"),
     )
-    return F.coalesce(by_month, by_year, by_day)
+    return F.coalesce(by_month_year, by_month, by_year, by_day)
 
 
 def date_mentions(notes: DataFrame) -> DataFrame:

@@ -179,8 +179,13 @@ class QualifierEngine(Transformer):
 
 NEGATION_CUES = {
     "preceding": ["pas de", "pas d'", "aucun", "aucune", "sans", "absence de",
-                  "negatif pour", "ni", "jamais de", "nie", "n'a pas de",
+                  "negatif pour", "ni", "jamais de", "n'a pas de",
                   "ne presente pas de", "n'est pas", "non"],
+    # conjugated negation verbs (the reference expands verb lemmas to
+    # conjugated forms in its pattern data; a curated set here)
+    "verbs": ["nie", "nient", "niait", "a nie", "infirme", "infirment",
+              "ne presente pas", "ne montre pas", "ne retrouve pas",
+              "n'objective pas", "ne met pas en evidence"],
     "following": ["negatif", "negative", "exclu", "exclue", "ecarte", "ecartee"],
     "pseudo": ["pas exclu", "non exclu", "sans doute", "sans difficulte",
                "pas necessairement"],

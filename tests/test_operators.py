@@ -306,3 +306,24 @@ def test_contextual_unitless_quantity(spark):
     assert out[1]["q"] is None          # explicit unit -> handled by extract_quantity
     assert (out[2]["q"]["value"], out[2]["q"]["unit"]) == (1.75, "m")
     assert out[3]["q"] is None          # unknown context word
+
+
+def test_negation_verb_cues(spark):
+    ndf = run_pipeline(spark, ["Le scanner ne montre pas de métastases.",
+                               "Le patient nie toute douleur."]).persist()
+    ents = PhraseMatcher({"x": ["metastases", "douleur"]}).entities(ndf)
+    out = {r["lexical_variant"]: r["negation"]
+           for r in make_qualifier("negation").qualify(ndf, ents).collect()}
+    assert out == {"métastases": True, "douleur": True}
+
+
+def test_month_year_partial_date(spark):
+    from edsnlp_spark.operators.dates import parse_partial_date
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("opere en mars 2019", dt.datetime(2022, 1, 1)),
+         ("opere en mars 2019", None)], "t string, nd timestamp")
+    out = [str(r["d"]) for r in df.select(
+        parse_partial_date(F.col("t"), F.col("nd")).alias("d")).collect()]
+    # month+year needs no anchor: resolves even with null note_datetime
+    assert out == ["2019-03-01", "2019-03-01"]

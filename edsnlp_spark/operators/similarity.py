@@ -57,34 +57,66 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _centers_arr(centers: list[list[float]]) -> Column:
+    """Literal array<struct<cell,cv>> of centroids (broadcast-in-plan)."""
+    return F.array(*[
+        F.struct(F.lit(i).alias("cell"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 2, seed: int = 42,
+             centroids: list[list[float]] | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """IVF-style ANN: MLlib KMeans coarse quantizer; each query probes its
-    ``n_probe`` nearest cells and ranks only those cells' vectors.
+    """IVF-style ANN: coarse quantizer cells + n_probe search.  Each query
+    probes its ``n_probe`` nearest cells (by cosine) and ranks only those
+    cells' vectors.
+
+    Two index-build paths:
+
+    * ``centroids=None`` — MLlib KMeans fit (environment-dependent init;
+      recall asserted in pytest).
+    * ``centroids=[...]`` — precomputed centroid list.  This is the
+      realistic production shape: the IVF index is built offline (one
+      KMeans batch job) and the broadcast centroid table is index
+      metadata.  Deterministic, so a SQL oracle can reproduce the exact
+      cell assignment (ties broken by lower cell id).
 
     The cluster assignment is a one-time batch job (like building an
     index); per-query work drops from O(N) to O(N * n_probe / n_cells).
-    Non-deterministic across environments (KMeans init) — exposed as a
-    rows-only query, not an oracle-checked one.
+    Assignment with given centroids is a pure projection (no shuffle):
+    argmax over a literal centroid array.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
-    train = corpus.withColumn("features", array_to_vector(F.col("v")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(train).select(
-        "n_id", "v", F.col("prediction").alias("cell"))
 
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    centers_arr = F.array(*[
-        F.struct(F.lit(i).alias("cell"),
-                 F.array(*[F.lit(x) for x in c]).alias("cv"))
-        for i, c in enumerate(centers)
-    ])
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.withColumn("features", array_to_vector(F.col("v")))
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+        assigned = model.transform(train).select(
+            "n_id", "v", F.col("prediction").alias("cell"))
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+    else:
+        centers = [list(map(float, c)) for c in centroids]
+        carr = _centers_arr(centers)
+        assigned = corpus.withColumn(
+            "cell",
+            F.sort_array(F.transform(
+                carr,
+                lambda c: F.struct(
+                    (-cosine(F.col("v"), c["cv"])).alias("negcos"),
+                    c["cell"].alias("cell"),
+                ),
+            ))[0]["cell"],
+        )
+
+    centers_arr = _centers_arr(centers)
     qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
     # pick the n_probe closest centroids per query (tiny: done via array ops)

@@ -175,26 +175,117 @@ FROM ranked WHERE rank <= 10
 """
 
 
-# ---- IVF ANN (MLlib KMeans coarse quantizer; rows-only check) ---------
+# ---- IVF ANN (deterministic coarse quantizer, full oracle) ------------
 
 def embedding_topk_ivf(spark, sf_dir):
-    """IVF approximate top-k: KMeans cells + n_probe search.  KMeans
-    init is environment-dependent -> rows-only driver check; recall vs
-    the exact brute force is asserted in pytest instead."""
+    """IVF approximate top-k with a deterministic coarse quantizer.
+
+    Production IVF builds the index offline (a KMeans batch job) and
+    broadcasts the centroid table as index metadata; here the "offline"
+    centroids are the 8 lowest-vec_id embeddings (deterministic seed
+    vectors), so DuckDB can reproduce the exact cell assignment and the
+    driver gets a full rows+schema+hash check.  The KMeans-fit path
+    stays available (``centroids=None``) and is recall-tested in pytest.
+    """
     emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return S.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
+    return S.ivf_topk(emb, queries, k=10, n_probe=3, centroids=cents)
 
 
-# ---- multimodal plumbing (stubbed decode -> rows-only check) ----------
+EMBEDDING_TOPK_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_id) - 1 AS cell, v AS cv
+  FROM e WHERE n_id < 8
+),
+assigned AS (
+  SELECT n_id, v, cell FROM (
+    SELECT e.n_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.n_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1
+),
+q AS (SELECT n_id AS q_id, v AS qv FROM e WHERE n_id < 5),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.cv) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM q CROSS JOIN c
+  ) WHERE r <= 3
+),
+scored AS (
+  SELECT p.q_id, a.n_id,
+         list_dot_product(p.qv, a.v) /
+         (sqrt(list_dot_product(p.qv, p.qv)) *
+          sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM assigned a JOIN probed p ON a.cell = p.cell AND a.n_id <> p.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, ROUND(cos, 4) AS cos_sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+# ---- multimodal plumbing (stubbed decode; md5-derived oracle) ---------
 
 def multimodal_features(spark, sf_dir):
-    """Binary-column pipeline with stubbed decode; no SQL oracle (the
-    pseudo-decode is python-side) -> driver records a rows-only check."""
+    """Binary-column pipeline with stubbed decode.
+
+    The stub features are md5-derived from the utf-8 payload, which
+    DuckDB reproduces exactly (md5 of the same bytes) — so despite the
+    python-side decode the driver gets a full value check.  The array
+    column is projected to scalar feat_i doubles so the canonicalizer
+    can sort (arrays are unhashable in pandas sort_values).
+    """
     docs = _docs(spark, sf_dir)
     blobs = attach_blob(docs)
-    return extract_features(blobs, decode_stub=True)
+    feats = extract_features(blobs, decode_stub=True)
+    return feats.select(
+        "doc_id", "media_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "checksum",
+        *[F.round(F.col("feat")[i].cast("double"), 4).alias(f"feat_{i}")
+          for i in range(8)],
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       strlen(text)::BIGINT AS n_bytes,
+       md5(text) AS checksum,
+""" + ",\n".join(
+    f"       ROUND(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT"
+    f" / 255.0, 4) AS feat_{i}"
+    for i in range(8)
+) + """
+FROM documents
+"""
 
 
 QUERIES = {
@@ -202,6 +293,6 @@ QUERIES = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
-    "embedding_topk_ivf": (embedding_topk_ivf, None),
-    "multimodal_features": (multimodal_features, None),
+    "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

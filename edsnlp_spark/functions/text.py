@@ -34,8 +34,14 @@ from pyspark.sql import functions as F
 # hypothesis property test on '\xa0').
 _WS = ("\\s\\x1c-\\x1f\\x85\xa0\u1680"
        "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000")
+# Elisions split like the reference EDSTokenizer (language.py:63-66
+# ``default = [^sep]+(?:['ˊ](?=alpha|$))?``): a word may *end* with an
+# apostrophe when a letter (or end-of-text) follows, so "d'anomalie"
+# tokenizes as ["d'", "anomalie"] — this is what lets apostrophe-bearing
+# qualifier cues ("pas d'", "n'a pas de") build n-gram keys that match
+# corpus n-grams.
 WORD_REGEX = (
-    r"[A-Za-zÀ-ɏ]+(?:['’][A-Za-zÀ-ɏ]+)?|\d+(?:[.,]\d+)?|[^" + _WS + r"]"
+    r"[A-Za-zÀ-ɏ]+(?:['’](?=[A-Za-zÀ-ɏ]|$))?|\d+(?:[.,]\d+)?|[^" + _WS + r"]"
 )
 
 # Accent fold used by eds.accents (accents.py:11 char list).
@@ -45,6 +51,22 @@ _PLAIN = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUYY"
 # Exotic quotes/apostrophes normalized by eds.quotes (quotes.py:11).
 _QUOTES = "‘’‚‛‹›“”„‟«»"
 _QUOTES_TO = "''''''\"\"\"\"\"\""
+
+
+# Python-side mirror of norm_text for driver-side term normalization and
+# the exact-regex UDF path.  ONE normalization shared by all paths (the
+# quote and accent domains are disjoint and quote-fold outputs are
+# unaccented, so a single translate == quotes-then-accents composition).
+# Length-preserving by construction: char offsets survive.
+_PY_NORM_TABLE = str.maketrans(_ACCENTED + _QUOTES, _PLAIN + _QUOTES_TO)
+
+
+def py_norm_text(s: str, lowercase: bool = True) -> str:
+    """Driver/UDF-side NORM, identical to the ``norm_text`` Column
+    expression: fixed char-table accent fold + quote fold + lower.
+    Chars outside the table pass through unchanged on BOTH sides."""
+    out = s.translate(_PY_NORM_TABLE)
+    return out.lower() if lowercase else out
 
 
 def normalize_accents(col: Column) -> Column:

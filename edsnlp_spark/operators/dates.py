@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..core.base import Transformer
+from ..functions.text import norm_text
 from .. import registry
 
 FR_MONTHS = [
@@ -184,7 +185,11 @@ class DatesExtractor(Transformer):
         self.requires = (text_col,)
 
     def transform(self, df: DataFrame) -> DataFrame:
-        text = F.lower(F.col(self.text_col))
+        # NORM (lower + accent fold), not bare lower: VERBOSE_DATE_RX's
+        # month group is [a-z]+, so accented months ("février", "août",
+        # "décembre") only parse on folded text — same attr as
+        # date_mentions uses.
+        text = norm_text(F.col(self.text_col))
         absolute = F.coalesce(parse_verbose_date(text), parse_numeric_date(text))
         out = df.withColumn("parsed_date", absolute)
         if self.dt_col in df.columns:

@@ -33,8 +33,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.base import Transformer
-from ..functions.text import WORD_REGEX, norm_text
+from ..functions.text import WORD_REGEX, norm_text, py_norm_text
 from .. import registry
+
+# Zero-width regex constructs that make the native locate-fold unsound:
+# regexp_extract_all returns the matched STRING, and locate() finds its
+# earliest occurrence at-or-after the cursor — which a \b / lookaround
+# may have rejected at that position (e.g. '125/09/2021 ... 25/09/2021'
+# locates inside the first run).  Over-detection (escaped literals) is
+# safe: it only routes to the exact UDF path.
+_ZERO_WIDTH_RX = re.compile(r"\\b|\\B|\(\?=|\(\?!|\(\?<|\^|\$")
+
+
+def _scope_flags(p: str) -> str:
+    """Rewrite a leading global-flag group ``(?i)rest`` into the scoped
+    form ``(?i:rest)``: Python re (unlike Java) rejects global flags that
+    are not at the very start of the whole expression, which breaks
+    ``(?:...)``-wrapped alternation joins."""
+    m = re.match(r"\(\?([aimsxu]+)\)", p)
+    if m:
+        return f"(?{m.group(1)}:{p[m.end():]})"
+    return p
 
 
 def _tokenize_term(term: str, regex: str = WORD_REGEX) -> list[str]:
@@ -72,13 +91,11 @@ class PhraseMatcher(Transformer):
             return s
         if self.attr == "LOWER":
             return s.lower()
-        # NORM: lower + accent/quote fold — keep in sync with norm_text.
-        import unicodedata
-        s = "".join(
-            c for c in unicodedata.normalize("NFD", s)
-            if unicodedata.category(c) != "Mn"
-        )
-        return s.lower()
+        # NORM: the same char-table fold as the corpus-side norm_text —
+        # one shared normalization across driver terms, the UDF path,
+        # and the Column expression (so terms with typographic
+        # apostrophes or chars outside the table behave identically).
+        return py_norm_text(s)
 
     def _tok_attr(self, tok):
         t = tok["text"]
@@ -190,8 +207,16 @@ class RegexMatcher(Transformer):
         return F.col(self.text_col)
 
     def entities(self, df: DataFrame) -> DataFrame:
+        # native="unchecked" skips the soundness guard (caller asserts no
+        # zero-width assertions can shift a locate); plain native=True
+        # auto-routes unsafe patterns to the exact UDF path.
         if self.native:
-            return self._entities_native(df)
+            unsafe = any(
+                _ZERO_WIDTH_RX.search(p)
+                for pats in self.patterns.values() for p in pats
+            )
+            if self.native == "unchecked" or not unsafe:
+                return self._entities_native(df)
         return self._entities_udf(df)
 
     def _entities_native(self, df: DataFrame) -> DataFrame:
@@ -244,7 +269,8 @@ class RegexMatcher(Transformer):
         """Arrow-batched mapInPandas with re.finditer — exact semantics,
         the reference's own algorithm class (regex.py:166-494)."""
         compiled = [
-            (label, re.compile("|".join(f"(?:{p})" for p in pats), self.flags))
+            (label, re.compile(
+                "|".join(f"(?:{_scope_flags(p)})" for p in pats), self.flags))
             for label, pats in self.patterns.items()
         ]
         span_type = self.span_type
@@ -257,12 +283,10 @@ class RegexMatcher(Transformer):
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import unicodedata
-
-            def norm(s: str) -> str:
-                s = "".join(c for c in unicodedata.normalize("NFD", s)
-                            if unicodedata.category(c) != "Mn")
-                return s.lower()
+            # Same normalization as norm_text / driver-side terms — and
+            # length-preserving, so text[s:e] offsets stay aligned with
+            # the NORM haystack (the NFD strip used before this was not).
+            norm = py_norm_text
 
             for pdf in batches:
                 rows = []

@@ -29,13 +29,16 @@ UNIT_REGISTRY: dict[str, tuple[str, float]] = {
     "%": ("ratio", 1e-2),
 }
 
-_UNITS_ALT = "|".join(
-    sorted((u.replace("%", "%") for u in UNIT_REGISTRY), key=len, reverse=True)
-)
-# value + unit: "65 kg", "65,5kg", "1.75 m"
-QUANTITY_RX = rf"(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT})\b"
+_UNITS_ALT = "|".join(sorted(UNIT_REGISTRY, key=len, reverse=True))
+# Unit terminator: \b after a non-word char like '%' only holds when a
+# word char FOLLOWS, so '98 %' would never match — use a negative
+# lookahead (no letter/digit continues the unit token) instead.
+_UNIT_END = r"(?![A-Za-z0-9µ])"
+# value + unit: "65 kg", "65,5kg", "1.75 m", "98 %"
+QUANTITY_RX = rf"(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT}){_UNIT_END}"
 # range: "de 10 à 20 mg" / "10 - 20 mg"
-RANGE_RX = rf"(\d+(?:[.,]\d+)?)\s*(?:-|a|à)\s*(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT})\b"
+RANGE_RX = (rf"(\d+(?:[.,]\d+)?)\s*(?:-|a|à)\s*(\d+(?:[.,]\d+)?)"
+            rf"\s*({_UNITS_ALT}){_UNIT_END}")
 
 
 def _num(col: Column) -> Column:
@@ -114,7 +117,7 @@ def extract_contextual_quantity(text: Column) -> Column:
         # the full number is followed by an explicit unit, while still
         # allowing a sentence-final "poids : 65." to match.
         rx = (rf"\b{ctx}\s*(?::|a|de)?\s*(\d+(?:[.,]\d+)?)"
-              rf"(?!\d)(?![.,]\d)(?!\s*(?:{_UNITS_ALT})\b)")
+              rf"(?!\d)(?![.,]\d)(?!\s*(?:{_UNITS_ALT}){_UNIT_END})")
         raw = F.regexp_extract(text, rx, 1)
         out = F.when(
             raw != "",

@@ -327,3 +327,71 @@ def test_month_year_partial_date(spark):
         parse_partial_date(F.col("t"), F.col("nd")).alias("d")).collect()]
     # month+year needs no anchor: resolves even with null note_datetime
     assert out == ["2019-03-01", "2019-03-01"]
+
+
+# ---- round-2 ADVICE regression tests ----------------------------------
+
+def test_elision_negation(spark):
+    """'pas d'anomalie' is negated: the tokenizer splits elisions like the
+    reference EDSTokenizer (language.py:63-66), so apostrophe-bearing cues
+    build n-gram keys that actually occur in the corpus."""
+    ndf = run_pipeline(spark, [
+        "Pas d'anomalie décelée.",
+        "Le scanner n'objective pas d'anomalie.",
+    ]).persist()
+    ents = PhraseMatcher({"dis": ["anomalie"]}).entities(ndf)
+    out = make_qualifier("negation").qualify(ndf, ents).collect()
+    assert len(out) == 2
+    assert all(r["negation"] for r in out)
+
+
+def test_elision_tokenization(spark):
+    toks = notes_df(spark, ["pas d'anomalie à l'examen"]).select(
+        tokenize(F.col("note_text")).alias("t")).collect()[0]["t"]
+    assert [t.text for t in toks] == ["pas", "d'", "anomalie", "à", "l'", "examen"]
+    # offsets still exact (partition property survives the elision split)
+    text = "pas d'anomalie à l'examen"
+    assert all(text[t.start:t.end] == t.text for t in toks)
+
+
+def test_percent_quantity(spark):
+    df = notes_df(spark, ["Saturation à 98 %.", "FEVG 45%. Stable."])
+    rows = df.orderBy("note_id").select(
+        extract_quantity(F.lower(F.col("note_text"))).alias("q")).collect()
+    assert (rows[0]["q"]["value"], rows[0]["q"]["unit"]) == (98.0, "%")
+    assert rows[0]["q"]["dimension"] == "ratio"
+    assert abs(rows[0]["q"]["value_si"] - 0.98) < 1e-9
+    assert (rows[1]["q"]["value"], rows[1]["q"]["unit"]) == (45.0, "%")
+
+
+def test_accented_month_dates(spark):
+    from edsnlp_spark.operators.dates import DatesExtractor
+    df = notes_df(spark, ["Consultation du 25 décembre 2021.",
+                          "Hospitalisé le 1er août 2019."])
+    out = {r["note_id"]: str(r["parsed_date"])
+           for r in DatesExtractor().transform(df).collect()}
+    assert out == {0: "2021-12-25", 1: "2019-08-01"}
+
+
+def test_norm_unified_typographic_apostrophe(spark):
+    """Typographic apostrophes in the corpus fold to ASCII in ONE shared
+    normalization (driver-side terms, UDF path, and norm_text agree)."""
+    ndf = run_pipeline(spark, ["Le patient n’a pas d’anomalie."]).persist()
+    ents = PhraseMatcher({"dis": ["anomalie"]}).entities(ndf)
+    out = make_qualifier("negation").qualify(ndf, ents).collect()
+    assert len(out) == 1 and out[0]["negation"] is True
+
+
+def test_regex_native_zero_width_guard(spark):
+    """An identical date string embedded earlier in a longer digit run is
+    rejected by \\b but found by locate — the guard must route such
+    patterns to the exact path so offsets stay true."""
+    from edsnlp_spark.operators.dates import NUMERIC_DATE_RX
+    text = "ref 125/09/2021 puis le 25/09/2021."
+    m = RegexMatcher({"date": [NUMERIC_DATE_RX]}, attr="NORM",
+                     span_type="date", native=True)
+    rows = m.entities(notes_df(spark, [text])).collect()
+    assert len(rows) == 1
+    s, e = rows[0]["start_char"], rows[0]["end_char"]
+    assert text[s:e] == "25/09/2021"
+    assert s == text.index("le 25/09") + 3

@@ -130,50 +130,106 @@ class TNMExtractor(Transformer):
 
 # ---- ADICAP ------------------------------------------------------------
 
-# Minimal decode dictionaries (structure parity with resources/adicap.json.gz;
-# full tables are config data loaded the same way).
-ADICAP_SAMPLING = {
-    "B": "biopsie chirurgicale", "C": "cytoponction", "E": "exerese",
-    "H": "biopsie endoscopique", "P": "ponction",
-}
-ADICAP_TECHNIC = {
-    "H": "histologie", "C": "cytologie", "I": "immunohistochimie",
-}
-
 
 class AdicapDecoder(Transformer):
-    """ADICAP code scan + structure decode via broadcast dict join."""
+    """ADICAP code scan + full structure decode via broadcast dim joins.
+
+    Parity: edsnlp/pipes/ner/adicap/adicap.py:185-214 decode() over the
+    real resources/adicap.json.gz dictionary (7 623 codes, loaded into
+    resources/adicap.parquet as (dim, code, label) rows; dim labels are
+    the code='' rows):
+
+    * sampling_mode = D1[char 1], technic = D2[char 2],
+      organ = D3[chars 3-4];
+    * for each dim D4..D7 (in order), if D[chars 5-8] ("short") or
+      D[chars 3-8] ("long") decodes, set pathology = the dim's label,
+      pathology_type = short-else-long, behaviour_type = D[char 6] —
+      later dims OVERWRITE earlier ones (reference adicap.py:200-213
+      loop), i.e. the last matching dimension wins.
+    * code regex = reference patterns.py base_code: dotted D1-4 forms
+      and the four 4-char suffix variants; dots are stripped before
+      decoding (adicap.py:186).
+
+    Spark design: one regexp scan + 11 broadcast joins against slices of
+    the 7.6k-row decode table — all map-side, single stage, no UDF.
+    """
 
     requires = ("note_id", "note_text")
     name = "eds.adicap"
 
-    CODE_RX = r"\b([BCEHP])([HCI])([A-Z]{2})([A-Z0-9]{4})\b"
+    # patterns.py:7-27 (base_code), minus the outer capture group.
+    CODE_RX = (
+        r"[A-Z]\.?[A-Z]\.?[A-Z]{2}\.?"
+        r"(?:\d{4}|[A-Z][0-9A-Z][A-Z][0-9]|[0-9A-Z][0-9][09A-Z][0-9]"
+        r"|0[A-Z][0-9]{2})"
+    )
 
     def __init__(self, text_col: str = "note_text"):
         self.text_col = text_col
         self.requires = ("note_id", text_col)
 
     def entities(self, df: DataFrame) -> DataFrame:
-        codes = F.regexp_extract_all(
+        spark = df.sparkSession
+        raw = F.regexp_extract_all(
             F.coalesce(F.col(self.text_col), F.lit("")),
             F.lit(self.CODE_RX), F.lit(0),
         )
-        ex = df.select("note_id", F.explode(codes).alias("code"))
-        spark = df.sparkSession
-        samp = spark.createDataFrame(
-            list(ADICAP_SAMPLING.items()), "k string, sampling_mode string")
-        tech = spark.createDataFrame(
-            list(ADICAP_TECHNIC.items()), "k string, technic string")
-        return (
-            ex.withColumn("s_k", F.substring("code", 1, 1))
-            .withColumn("t_k", F.substring("code", 2, 1))
-            .join(F.broadcast(samp), F.col("s_k") == samp["k"], "left").drop("k")
-            .join(F.broadcast(tech), F.col("t_k") == tech["k"], "left").drop("k")
-            .select(
-                "note_id", "code", "sampling_mode", "technic",
-                F.substring("code", 3, 2).alias("organ_code"),
-                F.substring("code", 5, 4).alias("pathology_code"),
+        ex = df.select(
+            "note_id", F.explode(raw).alias("raw_code")
+        ).withColumn("code", F.regexp_replace("raw_code", r"[^A-Za-z0-9 ]+", ""))
+
+        from ..resources import load_resource
+        dims = load_resource(spark, "adicap").persist()
+
+        def dim_lookup(dim: str, out: str):
+            return F.broadcast(
+                dims.filter((F.col("dim") == dim) & (F.col("code") != ""))
+                .select(F.col("code").alias(f"{out}_k"),
+                        F.col("label").alias(out))
             )
+
+        out = (
+            ex
+            .join(dim_lookup("D1", "sampling_mode"),
+                  F.substring("code", 1, 1) == F.col("sampling_mode_k"), "left")
+            .join(dim_lookup("D2", "technic"),
+                  F.substring("code", 2, 1) == F.col("technic_k"), "left")
+            .join(dim_lookup("D3", "organ"),
+                  F.substring("code", 3, 2) == F.col("organ_k"), "left")
+        )
+        # Pathology dims: short (chars 5-8) / long (chars 3-8) lookups +
+        # behaviour (char 6), per dim; last matching dim wins.
+        dim_labels = {
+            r["dim"]: r["label"]
+            for r in dims.filter(F.col("code") == "").collect()
+        }
+        path_cols = []
+        for d in ("D4", "D5", "D6", "D7"):
+            out = (
+                out
+                .join(dim_lookup(d, f"{d}_short"),
+                      F.substring("code", 5, 4) == F.col(f"{d}_short_k"), "left")
+                .join(dim_lookup(d, f"{d}_long"),
+                      F.substring("code", 3, 6) == F.col(f"{d}_long_k"), "left")
+                .join(dim_lookup(d, f"{d}_beh"),
+                      F.substring("code", 6, 1) == F.col(f"{d}_beh_k"), "left")
+            )
+            hit = F.col(f"{d}_short").isNotNull() | F.col(f"{d}_long").isNotNull()
+            path_cols.append(F.when(hit, F.struct(
+                F.lit(dim_labels[d]).alias("pathology"),
+                F.coalesce(f"{d}_short", f"{d}_long").alias("pathology_type"),
+                F.col(f"{d}_beh").alias("behaviour_type"),
+            )))
+        # element_at(-1) of the non-null hits = last matching dim.
+        hits = F.filter(F.array(*path_cols), lambda x: x.isNotNull())
+        picked = F.when(F.size(hits) > 0, F.element_at(hits, -1))
+        return out.select(
+            "note_id", "code",
+            F.col("raw_code").alias("lexical_variant"),
+            "sampling_mode", "technic", "organ",
+            picked["pathology"].alias("pathology"),
+            picked["pathology_type"].alias("pathology_type"),
+            picked["behaviour_type"].alias("behaviour_type"),
         )
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -33,4 +33,9 @@ def all_queries() -> dict:
         out.update(relational2.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import lexicon
+        out.update(lexicon.QUERIES)
+    except ImportError:
+        pass
     return out

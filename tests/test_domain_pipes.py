@@ -13,7 +13,9 @@ from edsnlp_spark.operators.history import HistoryQualifier
 from edsnlp_spark.operators.scores import (
     ScoreMatcher, parse_tnm, AdicapDecoder,
 )
-from edsnlp_spark.operators.terminology import TerminologyMatcher
+from edsnlp_spark.operators.terminology import (
+    TerminologyMatcher, LexiconMatcher,
+)
 
 
 def pipe_notes(spark, rows):
@@ -72,14 +74,48 @@ def test_tnm(spark):
 
 
 def test_adicap(spark):
+    # Golden from the reference docstring example (adicap/adicap.py:100-108)
+    # plus the dotted spelling (patterns.py:7 d1_4 with optional dots).
     df = spark.createDataFrame(
-        [(1, "Prélèvement codé BHGS0040 au laboratoire.")],
+        [(1, "Prélèvement codé BHGS0040 au laboratoire."),
+         (2, "Codification : B.H.GS.0040")],
         "note_id long, note_text string")
-    r = AdicapDecoder().entities(df).collect()[0]
-    assert r["code"] == "BHGS0040"
-    assert r["sampling_mode"] == "biopsie chirurgicale"
-    assert r["technic"] == "histologie"
-    assert r["organ_code"] == "GS" and r["pathology_code"] == "0040"
+    rows = AdicapDecoder().entities(df).orderBy("note_id").collect()
+    for r in rows:
+        assert r["code"] == "BHGS0040"
+        assert r["sampling_mode"] == "BIOPSIE CHIRURGICALE"
+        assert r["technic"] == "HISTOLOGIE ET CYTOLOGIE PAR INCLUSION"
+        assert r["organ"] == "SEIN (ÉGALEMENT UTILISÉ CHEZ L'HOMME)"
+        assert r["pathology"] == "PATHOLOGIE GÉNÉRALE NON TUMORALE"
+        assert r["pathology_type"] == "ETAT SUBNORMAL - LESION MINEURE"
+        assert r["behaviour_type"] == "CARACTERES GENERAUX"
+    assert rows[1]["lexical_variant"] == "B.H.GS.0040"
+
+
+def test_lexicon_matcher_real_dictionaries(spark):
+    # Real resources: reference drugs.json (5 789 ATC forms) and
+    # cim10.csv.gz (169 208 ICD-10 forms incl. code variants).
+    notes = pipe_notes(spark, [
+        (1, "Patient sous paracetamol : acide acetylsalicylique arrêté.", None),
+        (2, "Diabete sucre de type 2 ; insuffisance cardiaque congestive.", None),
+        (3, "Code E110 rapporté, forme E 1.10 aussi.", None)]).persist()
+    drugs = LexiconMatcher("drug", "drugs")
+    got = sorted((r["kb_id"], r["lexical_variant"])
+                 for r in drugs.entities(notes).collect())
+    assert ("N02BE01", "paracetamol") in got
+    # multi-token + multi-concept form (two ATC codes for aspirin)
+    assert ("B01AC06", "acide acetylsalicylique") in got
+    assert ("N02BA01", "acide acetylsalicylique") in got
+    cim = LexiconMatcher("cim10", "cim10")
+    got = {(r["kb_id"], r["lexical_variant"])
+           for r in cim.entities(notes).collect()}
+    assert ("E11", "Diabete sucre de type 2") in got
+    assert ("I500", "insuffisance cardiaque congestive") in got
+    # greedy sub-span also present (filter_spans resolves downstream)
+    assert ("I50", "insuffisance cardiaque") in got
+    # code-variant spellings (cim10/patterns.py:11-16: E110, E 1.10)
+    assert ("E110", "E110") in got
+    assert ("E110", "E 1.10") in got
 
 
 def test_terminology_kb_id(spark):

@@ -181,10 +181,10 @@ NEGATION_CUES = {
     "preceding": ["pas de", "pas d'", "aucun", "aucune", "sans", "absence de",
                   "negatif pour", "ni", "jamais de", "n'a pas de",
                   "ne presente pas de", "n'est pas", "non"],
-    # conjugated negation verbs (the reference expands verb lemmas to
-    # conjugated forms in its pattern data; a curated set here)
-    "verbs": ["nie", "nient", "niait", "a nie", "infirme", "infirment",
-              "ne presente pas", "ne montre pas", "ne retrouve pas",
+    # multi-word negation verb phrases (the reference's "ne ... pas"
+    # preceding_regex, negation/patterns.py:104; single-verb forms are
+    # added from the full conjugation table by default_cues())
+    "verbs": ["ne presente pas", "ne montre pas", "ne retrouve pas",
               "n'objective pas", "ne met pas en evidence"],
     "following": ["negatif", "negative", "exclu", "exclue", "ecarte", "ecartee"],
     "pseudo": ["pas exclu", "non exclu", "sans doute", "sans difficulte",
@@ -236,9 +236,58 @@ _DEFAULTS = {
     "reported_speech": REPORTED_SPEECH_CUES,
 }
 
+_DEFAULTS_EXPANDED: dict = {}
+
+
+def default_cues(qualifier: str) -> dict:
+    """Static cue lists + the reference's full verb-conjugation
+    expansion (built lazily: reads resources/verbs.parquet once).
+
+    Parity for the conjugation filters:
+    * negation (negation.py:247-272): preceding verbs = Indicatif
+      Présent ∪ Participe Présent ∪ Participe Passé ∪ Infinitif
+      Présent of the 8 negation lemmas; following += Participe Passé.
+    * hypothesis (hypothesis.py:230-263): preceding verbs = ALL
+      conjugations of the 9 verbs_hyp lemmas ∪ Conditionnel of the 693
+      verbs_eds lemmas; following += Participe Passé of verbs_hyp.
+    * reported_speech (reported_speech.py:202-228): verbs = Indicatif
+      Présent 3s/3p ∪ Participe Présent ∪ Participe Passé of its 41
+      lemmas.
+    """
+    if qualifier in _DEFAULTS_EXPANDED:
+        return _DEFAULTS_EXPANDED[qualifier]
+    from ..resources import conjugated_terms, qualifier_verb_lemmas
+    cues = {k: list(v) for k, v in _DEFAULTS[qualifier].items()}
+    if qualifier == "negation":
+        lem = qualifier_verb_lemmas("negation")
+        cues["verbs"] = sorted(set(cues.get("verbs", [])) | set(
+            conjugated_terms(lem, lambda d:
+                ((d["mode"] == "Indicatif") & (d["tense"] == "Présent"))
+                | d["tense"].isin(["Participe Présent", "Participe Passé",
+                                   "Infinitif Présent"]))))
+        cues["following"] = sorted(set(cues.get("following", [])) | set(
+            conjugated_terms(lem, lambda d: d["tense"] == "Participe Passé")))
+    elif qualifier == "hypothesis":
+        hyp = qualifier_verb_lemmas("hypothesis_hyp")
+        eds = qualifier_verb_lemmas("hypothesis_eds")
+        cues["verbs"] = sorted(
+            set(conjugated_terms(hyp))
+            | set(conjugated_terms(eds, lambda d: d["mode"] == "Conditionnel")))
+        cues["following"] = sorted(set(cues.get("following", [])) | set(
+            conjugated_terms(hyp, lambda d: d["tense"] == "Participe Passé")))
+    elif qualifier == "reported_speech":
+        lem = qualifier_verb_lemmas("reported_speech")
+        cues["verbs"] = sorted(set(cues.get("verbs", [])) | set(
+            conjugated_terms(lem, lambda d:
+                ((d["mode"] == "Indicatif") & (d["tense"] == "Présent")
+                 & d["person"].isin(["3s", "3p"]))
+                | d["tense"].isin(["Participe Présent", "Participe Passé"]))))
+    _DEFAULTS_EXPANDED[qualifier] = cues
+    return cues
+
 
 def make_qualifier(qualifier: str, cues: dict | None = None, **kw) -> QualifierEngine:
-    return QualifierEngine(qualifier, cues or _DEFAULTS[qualifier], **kw)
+    return QualifierEngine(qualifier, cues or default_cues(qualifier), **kw)
 
 
 for _q in _DEFAULTS:

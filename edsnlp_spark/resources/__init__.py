@@ -43,3 +43,44 @@ def load_resource(spark, name: str):
     path changes.
     """
     return spark.read.parquet(resource_path(name))
+
+
+# -- driver-side conjugation lookups (qualifier cue construction) --------
+# Cue term lists live on the driver (they become the PhraseMatcher's
+# broadcast terms table), so these read the parquet with pyarrow, not
+# Spark.  Cached: the verbs table is read once per process.
+
+_VERBS_PD = None
+_QUAL_LEMMAS = None
+
+
+def _verbs_pd():
+    global _VERBS_PD
+    if _VERBS_PD is None:
+        import pyarrow.parquet as pq
+        _VERBS_PD = pq.read_table(resource_path("verbs")).to_pandas()
+    return _VERBS_PD
+
+
+def qualifier_verb_lemmas(set_name: str) -> list:
+    """Reference lemma selection for a qualifier ('negation',
+    'hypothesis_hyp', 'hypothesis_eds', 'reported_speech')."""
+    global _QUAL_LEMMAS
+    if _QUAL_LEMMAS is None:
+        import pyarrow.parquet as pq
+        df = pq.read_table(resource_path("qualifier_verbs")).to_pandas()
+        _QUAL_LEMMAS = {
+            k: sorted(g["lemma"]) for k, g in df.groupby("set")}
+    return _QUAL_LEMMAS[set_name]
+
+
+def conjugated_terms(lemmas, predicate=None) -> list:
+    """Unique conjugated surface forms of ``lemmas``; ``predicate`` is a
+    pandas-mask function over columns (verb, mode, tense, person) —
+    mirrors the reference's get_verbs + .loc filters
+    (edsnlp/utils/resources.py:11, negation.py:247-272)."""
+    df = _verbs_pd()
+    df = df[df["verb"].isin(set(lemmas))]
+    if predicate is not None:
+        df = df[predicate(df)]
+    return sorted(df["term"].unique())

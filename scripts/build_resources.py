@@ -133,9 +133,44 @@ def build_verbs() -> None:
     print(f"verbs.parquet: {table.num_rows} rows")
 
 
+def build_qualifier_verbs() -> None:
+    """Per-qualifier verb-lemma selections from the reference's pattern
+    files (pattern DATA, not code: the lemma lists are the semantics of
+    which verbs imply negation / hypothesis / reported speech).
+
+    * negation/patterns.py:148  ``verbs``
+    * hypothesis/patterns.py:108 ``verbs_hyp``, :120 ``verbs_eds``
+    * reported_speech/patterns.py:3 ``verbs``
+    """
+    import re as _re
+    qual_dir = "/root/reference/edsnlp/pipes/qualifiers"
+    sets = {}
+    for fname, var, key in [
+        ("negation/patterns.py", "verbs", "negation"),
+        ("hypothesis/patterns.py", "verbs_hyp", "hypothesis_hyp"),
+        ("hypothesis/patterns.py", "verbs_eds", "hypothesis_eds"),
+        ("reported_speech/patterns.py", "verbs", "reported_speech"),
+    ]:
+        src = open(os.path.join(qual_dir, fname)).read()
+        m = _re.search(var + r"(?::\s*List\[str\])?\s*=\s*\[(.*?)\]", src, _re.S)
+        sets[key] = sorted(set(_re.findall(r'"([^"]+)"', m.group(1))))
+    ks, ls = [], []
+    for key, lemmas in sets.items():
+        for lemma in lemmas:
+            ks.append(key)
+            ls.append(lemma)
+    table = pa.table({"set": pa.array(ks, pa.string()),
+                      "lemma": pa.array(ls, pa.string())})
+    pq.write_table(table, os.path.join(OUT, "qualifier_verbs.parquet"),
+                   compression="zstd")
+    print(f"qualifier_verbs.parquet: {table.num_rows} rows "
+          f"({ {k: len(v) for k, v in sets.items()} })")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     build_drugs()
     build_cim10()
     build_adicap()
     build_verbs()
+    build_qualifier_verbs()

@@ -58,6 +58,13 @@ NEG_CASES = [
     ("Le patient présente des métastases.", "metastases", False),
     # termination cue resets the negation scope
     ("Pas de fièvre mais des métastases.", "metastases", False),
+    # conjugated negation verbs from the FULL table (reference
+    # test_negation.py:31 'Le résultat exclut un SMD' and :28
+    # 'maladie écartée'; conjugations via negation.py:247-272 filters)
+    ("Le résultat exclut un SMD.", "smd", True),
+    ("On écarte une pneumopathie.", "pneumopathie", True),
+    ("Maladie écartée.", "maladie", True),
+    ("Diagnostic infirmé par le scanner.", "diagnostic", True),
 ]
 
 
@@ -89,6 +96,12 @@ HYPOTHESIS_CASES = [
     ("Suspicion de pneumopathie.", "pneumopathie", True),
     ("Pneumopathie possible.", "pneumopathie", True),
     ("Pneumopathie confirmée ce jour.", "pneumopathie", False),
+    # conjugated hypothesis verbs (reference test_hypothesis.py:12
+    # 'Plusieurs diagnostics sont envisagés'; hypothesis.py:230-263)
+    ("Plusieurs diagnostics sont envisagés.", "diagnostics", True),
+    ("On suspecte une pneumopathie.", "pneumopathie", True),
+    # verbs_eds Conditionnel (hypothesis.py:250-252)
+    ("Cela evoquerait une pneumopathie.", "pneumopathie", True),
 ]
 
 

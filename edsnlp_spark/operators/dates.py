@@ -170,6 +170,260 @@ def parse_period(text: Column) -> Column:
     )
 
 
+# ---- full temporal-mention model (durations / relatives / bounds) -----
+# Parity: edsnlp/pipes/misc/dates/patterns/atomic/{numbers,units,
+# directions,modes}.py, patterns/{duration,relative,current}.py and the
+# models.py:179-460 Duration / RelativeDate norm()/to_duration() rules.
+# All patterns avoid lookarounds so a DuckDB (RE2) oracle can re-derive
+# them; matching runs on NORM (lowercase, accent-folded).
+
+# Letter numbers (atomic/numbers.py:3-35; value order, longest-first
+# alternation so 'vingt-deux' wins over 'vingt', 'dix-sept' over 'dix').
+LETTER_NUMBERS: list[tuple[str, int]] = [
+    ("vingt[-\\s]et[-\\s]un", 21), ("vingt[-\\s]deux", 22),
+    ("vingt[-\\s]trois", 23), ("vingt[-\\s]quatre", 24),
+    ("vingt[-\\s]cinq", 25), ("vingt[-\\s]six", 26),
+    ("vingt[-\\s]sept", 27), ("vingt[-\\s]huit", 28),
+    ("vingt[-\\s]neuf", 29), ("vingt", 20), ("trente", 30),
+    ("dix[-\\s]sept", 17), ("dix[-\\s]huit", 18), ("dix[-\\s]neuf", 19),
+    ("quatorze", 14), ("quatre", 4), ("quinze", 15), ("seize", 16),
+    ("treize", 13), ("douze", 12), ("onze", 11), ("dix", 10),
+    ("deux", 2), ("trois", 3), ("cinq", 5), ("six", 6), ("sept", 7),
+    ("huit", 8), ("neuf", 9),
+    ("une?", 1), ("l'", 1), ("le", 1), ("la", 1),
+    ("cette", 1), ("cet", 1), ("ce", 1),
+]
+NUMBER_RX = "(" + "|".join(p for p, _ in LETTER_NUMBERS[:1]) + "|" + "|".join(
+    p for p, _ in LETTER_NUMBERS[1:]) + r"|\d{1,3})"
+
+# Units (atomic/units.py:3-14) -> seconds.  Deviation from the
+# reference, documented: semestre/trimestre parse there but silently
+# contribute 0 to to_duration() (Relative has no such field,
+# models.py:223-260); here they count as 180/90 days.
+UNIT_SECONDS: list[tuple[str, str, int]] = [
+    # (regex, canonical key, seconds)
+    (r"annees?", "year", 365 * 86400), (r"ans?", "year", 365 * 86400),
+    (r"semestres?", "semester", 180 * 86400),
+    (r"trimestres?", "trimester", 90 * 86400),
+    (r"mois", "month", 30 * 86400),
+    (r"semaines?", "week", 7 * 86400),
+    (r"journees?", "day", 86400), (r"jours?", "day", 86400),
+    (r"heures?", "hour", 3600), (r"h", "hour", 3600),
+    (r"minutes?", "minute", 60), (r"min", "minute", 60),
+    (r"secondes?", "second", 1), (r"sec", "second", 1), (r"s", "second", 1),
+]
+UNIT_RX = "(" + "|".join(p for p, _, _ in UNIT_SECONDS) + ")"
+
+_FWD_CUE = r"(depuis\s+le|depuis|il\s+y\s+a|dans)"
+_BWD_CUE = (r"(prochaines?|prochains?|suivantes?|suivants?|plus\s+tard"
+            r"|dernieres?|derniers?|passees?|passes?"
+            r"|precedentes?|precedents?|plus\s+tot)")
+
+DURATION_RX = rf"\b(?:pendant|durant|pdt).{{0,3}}{NUMBER_RX}\s*{UNIT_RX}\b"
+RELATIVE_FWD_RX = rf"\b{_FWD_CUE}\s+{NUMBER_RX}\s*{UNIT_RX}\b"
+RELATIVE_BWD_RX = rf"\b{NUMBER_RX}\s*{UNIT_RX}\s+{_BWD_CUE}\b"
+SPECIFIC_RX = (r"\bavant[-\s]hier\b|\bhier\b"
+               r"|\bapres[-\s]demain\b|\bdemain\b")
+CURRENT_RX = (r"\bcette\s+annee\b|\bce\s+jour\b|\baujourd'?\s?hui\b"
+              r"|\bcette\s+semaine\b|\bces\s+jours[-\s]ci\b"
+              r"|\bce\s+mois(?:[-\s]ci)?\b")
+
+# Bound cues checked in the chars just before an absolute date
+# (atomic/modes.py:3-8; suffix test instead of the reference's
+# lookbehind so the oracle stays RE2-compatible).
+_BOUND_FROM_SUFFIX = r"(du|depuis\s+le|depuis|a\s+partir\s+d[eu])\s{1,3}$"
+_BOUND_UNTIL_SUFFIX = r"(jusqu'au?|jusqu'a|au)\s{1,3}$"
+
+
+# Concrete token -> value maps (one literal MAP expression each instead
+# of a 35-branch regex when-chain: the chain blew the JVM 64KB codegen
+# method limit once inlined into every output column, forcing the slow
+# interpreted fallback).
+_LETTER_VALUE: dict[str, int] = {
+    "un": 1, "une": 1, "l'": 1, "le": 1, "la": 1,
+    "cette": 1, "cet": 1, "ce": 1,
+    "deux": 2, "trois": 3, "quatre": 4, "cinq": 5, "six": 6, "sept": 7,
+    "huit": 8, "neuf": 9, "dix": 10, "onze": 11, "douze": 12,
+    "treize": 13, "quatorze": 14, "quinze": 15, "seize": 16,
+    "dix sept": 17, "dix huit": 18, "dix neuf": 19, "vingt": 20,
+    "vingt et un": 21, "vingt deux": 22, "vingt trois": 23,
+    "vingt quatre": 24, "vingt cinq": 25, "vingt six": 26,
+    "vingt sept": 27, "vingt huit": 28, "vingt neuf": 29, "trente": 30,
+}
+_UNIT_TOKENS: dict[str, tuple[str, int]] = {}
+for _pat, _key, _secs in UNIT_SECONDS:
+    if _pat.endswith("s?"):
+        _UNIT_TOKENS[_pat[:-2]] = (_key, _secs)
+        _UNIT_TOKENS[_pat[:-2] + "s"] = (_key, _secs)
+    else:
+        _UNIT_TOKENS[_pat] = (_key, _secs)
+
+
+def _lit_map(d: dict) -> Column:
+    return F.create_map(*[x for k, v in d.items()
+                          for x in (F.lit(k), F.lit(v))])
+
+
+def _number_value(numstr: Column) -> Column:
+    """Matched number token -> int (letter map or numeric)."""
+    canon = F.regexp_replace(numstr, r"[-\s]+", " ")
+    return F.coalesce(
+        F.when(canon.rlike(r"^\d+$"), canon.cast("int")),
+        _lit_map(_LETTER_VALUE)[canon],
+    )
+
+
+def _unit_seconds(unitstr: Column) -> Column:
+    return _lit_map({k: s for k, (_, s) in _UNIT_TOKENS.items()})[
+        unitstr].cast("bigint")
+
+
+def _unit_key(unitstr: Column) -> Column:
+    return _lit_map({k: key for k, (key, _) in _UNIT_TOKENS.items()})[unitstr]
+
+
+def _str_timedelta(total_secs: Column) -> Column:
+    """Python ``str(timedelta)`` on signed seconds, with the reference's
+    ``", 0:00:00"`` suffix strip (models.py:329-332, 365-372): floor
+    division normalizes (-36h -> '-2 days, 12:00:00'); whole days ->
+    '3 days' / '-1 day'; sub-day -> 'H:MM:SS'."""
+    days = F.floor(total_secs / F.lit(86400)).cast("bigint")
+    rem = (total_secs - days * 86400).cast("bigint")  # always 0..86399
+    hms = F.format_string("%d:%02d:%02d", (rem / 3600).cast("int"),
+                          ((rem % 3600) / 60).cast("int"),
+                          (rem % 60).cast("int"))
+    day_word = F.when(F.abs(days) == 1, F.lit(" day")).otherwise(F.lit(" days"))
+    return (
+        F.when((days != 0) & (rem == 0),
+               F.concat(days.cast("string"), day_word))
+        .when(days != 0,
+              F.concat(days.cast("string"), day_word, F.lit(", "), hms))
+        .otherwise(hms)
+    )
+
+
+def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFrame:
+    """ALL temporal mentions (absolute / relative / duration / current)
+    as one flat table:
+
+    (note_id, start_char, end_char, lexical_variant, kind, direction,
+     bound, offset_seconds, norm, parsed_date)
+
+    * kind='absolute': parsed_date set, norm 'YYYY-MM-DD'; bound from
+      the preceding cue ('du'/'depuis' -> from, 'jusqu'au'/'au' ->
+      until, modes.py:3-8).
+    * kind='relative': offset_seconds signed (past<0), norm '±N days' /
+      '±H:MM:SS' / '~0 <unit>' (models.py:316-331); specifics
+      hier/demain/… per relative.py:33-38.
+    * kind='duration': offset_seconds>0, norm 'during N days'
+      (models.py:362-385).
+    """
+    from .matcher import RegexMatcher
+    m = RegexMatcher(
+        {
+            "absolute": [VERBOSE_DATE_RX, NUMERIC_DATE_RX],
+            "relative": [RELATIVE_FWD_RX, RELATIVE_BWD_RX, SPECIFIC_RX],
+            "current": [CURRENT_RX],
+            "duration": [DURATION_RX],
+        },
+        attr="NORM", span_type="date",
+    ).entities(notes)
+    v = norm_text(F.col("lexical_variant"))
+    num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)
+    unit = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 2)
+    nval = _number_value(num)
+    usecs = _unit_seconds(unit)
+    magnitude = (nval.cast("bigint") * usecs)
+
+    direction = (
+        F.when(F.col("label") == "current", F.lit("current"))
+        .when(F.col("label") == "duration", F.lit(None).cast("string"))
+        .when(v.rlike(r"^(avant[-\s]hier|hier)"), F.lit("past"))
+        .when(v.rlike(r"^(apres[-\s]demain|demain)"), F.lit("future"))
+        .when(v.rlike(r"^dans\b"), F.lit("future"))
+        .when(v.rlike(r"(prochain|suivant|plus\stard)"), F.lit("future"))
+        .when(v.rlike(r"(dernier|passe|precedent|plus\stot)"), F.lit("past"))
+        .when(v.rlike(r"^(depuis|il\s+y\s+a)"), F.lit("past"))
+    )
+    specific_days = (
+        F.when(v.rlike(r"^avant[-\s]hier"), F.lit(-2))
+        .when(v.rlike(r"^hier"), F.lit(-1))
+        .when(v.rlike(r"^apres[-\s]demain"), F.lit(2))
+        .when(v.rlike(r"^demain"), F.lit(1))
+    )
+    offset = (
+        F.when(F.col("label") == "current", F.lit(0).cast("bigint"))
+        .when(specific_days.isNotNull(), specific_days.cast("bigint") * 86400)
+        .when(F.col("label") == "duration", magnitude)
+        .when(F.col("label") == "relative",
+              F.when(direction == "past", -magnitude).otherwise(magnitude))
+    )
+    current_key = (
+        F.when(v.contains("annee"), F.lit("year"))
+        .when(v.contains("semaine") | v.contains("jours-ci")
+              | v.contains("jours ci"), F.lit("week"))
+        .when(v.contains("mois"), F.lit("month"))
+        .otherwise(F.lit("day"))
+    )
+    parsed = F.when(
+        F.col("label") == "absolute",
+        F.coalesce(parse_verbose_date(v), parse_numeric_date(v)))
+
+    # Stage 1 (pre-join, functions of lexical_variant+label only): keeps
+    # each codegen'd projection under the JVM 64KB method limit and
+    # makes offset_seconds a real column instead of a 4x-inlined
+    # subexpression in norm.
+    pre = m.select(
+        "note_id", "start_char", "end_char", "lexical_variant", "label",
+        direction.alias("direction"),
+        offset.alias("offset_seconds"),
+        current_key.alias("_ckey"),
+        parsed.alias("parsed_date"),
+        v.rlike(r"^depuis").alias("_rel_from"),
+    )
+
+    off = F.col("offset_seconds")
+    norm = (
+        F.when(F.col("label") == "absolute",
+               F.date_format(F.col("parsed_date"), "yyyy-MM-dd"))
+        .when(F.col("label") == "current",
+              F.concat(F.lit("~0 "), F.col("_ckey")))
+        .when(F.col("label") == "duration",
+              F.concat(F.lit("during "), _str_timedelta(off)))
+        .when(F.col("label") == "relative",
+              F.concat(F.when(off > 0, F.lit("+")).otherwise(F.lit("")),
+                       _str_timedelta(off)))
+    )
+    # bound: cue suffix of the 14 chars before the mention (modes.py).
+    # substring is 1-based: chars [start_char-14, start_char) 0-based.
+    prefix = F.substring(
+        norm_text(F.col("__text")),
+        F.greatest(F.col("start_char") - 14, F.lit(0)) + 1,
+        F.least(F.col("start_char"), F.lit(14)),
+    )
+    bound = F.when(
+        F.col("label") == "absolute",
+        F.when(prefix.rlike(_BOUND_FROM_SUFFIX), F.lit("from"))
+        .when(prefix.rlike(_BOUND_UNTIL_SUFFIX), F.lit("until")),
+    ).when(
+        (F.col("label") == "relative") & F.col("_rel_from"), F.lit("from"))
+
+    return (
+        pre.join(notes.select("note_id",
+                              F.col(text_col).alias("__text")), "note_id")
+        .select(
+            "note_id", "start_char", "end_char", "lexical_variant",
+            F.when(F.col("label") == "current", F.lit("relative"))
+            .otherwise(F.col("label")).alias("kind"),
+            "direction",
+            bound.alias("bound"),
+            "offset_seconds",
+            norm.alias("norm"),
+            "parsed_date",
+        )
+    )
+
+
 class DatesExtractor(Transformer):
     """Adds ``parsed_date`` (first absolute date mention, normalized) and
     ``relative_date`` (note_datetime + relative offset) columns."""

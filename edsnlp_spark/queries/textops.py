@@ -457,6 +457,87 @@ FROM built
 """
 
 
+# ---- full temporal model: durations / relatives / bounds --------------
+
+def durations_extraction(spark, sf_dir):
+    """Build one French temporal mention per order (duration / signed
+    relative / specific / bounded absolute), then recover kind,
+    direction, bound, signed offset and the reference's str(timedelta)
+    norm string with temporal_mentions (eds.dates models.py:179-460).
+    The oracle re-derives every field arithmetically per branch."""
+    from ..operators.dates import temporal_mentions
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    nj = (k % 28 + 2).cast("string")   # days 2..29
+    nw = (k % 10 + 1).cast("string")   # weeks 1..10
+    nm = (k % 11 + 1).cast("string")   # months 1..11
+    nh = (k % 47 + 2).cast("string")   # hours 2..48 (exercises day carry)
+    ds = F.date_format("o_orderdate", "dd/MM/yyyy")
+    text = (
+        F.when(k % 6 == 0,
+               F.concat(F.lit("sous traitement pendant "), nj,
+                        F.lit(" jours")))
+        .when(k % 6 == 1,
+              F.concat(F.lit("chute il y a "), nw, F.lit(" semaines")))
+        .when(k % 6 == 2, F.concat(F.lit("controle dans "), nm,
+                                   F.lit(" mois")))
+        .when(k % 6 == 3, F.concat(F.lit("hospitalise depuis le "), ds))
+        .when(k % 6 == 4, F.lit("vu hier en consultation"))
+        .otherwise(F.concat(F.lit("surveillance pendant "), nh,
+                            F.lit(" heures")))
+    )
+    notes = o.select(k.alias("note_id"), text.alias("note_text"))
+    return temporal_mentions(notes).select(
+        F.col("note_id").alias("o_orderkey"), "lexical_variant", "kind",
+        "direction", "bound", "offset_seconds", "norm",
+    )
+
+
+DURATIONS_EXTRACTION_SQL = """
+WITH built AS (
+  SELECT o_orderkey AS k,
+         o_orderkey % 28 + 2 AS nj,
+         o_orderkey % 10 + 1 AS nw,
+         o_orderkey % 11 + 1 AS nm,
+         o_orderkey % 47 + 2 AS nh,
+         o_orderdate AS d
+  FROM orders
+)
+SELECT k AS o_orderkey,
+  CASE k % 6
+    WHEN 0 THEN 'pendant ' || nj || ' jours'
+    WHEN 1 THEN 'il y a ' || nw || ' semaines'
+    WHEN 2 THEN 'dans ' || nm || ' mois'
+    WHEN 3 THEN strftime(d, '%d/%m/%Y')
+    WHEN 4 THEN 'hier'
+    ELSE 'pendant ' || nh || ' heures' END AS lexical_variant,
+  CASE k % 6 WHEN 0 THEN 'duration' WHEN 1 THEN 'relative'
+    WHEN 2 THEN 'relative' WHEN 3 THEN 'absolute'
+    WHEN 4 THEN 'relative' ELSE 'duration' END AS kind,
+  CASE k % 6 WHEN 1 THEN 'past' WHEN 2 THEN 'future'
+    WHEN 4 THEN 'past' END AS direction,
+  CASE k % 6 WHEN 3 THEN 'from' END AS bound,
+  CAST(CASE k % 6
+    WHEN 0 THEN nj * 86400
+    WHEN 1 THEN -nw * 7 * 86400
+    WHEN 2 THEN nm * 30 * 86400
+    WHEN 4 THEN -86400
+    WHEN 5 THEN nh * 3600 END AS BIGINT) AS offset_seconds,
+  CASE k % 6
+    WHEN 0 THEN 'during ' || nj || ' days'
+    WHEN 1 THEN '-' || (nw * 7) || ' days'
+    WHEN 2 THEN '+' || (nm * 30) || ' days'
+    WHEN 3 THEN strftime(d, '%Y-%m-%d')
+    WHEN 4 THEN '-1 day'
+    ELSE CASE WHEN nh < 24 THEN 'during ' || nh || ':00:00'
+              WHEN nh = 24 THEN 'during 1 day'
+              WHEN nh = 48 THEN 'during 2 days'
+              ELSE 'during 1 day, ' || (nh - 24) || ':00:00' END
+    END AS norm
+FROM built
+"""
+
+
 # ---- eds.quantities on constructed dose text --------------------------
 
 def quantities_extraction(spark, sf_dir):
@@ -563,5 +644,6 @@ QUERIES = {
     "split_windows": (split_windows, SPLIT_WINDOWS_SQL),
     "ner_token_metrics": (ner_token_metrics, NER_TOKEN_METRICS_SQL),
     "dates_extraction": (dates_extraction, DATES_EXTRACTION_SQL),
+    "durations_extraction": (durations_extraction, DURATIONS_EXTRACTION_SQL),
     "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
 }

@@ -151,6 +151,45 @@ def test_dates_parsing(spark):
     assert out[4]["v"] is None and out[4]["n"] is None
 
 
+def test_temporal_mentions(spark):
+    """Golden cases mirroring tests/pipelines/misc/test_dates.py in the
+    reference: durations, signed relatives, specifics, current, bounds,
+    str(timedelta) norm strings (models.py:317-372)."""
+    from edsnlp_spark.operators.dates import temporal_mentions
+    rows = [
+        (1, "hospitalise depuis le 25/09/2021 pour bilan."),
+        (2, "Traitement pendant trois jours puis arret."),
+        (3, "Il y a 3 semaines, chute de sa hauteur."),
+        (4, "Controle dans 6 mois a prevoir."),
+        (5, "Operation l'annee derniere sans complication."),
+        (6, "Vu hier, reviendra apres-demain."),
+        (7, "Cette annee, amelioration. Ce jour, examen normal."),
+        (8, "Hospitalisation du 12/01/2020 jusqu'au 15/01/2020."),
+        (9, "pendant 36 heures de surveillance"),
+        (10, "vu il y a 36 heures en consultation"),
+    ]
+    out = temporal_mentions(
+        spark.createDataFrame(rows, ["note_id", "note_text"])
+    ).orderBy("note_id", "start_char").collect()
+    got = [(r["note_id"], r["kind"], r["direction"], r["bound"],
+            r["offset_seconds"], r["norm"]) for r in out]
+    assert got == [
+        (1, "absolute", None, "from", None, "2021-09-25"),
+        (2, "duration", None, None, 259200, "during 3 days"),
+        (3, "relative", "past", None, -1814400, "-21 days"),
+        (4, "relative", "future", None, 15552000, "+180 days"),
+        (5, "relative", "past", None, -31536000, "-365 days"),
+        (6, "relative", "past", None, -86400, "-1 day"),
+        (6, "relative", "future", None, 172800, "+2 days"),
+        (7, "relative", "current", None, 0, "~0 year"),
+        (7, "relative", "current", None, 0, "~0 day"),
+        (8, "absolute", None, "from", None, "2020-01-12"),
+        (8, "absolute", None, "until", None, "2020-01-15"),
+        (9, "duration", None, None, 129600, "during 1 day, 12:00:00"),
+        (10, "relative", "past", None, -129600, "-2 days, 12:00:00"),
+    ]
+
+
 # ---- quantities --------------------------------------------------------
 
 def test_quantities(spark):

@@ -25,7 +25,11 @@ UNIT_REGISTRY: dict[str, tuple[str, float]] = {
     "mm": ("length", 1e-3),
     "l": ("volume", 1.0), "dl": ("volume", 1e-1), "cl": ("volume", 1e-2),
     "ml": ("volume", 1e-3),
-    "h": ("time", 3600.0), "min": ("time", 60.0), "s": ("time", 1.0),
+    "mol": ("substance", 1.0), "mmol": ("substance", 1e-3),
+    "µmol": ("substance", 1e-6), "umol": ("substance", 1e-6),
+    "jour": ("time", 86400.0), "j": ("time", 86400.0),
+    "heure": ("time", 3600.0), "h": ("time", 3600.0),
+    "min": ("time", 60.0), "s": ("time", 1.0),
     "%": ("ratio", 1e-2),
 }
 
@@ -98,6 +102,95 @@ def convert_to(value: Column, from_unit: Column, to_unit: Column) -> Column:
     return F.when(
         unit_dimension(from_unit) == unit_dimension(to_unit),
         value * unit_factor(from_unit) / unit_factor(to_unit),
+    )
+
+
+# ---- composed units (quantities.py:142-167 UnitRegistry.parse_unit) ---
+# The reference composes unit parts into a dimension-degree vector
+# (summed degrees per dim, product of scales, canonical string
+# str(dict(sorted(degrees)))) with auto-generated per_<unit> inverses.
+# Here: <unit><power?>(/|par <unit><power?>)? parsed natively; scale
+# and dimension from literal MAP lookups.
+
+_POWER_MAP = {"2": 2, "²": 2, "3": 3, "³": 3}
+COMPOSED_RX = (rf"(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT})?([23²³])?"
+               rf"(?:\s*(?:/|par\s+)\s*({_UNITS_ALT})([23²³])?)?{_UNIT_END}")
+
+
+def _lit_map(d: dict) -> Column:
+    return F.create_map(*[x for k, v in d.items()
+                          for x in (F.lit(k), F.lit(v))])
+
+
+def _dim_entry(dim: Column, degree: Column) -> Column:
+    return F.concat(F.lit("'"), dim, F.lit("': "), degree.cast("string"))
+
+
+def composed_dimension(num_dim: Column, num_pow: Column,
+                       den_dim: Column, den_pow: Column) -> Column:
+    """Canonical dimension string — ``{'mass': 1, 'volume': -1}`` —
+    matching the reference's str(dict(sorted(degrees))) (parse_unit,
+    quantities.py:161-166): same-dim parts cancel, dims sort by name."""
+    e_num = _dim_entry(num_dim, num_pow)
+    e_den = _dim_entry(den_dim, -den_pow)
+    both = num_dim.isNotNull() & den_dim.isNotNull()
+    same = both & (num_dim == den_dim)
+    net = num_pow - den_pow
+    return (
+        F.when(same & (net == 0), F.lit("{}"))
+        .when(same, F.concat(F.lit("{"), _dim_entry(num_dim, net),
+                             F.lit("}")))
+        .when(both & (num_dim < den_dim),
+              F.concat(F.lit("{"), e_num, F.lit(", "), e_den, F.lit("}")))
+        .when(both,
+              F.concat(F.lit("{"), e_den, F.lit(", "), e_num, F.lit("}")))
+        .when(num_dim.isNotNull(), F.concat(F.lit("{"), e_num, F.lit("}")))
+        .when(den_dim.isNotNull(), F.concat(F.lit("{"), e_den, F.lit("}")))
+    )
+
+
+def extract_composed_quantity(text: Column) -> Column:
+    """First (possibly composed) quantity -> struct<value double, unit
+    string, dimension string, value_si double>.  Handles 'mg/l',
+    'mmol/l', 'ml/min', powers 'cm2'/'cm³', per-only '3/j' or
+    '3 par jour', and plain simple units."""
+    raw_v = F.regexp_extract(text, COMPOSED_RX, 1)
+    nu = F.regexp_extract(text, COMPOSED_RX, 2)
+    np_ = F.regexp_extract(text, COMPOSED_RX, 3)
+    du = F.regexp_extract(text, COMPOSED_RX, 4)
+    dp = F.regexp_extract(text, COMPOSED_RX, 5)
+    scale_map = _lit_map({u: f for u, (_, f) in UNIT_REGISTRY.items()})
+    dim_map = _lit_map({u: d for u, (d, _) in UNIT_REGISTRY.items()})
+    npow = F.when(nu != "",
+                  F.coalesce(_lit_map(_POWER_MAP)[np_], F.lit(1))
+                  ).otherwise(F.lit(0))
+    dpow = F.when(du != "",
+                  F.coalesce(_lit_map(_POWER_MAP)[dp], F.lit(1))
+                  ).otherwise(F.lit(0))
+    scale = (
+        F.when(nu != "", F.pow(scale_map[nu], npow)).otherwise(F.lit(1.0))
+        * F.when(du != "", F.pow(scale_map[du], -dpow)).otherwise(F.lit(1.0))
+    )
+    num_dim = F.when(nu != "", dim_map[nu])
+    den_dim = F.when(du != "", dim_map[du])
+    unit_str = F.concat(
+        F.coalesce(nu, F.lit("")),
+        F.when(npow > 1, npow.cast("string")).otherwise(F.lit("")),
+        F.when(du != "",
+               F.concat(F.lit("/"), du,
+                        F.when(dpow > 1, dpow.cast("string"))
+                        .otherwise(F.lit("")))).otherwise(F.lit("")),
+    )
+    value = _num(raw_v)
+    return F.when(
+        (raw_v != "") & ((nu != "") | (du != "")),
+        F.struct(
+            value.alias("value"),
+            unit_str.alias("unit"),
+            composed_dimension(num_dim, npow, den_dim, dpow)
+            .alias("dimension"),
+            (value * scale).alias("value_si"),
+        ),
     )
 
 

@@ -582,6 +582,69 @@ FROM built
 """
 
 
+# ---- composed units (mg/l, powers, per-time) --------------------------
+
+def composed_units(spark, sf_dir):
+    """Build one composed-unit mention per lineitem ('creatinine : V
+    mg/l', 'surface : V cm2', 'prises : V/j', ...), extract value +
+    canonical unit + dimension-degree string + SI value with
+    extract_composed_quantity (reference UnitRegistry.parse_unit,
+    quantities.py:142-167).  Oracle re-derives per branch."""
+    from ..operators.quantities import extract_composed_quantity
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_linenumber") % 6
+    vs = F.col("l_quantity").cast("string")
+    text = (
+        F.when(k == 0, F.concat(F.lit("creatinine : "), vs, F.lit(" mg/l")))
+        .when(k == 1, F.concat(F.lit("glycemie : "), vs, F.lit(" mmol/l")))
+        .when(k == 2, F.concat(F.lit("surface : "), vs, F.lit(" cm2")))
+        .when(k == 3, F.concat(F.lit("debit : "), vs, F.lit(" ml/min")))
+        .when(k == 4, F.concat(F.lit("dose : "), vs, F.lit(" mg/kg")))
+        .otherwise(F.concat(F.lit("prises : "), vs, F.lit("/j")))
+    )
+    d = li.select("l_orderkey", "l_linenumber", text.alias("qty_text"))
+    q = extract_composed_quantity(F.lower(F.col("qty_text")))
+    return d.select(
+        "l_orderkey", "l_linenumber", "qty_text",
+        q["value"].alias("value"),
+        q["unit"].alias("unit"),
+        q["dimension"].alias("dimension"),
+        F.round(q["value_si"], 9).alias("value_si"),
+    )
+
+
+COMPOSED_UNITS_SQL = """
+WITH built AS (
+  SELECT l_orderkey, l_linenumber, l_quantity AS v,
+         l_linenumber % 6 AS k
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CASE k WHEN 0 THEN 'creatinine : ' || v::VARCHAR || ' mg/l'
+         WHEN 1 THEN 'glycemie : ' || v::VARCHAR || ' mmol/l'
+         WHEN 2 THEN 'surface : ' || v::VARCHAR || ' cm2'
+         WHEN 3 THEN 'debit : ' || v::VARCHAR || ' ml/min'
+         WHEN 4 THEN 'dose : ' || v::VARCHAR || ' mg/kg'
+         ELSE 'prises : ' || v::VARCHAR || '/j' END AS qty_text,
+  CAST(v AS DOUBLE) AS value,
+  CASE k WHEN 0 THEN 'mg/l' WHEN 1 THEN 'mmol/l' WHEN 2 THEN 'cm2'
+         WHEN 3 THEN 'ml/min' WHEN 4 THEN 'mg/kg' ELSE '/j' END AS unit,
+  CASE k WHEN 0 THEN '{''mass'': 1, ''volume'': -1}'
+         WHEN 1 THEN '{''substance'': 1, ''volume'': -1}'
+         WHEN 2 THEN '{''length'': 2}'
+         WHEN 3 THEN '{''time'': -1, ''volume'': 1}'
+         WHEN 4 THEN '{}'
+         ELSE '{''time'': -1}' END AS dimension,
+  ROUND(CASE k WHEN 0 THEN v * 0.001
+               WHEN 1 THEN v * 0.001
+               WHEN 2 THEN v * power(0.01, 2)
+               WHEN 3 THEN v * (0.001 * power(60.0, -1))
+               WHEN 4 THEN v * (0.001 * power(1000.0, -1))
+               ELSE v * power(86400.0, -1) END, 9) AS value_si
+FROM built
+"""
+
+
 # ---- engine-backed: hypothesis qualifier (following-direction cues) ---
 
 _HYP_TARGETS = {"target": ["join", "scan"]}
@@ -646,4 +709,5 @@ QUERIES = {
     "dates_extraction": (dates_extraction, DATES_EXTRACTION_SQL),
     "durations_extraction": (durations_extraction, DURATIONS_EXTRACTION_SQL),
     "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
+    "composed_units": (composed_units, COMPOSED_UNITS_SQL),
 }

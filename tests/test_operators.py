@@ -206,6 +206,33 @@ def test_quantities(spark):
     assert out[3]["q"] is None
 
 
+def test_composed_quantities(spark):
+    """Composed units per reference UnitRegistry.parse_unit
+    (quantities.py:142-167): slash/par composition, powers, per-only,
+    same-dim cancellation, canonical sorted-dict dimension strings."""
+    from edsnlp_spark.operators.quantities import extract_composed_quantity
+    rows = [("creatinine a 12 mg/l",), ("glycemie 5,5 mmol/l",),
+            ("surface 2 cm2",), ("debit 30 ml/min",), ("dose 5 mg/kg",),
+            ("prises : 3/j",), ("volume 2 cm³",), ("sat 98 %",),
+            ("rien",)]
+    df = spark.createDataFrame(rows, "t string")
+    out = df.select(
+        extract_composed_quantity(F.lower(F.col("t"))).alias("q")).collect()
+    got = [(r["q"]["unit"], r["q"]["dimension"],
+            round(r["q"]["value_si"], 9)) if r["q"] else None for r in out]
+    assert got == [
+        ("mg/l", "{'mass': 1, 'volume': -1}", 0.012),
+        ("mmol/l", "{'substance': 1, 'volume': -1}", 0.0055),
+        ("cm2", "{'length': 2}", 0.0002),
+        ("ml/min", "{'time': -1, 'volume': 1}", 0.0005),
+        ("mg/kg", "{}", 5e-06),
+        ("/j", "{'time': -1}", 3.4722e-05),
+        ("cm3", "{'length': 3}", 2e-06),
+        ("%", "{'ratio': 1}", 0.98),
+        None,
+    ]
+
+
 def test_unit_conversion(spark):
     df = spark.range(1)
     out = df.select(

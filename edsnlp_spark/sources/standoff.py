@@ -88,8 +88,12 @@ def read_standoff(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
 
 def write_standoff(notes: DataFrame, entities: DataFrame, path: str) -> None:
-    """Write .txt/.ann pairs.  Driver-side file-per-doc loop (BRAT corpora
-    are small annotation sets by construction; bulk export is parquet)."""
+    """Write .txt/.ann pairs from the WORKERS (foreachPartition), like
+    the reference writes in its worker processes (edsnlp/data/
+    standoff.py:278) — no `.collect()`, so a 100x corpus never lands on
+    the driver.  ``path`` must be a filesystem every executor can reach
+    (local FS in local mode, a shared mount on a cluster — the same
+    contract as the reference's file-per-doc writer)."""
     os.makedirs(path, exist_ok=True)
     # Rename the grouping key: notes and entities often share lineage
     # (entities derived from the same notes df), and identical names
@@ -101,13 +105,19 @@ def write_standoff(notes: DataFrame, entities: DataFrame, path: str) -> None:
     )
     rows = notes.join(
         ents_by_doc, F.col("note_id") == F.col("e_note_id"), "left"
-    ).select("note_id", "note_text", "es").collect()
-    for r in rows:
-        with open(os.path.join(path, f"{r['note_id']}.txt"), "w") as f:
-            f.write(r["note_text"] or "")
-        with open(os.path.join(path, f"{r['note_id']}.ann"), "w") as f:
-            for i, e in enumerate(r["es"] or [], 1):
-                f.write(
-                    f"T{i}\t{e['label']} {e['start_char']} {e['end_char']}\t"
-                    f"{e['lexical_variant']}\n"
-                )
+    ).select("note_id", "note_text", "es")
+
+    def _write_partition(it):
+        import os as _os
+        _os.makedirs(path, exist_ok=True)
+        for r in it:
+            with open(_os.path.join(path, f"{r['note_id']}.txt"), "w") as f:
+                f.write(r["note_text"] or "")
+            with open(_os.path.join(path, f"{r['note_id']}.ann"), "w") as f:
+                for i, e in enumerate(r["es"] or [], 1):
+                    f.write(
+                        f"T{i}\t{e['label']} {e['start_char']} "
+                        f"{e['end_char']}\t{e['lexical_variant']}\n"
+                    )
+
+    rows.foreachPartition(_write_partition)

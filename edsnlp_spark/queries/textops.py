@@ -582,6 +582,82 @@ FROM built
 """
 
 
+# ---- HF NER: IOB -> entity spans --------------------------------------
+
+_HF_KWS = ("spark", "join", "scan", "merge")
+
+
+def hf_ner_spans(spark, sf_dir):
+    """Build a token-level BIO tagging over the first 15 tokens of each
+    document (keywords tagged B-KW, their successor I-KW), then decode
+    spans with the HF converter's forgiving IOB decoder
+    (edsnlp/data/converters.py:1252-1324) re-expressed as window
+    sessionization.  Oracle re-derives tags and spans with SQL windows.
+    """
+    from ..sources.huggingface import iob_to_spans
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 15)
+
+    def tagger(arr):
+        def f(x, i):
+            prev = F.when(i > 0, F.element_at(arr, i))
+            return (
+                F.when(x.isin(*_HF_KWS), F.lit("B-KW"))
+                .when(prev.isin(*_HF_KWS), F.lit("I-KW"))
+                .otherwise(F.lit("O"))
+            )
+        return F.transform(arr, f)
+
+    notes = d.select(
+        F.col("doc_id").alias("note_id"),
+        toks.alias("tokens"),
+        tagger(toks).alias("ner_tags"),
+    )
+    return iob_to_spans(notes).select(
+        F.col("note_id").alias("doc_id"), "tok_start", "tok_end",
+        "start_char", "end_char", "label", "lexical_variant",
+    )
+
+
+HF_NER_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 15) AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(range(1, len(ws) + 1)) AS pos1,
+         unnest(ws) AS word
+  FROM toks
+),
+tagged AS (
+  SELECT doc_id, pos1 - 1 AS pos, word,
+         CASE WHEN word IN {_HF_KWS!r} THEN 'B'
+              WHEN lag(word) OVER (PARTITION BY doc_id ORDER BY pos1)
+                   IN {_HF_KWS!r} THEN 'I'
+              ELSE 'O' END AS tag,
+         CAST(COALESCE(SUM(len(word) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos1
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_char
+  FROM tok
+),
+eids AS (
+  SELECT *, SUM(CASE WHEN tag = 'B' THEN 1 ELSE 0 END) OVER (
+    PARTITION BY doc_id ORDER BY pos) AS eid
+  FROM tagged WHERE tag <> 'O'
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INT) AS tok_start,
+       CAST(MAX(pos) + 1 AS INT) AS tok_end,
+       CAST(MIN(start_char) AS INT) AS start_char,
+       CAST(MAX(start_char + len(word)) AS INT) AS end_char,
+       'KW' AS label,
+       string_agg(word, ' ' ORDER BY pos) AS lexical_variant
+FROM eids GROUP BY doc_id, eid
+"""
+
+
 # ---- composed units (mg/l, powers, per-time) --------------------------
 
 def composed_units(spark, sf_dir):
@@ -710,4 +786,5 @@ QUERIES = {
     "durations_extraction": (durations_extraction, DURATIONS_EXTRACTION_SQL),
     "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
+    "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
 }

@@ -115,3 +115,89 @@ def test_json_roundtrip(spark, tmp_path):
     back = eio.read_json(spark, out)
     assert back.count() == 2
     assert eio.to_pandas(df).shape == (2, 2)
+
+
+# ---- HuggingFace dataset source/sink (IOB <-> spans) ------------------
+
+def test_hf_ner_iob_to_spans(spark):
+    """Forgiving IOB/IOBES decode parity with the reference
+    (converters.py:1252-1324): int tags via tag_order, I-without-B
+    opens, type change splits, IOBES closers."""
+    from edsnlp_spark.sources.huggingface import from_huggingface_dataset
+    TAGS = ["O", "B-PER", "I-PER", "B-ORG", "I-ORG",
+            "B-LOC", "I-LOC", "B-MISC", "I-MISC"]
+    data = [
+        {"id": "d1", "tokens": ["John", "Smith", "visited", "Paris"],
+         "ner_tags": [1, 2, 0, 5]},
+        {"id": "d3", "tokens": ["a", "b", "c"], "ner_tags": [2, 2, 4]},
+    ]
+    out = from_huggingface_dataset(
+        spark, data, converter="hf_ner", tag_order=TAGS)
+    ents = [(r["note_id"], r["tok_start"], r["tok_end"], r["label"],
+             r["start_char"], r["end_char"], r["lexical_variant"])
+            for r in out["entities"]
+            .orderBy("note_id", "tok_start").collect()]
+    assert ents == [
+        ("d1", 0, 2, "PER", 0, 10, "John Smith"),
+        ("d1", 3, 4, "LOC", 19, 24, "Paris"),
+        ("d3", 0, 2, "PER", 0, 3, "a b"),
+        ("d3", 2, 3, "ORG", 4, 5, "c"),
+    ]
+    # IOBES string tags
+    data2 = [{"id": "x", "tokens": ["U", "V", "W", "X", "Y"],
+              "ner_tags": ["S-A", "B-B", "E-B", "I-C", "O"]}]
+    e2 = from_huggingface_dataset(spark, data2, converter="hf_ner")
+    got = [(r["tok_start"], r["tok_end"], r["label"])
+           for r in e2["entities"].orderBy("tok_start").collect()]
+    assert got == [(0, 1, "A"), (1, 3, "B"), (3, 4, "C")]
+
+
+def test_hf_ner_roundtrip(spark):
+    """spans -> BIO -> Arrow table matches the reference's doc2dict
+    output (converters.py:1388-1412)."""
+    from edsnlp_spark.sources.huggingface import (
+        from_huggingface_dataset, to_huggingface_dataset)
+    data = [
+        {"id": "d1", "tokens": ["John", "Smith", "visited", "Paris"],
+         "ner_tags": ["B-PER", "I-PER", "O", "B-LOC"]},
+        {"id": "d2", "tokens": ["nothing", "here"],
+         "ner_tags": ["O", "O"]},
+    ]
+    out = from_huggingface_dataset(spark, data, converter="hf_ner")
+    back = to_huggingface_dataset(
+        out["notes"], out["entities"], converter="hf_ner")
+    rows = sorted(back.to_pylist(), key=lambda r: r["id"])
+    assert rows == [
+        {"id": "d1", "tokens": ["John", "Smith", "visited", "Paris"],
+         "ner_tags": ["B-PER", "I-PER", "O", "B-LOC"]},
+        {"id": "d2", "tokens": ["nothing", "here"],
+         "ner_tags": ["O", "O"]},
+    ]
+
+
+def test_hf_text_and_parquet_sink(spark, tmp_path):
+    from edsnlp_spark.sources.huggingface import (
+        from_huggingface_dataset, to_huggingface_dataset)
+    data = [{"id": "a", "text": "bonjour le monde"},
+            {"id": "b", "text": "salut"}]
+    notes = from_huggingface_dataset(spark, data, converter="hf_text")
+    assert notes.columns == ["note_id", "note_text"]
+    assert notes.count() == 2
+    # scale sink path: distributed parquet shards
+    p = str(tmp_path / "hf_out")
+    res = to_huggingface_dataset(notes, converter="hf_text", path=p)
+    assert res == p
+    back = spark.read.parquet(p)
+    assert sorted(back.columns) == ["id", "text"] and back.count() == 2
+
+
+def test_hf_hub_import_gate():
+    from edsnlp_spark.sources.huggingface import _import_datasets
+    try:
+        import datasets  # noqa: F401
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(ImportError):
+            _import_datasets()

@@ -273,18 +273,34 @@ WHERE event_type = 'purchase'
 
 def close_event_pairs(spark, sf_dir):
     """Pairs of events by the same user within 5 minutes — the span
-    overlap/proximity self-join.  Equi-join on user_id carries the
-    band predicate; AQE splits skewed users."""
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.event_id") < F.col("b.event_id"))
-        & (F.abs(F.col("a.ts").cast("long") - F.col("b.ts").cast("long")) <= 300),
+    overlap/proximity self-join, time-bucketed for scale.
+
+    A user-only equi-join makes one hot user a single quadratic task.
+    Instead each event gets a 5-min bucket (floor(epoch/300)); side A is
+    replicated to buckets {b-1, b, b+1} and the join key is
+    (user_id, bucket), so a qualifying pair (|Δt| <= 300) meets in
+    exactly one bucket — B's own — and a hot user's pair work spreads
+    over all their active buckets instead of one shuffle key."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("ts").cast("long") / 300).alias("bucket"),
     )
-    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+    a = e.select(
+        F.col("user_id").alias("a_user_id"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                          F.col("bucket") + 1)).alias("a_jbucket"),
+    )
+    pairs = a.join(
+        e,
+        (F.col("a_user_id") == F.col("user_id"))
+        & (F.col("a_jbucket") == F.col("bucket"))
+        & (F.col("a_event_id") < F.col("event_id"))
+        & (F.abs(F.col("a_ts").cast("long") - F.col("ts").cast("long"))
+           <= 300),
+    )
+    return pairs.groupBy(F.col("a_user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
 

@@ -30,7 +30,7 @@ import hashlib
 from typing import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _pseudo_vector(token: str, dim: int) -> list[float]:
@@ -105,6 +105,112 @@ def transformer_embeddings(notes: DataFrame, window: int = 128,
     w = window_tokens(notes, window, stride)
     e = embed_windows(w, dim, forward)
     return resolve_overlaps(e, window)
+
+
+class SharedEmbedding:
+    """Spark analog of the reference's shared-embedding cache
+    (edsnlp/core/torch_component.py:191-208): sibling components that
+    share one transformer compute its output ONCE per batch and read a
+    cache.  Here the cache is a persisted embeddings plane — the
+    mapInPandas forward executes once, and every downstream head
+    (ner_from_embeddings, classify_spans_from_embeddings, ...) reads
+    the same materialized rows instead of re-running the model
+    subtree.
+
+    ``materialize()`` forces the forward (one count()) so later
+    consumers never race to compute it; ``release()`` unpersists —
+    the disable_cache analog.
+    """
+
+    def __init__(self, notes: DataFrame, window: int = 128,
+                 stride: int = 64, dim: int = 16, forward=None):
+        self.dim = dim
+        self.embeddings = transformer_embeddings(
+            notes, window, stride, dim, forward).persist()
+
+    def materialize(self) -> "SharedEmbedding":
+        self.embeddings.count()
+        return self
+
+    def release(self) -> None:
+        self.embeddings.unpersist()
+
+
+def ner_from_embeddings(shared: SharedEmbedding, notes: DataFrame,
+                        tokens_col: str = "tokens",
+                        threshold: float = 0.25) -> DataFrame:
+    """NER head over a shared embedding (ner_crf.py:57-640 contract —
+    output lands in the rule-matcher entities schema).  The 'tagger' is
+    a deterministic linear-probe stub (emb[0] < threshold => entity
+    token); the BIO decode is native window sessionization, so NO
+    second forward pass happens: the only mapInPandas in this plan is
+    the shared embedding's."""
+    tok = notes.select(
+        "note_id", F.posexplode(tokens_col).alias("tok_i", "tok"))
+    j = tok.join(shared.embeddings, ["note_id", "tok_i"])
+    is_ent = F.element_at("emb", 1) < threshold
+    w = Window.partitionBy("note_id").orderBy("tok_i")
+    j = j.select(
+        "note_id", "tok_i",
+        F.col("tok.text").alias("text"),
+        F.col("tok.start").alias("start"),
+        F.col("tok.end").alias("end"),
+        is_ent.alias("is_ent"),
+    ).withColumn(
+        "start_flag",
+        (F.col("is_ent")
+         & ~F.coalesce(F.lag("is_ent").over(w), F.lit(False))).cast("int"),
+    ).withColumn("eid", F.sum("start_flag").over(w))
+    arr = F.sort_array(F.collect_list(F.struct("tok_i", "text")))
+    return (
+        j.filter("is_ent")
+        .groupBy("note_id", "eid")
+        .agg(
+            F.min("start").alias("start_char"),
+            F.max("end").alias("end_char"),
+            F.lit("ENT").alias("label"),
+            F.concat_ws(" ", arr["text"]).alias("lexical_variant"),
+            F.lit("ml").alias("span_type"),
+            F.min("tok_i").alias("tok_start"),
+            (F.max("tok_i") + 1).alias("tok_end"),
+        )
+        .drop("eid")
+    )
+
+
+def classify_spans_from_embeddings(shared: SharedEmbedding,
+                                   spans: DataFrame,
+                                   threshold: float = 0.45) -> DataFrame:
+    """Span-classifier head over the SAME shared embedding
+    (span_classifier contract: pooled span embedding -> label).  Mean
+    pooling is native HOF algebra (zip_with sum over collected token
+    vectors / count); the probe is a deterministic threshold stub."""
+    s = spans.select(
+        F.col("note_id").alias("s_note_id"), "start_char", "end_char",
+        "tok_start", "tok_end",
+    )
+    j = s.join(
+        shared.embeddings,
+        (F.col("s_note_id") == F.col("note_id"))
+        & (F.col("tok_i") >= F.col("tok_start"))
+        & (F.col("tok_i") < F.col("tok_end")),
+    )
+    zero = F.array_repeat(F.lit(0.0), shared.dim)
+
+    def add(acc, x):
+        return F.zip_with(acc, x, lambda a, b: a + b)
+
+    pooled = F.aggregate(
+        F.collect_list(F.col("emb").cast("array<double>")), zero, add)
+    g = j.groupBy("s_note_id", "start_char", "end_char").agg(
+        pooled.alias("sum_emb"), F.count(F.lit(1)).alias("n_tok"))
+    mean0 = F.element_at("sum_emb", 1) / F.col("n_tok")
+    return g.select(
+        F.col("s_note_id").alias("note_id"), "start_char", "end_char",
+        F.when(mean0 > threshold, F.lit("POS")).otherwise(F.lit("NEG"))
+        .alias("pred_label"),
+        F.round(mean0, 6).alias("score"),
+    )
 
 
 def ner_crf_decode(notes: DataFrame,

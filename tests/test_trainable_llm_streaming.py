@@ -128,3 +128,38 @@ def test_streaming_annotate(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["lexical_variant"] for r in out.collect()) == ["merge", "spark"]
+
+
+def test_shared_embedding_forward_runs_once(spark):
+    """Shared-embedding cache analog (torch_component.py:191-208): two
+    heads consume ONE materialized forward pass — the accumulator
+    counts exactly one forward per window, not two."""
+    from edsnlp_spark.operators.trainable import (
+        SharedEmbedding, classify_spans_from_embeddings,
+        ner_from_embeddings,
+    )
+    notes = make_notes(spark, ["a b c d e f g h", "x y z"]).persist()
+    n_windows = 5  # doc1: starts 0,2,4,6 (w=4,s=2); doc2: 0, stride>len
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_forward(toks):
+        acc.add(1)
+        return [[float(len(t))] * 4 for t in toks]
+
+    shared = SharedEmbedding(
+        notes, window=4, stride=4, dim=4, forward=counting_forward
+    ).materialize()
+    ents = ner_from_embeddings(shared, notes, threshold=2.0)
+    # every token has emb[0] = len(text) = 1 < 2.0 -> one run per doc
+    got = {(r["note_id"], r["lexical_variant"]) for r in ents.collect()}
+    assert got == {(0, "a b c d e f g h"), (1, "x y z")}
+    spans = ents.select("note_id", "start_char", "end_char",
+                        "tok_start", "tok_end")
+    cls = classify_spans_from_embeddings(shared, spans, threshold=0.5)
+    rows = cls.collect()
+    assert {r["pred_label"] for r in rows} == {"POS"}  # mean emb[0] = 1.0
+    assert all(abs(r["score"] - 1.0) < 1e-9 for r in rows)
+    # THE invariant: both heads ran, forward executed once per window
+    assert acc.value == 3  # doc1 windows at 0,4 + doc2 window at 0
+    shared.release()
+    notes.unpersist()

@@ -81,3 +81,52 @@ def test_endlines(spark):
     clean = EndLinesClassifier()(df).collect()[0]["clean_text"]
     assert "Compte rendu du jour suite de la ligne coupée." in clean
     assert "Le patient va bien.\nCompte" in clean
+
+
+def test_endlines_ml_model(spark):
+    """Unsupervised EndlinesModel (model.py:15-660 analog): trained on
+    a corpus where real ends carry terminal punctuation + uppercase
+    continuations and artifacts wrap mid-sentence, it must call a
+    mid-sentence wrap an artifact and a sentence-final newline real —
+    without ever seeing a label."""
+    from edsnlp_spark.operators.endlines import (
+        EndLinesClassifier, EndlinesModel,
+    )
+    import random
+    rng = random.Random(7)
+    words = ["patient", "examen", "bilan", "normal", "douleur", "traitement",
+             "jours", "depuis", "sans", "signe", "clinique", "resultat"]
+
+    def sentence():
+        n = rng.randint(6, 12)
+        toks = [rng.choice(words) for _ in range(n)]
+        return (" ".join(toks) + ".").capitalize()
+
+    docs = []
+    for i in range(40):
+        sents = [sentence() for _ in range(6)]
+        text_parts = []
+        for s in sents:
+            toks = s.split(" ")
+            cut = rng.randint(2, len(toks) - 2)
+            # artifact wrap mid-sentence + real end after the period
+            text_parts.append(" ".join(toks[:cut]) + "\n"
+                              + " ".join(toks[cut:]))
+        docs.append((i, "\n".join(text_parts)))
+    notes = spark.createDataFrame(docs, "note_id long, note_text string")
+    model = EndlinesModel().fit(notes)
+
+    probe = spark.createDataFrame(
+        [(100, "Le patient presente une douleur\nabdominale depuis trois "
+               "jours.\nExamen clinique normal.")],
+        "note_id long, note_text string",
+    )
+    t = {r["line_no"]: r["true_end"]
+         for r in model.predict(probe).collect()}
+    assert t[0] is False   # mid-sentence wrap -> artifact
+    assert t[1] is True    # after 'jours.' -> real end
+
+    # trained path through the Transformer splices artifacts to spaces
+    out = EndLinesClassifier(model=model).transform(probe).collect()[0]
+    assert "douleur abdominale" in out["clean_text"]
+    assert "jours.\nExamen" in out["clean_text"]

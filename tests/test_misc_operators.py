@@ -103,3 +103,30 @@ def test_char_ngrams(spark):
     out = spark.range(1).select(
         char_ngrams(F.lit("ab"), 3).alias("g")).collect()[0]["g"]
     assert out == ["##a", "#ab", "ab#", "b##"]
+
+
+# ---- Stream verbs: loop / shuffle / batchify ---------------------------
+
+def test_stream_loop_commutes_with_map(spark):
+    """stream.py:852-878 invariant: loop().map(f) == map(f).loop()."""
+    from edsnlp_spark.core.stream_ops import loop
+    from pyspark.sql import functions as F
+    df = spark.range(5).withColumnRenamed("id", "x")
+    f = lambda d: d.withColumn("y", F.col("x") * 2)
+    a = sorted(f(loop(df, 3)).select("x", "y", "epoch").collect())
+    b = sorted(loop(f(df), 3).select("x", "y", "epoch").collect())
+    assert a == b and len(a) == 15
+    assert {r["epoch"] for r in a} == {0, 1, 2}
+
+
+def test_stream_shuffle_batchify(spark):
+    from edsnlp_spark.core.stream_ops import batchify, shuffle
+    df = spark.range(100)
+    s1 = [r["id"] for r in shuffle(df, seed=42).collect()]
+    s2 = [r["id"] for r in shuffle(df, seed=42).collect()]
+    assert s1 == s2 and sorted(s1) == list(range(100))  # seeded permutation
+    b = batchify(df.repartition(4), 8)
+    sizes = [r["n"] for r in
+             b.groupBy("batch_id").count().withColumnRenamed(
+                 "count", "n").collect()]
+    assert sum(sizes) == 100 and max(sizes) <= 8

@@ -185,3 +185,31 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, planes: list[list[float]],
         .select("q_id", "n_id", F.col("rank").cast("bigint"),
                 F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def cosine_neardup(emb: DataFrame, planes: list[list[float]],
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup variant of
+    similarity search): candidate generation by identical
+    random-hyperplane signature, exact cosine verify inside the bucket
+    only — never all-pairs, so the join scales with bucket occupancy
+    (2^n_planes buckets), not corpus^2.
+
+    Returns (a_id, b_id, cos_sim) with a_id < b_id.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = hyperplane_signature(vec, planes)
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
+                      sig.alias("bucket"))
+    a = base.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+                    F.col("bucket").alias("a_bucket"))
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+                    F.col("bucket").alias("b_bucket"))
+    cos = cosine(F.col("a_v"), F.col("b_v"))
+    return (
+        a.join(b, (F.col("a_bucket") == F.col("b_bucket"))
+               & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

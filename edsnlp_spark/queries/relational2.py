@@ -123,6 +123,38 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- embedding-cosine near-dup (dedup variant of similarity) ----------
+
+def embedding_neardup(spark, sf_dir):
+    """Near-duplicate embedding PAIRS: identical hyperplane signature as
+    candidate generation, exact cosine verify in-bucket (no all-pairs).
+    The LLM-data-pipeline dedup op for embedding columns.
+
+    Threshold 0.3 (not the production-typical 0.9) because the synthetic
+    embeddings are near-orthogonal random vectors — 0.3 yields a real,
+    discriminating pair set on this data instead of an empty result."""
+    from ..operators.similarity import cosine_neardup
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup(emb, _PLANES, threshold=0.3)
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_BUCKET_SQL} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+         4) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      4) >= 0.3
+"""
+
+
 # ---- salted aggregation (skew-robust two-phase) -----------------------
 
 def salted_event_totals(spark, sf_dir):
@@ -146,5 +178,6 @@ QUERIES = {
     "late_shipments": (late_shipments, LATE_SHIPMENTS_SQL),
     "token_offsets": (token_offsets, TOKEN_OFFSETS_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, EMBEDDING_TOPK_LSH_SQL),
+    "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "salted_event_totals": (salted_event_totals, SALTED_EVENT_TOTALS_SQL),
 }

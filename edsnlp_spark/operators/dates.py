@@ -32,8 +32,53 @@ FR_MONTH_ABBREV = {
 VERBOSE_DATE_RX = (
     r"\b(\d{1,2})(?:er)?\s+([a-z]+)\.?\s+(\d{4})\b"
 )
-# Numeric date: 25/09/2021, 25-09-2021, 25.09.2021
-NUMERIC_DATE_RX = r"\b(\d{1,2})[/.\-](\d{1,2})[/.\-](\d{4})\b"
+# Numeric dates, mirroring the reference's atomic pattern semantics
+# (edsnlp/pipes/misc/dates/patterns/atomic/{days,months,years,
+# delimiters}.py + false_positive.py):
+#   * day/month validated at the pattern level (01-31 / 01-12), so
+#     "12.0-16" / "03-0.70" range artifacts never match;
+#   * the two delimiters must be IDENTICAL (one pattern per delimiter)
+#     — mixed "4.09-11" is a lab-value range, not a date;
+#   * year is 19xx / 20xx / two-digit (century rule in
+#     parse_numeric_date: <25 -> 2000+y, else unparseable, span kept —
+#     models.py:213-220);
+#   * not glued to surrounding digits or delimiters (ante/post guards).
+_D = r"(0?[1-9]|[12]\d|3[01])"   # day 1-31
+_M = r"(0?[1-9]|1[0-2])"         # month 1-12
+_Y = r"(19\d\d|20\d\d|\d\d)"     # year
+_ANTE = r"(?<![\d/.\-])"
+_POST = r"(?![/\-a-zA-Z])(?![.,:]?\d)"
+# One pattern per delimiter (like the reference builds one pattern per
+# `d in delimiters`), NOT a backreference: patterns are later OR-joined
+# by the matcher, which renumbers groups and would break \2.
+_DELIMS = (r"/", r"\.", r"-")
+NUMERIC_DATE_RXS = [
+    _ANTE + _D + d + _M + d + _Y + _POST for d in _DELIMS
+]
+# ISO / year-first: 2021-08-09, 2021/08/09 (reference full_date pattern)
+ISO_DATE_RXS = [
+    _ANTE + r"(19\d\d|20\d\d)" + d + _M + d + _D + _POST for d in _DELIMS
+]
+# Space-delimited: "03 07 19" (delimiters.py allows [^\S]+); the
+# lookarounds reject phone-number runs "06 12 34 56 78"
+# (false_positive.py phone_patterns) by refusing digit neighbors.
+NUMERIC_DATE_SPACE_RX = (
+    r"(?<!\d)(?<!\d )" + _D + r" " + _M + r" " + _Y + r"(?! ?\d)(?![.,:]\d)"
+)
+# Numeric month/year: "11/2017" (slash only — "11-2017" reads as a
+# numeric range too often). Resolves to the 1st of the month, like the
+# verbose month+year partial.
+MONTH_YEAR_NUM_RX = (
+    r"(?<![\d/.\-])" + _M + r"/(19\d\d|20\d\d)" + _POST
+)
+# Back-compat single-name exports (slash variant is the canonical one).
+NUMERIC_DATE_RX = NUMERIC_DATE_RXS[0]
+ISO_DATE_RX = ISO_DATE_RXS[0]
+# Every absolute-date pattern, in precedence order, for mention scans.
+ABSOLUTE_DATE_RXS = (
+    [VERBOSE_DATE_RX] + NUMERIC_DATE_RXS + ISO_DATE_RXS
+    + [NUMERIC_DATE_SPACE_RX, MONTH_YEAR_NUM_RX]
+)
 # Relative: "il y a 3 jours/semaines/mois/ans"
 RELATIVE_RX = r"\bil y a (\d+) (jour|jours|semaine|semaines|mois|an|ans)\b"
 
@@ -65,14 +110,39 @@ def parse_verbose_date(text: Column) -> Column:
     )
 
 
+def _resolve_year(year: Column) -> Column:
+    """Two-digit years: <25 -> 2000+y; 25-99 -> null (reference
+    models.py:213-220 drops the year, making the date unparseable while
+    the span survives). Four-digit years pass through."""
+    y = year.cast("int")
+    return F.when(F.length(year) == 2,
+                  F.when(y < 25, y + 2000)).otherwise(y)
+
+
+def _ymd(year: Column, mon: Column, day: Column) -> Column:
+    return F.try_to_date(
+        F.format_string("%s-%s-%s", year.cast("string"), mon, day), "y-M-d")
+
+
 def parse_numeric_date(text: Column) -> Column:
-    day = F.regexp_extract(text, NUMERIC_DATE_RX, 1)
-    mon = F.regexp_extract(text, NUMERIC_DATE_RX, 2)
-    year = F.regexp_extract(text, NUMERIC_DATE_RX, 3)
-    return F.when(
-        day != "",
-        F.try_to_date(F.format_string("%s-%s-%s", year, mon, day), "y-M-d"),
-    )
+    """First numeric date (dd/mm/yyyy incl. 2-digit year, yyyy-mm-dd,
+    'dd mm yy') -> DATE; null if absent or not a real calendar date."""
+    branches = []
+    for rx in NUMERIC_DATE_RXS + [NUMERIC_DATE_SPACE_RX]:
+        d = F.regexp_extract(text, rx, 1)
+        m = F.regexp_extract(text, rx, 2)
+        y = F.regexp_extract(text, rx, 3)
+        branches.append(F.when(d != "", _ymd(_resolve_year(y), m, d)))
+    for rx in ISO_DATE_RXS:
+        y = F.regexp_extract(text, rx, 1)
+        m = F.regexp_extract(text, rx, 2)
+        d = F.regexp_extract(text, rx, 3)
+        branches.append(F.when(d != "", _ymd(y.cast("int"), m, d)))
+    my_m = F.regexp_extract(text, MONTH_YEAR_NUM_RX, 1)
+    my_y = F.regexp_extract(text, MONTH_YEAR_NUM_RX, 2)
+    branches.append(
+        F.when(my_m != "", _ymd(my_y.cast("int"), my_m, F.lit("1"))))
+    return F.coalesce(*branches)
 
 
 def parse_relative_days(text: Column) -> Column:
@@ -137,7 +207,7 @@ def date_mentions(notes: DataFrame) -> DataFrame:
     Native regex scan; one row per mention."""
     from .matcher import RegexMatcher
     d = RegexMatcher(
-        {"date": [VERBOSE_DATE_RX, NUMERIC_DATE_RX]},
+        {"date": ABSOLUTE_DATE_RXS},
         attr="NORM", span_type="date", native=True,
     ).entities(notes)
     parsed = F.coalesce(
@@ -321,7 +391,7 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     from .matcher import RegexMatcher
     m = RegexMatcher(
         {
-            "absolute": [VERBOSE_DATE_RX, NUMERIC_DATE_RX],
+            "absolute": ABSOLUTE_DATE_RXS,
             "relative": [RELATIVE_FWD_RX, RELATIVE_BWD_RX, SPECIFIC_RX],
             "current": [CURRENT_RX],
             "duration": [DURATION_RX],

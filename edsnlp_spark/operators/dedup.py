@@ -132,24 +132,68 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle."""
+                        threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle.
+
+    ``max_df`` is the stop-shingle cap for 100TB skew safety: a shingle
+    appearing in more than ``max_df`` documents (boilerplate headers,
+    templated lines) is excluded from CANDIDATE GENERATION only — the
+    shared-shingle self-join is quadratic in a shingle's document
+    frequency, so one ubiquitous shingle otherwise dominates the whole
+    shuffle. Candidate pairs are then verified with the EXACT Jaccard
+    over the full (uncapped) shingle sets via array_intersect, so scores
+    are unbiased; only pairs whose overlap is exclusively stop-shingles
+    are missed, which is the standard trade (they are the pairs a
+    near-dup pass should not fire on anyway).
+    """
     sh = docs.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    ex = sh.select("id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "s")
-    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    if max_df is None:
+        ex = sh.select("id", F.size("sh").alias("n_sh"),
+                       F.explode("sh").alias("s"))
+        a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "s")
+        b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "s")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        return (
+            inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # Stop-shingle path: df-capped candidate join, exact verify join-back.
+    sh = sh.persist()  # referenced 3x (explode + both verify legs)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    rare = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
     )
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    cand_ex = ex.join(rare, "s")
+    cands = (
+        cand_ex.select(F.col("id").alias("id_a"), "s")
+        .join(cand_ex.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = (
+        cands
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+              "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+              "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        j.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 from .qualifiers import QualifierEngine, HISTORY_CUES
 from .sections import SectionSegmenter
 from .matcher import RegexMatcher
-from .dates import parse_verbose_date, parse_numeric_date, VERBOSE_DATE_RX, NUMERIC_DATE_RX
+from .dates import (parse_verbose_date, parse_numeric_date,
+                    ABSOLUTE_DATE_RXS)
 from .. import registry
 
 
@@ -34,7 +35,7 @@ class HistoryQualifier:
         self.section_names = section_names
         self.sections = sections or SectionSegmenter()
         self.date_matcher = RegexMatcher(
-            {"date": [VERBOSE_DATE_RX, NUMERIC_DATE_RX]},
+            {"date": ABSOLUTE_DATE_RXS},
             attr="NORM", span_type="date", native=True,
         )
 

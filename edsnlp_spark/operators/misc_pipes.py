@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .matcher import RegexMatcher
 from .dates import (
-    NUMERIC_DATE_RX, VERBOSE_DATE_RX, parse_numeric_date, parse_verbose_date,
+    ABSOLUTE_DATE_RXS, parse_numeric_date, parse_verbose_date,
 )
 from .sections import SectionSegmenter
 from .. import registry
@@ -58,7 +58,7 @@ CONSULT_CUES = ["consultation", "consulte", "vu en consultation", "cs"]
 def consultation_dates(notes: DataFrame, window_chars: int = 60) -> DataFrame:
     """Date mentions within ``window_chars`` of a consultation cue."""
     dates = RegexMatcher(
-        {"date": [VERBOSE_DATE_RX, NUMERIC_DATE_RX]},
+        {"date": ABSOLUTE_DATE_RXS},
         attr="NORM", native=True,
     ).entities(notes)
     cues = RegexMatcher(

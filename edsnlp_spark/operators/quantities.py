@@ -31,6 +31,9 @@ UNIT_REGISTRY: dict[str, tuple[str, float]] = {
     "heure": ("time", 3600.0), "h": ("time", 3600.0),
     "min": ("time", 60.0), "s": ("time", 1.0),
     "%": ("ratio", 1e-2),
+    "µl": ("volume", 1e-6), "ul": ("volume", 1e-6),
+    "dm": ("length", 1e-1),
+    "ui": ("arbitrary", 1.0),
 }
 
 _UNITS_ALT = "|".join(sorted(UNIT_REGISTRY, key=len, reverse=True))
@@ -43,6 +46,22 @@ QUANTITY_RX = rf"(\d+(?:[.,]\d+)?)\s*({_UNITS_ALT}){_UNIT_END}"
 # range: "de 10 à 20 mg" / "10 - 20 mg"
 RANGE_RX = (rf"(\d+(?:[.,]\d+)?)\s*(?:-|a|à)\s*(\d+(?:[.,]\d+)?)"
             rf"\s*({_UNITS_ALT}){_UNIT_END}")
+# range with 'et' separator — ONLY after 'entre' (patterns.py
+# range_patterns ('entre','et')): a bare "8, 13 et 15dm" is a value
+# sequence, not a range.
+RANGE_ET_RX = (rf"entre\s+(\d+(?:[.,]\d+)?)\s+et\s+(\d+(?:[.,]\d+)?)"
+               rf"\s*({_UNITS_ALT}){_UNIT_END}")
+# comparison operators before a quantity (patterns.py operator_terms)
+_LT_ALT = r"<=|<|inf(?:erieure?)?\s*a?"
+_GT_ALT = r">=|>|sup(?:erieure?)?\s*a?"
+OPERATOR_RX = (rf"({_LT_ALT}|{_GT_ALT})\s*(\d+(?:[.,]\d+)?)"
+               rf"\s*({_UNITS_ALT}){_UNIT_END}")
+# letter-number values: "deux m" (reference letter number atoms)
+from .dates import LETTER_NUMBERS as _DATE_LETTER_NUMBERS  # noqa: E402
+_Q_LETTERS = [(p, v) for p, v in _DATE_LETTER_NUMBERS
+              if p not in ("l'", "le", "la", "cette", "cet", "ce")]
+_LETTER_ALT = "|".join(p for p, _ in _Q_LETTERS)
+LETTER_QUANTITY_RX = rf"\b({_LETTER_ALT})\s+({_UNITS_ALT}){_UNIT_END}"
 
 
 def _num(col: Column) -> Column:
@@ -81,17 +100,76 @@ def extract_quantity(text: Column) -> Column:
 
 
 def extract_range(text: Column) -> Column:
-    """First range mention ('de 10 à 20 mg', '10 - 20 mg') -> struct<low,
-    high, unit, low_si, high_si> (RangeQuantity, quantities.py:276)."""
-    lo = _num(F.regexp_extract(text, RANGE_RX, 1))
-    hi = _num(F.regexp_extract(text, RANGE_RX, 2))
-    u = F.regexp_extract(text, RANGE_RX, 3)
-    return F.when(
-        F.regexp_extract(text, RANGE_RX, 1) != "",
+    """First range mention ('de 10 à 20 mg', '10 - 20 mg', 'entre 1 et
+    2m') -> struct<low, high, unit, low_si, high_si> (RangeQuantity,
+    quantities.py:276; range_patterns patterns.py:118-128)."""
+    def branch(rx):
+        lo = _num(F.regexp_extract(text, rx, 1))
+        hi = _num(F.regexp_extract(text, rx, 2))
+        u = F.regexp_extract(text, rx, 3)
+        return F.when(
+            F.regexp_extract(text, rx, 1) != "",
+            F.struct(
+                lo.alias("low"), hi.alias("high"), u.alias("unit"),
+                (lo * unit_factor(u)).alias("low_si"),
+                (hi * unit_factor(u)).alias("high_si"),
+            ),
+        )
+    return F.coalesce(branch(RANGE_ET_RX), branch(RANGE_RX))
+
+
+def _letter_value(word: Column) -> Column:
+    """Letter-number token -> numeric value (patterns are matched
+    against their own regex so hyphen/space variants collapse)."""
+    out = F.lit(None).cast("double")
+    for pat, val in _Q_LETTERS:
+        out = F.when(word.rlike(f"^(?:{pat})$"), F.lit(float(val))) \
+            .otherwise(out)
+    return out
+
+
+def extract_operator_quantity(text: Column) -> Column:
+    """First comparison-operator quantity ('< 5 µl', 'superieur a 8 ui')
+    -> struct<value, unit, operator, value_si, dimension>
+    (quantities.py:175-229 SimpleQuantity.operator; operator_terms
+    patterns.py:110-114). Falls back to '=' for plain quantities."""
+    op_raw = F.regexp_extract(text, OPERATOR_RX, 1)
+    raw_v = F.regexp_extract(text, OPERATOR_RX, 2)
+    raw_u = F.regexp_extract(text, OPERATOR_RX, 3)
+    value = _num(raw_v)
+    op = F.when(op_raw.rlike(rf"^(?:{_LT_ALT})$"), F.lit("<")) \
+        .when(op_raw.rlike(rf"^(?:{_GT_ALT})$"), F.lit(">"))
+    with_op = F.when(
+        raw_v != "",
         F.struct(
-            lo.alias("low"), hi.alias("high"), u.alias("unit"),
-            (lo * unit_factor(u)).alias("low_si"),
-            (hi * unit_factor(u)).alias("high_si"),
+            value.alias("value"), raw_u.alias("unit"), op.alias("operator"),
+            (value * unit_factor(raw_u)).alias("value_si"),
+            unit_dimension(raw_u).alias("dimension"),
+        ),
+    )
+    plain = extract_quantity(text)
+    return F.coalesce(with_op, F.when(
+        plain.isNotNull(),
+        F.struct(
+            plain["value"].alias("value"), plain["unit"].alias("unit"),
+            F.lit("=").alias("operator"),
+            plain["value_si"].alias("value_si"),
+            plain["dimension"].alias("dimension"),
+        ),
+    ))
+
+
+def extract_letter_quantity(text: Column) -> Column:
+    """Letter-number quantity ('deux m' -> 2 m; numbers.py atoms)."""
+    word = F.regexp_extract(text, LETTER_QUANTITY_RX, 1)
+    raw_u = F.regexp_extract(text, LETTER_QUANTITY_RX, 2)
+    value = _letter_value(word)
+    return F.when(
+        (word != "") & value.isNotNull(),
+        F.struct(
+            value.alias("value"), raw_u.alias("unit"),
+            (value * unit_factor(raw_u)).alias("value_si"),
+            unit_dimension(raw_u).alias("dimension"),
         ),
     )
 

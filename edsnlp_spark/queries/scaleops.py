@@ -111,6 +111,47 @@ WHERE shared / (na + nb - shared) >= 0.2
 """
 
 
+# ---- df-capped (stop-shingle) n-gram Jaccard --------------------------
+
+def ngram_jaccard_capped(spark, sf_dir):
+    """ngram_jaccard with the skew-safe stop-shingle cap: shingles in
+    >5 docs are dropped from candidate generation (quadratic blow-up
+    guard), candidates verified with exact Jaccard over full sets."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2,
+                                 max_df=5)
+
+
+NGRAM_JACCARD_CAPPED_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, len(toks) - 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 5),
+cex AS (SELECT doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cex a JOIN cex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+  FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+FROM verified WHERE jac >= 0.2
+"""
+
+
 # ---- SimHash fingerprints ---------------------------------------------
 
 def simhash_fingerprints(spark, sf_dir):
@@ -291,6 +332,7 @@ FROM documents
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),

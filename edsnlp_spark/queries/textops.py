@@ -582,6 +582,86 @@ FROM built
 """
 
 
+# ---- operator / range / letter-number quantities ----------------------
+
+_Q_LETTER_WORDS = ["deux", "trois", "quinze", "vingt-cinq"]
+_Q_LETTER_VALS = [2.0, 3.0, 15.0, 25.0]
+
+
+def quantity_operators(spark, sf_dir):
+    """Build comparison-operator / entre..et range / letter-number
+    quantity texts from orders, recover operator, value and bounds with
+    the engine's extended quantity parsers (quantities.py operator_terms
+    + range_patterns + letter numbers)."""
+    from ..operators.quantities import (
+        extract_operator_quantity, extract_range, extract_letter_quantity)
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = (k % 40 + 1).cast("string")
+    words = F.array(*[F.lit(w) for w in _Q_LETTER_WORDS])
+    text = (
+        F.when(k % 5 == 0, F.concat(F.lit("ferritine inf a "), n,
+                                    F.lit(" ui")))
+        .when(k % 5 == 1, F.concat(F.lit("plaquettes > "), n, F.lit(" µl")))
+        .when(k % 5 == 2, F.concat(F.lit("poids entre "), n, F.lit(" et "),
+                                   (k % 40 + 4).cast("string"),
+                                   F.lit(" kg")))
+        .when(k % 5 == 3, F.concat(F.lit("dose de "), n, F.lit(" a "),
+                                   (k % 40 + 2).cast("string"),
+                                   F.lit(" mg")))
+        .otherwise(F.concat(F.lit("taille "),
+                            F.element_at(words, (k % 4 + 1).cast("int")),
+                            F.lit(" m")))
+    )
+    d = o.select("o_orderkey", text.alias("qty_text"))
+    op = extract_operator_quantity(F.col("qty_text"))
+    rg = extract_range(F.col("qty_text"))
+    lt = extract_letter_quantity(F.col("qty_text"))
+    has_range = rg.isNotNull()
+    return d.select(
+        "o_orderkey", "qty_text",
+        F.when(~has_range, F.coalesce(op["operator"], F.lit("=")))
+         .alias("operator"),
+        F.when(~has_range, F.coalesce(op["value"], lt["value"]))
+         .alias("value"),
+        F.coalesce(op["unit"], rg["unit"], lt["unit"]).alias("unit"),
+        rg["low"].alias("low"), rg["high"].alias("high"),
+    )
+
+
+_Q_WORD_CASE = " ".join(
+    f"WHEN {i} THEN '{w}'" for i, w in enumerate(_Q_LETTER_WORDS))
+_Q_VAL_CASE = " ".join(
+    f"WHEN {i} THEN {v}" for i, v in enumerate(_Q_LETTER_VALS))
+QUANTITY_OPERATORS_SQL = f"""
+WITH built AS (
+  SELECT o_orderkey, o_orderkey % 5 AS br, o_orderkey % 40 + 1 AS n,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'ferritine inf a ' || (o_orderkey % 40 + 1) || ' ui'
+           WHEN 1 THEN 'plaquettes > ' || (o_orderkey % 40 + 1) || ' µl'
+           WHEN 2 THEN 'poids entre ' || (o_orderkey % 40 + 1) || ' et '
+                       || (o_orderkey % 40 + 4) || ' kg'
+           WHEN 3 THEN 'dose de ' || (o_orderkey % 40 + 1) || ' a '
+                       || (o_orderkey % 40 + 2) || ' mg'
+           ELSE 'taille ' || (CASE o_orderkey % 4 {_Q_WORD_CASE} END) || ' m'
+         END AS qty_text
+  FROM orders
+)
+SELECT o_orderkey, qty_text,
+       CASE br WHEN 0 THEN '<' WHEN 1 THEN '>'
+               WHEN 4 THEN '=' END AS operator,
+       CASE br WHEN 0 THEN n::DOUBLE WHEN 1 THEN n::DOUBLE
+               WHEN 4 THEN (CASE o_orderkey % 4 {_Q_VAL_CASE} END)
+       END AS value,
+       CASE br WHEN 0 THEN 'ui' WHEN 1 THEN 'µl' WHEN 2 THEN 'kg'
+               WHEN 3 THEN 'mg' ELSE 'm' END AS unit,
+       CASE br WHEN 2 THEN n::DOUBLE WHEN 3 THEN n::DOUBLE END AS low,
+       CASE br WHEN 2 THEN (o_orderkey % 40 + 4)::DOUBLE
+               WHEN 3 THEN (o_orderkey % 40 + 2)::DOUBLE END AS high
+FROM built
+"""
+
+
 # ---- HF NER: IOB -> entity spans --------------------------------------
 
 _HF_KWS = ("spark", "join", "scan", "merge")
@@ -785,6 +865,7 @@ QUERIES = {
     "dates_extraction": (dates_extraction, DATES_EXTRACTION_SQL),
     "durations_extraction": (durations_extraction, DURATIONS_EXTRACTION_SQL),
     "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
+    "quantity_operators": (quantity_operators, QUANTITY_OPERATORS_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
 }

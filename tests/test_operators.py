@@ -474,3 +474,78 @@ def test_regex_native_zero_width_guard(spark):
     s, e = rows[0]["start_char"], rows[0]["end_char"]
     assert text[s:e] == "25/09/2021"
     assert s == text.index("le 25/09") + 3
+
+
+def test_dates_false_positives(spark):
+    """The reference's counter-examples (tests/pipelines/misc/
+    test_dates.py test_false_positives): pagination, phone numbers,
+    lab-value ranges, bare floats must yield NO date mention."""
+    from edsnlp_spark.operators.dates import date_mentions
+    fps = ["page 1/1", "40 00", "06 12 34 56 78", "bien mais", "thierry",
+           "436", "12.0-16", "27.0-33", "7.0-11", "03-0.70", "4.09-11",
+           "2/2CR Urgences PSL", "Dextro : 5.7 mmol/l", "2.5"]
+    notes = spark.createDataFrame(
+        [(i, t.lower()) for i, t in enumerate(fps)],
+        ["note_id", "note_text"])
+    assert date_mentions(notes).count() == 0
+
+
+def test_dates_illegal_and_formats(spark):
+    """Illegal calendar dates keep the span with a null parse
+    (test_illegal_dates); 2-digit years use the <25 -> 2000+ century
+    rule (models.py:213-220); ISO, dash, space-delimited and numeric
+    month/year forms all parse."""
+    from edsnlp_spark.operators.dates import date_mentions
+    rows = [
+        (0, " le 31/06/17, la derniere dose."),
+        (1, " le 30/02/18 n'est pas une vraie date"),
+        (2, "consultation du 03 07 19"),
+        (3, "le (2021-08-09)."),
+        (4, "cs le 11-01-2017 1/3"),
+        (5, "preleve le : 22/04/2016 \n78 rue du general leclerc"),
+        (6, "en 11/2017 stabilite sur..."),
+    ]
+    notes = spark.createDataFrame(rows, ["note_id", "note_text"])
+    got = {r["note_id"]: (r["lexical_variant"],
+                          str(r["parsed_date"]) if r["parsed_date"] else None)
+           for r in date_mentions(notes).collect()}
+    assert got == {
+        0: ("31/06/17", None),
+        1: ("30/02/18", None),
+        2: ("03 07 19", "2019-07-03"),
+        3: ("2021-08-09", "2021-08-09"),
+        4: ("11-01-2017", "2017-01-11"),
+        5: ("22/04/2016", "2016-04-22"),
+        6: ("11/2017", "2017-11-01"),
+    }
+
+
+def test_quantity_operators_ranges_letters(spark):
+    """Reference test_operator / test_ranges / test_numbers
+    (tests/pipelines/misc/test_quantities.py:289-341): comparison
+    operators, entre..et ranges, letter-number values."""
+    from edsnlp_spark.operators.quantities import (
+        extract_operator_quantity, extract_range, extract_letter_quantity)
+    df = spark.createDataFrame(
+        [("< 5 µl et plus",), ("superieur a 8 ui",), ("poids : 65 kg",),
+         ("le patient fait entre 1 et 2m",), ("on mesure de 2 a 2.5 dl",),
+         ("deux m de long",), ("vingt-cinq kg",), ("rien",)],
+        "t string")
+    out = df.select(
+        extract_operator_quantity(F.col("t")).alias("op"),
+        extract_range(F.col("t")).alias("rg"),
+        extract_letter_quantity(F.col("t")).alias("lt"),
+    ).collect()
+    assert (out[0]["op"]["operator"], out[0]["op"]["value"],
+            out[0]["op"]["unit"]) == ("<", 5.0, "µl")
+    assert (out[1]["op"]["operator"], out[1]["op"]["value"],
+            out[1]["op"]["unit"]) == (">", 8.0, "ui")
+    assert (out[2]["op"]["operator"], out[2]["op"]["value"]) == ("=", 65.0)
+    assert (out[3]["rg"]["low"], out[3]["rg"]["high"],
+            out[3]["rg"]["unit"]) == (1.0, 2.0, "m")
+    assert (out[4]["rg"]["low"], out[4]["rg"]["high"],
+            out[4]["rg"]["unit"]) == (2.0, 2.5, "dl")
+    assert (out[5]["lt"]["value"], out[5]["lt"]["unit"]) == (2.0, "m")
+    assert (out[6]["lt"]["value"], out[6]["lt"]["unit"]) == (25.0, "kg")
+    assert out[7]["op"] is None and out[7]["rg"] is None \
+        and out[7]["lt"] is None

@@ -20,7 +20,10 @@ from edsnlp_spark.session import get_spark
 
 # Headline set: one per operator family (aggregation, join, window,
 # sessionization, as-of, interval join, NLP pipeline, dedup, ANN).
-HEADLINE = [
+# R1_SET is the round-1 headline set, reported separately as
+# `value_r01_set` so cross-round totals stay comparable after the
+# round-2 additions below.
+R1_SET = [
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_customer",
@@ -33,6 +36,13 @@ HEADLINE = [
     "embedding_topk",
     "doc_quality",
     "quantities_extraction",
+]
+HEADLINE = R1_SET + [
+    # round-2 additions: real-dictionary lexicon join, full temporal
+    # model, embedding near-dup pairs
+    "drugs_lexicon_match",
+    "durations_extraction",
+    "embedding_neardup",
 ]
 
 
@@ -73,6 +83,7 @@ def main() -> None:
         "queries": times,
         "queries_cold": cold,
         "total_cold": round(sum(cold.values()), 3),
+        "value_r01_set": round(sum(times[n] for n in R1_SET), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -106,6 +106,12 @@ def tokenize(text: Column, regex: str = WORD_REGEX) -> Column:
     token's end recovers exact char offsets (see module docstring for the
     proof sketch).  0-based, end-exclusive offsets, matching the
     reference's span convention (converters.py:690-707).
+
+    Scale bound: the fold's array_append copies the accumulator, so cost
+    is O(tokens^2) per document — immaterial for clinical notes (~100s
+    of tokens) but real for 10k+-token documents.  At that shape, chunk
+    first (``SplitDocs`` re-anchors offsets) so each tokenize call sees
+    a bounded token count; the pretokenized fast path below is linear.
     """
     toks = F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(regex), F.lit(0))
     # acc: struct<pos:int (1-based locate cursor), out:array<token>>

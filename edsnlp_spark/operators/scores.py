@@ -72,6 +72,10 @@ SCORE_CONFIGS = {
                            "name_patterns": ["ccmu"], "max_value": 5},
     "eds.emergency_gemsa": {"score_name": "gemsa",
                             "name_patterns": ["gemsa"], "max_value": 6},
+    # scores/emergency/priority/patterns.py: range(0, 6)
+    "eds.emergency_priority": {"score_name": "emergency_priority",
+                               "name_patterns": ["priorite"],
+                               "max_value": 5},
     "eds.elston_ellis": {"score_name": "elston_ellis",
                          "name_patterns": ["elston[- ]ellis", "ee"],
                          "max_value": 9},

@@ -60,6 +60,13 @@ def test_score_matcher(spark):
     assert [(r["note_id"], r["value"]) for r in rows] == [(1, 6.0)]  # 55 > max
     sofa = ScoreMatcher("sofa", ["sofa"], max_value=24)
     assert sofa.entities(df).collect()[0]["value"] == 3.0
+    # emergency priority (scores/emergency/priority/patterns.py: 0..5)
+    pr = spark.createDataFrame(
+        [(1, "priorite : 2 a l'arrivee"), (2, "priorite 9")],
+        "note_id long, note_text string")
+    prm = ScoreMatcher("emergency_priority", ["priorite"], max_value=5)
+    assert [(r["note_id"], r["value"]) for r in prm.entities(pr).collect()] \
+        == [(1, 2.0)]  # 9 > max dropped
 
 
 def test_tnm(spark):

@@ -24,24 +24,27 @@ class TablesExtractor(Transformer):
     requires = ("note_id", "note_text")
     name = "eds.tables"
 
-    def __init__(self, delimiter: str = "|", min_cells: int = 2,
-                 text_col: str = "note_text"):
+    def __init__(self, delimiter: str = "|¦", min_cells: int = 2,
+                 min_rows: int = 1, text_col: str = "note_text"):
+        """``delimiter`` is a STRING OF DELIMITER CHARS (the reference's
+        tables.py patterns accept both the ASCII pipe and the broken bar
+        '¦' that PDF extraction produces in biology results);
+        ``min_rows`` drops runs shorter than the reference's min_rows
+        table threshold."""
         self.delim = delimiter
         self.min_cells = min_cells
+        self.min_rows = min_rows
         self.text_col = text_col
         self.requires = ("note_id", text_col)
 
     def tables(self, notes: DataFrame) -> DataFrame:
-        d = F.lit(self.delim)
+        cls = "[" + "".join("\\" + c for c in self.delim) + "]"
         lines = notes.select(
             "note_id",
             F.posexplode(F.split(F.coalesce(F.col(self.text_col), F.lit("")),
                                  "\n")).alias("line_no", "line"),
         )
-        is_table = (
-            F.size(F.split(F.col("line"), F.lit("\\" + self.delim), -1))
-            > self.min_cells
-        )
+        is_table = F.size(F.split(F.col("line"), cls, -1)) > self.min_cells
         tl = lines.filter(is_table)
         # consecutive table lines share (line_no - rank) — run-id trick
         w = Window.partitionBy("note_id").orderBy("line_no")
@@ -55,11 +58,16 @@ class TablesExtractor(Transformer):
             F.row_number().over(
                 Window.partitionBy("note_id", "table_id").orderBy("line_no")),
         )
+        if self.min_rows > 1:
+            tables = tables.withColumn(
+                "_n_rows",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("note_id", "table_id")),
+            ).filter(F.col("_n_rows") >= self.min_rows).drop("_n_rows")
         cells = tables.select(
             "note_id", "table_id", "row_id",
             F.posexplode(
-                F.split(F.regexp_replace("line", r"^\||\|$", ""),
-                        "\\" + self.delim)
+                F.split(F.regexp_replace("line", f"^{cls}|{cls}$", ""), cls)
             ).alias("col_id", "cell"),
         )
         return cells.withColumn("cell", F.trim("cell"))

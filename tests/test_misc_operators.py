@@ -130,3 +130,79 @@ def test_stream_shuffle_batchify(spark):
              b.groupBy("batch_id").count().withColumnRenamed(
                  "count", "n").collect()]
     assert sum(sizes) == 100 and max(sizes) <= 8
+
+
+def test_tables_reference_golden(spark):
+    """The reference's own table fixture (tests/pipelines/misc/
+    test_tables.py TEXT): a '¦'-delimited biology block and a
+    '|'-delimited block survive min_rows=3; the 2-line table and the
+    lone '2/2Pat' pipe line are dropped."""
+    text = (
+        "\nLe patientqsfqfdf bla bla bla\n"
+        "Leucocytes ¦x10*9/L ¦4.97 ¦4.09-11\n"
+        "Hématies ¦x10*12/L¦4.68 ¦4.53-5.79\n"
+        "Hémoglobine ¦g/dL ¦14.8 ¦13.4-16.7\n"
+        "Hématocrite ¦% ¦44.2 ¦39.2-48.6\n"
+        "VGM ¦fL ¦94.4 + ¦79.6-94\n"
+        "TCMH ¦pg ¦31.6 ¦27.3-32.8\n"
+        "CCMH ¦g/dL ¦33.5 ¦32.4-36.3\n"
+        "Plaquettes ¦x10*9/L ¦191 ¦172-398\n"
+        "VMP ¦fL ¦11.5 + ¦7.4-10.8\n"
+        "\nqdfsdf\n\n"
+        "2/2Pat : <NOM> <Prenom> |<date> | <ipp> |Intitulé RCP\n\n"
+        "Table de taille <= 3 :\n\n"
+        " |Libellé | Unité | Valeur | Intervalle |\n"
+        " |Leucocytes |x10*9/L |4.97 | 4.09-11 |\n\n"
+        "qdfsdf\n\n"
+        " |Libellé | Unité | Valeur | Intervalle |\n"
+        " |Leucocytes |x10*9/L |4.97 | 4.09-11 |\n"
+        " |Hématies |x10*12/L|4.68 | 4.53-5.79 |\n"
+        " |Hémoglobine |g/dL |14.8 | 13.4-16.7 |\n"
+        " |Hématocrite ||44.2 | 39.2-48.6 |\n"
+        " |VGM |fL | 94.4 + | 79.6-94 |\n"
+        " |TCMH |pg |31.6 |\n"
+        " |CCMH |g/dL\n"
+        " |Plaquettes |x10*9/L |191 | 172-398 |\n"
+        " |VMP |fL |11.5 + | 7.4-10.8 |\n\n"
+    )
+    rows = TablesExtractor(min_rows=3).tables(
+        notes_df(spark, [text])).collect()
+    tids = sorted({r["table_id"] for r in rows})
+    assert len(tids) == 2
+    bio = [r for r in rows if r["table_id"] == tids[0]]
+    assert max(r["row_id"] for r in bio) == 9
+    assert max(r["col_id"] for r in bio) == 3  # 4 columns
+    cells = {(r["row_id"], r["col_id"]): r["cell"] for r in bio}
+    assert cells[(6, 0)] == "TCMH"  # reference df.iloc[5, 0]
+    big = [r for r in rows if r["table_id"] == tids[1]]
+    assert max(r["row_id"] for r in big) == 10  # header + 9
+
+
+def test_sections_reference_vocabulary(spark):
+    """Reference sections fixture (tests/pipelines/misc/test_sections.py):
+    'Motif :' line starts a motif section containing 'Douleurs';
+    full-vocabulary mode also anchors headers to the line (a 'motif'
+    mention mid-prose is NOT a header)."""
+    text = (
+        "Le patient est admis pour des douleurs dans le bras droit, "
+        "mais n'a pas de probleme de locomotion. "
+        "Historique d'AVC dans la famille. pourrait etre un cas de rhume.\n"
+        "Pourrait etre un cas de rhume.\n"
+        "Motif :\n"
+        "Douleurs dans le bras droit.\n"
+        "Pas d'anomalie detectee.\n"
+        "Conclusion :\n"
+        "Patient va mieux. Le motif de sa venue reste flou."
+    )
+    from edsnlp_spark.operators.sections import SectionSegmenter
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    notes = Pipeline([Tokenizer()])(notes_df(spark, [text]))
+    secs = SectionSegmenter(sections="reference").sections_table(notes)
+    got = [(r["section"], r["start_char"]) for r in
+           sorted(secs.collect(), key=lambda r: r["start_char"])]
+    # exactly two headers: the line-anchored 'Motif' and 'Conclusion' —
+    # the mid-prose 'motif de sa venue' must NOT match
+    assert [s for s, _ in got] == ["motif", "conclusion"]
+    m_start = dict(got)["motif"]
+    assert text[m_start:m_start + 5] == "Motif"

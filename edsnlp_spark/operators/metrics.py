@@ -105,3 +105,33 @@ def span_attribute_accuracy(pred: DataFrame, gold: DataFrame,
         out = out.unionByName(r)
     return out.withColumn(
         "accuracy", F.round(F.try_divide(F.col("correct"), F.col("n")), 4))
+
+
+def dep_parsing_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """UAS / LAS for dependency parsing (metrics/dep_parsing.py:29-46):
+    PRF over the sets of (doc, token, head) arcs — LAS additionally
+    requires the dependency label to match.
+
+    Inputs are dependency planes ``(note_id, token_i, head_i, label)``
+    (the shape ``parse_dependencies`` emits). Distributed as two
+    equi-joins on arc keys; no driver-side sets.
+    """
+    def one(name: str, keys: list[str]) -> DataFrame:
+        p = pred.select(*keys).distinct()
+        g = gold.select(*keys).distinct()
+        tp = p.join(g, keys, "inner").count()
+        np_, ng = p.count(), g.count()
+        prec = tp / np_ if np_ else 0.0
+        rec = tp / ng if ng else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        return (tp, np_, ng, prec, rec, f1, name)
+
+    rows = [one("uas", ["note_id", "token_i", "head_i"]),
+            one("las", ["note_id", "token_i", "head_i", "label"])]
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [(n, t, a, b, round(p, 4), round(r, 4), round(f, 4))
+         for (t, a, b, p, r, f, n) in rows],
+        "metric string, tp long, n_pred long, n_gold long, "
+        "precision double, recall double, f1 double",
+    )

@@ -130,3 +130,24 @@ def test_endlines_ml_model(spark):
     out = EndLinesClassifier(model=model).transform(probe).collect()[0]
     assert "douleur abdominale" in out["clean_text"]
     assert "jours.\nExamen" in out["clean_text"]
+
+
+def test_dep_parsing_metrics(spark):
+    """UAS/LAS per metrics/dep_parsing.py:29-46: arc sets with and
+    without the label."""
+    from edsnlp_spark.operators.metrics import dep_parsing_metrics
+    gold = spark.createDataFrame(
+        [(1, 0, 1, "nsubj"), (1, 1, 1, "root"), (1, 2, 1, "obj")],
+        "note_id long, token_i int, head_i int, label string")
+    pred = spark.createDataFrame(
+        [(1, 0, 1, "nsubj"), (1, 1, 1, "root"), (1, 2, 0, "obj")],
+        "note_id long, token_i int, head_i int, label string")
+    out = {r["metric"]: r for r in dep_parsing_metrics(pred, gold).collect()}
+    assert out["uas"]["tp"] == 2 and round(out["uas"]["f1"], 4) == 0.6667
+    assert out["las"]["tp"] == 2  # the wrong-head arc also has wrong key
+    # label-mismatch case: same head, different label -> uas counts, las not
+    pred2 = spark.createDataFrame(
+        [(1, 0, 1, "obj"), (1, 1, 1, "root"), (1, 2, 1, "obj")],
+        "note_id long, token_i int, head_i int, label string")
+    out2 = {r["metric"]: r for r in dep_parsing_metrics(pred2, gold).collect()}
+    assert out2["uas"]["tp"] == 3 and out2["las"]["tp"] == 2

@@ -52,37 +52,74 @@ def reason_spans(notes: DataFrame, use_sections: bool = True) -> DataFrame:
     return pat.unionByName(secs)
 
 
-CONSULT_CUES = ["consultation", "consulte", "vu en consultation", "cs"]
+# Full reference cue vocabularies
+# (pipes/misc/consultation_dates/patterns.py:1-49)
+CONSULT_CUES = [
+    "rendez-vous pris", "consultation", r"consultation.{1,8}examen",
+    r"\bcs\b", "examen clinique", "de compte rendu", r"date de l'examen",
+    "examen realise le", "date de la visite",
+    # engine extras kept from v1
+    "consulte", "vu en consultation",
+]
+TOWN_CUES = [
+    "paris", "kremlin.bicetre", "creteil", "boulogne.billancourt",
+    "villejuif", "clamart", "bobigny", "clichy", "ivry.sur.seine",
+    "issy.les.moulineaux", "draveil", "limeil", "champcueil",
+    "roche.guyon", "bondy", "colombes", "hendaye", "berck.sur.mer",
+    "labruyere", "garches", "sevran", "hyeres",
+]
+DOC_DATE_CUES = [
+    "imprime le", "signe electroniquement", "signe le", "saisi le",
+    "dicte le", "tape le", "date de reference", r"date\s*:",
+    "dactylographie le", "date du rapport",
+]
 
 
-def consultation_dates(notes: DataFrame, window_chars: int = 60) -> DataFrame:
-    """Date mentions within ``window_chars`` of a consultation cue."""
+def consultation_dates(notes: DataFrame, window_chars: int = 60,
+                       consultation_mention: bool = True,
+                       town_mention: bool = False,
+                       document_date_mention: bool = False) -> DataFrame:
+    """Date mentions within ``window_chars`` of an enabled cue; the
+    emitted ``cue_kind`` says which vocabulary gated the date
+    (consultation_dates.py:107-136: the three cue families are
+    independently toggleable, town/document-date default off because
+    they are high-recall/low-precision)."""
+    kinds = {}
+    if consultation_mention:
+        kinds["consultation"] = CONSULT_CUES
+    if town_mention:
+        kinds["town"] = TOWN_CUES
+    if document_date_mention:
+        kinds["document_date"] = DOC_DATE_CUES
     dates = RegexMatcher(
         {"date": ABSOLUTE_DATE_RXS},
         attr="NORM", native=True,
     ).entities(notes)
-    cues = RegexMatcher(
-        {"cue": ["|".join(rf"\b{c}\b" for c in CONSULT_CUES)]},
-        attr="NORM", native=True,
-    ).entities(notes).select(
-        F.col("note_id").alias("c_note"),
-        F.col("start_char").alias("c_s"),
-        F.col("end_char").alias("c_e"),
-    )
-    gated = dates.join(
+    cue_pats = {k: ["|".join(rf"(?:{c})" for c in v)]
+                for k, v in kinds.items()}
+    cues = RegexMatcher(cue_pats, attr="NORM", native=True) \
+        .entities(notes).select(
+            F.col("note_id").alias("c_note"),
+            F.col("label").alias("cue_kind"),
+            F.col("start_char").alias("c_s"),
+            F.col("end_char").alias("c_e"),
+        )
+    j = dates.join(
         cues,
         (dates["note_id"] == cues["c_note"])
         & (cues["c_e"] > dates["start_char"] - window_chars)
         & (cues["c_s"] < dates["end_char"] + window_chars),
-        "left_semi",
+        "inner",
     )
     parsed = F.coalesce(
         parse_verbose_date(F.col("lexical_variant")),
         parse_numeric_date(F.col("lexical_variant")),
     )
-    return gated.select(
-        "note_id", "start_char", "end_char",
-        F.col("lexical_variant"),
+    return j.groupBy("note_id", "start_char", "end_char",
+                     "lexical_variant").agg(
+        F.min("cue_kind").alias("cue_kind"),
+    ).select(
+        "note_id", "start_char", "end_char", "lexical_variant", "cue_kind",
         F.date_format(parsed, "yyyy-MM-dd").alias("consultation_date"),
     )
 

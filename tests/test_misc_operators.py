@@ -206,3 +206,19 @@ def test_sections_reference_vocabulary(spark):
     assert [s for s, _ in got] == ["motif", "conclusion"]
     m_start = dict(got)["motif"]
     assert text[m_start:m_start + 5] == "Motif"
+
+
+def test_consultation_dates_town_and_doc_modes(spark):
+    """Reference cue families (consultation_dates patterns.py): town
+    and document-date mentions gate dates only when enabled."""
+    notes = notes_df(spark, [
+        "Paris, le 12/03/2020",
+        "Imprime le 05/06/2019",
+        "Ne le 03/02/1999.",
+    ])
+    base = consultation_dates(notes)
+    assert base.count() == 0  # no consultation cue anywhere
+    both = consultation_dates(notes, town_mention=True,
+                              document_date_mention=True)
+    got = {r["cue_kind"]: r["consultation_date"] for r in both.collect()}
+    assert got == {"town": "2020-03-12", "document_date": "2019-06-05"}

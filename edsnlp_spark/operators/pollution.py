@@ -19,14 +19,42 @@ from ..core.base import Transformer
 from .matcher import RegexMatcher
 from .. import registry
 
-# Default pollution patterns (classes mirror pollution/patterns.py).
+# FULL reference pollution patterns (normalizer/pollution/patterns.py
+# :1-56), with two mechanical adaptations for the shared regex engine:
+# global flags scoped as (?x:...) groups (the matcher ORs patterns and
+# Python rejects mid-pattern global flags) and Python-only {,n} bounds
+# written {0,n}.
+_INFO_1 = (
+    r"(?s:(=====+\s*)?(L\s*e\s*s\sdonnées\s*administratives,\s*sociales\s*|"
+    r"I?nfo\s*rmation\s*aux?\s*patients?|"
+    r"L[’']AP-HP\s*collecte\s*vos\s*données\s*administratives|"
+    r"L[’']Assistance\s*Publique\s*-\s*Hôpitaux\s*de\s*Paris\s*"
+    r"\(?AP-HP\)?\s*a\s*créé\s*une\s*base\s*de\s*données)"
+    r".{0,2000}https?:\/\/recherche\.aphp\.fr\/eds\/droit-opposition[\s\.]*)"
+)
+_INFO_2 = (
+    r"(?si:l’arrêt\s*du\s*tabac\s*permet\s*de\s*diminuer\s*le\s*risque\s*"
+    r"de\s*maladie\s*cardiovasculaire.)"
+)
+_DATE = r"\b\d\d/\d\d/\d\d\d\d\b"
+_IPP = r"80\d{8}"
+_PAGE = r"((^\d\/\d\s?)|(^\d\d?\/\d\d\?))"
+_FOOTER = (
+    rf"(?i:({_PAGE}.*\n?pat.*(ipp)?.*\n?(courrier valid.*)?)"
+    rf"|(.*{_DATE}.*{_IPP}.*)|(imprim.\sle\s{_DATE}.*\d/\d.*\n?pat.*{_DATE}))"
+)
 POLLUTION_PATTERNS = {
-    "information": [r"(?i)les données de ce document[^.]*\."],
-    "bars": [r"[|¦]{2,}", r"_{5,}", r"-{5,}", r"={5,}"],
-    "nbnb": [r"(?:[Nn][Bb]|[Ww][Bb]){3,}"],
-    "biology": [r"\b\d{2,3}/\d{2,3}(?:/\d{2,3})+\b"],
-    "doctors": [r"(?i)^dr\.?\s+\w+\s+tel[ :].*$"],
+    "information": [_INFO_1, _INFO_2],
+    "bars": [r"(?i:([nbw]|_|-|=){5,})"],
+    "biology": [r"(\b.*[|¦].*\n)+"],
+    "doctors": [r"(?mi:(^((dr)|(pr))(\.|\s|of).*)+)"],
+    "web": [r"(www\.\S*)", r"(\S*@\S*)", r"\S*\.(?:fr|com|net|org)"],
+    "coding": [r".*? \(\d+\) [a-zA-Z]\d{2,4}.*?(\n|[a-zA-Z]\d{2,4})"],
+    "footer": [_FOOTER],
 }
+# Reference default_enabled (patterns.py:57-66): biology and coding are
+# off by default (high false-positive rate on real notes).
+DEFAULT_ENABLED = ("information", "bars", "doctors", "web", "footer")
 
 
 class PollutionTagger(Transformer):
@@ -34,8 +62,10 @@ class PollutionTagger(Transformer):
     name = "eds.pollution"
 
     def __init__(self, patterns: dict[str, list[str]] | None = None,
+                 enabled: tuple[str, ...] = DEFAULT_ENABLED,
                  text_col: str = "note_text"):
-        self.patterns = patterns or POLLUTION_PATTERNS
+        self.patterns = patterns or {
+            k: v for k, v in POLLUTION_PATTERNS.items() if k in enabled}
         self.text_col = text_col
         self.requires = ("note_id", text_col)
         self._rx = RegexMatcher(self.patterns, attr="TEXT",

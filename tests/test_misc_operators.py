@@ -27,7 +27,9 @@ def test_pollution_tagging_and_exclusion(spark):
     tagger = PollutionTagger()
     poll = tagger.pollution_table(notes)
     p = poll.collect()
-    assert len(p) == 1 and p[0]["label"] == "nbnb"
+    # the reference's bars class covers the NBNbWb noise runs
+    # (pollution/patterns.py:17-18 'Example : NBNbWbWbNbWb...')
+    assert len(p) == 1 and p[0]["label"] == "bars"
     # entity inside the noise span is dropped; clean ones survive
     ents = PhraseMatcher({"dis": ["malade"]}, attr="NORM").entities(notes)
     kept = exclude_polluted(ents, poll)
@@ -222,3 +224,22 @@ def test_consultation_dates_town_and_doc_modes(spark):
                               document_date_mention=True)
     got = {r["cue_kind"]: r["consultation_date"] for r in both.collect()}
     assert got == {"town": "2020-03-12", "document_date": "2019-06-05"}
+
+
+def test_pollution_reference_classes(spark):
+    """Reference pollution families (pollution/patterns.py): web links,
+    doctor headers, footers tagged; biology/coding off by default
+    (default_enabled patterns.py:57-66) but available."""
+    texts = [
+        "Contact : www.hopital.fr ou docteur@aphp.fr pour info.",
+        "Dr. Martin of cardiologie\nPr Durand\nsuite du texte",
+        "Leucocytes ¦4.97 ¦4.09-11\nHematies ¦4.68\n",
+    ]
+    notes = notes_df(spark, texts)
+    default = PollutionTagger().pollution_table(notes)
+    labels = {(r["note_id"], r["label"]) for r in default.collect()}
+    assert (0, "web") in labels
+    assert (1, "doctors") in labels
+    assert not any(lab == "biology" for _, lab in labels)  # off by default
+    bio = PollutionTagger(enabled=("biology",)).pollution_table(notes)
+    assert {r["note_id"] for r in bio.collect()} == {2}

@@ -549,3 +549,23 @@ def test_quantity_operators_ranges_letters(spark):
     assert (out[6]["lt"]["value"], out[6]["lt"]["unit"]) == (25.0, "kg")
     assert out[7]["op"] is None and out[7]["rg"] is None \
         and out[7]["lt"] is None
+
+
+def test_split_regex_and_filter(spark):
+    """Reference eds.split regex mode (tests/pipelines/misc/
+    test_split.py): cut after each match, separator stays with the
+    preceding fragment; filter_expr drops fragments."""
+    from edsnlp_spark.operators.split_explode import SplitDocs
+    txt = "This is a test. Another test.\n\nA third test!"
+    df = spark.createDataFrame([(1, txt)], "note_id long, note_text string")
+    frags = SplitDocs(regex=r"\n\n").transform(df).orderBy("frag_id").collect()
+    assert [f["frag_text"] for f in frags] == [
+        "This is a test. Another test.\n\n", "A third test!"]
+    assert [f["frag_start_char"] for f in frags] == [0, 31]
+    assert txt[frags[1]["frag_start_char"]:frags[1]["frag_end_char"]] \
+        == "A third test!"
+    # filter_expr (reference test_filter): keep 'Another' fragments
+    kept = SplitDocs(regex=r"[.!?]\s+",
+                     filter_expr="frag_text LIKE '%Another%'") \
+        .transform(df).collect()
+    assert len(kept) == 1 and kept[0]["frag_text"].startswith("Another")

@@ -6,9 +6,11 @@ anchor patterns plus a ``status`` span attribute (1 = present, 2 =
 aggravated/specific form, e.g. metastasis for solid_tumor), detection-
 only semantics with qualification left to the §2.7 qualifiers.
 
-The pattern bundles below are curated subsets with the reference's
-structure; production deployments load the full lists as data into the
-same shape.
+Two tiers: the curated ``DisorderMatcher`` (lightweight phrase subset)
+and ``ReferenceDisorderMatcher`` (the FULL reference pattern bundles
+from resources/disorder_patterns.json — 18 pipes, 62 sources, 429
+anchor regexes — with windowed excludes/assigns and each pipe's
+process() keep/status rules).
 """
 
 from __future__ import annotations
@@ -93,10 +95,14 @@ DISORDER_CONFIGS: dict[str, tuple[list[str], list[str] | None]] = {
                 ["sevre", "ancien fumeur"]),
 }
 
+# ``full=True`` loads the complete reference pattern bundle
+# (ReferenceDisorderMatcher below); default stays the lightweight
+# curated matcher.
 for _name, (_pats, _s2) in DISORDER_CONFIGS.items():
     registry.register(f"eds.{_name}")(
-        lambda name=_name, pats=_pats, s2=_s2, **kw:
-        DisorderMatcher(name, pats, s2, **kw)
+        lambda name=_name, pats=_pats, s2=_s2, full=False, **kw:
+        (ReferenceDisorderMatcher(name, **kw) if full
+         else DisorderMatcher(name, pats, s2, **kw))
     )
 
 
@@ -116,3 +122,317 @@ def _make_umls(concepts=None, **kw):
     reference's own engine for 100k+-term dictionaries)."""
     from .simstring import SimstringMatcher
     return SimstringMatcher(concepts or {}, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Full reference pattern bundles (resources/disorder_patterns.json,
+# snapshotted verbatim from pipes/ner/disorders/*/patterns.py and
+# behaviors/{alcohol,tobacco}/patterns.py by
+# scripts/build_disorder_patterns.py).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+
+def load_reference_patterns() -> dict:
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources", "disorder_patterns.json")
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _win(w):
+    """Reference int-window semantics (span_getters.py ContextWindow.
+    validate): w<0 -> (w, 0) tokens before, w>0 -> (0, w) after; pairs
+    pass through; None -> whole sentence (the limit_to_sentence default,
+    models.py:27-43, clamps every window to the anchor's sentence)."""
+    if w is None:
+        return (None, None)
+    if isinstance(w, int):
+        return (w, 0) if w < 0 else (0, w)
+    return (int(w[0]), int(w[1]))
+
+
+class ReferenceDisorderMatcher:
+    """One of the reference's 18 disorder/behavior pipes at FULL pattern
+    breadth: regex anchors per source, exclude anti-joins and assign
+    extractions in token windows clamped to the anchor's sentence
+    (contextual_matcher.py:200-311 + models.py:27-43), then the
+    per-disorder keep/status rules of each ``<name>.py process()``.
+
+    Distributed shape: two regex scans (anchors, cues) -> token-anchor
+    join vs the tokens plane -> windowed cue joins -> grouped exclude
+    count + assigned map -> native status rules.  Documented deviations:
+    the opportunist/stopped negation re-check (aids.py:155,
+    alcohol.py:119) is approximated by assign presence, and diabetes'
+    whole-sentence far-complication sweep (diabetes.py:114-139) is
+    covered only within the ±3/12-token assign windows.
+    """
+
+    def __init__(self, name: str, attr: str = "NORM",
+                 use_patterns_metastasis_ct_scan: bool = False,
+                 use_tnm: bool = False):
+        from .matcher import RegexMatcher
+        self.name = name
+        data = load_reference_patterns()
+        pats = list(data[name])
+        if name == "solid_tumor" and use_patterns_metastasis_ct_scan:
+            pats += data["solid_tumor_metastasis_ct_scan"]
+        self.use_tnm = use_tnm and name == "solid_tumor"
+        anchor_pats: dict[str, list[str]] = {}
+        cue_pats: dict[str, list[str]] = {}
+        self.cue_meta: list[tuple[str, str, str, str | None,
+                                  tuple[int | None, int | None]]] = []
+        ex_pats: dict[str, list[str]] = {}
+        for p in pats:
+            src = p["source"]
+            rx = p["regex"]
+            anchor_pats[src] = [rx] if isinstance(rx, str) else list(rx)
+            ex = p.get("exclude") or []
+            for i, e in enumerate(ex if isinstance(ex, list) else [ex]):
+                lbl = f"{src}~ex~{i}"
+                r = e["regex"]
+                ex_pats[lbl] = [r] if isinstance(r, str) else list(r)
+                self.cue_meta.append(
+                    (lbl, "exclude", src, None, _win(e.get("window"))))
+            asg = p.get("assign") or []
+            for a in (asg if isinstance(asg, list) else [asg]):
+                lbl = f"{src}~as~{a['name']}"
+                r = a["regex"]
+                cue_pats[lbl] = [r] if isinstance(r, str) else list(r)
+                self.cue_meta.append(
+                    (lbl, "assign", src, a["name"], _win(a.get("window"))))
+        self._anchor_m = RegexMatcher(anchor_pats, attr=attr, span_type=name)
+        # assign values are the FIRST CAPTURE GROUP's span when the regex
+        # has one (contextual_matcher.py:288-302 create_span on the match
+        # group) — excludes use the full match
+        self._as_m = (RegexMatcher(cue_pats, attr=attr, span_type="cue",
+                                   span_from_group=True)
+                      if cue_pats else None)
+        self._ex_m = (RegexMatcher(ex_pats, attr=attr, span_type="cue")
+                      if ex_pats else None)
+
+    @staticmethod
+    def _tok_anchor(ents: DataFrame, notes: DataFrame,
+                    expand: bool = True) -> DataFrame:
+        """Char anchors -> token anchors + sentence token bounds.
+
+        ``expand`` re-aligns char spans to full token boundaries and
+        re-slices the matched text — the reference's
+        ``alignment_mode="expand"`` (base.py:55)."""
+        plane = notes.select(
+            "note_id", F.col("note_text").alias("__txt"),
+            F.col("tokens").alias("__toks"),
+            F.col("sentences").alias("__sents"))
+        sc, ec = F.col("start_char"), F.col("end_char")
+        sent = F.element_at(F.filter(
+            "__sents", lambda s: (s["start"] <= sc) & (sc < s["end"])), 1)
+        out = (
+            ents.join(plane, "note_id")
+            .withColumn("tok_start", F.size(F.filter(
+                "__toks", lambda t: t["start"] < sc)).cast("int"))
+            .withColumn("tok_end", F.size(F.filter(
+                "__toks", lambda t: t["start"] < ec)).cast("int"))
+            .withColumn("sent_lo", F.coalesce(sent["tok_start"], F.lit(0)))
+            .withColumn("sent_hi", F.coalesce(
+                sent["tok_end"], F.size("__toks").cast("int")))
+        )
+        if expand:
+            xs = F.coalesce(
+                F.element_at("__toks", F.col("tok_start") + 1)["start"], sc)
+            xe = F.coalesce(
+                F.when(F.col("tok_end") >= 1,
+                       F.element_at("__toks", F.col("tok_end"))["end"]), ec)
+            out = (
+                out.withColumn("start_char", xs)
+                .withColumn("end_char", xe)
+                .withColumn("lexical_variant", F.substring(
+                    "__txt", F.col("start_char") + 1,
+                    F.col("end_char") - F.col("start_char")))
+            )
+        return out.drop("__txt", "__toks", "__sents")
+
+    def entities(self, notes: DataFrame) -> DataFrame:
+        """notes needs (note_id, note_text, tokens, sentences)."""
+        spark = notes.sparkSession
+        anchors = self._tok_anchor(self._anchor_m.entities(notes), notes) \
+            .withColumnRenamed("label", "source")
+        if self._as_m is None and self._ex_m is None:
+            return anchors.select(
+                "note_id", "start_char", "end_char", "source",
+                "lexical_variant",
+                F.lit(self.name).alias("label"), F.lit(1).alias("status"),
+                F.expr("cast(map() as map<string,string>)").alias("assigned"),
+            )
+        meta = spark.createDataFrame(
+            [(lbl, kind, src, asname, w[0], w[1])
+             for (lbl, kind, src, asname, w) in self.cue_meta],
+            "c_label string, kind string, c_source string, as_name string, "
+            "w_before int, w_after int")
+        cue_planes = [m.entities(notes)
+                      for m in (self._as_m, self._ex_m) if m is not None]
+        raw_cues = cue_planes[0]
+        for extra in cue_planes[1:]:
+            raw_cues = raw_cues.unionByName(extra)
+        cues = raw_cues.select(
+            "note_id",
+            F.col("label").alias("c_label"),
+            "start_char", "end_char", "lexical_variant",
+        ).join(F.broadcast(meta), "c_label")
+        c_tok = self._tok_anchor(cues, notes) \
+            .select("note_id", "kind", "c_source", "as_name",
+                    "w_before", "w_after",
+                    F.col("lexical_variant").alias("c_text"),
+                    F.col("tok_start").alias("c_ts"),
+                    F.col("tok_end").alias("c_te"),
+                    F.col("start_char").alias("c_sc"),
+                    F.col("end_char").alias("c_ec"))
+        a = anchors.alias("a")
+        c = c_tok.alias("c")
+        # window clamped to the anchor's sentence (limit_to_sentence)
+        lo = F.greatest(
+            F.coalesce(F.col("a.tok_start") + F.col("c.w_before"),
+                       F.lit(-1 << 30)),
+            F.col("a.sent_lo"))
+        hi = F.least(
+            F.coalesce(F.col("a.tok_end") + F.col("c.w_after"),
+                       F.lit(1 << 30)),
+            F.col("a.sent_hi"))
+        inside_anchor = (F.col("c.c_sc") >= F.col("a.start_char")) & \
+            (F.col("c.c_ec") <= F.col("a.end_char"))
+        j = a.join(
+            c,
+            (F.col("a.note_id") == F.col("c.note_id"))
+            & (F.col("a.source") == F.col("c.c_source"))
+            & (F.col("c.c_ts") >= lo) & (F.col("c.c_te") <= hi),
+            "left",
+        )
+        key = ["a.note_id", "a.source", "a.start_char", "a.end_char",
+               "a.lexical_variant", "a.tok_start", "a.tok_end"]
+        grouped = j.groupBy(*[F.col(k) for k in key]).agg(
+            # exclude matches NOT inside the anchor span kill it
+            # (SingleExcludeModel doc, models.py:46-55)
+            F.sum(F.when((F.col("c.kind") == "exclude")
+                         & ~inside_anchor, 1).otherwise(0))
+            .alias("__n_ex"),
+            F.map_from_entries(F.array_distinct(F.filter(
+                F.collect_list(F.when(
+                    F.col("c.kind") == "assign",
+                    F.struct(F.col("c.as_name"), F.col("c.c_text")))),
+                lambda s: s.isNotNull(),
+            ))).alias("assigned"),
+        )
+        out = grouped.filter(F.col("__n_ex") == 0).drop("__n_ex")
+        result = self._apply_rules(out).withColumn(
+            "label", F.lit(self.name))
+        if self.use_tnm:
+            result = result.unionByName(
+                self._tnm_entities(notes), allowMissingColumns=True)
+        return result
+
+    def _tnm_entities(self, notes: DataFrame) -> DataFrame:
+        """solid_tumor use_tnm (solid_tumor.py:122-137): TNM mentions as
+        additional solid_tumor spans, metastatic when M=1."""
+        from .matcher import RegexMatcher
+        rx = (r"(?i:\b(?:([cpyraum]) ?)?T ?([0-4x]|is)(?: ?N ?([0-3x]))?"
+              r"(?: ?M ?([01x]))?)")
+        t = RegexMatcher({"tnm": [rx]}, attr="TEXT").entities(notes)
+        m1 = F.regexp_extract(
+            F.lower("lexical_variant"), r"m ?(1)", 1) == "1"
+        return t.select(
+            "note_id", "start_char", "end_char",
+            F.lit("tnm").alias("source"), "lexical_variant",
+            F.when(m1, 2).otherwise(1).alias("status"),
+            F.expr("cast(map() as map<string,string>)").alias("assigned"),
+            F.lit(self.name).alias("label"),
+        )
+
+    def _apply_rules(self, df: DataFrame) -> DataFrame:
+        """Per-disorder keep/status rules, ported from each
+        ``<name>.py process()`` (file:line cited per rule)."""
+        src = F.col("source")
+        has = lambda k: F.map_contains_key(F.col("assigned"), k)  # noqa: E731
+        n_assigned = F.size(F.map_keys(F.col("assigned")))
+        name = self.name
+        keep = F.lit(True)
+        status = F.lit(1)
+        if name == "aids":              # aids.py:141-157
+            keep = ~((src == "hiv") & ~(has("opportunist") | has("stage")))
+        elif name == "cerebrovascular_accident":  # cva.py:105-114
+            keep = ~((src == "with_localization") & ~has("brain_localized")) \
+                & ~((src == "ischemia") & ~has("brain"))
+        elif name == "ckd":             # ckd.py:117-139
+            dfg_ok = F.regexp_replace(
+                F.element_at(F.col("assigned"), "dfg"), ",", ".") \
+                .try_cast("double") < 60
+            keep = ~((src == "dialysis") & ~has("chronic")) \
+                & ~((src == "general")
+                    & ~(has("stage") | has("status")
+                        | F.coalesce(dfg_ok, F.lit(False))))
+        elif name == "connective_tissue_disease":  # ctd.py:101-107
+            v = F.col("lexical_variant")
+            keep = ~((src == "lupus") & (v == F.upper(v)))
+        elif name == "copd":            # copd.py:104-109
+            keep = ~((src == "oxygen") & (n_assigned == 0))
+        elif name == "diabetes":        # diabetes.py:120-137
+            complicated = (src == "complicated") | F.exists(
+                F.map_keys(F.col("assigned")),
+                lambda k: k.startswith("complicated"))
+            keep = ~((F.col("lexical_variant") == "db") & (n_assigned == 0))
+            status = F.when(complicated, 2).otherwise(1)
+        elif name == "liver_disease":   # liver_disease.py:106-111
+            status = F.when(src.isin("moderate_severe", "transplant"), 2) \
+                .otherwise(1)
+        elif name == "myocardial_infarction":  # mi.py:106-112
+            keep = ~((src == "with_localization") & ~has("heart_localized"))
+        elif name == "peptic_ulcer_disease":   # pud.py:101-106
+            keep = ~((src == "generic") & (n_assigned == 0))
+        elif name == "peripheral_vascular_disease":  # pvd.py:105-111
+            keep = ~((src == "ischemia") & ~has("peripheral"))
+        elif name == "solid_tumor":     # solid_tumor.py:139-155
+            stage4 = F.regexp_extract(
+                F.element_at(F.col("assigned"), "stage"), r"(\d+)", 1) \
+                .try_cast("int") == 4
+            status = F.when(
+                src.isin("metastasis", "metastasis_ct_scan")
+                | has("metastasis")
+                | F.coalesce(stage4, F.lit(False)), 2).otherwise(1)
+        elif name in ("alcohol", "tobacco"):
+            # behaviors/*/: 'stopped' -> ABSTINENCE (status 2);
+            # 'zero_after'/'secondhand'/PA==0 -> negated mention
+            status = F.when(has("stopped"), 2).otherwise(1)
+            pa0 = F.regexp_extract(
+                F.element_at(F.col("assigned"), "PA"), r"(\d+)", 1) \
+                .try_cast("int") == 0
+            neg = has("zero_after") | (
+                F.lit(name == "tobacco")
+                & (has("secondhand")
+                   | (has("PA") & ~has("stopped")
+                      & F.coalesce(pa0, F.lit(False)))))
+            return df.filter(keep).select(
+                "note_id", "start_char", "end_char", "source",
+                "lexical_variant", status.alias("status"),
+                neg.alias("negated"), "assigned")
+        return df.filter(keep).select(
+            "note_id", "start_char", "end_char", "source",
+            "lexical_variant", status.alias("status"), "assigned")
+
+
+DETAILED_STATUS_MAPPINGS = {
+    # base.py:52 default {1: None}; overrides per pipe
+    "diabetes": {1: "WITHOUT_COMPLICATION", 2: "WITH_COMPLICATION"},
+    "liver_disease": {1: "MILD", 2: "MODERATE_TO_SEVERE"},
+    "solid_tumor": {1: "LOCALIZED", 2: "METASTASIS"},
+    "alcohol": {1: None, 2: "ABSTINENCE"},
+    "tobacco": {1: None, 2: "ABSTINENCE"},
+}
+
+
+def detailed_status(name: str, status: Column) -> Column:
+    mapping = DETAILED_STATUS_MAPPINGS.get(name, {1: None})
+    out = F.lit(None).cast("string")
+    for k, v in mapping.items():
+        if v is not None:
+            out = F.when(status == k, F.lit(v)).otherwise(out)
+    return out

@@ -38,4 +38,9 @@ def all_queries() -> dict:
         out.update(lexicon.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import disorders_q
+        out.update(disorders_q.QUERIES)
+    except ImportError:
+        pass
     return out

@@ -90,11 +90,30 @@ def load_patterns(subpath: str):
     return mod.default_patterns
 
 
+# Three reference patterns use variable-width lookbehind / duplicate
+# group names that Python `re` rejects (the reference matches with its
+# own engine).  Mechanical, semantics-preserving rewrites:
+# bounded lookbehind -> conjunction of fixed-width lookbehinds;
+# duplicate named group -> renamed second occurrence.
+_REGEX_FIXES = {
+    r"(?<!pre.?)(gref?fe|transplant).{1,12}(hepatique|foie)":
+        r"(?<!pre)(?<!pre.)(gref?fe|transplant).{1,12}(hepatique|foie)",
+    r"(?<!(25.{0,10}))\boh\b":
+        "".join(r"(?<!25" + "." * i + ")" for i in range(11)) + r"\boh\b",
+    (r"(?P<quantity>[\d]{1,3})[^\.,-;\(\)]{0,10}(?:\bp/?a\b|paquets?.?annee)"
+     r"|(?:\bp/?a\b|paquets?.?annee)[^\.,-;\(\)]{0,10}(?P<quantity>[\d]{1,3})"):
+        (r"(?P<quantity>[\d]{1,3})[^\.,-;\(\)]{0,10}(?:\bp/?a\b|paquets?.?annee)"
+         r"|(?:\bp/?a\b|paquets?.?annee)[^\.,-;\(\)]{0,10}(?P<quantity2>[\d]{1,3})"),
+}
+
+
 def jsonable(x):
     if isinstance(x, dict):
         return {k: jsonable(v) for k, v in x.items()}
     if isinstance(x, (list, tuple)):
         return [jsonable(v) for v in x]
+    if isinstance(x, str):
+        return _REGEX_FIXES.get(x, x)
     return x
 
 
@@ -107,6 +126,11 @@ def main():
         n_rx = sum(len(p.get("regex", []) if isinstance(p.get("regex"), list)
                        else [p.get("regex")]) for p in pats)
         print(f"{name}: {n_src} sources, {n_rx} anchor regexes")
+    # optional pattern bundle toggled by use_patterns_metastasis_ct_scan
+    # (solid_tumor.py:101-106)
+    modname = "edsnlp.pipes.ner.disorders.solid_tumor.patterns"
+    out["solid_tumor_metastasis_ct_scan"] = [
+        jsonable(sys.modules[modname].metastasis_ct_scan)]
     with open(OUT, "w") as f:
         json.dump(out, f, ensure_ascii=False, indent=1)
     print("wrote", OUT)

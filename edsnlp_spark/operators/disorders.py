@@ -154,6 +154,18 @@ def _win(w):
     return (int(w[0]), int(w[1]))
 
 
+def _name_eq_factory(e):
+    """Closure factory (CLAUDE.md HOF-lambda gotcha): binds the outer
+    struct so the inner single-arg lambda stays single-arg."""
+    return lambda x: x["as_name"] == e["as_name"]
+
+
+def _key_missing_factory():
+    """map_filter predicate: keep entries whose key is NOT already in
+    the grouped ``assigned`` map (closure factory per HOF gotcha)."""
+    return lambda k, v: ~F.map_contains_key(F.col("assigned"), k)
+
+
 class ReferenceDisorderMatcher:
     """One of the reference's 18 disorder/behavior pipes at FULL pattern
     breadth: regex anchors per source, exclude anti-joins and assign
@@ -182,13 +194,21 @@ class ReferenceDisorderMatcher:
         self.use_tnm = use_tnm and name == "solid_tumor"
         anchor_pats: dict[str, list[str]] = {}
         cue_pats: dict[str, list[str]] = {}
+        self.snippet_assigns: list[tuple[str, str, str, tuple]] = []
         self.cue_meta: list[tuple[str, str, str, str | None,
                                   tuple[int | None, int | None]]] = []
         ex_pats: dict[str, list[str]] = {}
+        anchor_pats_text: dict[str, list[str]] = {}
         for p in pats:
             src = p["source"]
             rx = p["regex"]
-            anchor_pats[src] = [rx] if isinstance(rx, str) else list(rx)
+            rxl = [rx] if isinstance(rx, str) else list(rx)
+            # per-source regex_attr: acronym sources match case-sensitive
+            # TEXT (e.g. \bLAGC\b); default/None -> NORM (base.py attr)
+            if p.get("regex_attr") == "TEXT":
+                anchor_pats_text[src] = rxl
+            else:
+                anchor_pats[src] = rxl
             ex = p.get("exclude") or []
             for i, e in enumerate(ex if isinstance(ex, list) else [ex]):
                 lbl = f"{src}~ex~{i}"
@@ -198,12 +218,26 @@ class ReferenceDisorderMatcher:
                     (lbl, "exclude", src, None, _win(e.get("window"))))
             asg = p.get("assign") or []
             for a in (asg if isinstance(asg, list) else [asg]):
-                lbl = f"{src}~as~{a['name']}"
                 r = a["regex"]
-                cue_pats[lbl] = [r] if isinstance(r, str) else list(r)
+                rl = [r] if isinstance(r, str) else list(r)
+                if any("^" in x.replace("[^", "").replace("\\^", "")
+                       for x in rl):
+                    # snippet-relative pattern (zero_after's `^` means
+                    # the WINDOW start, i.e. the anchor): evaluated
+                    # inline on the anchor row, not via the cue scan
+                    self.snippet_assigns.append(
+                        (src, a["name"], rl[0], _win(a.get("window"))))
+                    continue
+                lbl = f"{src}~as~{a['name']}"
+                cue_pats[lbl] = rl
                 self.cue_meta.append(
                     (lbl, "assign", src, a["name"], _win(a.get("window"))))
-        self._anchor_m = RegexMatcher(anchor_pats, attr=attr, span_type=name)
+        self._anchor_m = (RegexMatcher(anchor_pats, attr=attr,
+                                       span_type=name)
+                          if anchor_pats else None)
+        self._anchor_m_text = (RegexMatcher(anchor_pats_text, attr="TEXT",
+                                            span_type=name)
+                               if anchor_pats_text else None)
         # assign values are the FIRST CAPTURE GROUP's span when the regex
         # has one (contextual_matcher.py:288-302 create_span on the match
         # group) — excludes use the full match
@@ -240,10 +274,12 @@ class ReferenceDisorderMatcher:
         )
         if expand:
             xs = F.coalesce(
-                F.element_at("__toks", F.col("tok_start") + 1)["start"], sc)
+                F.try_element_at("__toks", F.col("tok_start") + 1)["start"],
+                sc)
             xe = F.coalesce(
                 F.when(F.col("tok_end") >= 1,
-                       F.element_at("__toks", F.col("tok_end"))["end"]), ec)
+                       F.try_element_at("__toks", F.col("tok_end"))["end"]),
+                ec)
             out = (
                 out.withColumn("start_char", xs)
                 .withColumn("end_char", xe)
@@ -256,7 +292,12 @@ class ReferenceDisorderMatcher:
     def entities(self, notes: DataFrame) -> DataFrame:
         """notes needs (note_id, note_text, tokens, sentences)."""
         spark = notes.sparkSession
-        anchors = self._tok_anchor(self._anchor_m.entities(notes), notes) \
+        planes = [m.entities(notes) for m in
+                  (self._anchor_m, self._anchor_m_text) if m is not None]
+        raw_anchors = planes[0]
+        for extra in planes[1:]:
+            raw_anchors = raw_anchors.unionByName(extra)
+        anchors = self._tok_anchor(raw_anchors, notes) \
             .withColumnRenamed("label", "source")
         if self._as_m is None and self._ex_m is None:
             return anchors.select(
@@ -316,14 +357,28 @@ class ReferenceDisorderMatcher:
             F.sum(F.when((F.col("c.kind") == "exclude")
                          & ~inside_anchor, 1).otherwise(0))
             .alias("__n_ex"),
-            F.map_from_entries(F.array_distinct(F.filter(
-                F.collect_list(F.when(
-                    F.col("c.kind") == "assign",
-                    F.struct(F.col("c.as_name"), F.col("c.c_text")))),
-                lambda s: s.isNotNull(),
-            ))).alias("assigned"),
+            # first-by-position value per assign name (reference keeps a
+            # list per name; status rules need key presence + a value, so
+            # dedupe by name keeping the earliest match)
+            F.map_from_entries(F.aggregate(
+                F.array_sort(F.filter(
+                    F.collect_list(F.when(
+                        F.col("c.kind") == "assign",
+                        F.struct(F.col("c.as_name"), F.col("c.c_sc"),
+                                 F.col("c.c_text")))),
+                    lambda s: s.isNotNull(),
+                )),
+                F.expr("cast(array() as array<struct<"
+                       "as_name:string,c_text:string>>)"),
+                lambda acc, e: F.when(
+                    F.exists(acc, _name_eq_factory(e)), acc
+                ).otherwise(F.array_append(acc, F.struct(
+                    e["as_name"].alias("as_name"),
+                    e["c_text"].alias("c_text")))),
+            )).alias("assigned"),
         )
         out = grouped.filter(F.col("__n_ex") == 0).drop("__n_ex")
+        out = self._add_snippet_assigns(out, notes)
         result = self._apply_rules(out).withColumn(
             "label", F.lit(self.name))
         if self.use_tnm:
@@ -347,6 +402,48 @@ class ReferenceDisorderMatcher:
             F.expr("cast(map() as map<string,string>)").alias("assigned"),
             F.lit(self.name).alias("label"),
         )
+
+    def _add_snippet_assigns(self, out: DataFrame,
+                             notes: DataFrame) -> DataFrame:
+        """Evaluate snippet-relative assign patterns (regexes whose `^`
+        means the window start = the anchor, e.g. the behaviors'
+        zero_after) inline: the snippet text is rebuilt from the tokens
+        plane per anchor, the pattern's group 1 is the assigned value."""
+        if not self.snippet_assigns:
+            return out
+        from ..functions.text import norm_text
+        plane = notes.select(
+            "note_id", norm_text(F.col("note_text")).alias("__ntext"),
+            F.col("tokens").alias("__toks"))
+        j = out.join(plane, "note_id")
+        entries = []
+        for (src, as_name, rx, (before, after)) in self.snippet_assigns:
+            # window start at the anchor (before<=0 shifts don't move the
+            # snippet origin in the reference either: snippet text starts
+            # at min(anchor, window) and zero_after uses (0, N))
+            end_tok = F.least(
+                F.col("tok_end") + F.lit(after if after is not None else 0),
+                F.size("__toks"))
+            snip_end = F.coalesce(
+                F.when(end_tok >= 1,
+                       F.try_element_at("__toks", end_tok)["end"]),
+                F.col("end_char"))
+            snippet = F.substring(
+                "__ntext", F.col("start_char") + 1,
+                F.greatest(snip_end - F.col("start_char"), F.lit(0)))
+            val = F.regexp_extract(snippet, rx, 1)
+            entries.append(F.when(
+                (F.col("source") == src) & (val != ""),
+                F.create_map(F.lit(as_name), val)))
+        merged = F.col("assigned")
+        for e in entries:
+            merged = F.map_concat(
+                merged,
+                F.coalesce(
+                    # don't duplicate a key the cue join already set
+                    F.map_filter(e, _key_missing_factory()),
+                    F.expr("cast(map() as map<string,string>)")))
+        return j.withColumn("assigned", merged).drop("__ntext", "__toks")
 
     def _apply_rules(self, df: DataFrame) -> DataFrame:
         """Per-disorder keep/status rules, ported from each

@@ -147,3 +147,210 @@ def test_tobacco_reference_golden(spark):
         if v is None:
             continue
         assert got_neg[i] == v, (i, got_neg[i], v)
+
+
+# ---- remaining 13 reference golden sets, generic runner ----------------
+# (tests/pipelines/ner/disorders/*.py; the reference gate is
+# `len(ents) >= has_match` + detailed_status of the first span +
+# negation flags where the pipe itself sets them)
+
+REFERENCE_GOLDENS = {'aids': {'assign': None,
+          'detailled_status': [None, None, None, None],
+          'has_match': [True, False, True, True],
+          'texts': ['Patient atteint du VIH au stade SIDA.',
+                    'Patient atteint du VIH.',
+                    'Il y a un VIH avec coinfection pneumocystose',
+                    "Présence d'un VIH stade C"]},
+ 'alcohol': {'assign': None,
+             'detailled_status': [None,
+                                  None,
+                                  None,
+                                  None,
+                                  'ABSTINENCE',
+                                  None,
+                                  None,
+                                  'ABSTINENCE',
+                                  None],
+             'has_match': [True,
+                           True,
+                           False,
+                           False,
+                           True,
+                           True,
+                           True,
+                           True,
+                           True],
+             'negation': [None,
+                          None,
+                          None,
+                          None,
+                          None,
+                          None,
+                          True,
+                          None,
+                          True],
+             'texts': ['Patient alcoolique.',
+                       'OH chronique.',
+                       "Prise d'alcool occasionnelle",
+                       "Application d'un pansement alcoolisé",
+                       'Alcoolisme sevré',
+                       'Alcoolisme non sevré',
+                       'Alcool: 0',
+                       'Le patient est en cours de sevrage éthylotabagique',
+                       'Patient alcoolique: non.']},
+ 'cerebrovascular_accident': {'assign': None,
+                              'detailled_status': None,
+                              'has_match': [False,
+                                            True,
+                                            True,
+                                            False,
+                                            True,
+                                            True,
+                                            True],
+                              'texts': ['Patient hospitalisé à AVC.',
+                                        'Hospitalisation pour un AVC.',
+                                        'Saignement intracranien',
+                                        'Thrombose périphérique',
+                                        'Thrombose sylvienne',
+                                        'Infarctus cérébral',
+                                        'Soigné via un thrombolyse']},
+ 'congestive_heart_failure': {'assign': None,
+                              'detailled_status': None,
+                              'has_match': [True, True, False, True, False],
+                              'texts': ["Présence d'un oedème pulmonaire",
+                                        "Le patient est équipé d'un "
+                                        'pace-maker',
+                                        'Un cardiopathie non décompensée',
+                                        'Insuffisance cardiaque',
+                                        'Insuffisance cardiaque minime']},
+ 'connective_tissue_disease': {'assign': None,
+                               'detailled_status': None,
+                               'has_match': [True, True, False, True, True],
+                               'texts': ["Présence d'une sclérodermie.",
+                                         "Patient atteint d'un lupus.",
+                                         "Présence d'anticoagulants "
+                                         'lupiques,',
+                                         'Il y a une MICI.',
+                                         'Syndrome de Raynaud']},
+ 'dementia': {'assign': None,
+              'detailled_status': None,
+              'has_match': [True, True, False, True],
+              'texts': ["D'importants déficits cognitifs",
+                        'Patient atteint de démence',
+                        'On retrouve des anti-SLA',
+                        'Une maladie de Charcot']},
+ 'hemiplegia': {'assign': None,
+                'detailled_status': None,
+                'has_match': [True, True, True],
+                'texts': ['Patient hémiplégique',
+                          'Paralysie des membres inférieurs',
+                          'Patient en LIS']},
+ 'leukemia': {'assign': None,
+              'detailled_status': None,
+              'has_match': [True, False, True, True],
+              'texts': ['Sydrome myéloprolifératif',
+                        'Sydrome myéloprolifératif bénin',
+                        "Patient atteint d'une LAM",
+                        'Une maladie de Vaquez']},
+ 'liver_disease': {'assign': None,
+                   'detailled_status': ['MILD',
+                                        'MILD',
+                                        'MODERATE_TO_SEVERE',
+                                        'MODERATE_TO_SEVERE'],
+                   'has_match': [True, True, True, True],
+                   'texts': ['Il y a une fibrose hépatique',
+                             'Une hépatite B chronique',
+                             'Le patient consulte pour une cirrhose',
+                             'Greffe hépatique.']},
+ 'lymphoma': {'assign': None,
+              'detailled_status': None,
+              'has_match': [True, True, True, False],
+              'texts': ['Un lymphome de Hodgkin.',
+                        "Atteint d'un Waldenstörm",
+                        'Un LAGC',
+                        'anti LAGC: 10^4/mL']},
+ 'myocardial_infarction': {'assign': None,
+                           'detailled_status': None,
+                           'has_match': [True, False, True, False, True],
+                           'texts': ['Une cardiopathie ischémique',
+                                     'Une cardiopathie non-ischémique',
+                                     "Présence d'un stent sur la marginale",
+                                     "Présence d'un stent périphérique",
+                                     'infarctus du myocarde']},
+ 'peptic_ulcer_disease': {'assign': None,
+                          'detailled_status': None,
+                          'has_match': [True, True, False, True],
+                          'texts': ["Beaucoup d'ulcères gastriques",
+                                    "Présence d'UGD",
+                                    'La patient à des ulcères',
+                                    'Au niveau gastrique: blabla blabla '
+                                    'blabla blabla blabla quelques '
+                                    'ulcères']},
+ 'peripheral_vascular_disease': {'assign': None,
+                                 'detailled_status': None,
+                                 'has_match': [True,
+                                               True,
+                                               False,
+                                               True,
+                                               False,
+                                               False,
+                                               True,
+                                               False,
+                                               True,
+                                               True,
+                                               False,
+                                               True,
+                                               False],
+                                 'texts': ['Un AOMI',
+                                           "Présence d'un infarctus rénal",
+                                           'Une angiopathie cérébrale',
+                                           'Une angiopathie',
+                                           'Une thrombose cérébrale',
+                                           'Une thrombose des veines '
+                                           'superficielles',
+                                           'Une thrombose',
+                                           'Effectuer un bilan '
+                                           'pre-trombose',
+                                           'Une ischémie des MI est '
+                                           'remarquée.',
+                                           "Plusieurs cas d'EP",
+                                           "Effectuer des cures d'EP",
+                                           'Le patient est hypertendu',
+                                           'Une hypertension portale']}}
+
+
+import pytest
+
+
+@pytest.mark.parametrize("disorder", sorted(REFERENCE_GOLDENS))
+def test_reference_disorder_goldens(spark, disorder):
+    g = REFERENCE_GOLDENS[disorder]
+    texts = g["texts"]
+    notes = prep(spark, texts)
+    m = ReferenceDisorderMatcher(disorder)
+    cols = [F.max("status").alias("mx")]
+    has_neg = disorder in ("alcohol", "tobacco")
+    if has_neg:
+        cols.append(F.max(F.col("negated").cast("int")).alias("neg"))
+    rows = m.entities(notes).groupBy("note_id").agg(*cols).collect()
+    st = {r["note_id"]: r for r in rows}
+    det = g["detailled_status"]
+    det = det if isinstance(det, list) else [det] * len(texts)
+    for i, must in enumerate(g["has_match"]):
+        if must:
+            assert i in st, f"{disorder} text {i} should match"
+            exp = det[i]
+            if exp is not None:
+                got = detailed_status(
+                    disorder,
+                    F.lit(st[i]["mx"]))  # mapping is static; resolve below
+                mapping = {1: None, 2: None}
+                from edsnlp_spark.operators.disorders import (
+                    DETAILED_STATUS_MAPPINGS)
+                mapping = DETAILED_STATUS_MAPPINGS.get(disorder, {1: None})
+                assert mapping.get(st[i]["mx"]) == exp, \
+                    f"{disorder} text {i}: status {st[i]['mx']} != {exp}"
+    if has_neg and g.get("negation"):
+        for i, v in enumerate(g["negation"]):
+            if v is not None and i in st:
+                assert bool(st[i]["neg"]) == v, f"{disorder} neg text {i}"

@@ -63,3 +63,23 @@ def test_wholestage_codegen_present(spark, sf_dir):
     s = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
     assert "*(1)" in s and "*(2)" in s, s[:400]
+
+
+def test_r2_queries_plan_shapes(spark, sf_dir):
+    """Round-2 operators keep the scale posture: equi-joins (broadcast
+    at this SF) for candidate generation, no cartesian products, and
+    the stop-shingle capped Jaccard never goes all-pairs."""
+    for name in ("embedding_neardup", "ngram_jaccard_capped",
+                 "drugs_lexicon_match", "quantity_operators"):
+        s = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in s, f"{name} went all-pairs"
+        assert "BroadcastNestedLoopJoin" not in s, f"{name} nested-loop"
+    # near-dup candidates come from a bucket equi-join
+    s = plan_of(spark, sf_dir, "embedding_neardup")
+    assert "BroadcastHashJoin" in s or "SortMergeJoin" in s
+
+
+def test_quantity_operators_native(spark, sf_dir):
+    s = plan_of(spark, sf_dir, "quantity_operators")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s \
+        and "MapInPandas" not in s

@@ -150,6 +150,14 @@ class ContextualMatcher(Transformer):
 
 @registry.register("eds.contextual_matcher")
 def _make_contextual(**kw):
+    # regex schema (the reference's native config: a list of source
+    # dicts) routes to the full regex contextual engine; the term-based
+    # ContextRule schema keeps the phrase path.
+    if "patterns" in kw:
+        from .disorders import ReferenceDisorderMatcher
+        label = kw.pop("label", "contextual")
+        return ReferenceDisorderMatcher(label, patterns=kw.pop("patterns"),
+                                        **kw)
     assigns = [AssignRule(**a) if isinstance(a, dict) else a
                for a in kw.pop("assigns", [])]
     rule = ContextRule(assigns=assigns, **kw)

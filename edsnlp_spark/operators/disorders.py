@@ -184,13 +184,22 @@ class ReferenceDisorderMatcher:
 
     def __init__(self, name: str, attr: str = "NORM",
                  use_patterns_metastasis_ct_scan: bool = False,
-                 use_tnm: bool = False):
+                 use_tnm: bool = False,
+                 patterns: list[dict] | None = None):
+        """``patterns`` overrides the named bundle with user-supplied
+        source-dicts in the reference's ContextualMatcher schema
+        ({source, regex, exclude: {regex, window}, assign: [{name,
+        regex, window}], regex_attr}) — this is the general regex
+        contextual-matcher surface; the 18 disorder names are presets."""
         from .matcher import RegexMatcher
         self.name = name
-        data = load_reference_patterns()
-        pats = list(data[name])
-        if name == "solid_tumor" and use_patterns_metastasis_ct_scan:
-            pats += data["solid_tumor_metastasis_ct_scan"]
+        if patterns is not None:
+            pats = list(patterns)
+        else:
+            data = load_reference_patterns()
+            pats = list(data[name])
+            if name == "solid_tumor" and use_patterns_metastasis_ct_scan:
+                pats += data["solid_tumor_metastasis_ct_scan"]
         self.use_tnm = use_tnm and name == "solid_tumor"
         anchor_pats: dict[str, list[str]] = {}
         cue_pats: dict[str, list[str]] = {}

@@ -354,3 +354,26 @@ def test_reference_disorder_goldens(spark, disorder):
         for i, v in enumerate(g["negation"]):
             if v is not None and i in st:
                 assert bool(st[i]["neg"]) == v, f"{disorder} neg text {i}"
+
+
+def test_contextual_matcher_regex_schema(spark):
+    """eds.contextual_matcher accepts the reference's native regex
+    source-dict schema (contextual_matcher.py:20-460) via the registry
+    and runs the full windowed exclude/assign engine."""
+    from edsnlp_spark import registry
+    m = registry.create("eds.contextual_matcher", label="cancer", patterns=[
+        dict(source="solide",
+             regex=[r"cancer", r"tumeur"],
+             exclude=dict(regex=["benin", "benigne"], window=[-3, 5]),
+             assign=[dict(name="stage", regex=r"stade (\d)", window=7)],
+             regex_attr="NORM"),
+    ])
+    notes = prep(spark, [
+        "Cancer du poumon au stade 3",
+        "Tumeur bénigne du sein",
+        "On observe une tumeur.",
+    ])
+    rows = {r["note_id"]: r for r in m.entities(notes).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["assigned"]["stage"] == "3"
+    assert rows[2]["assigned"] == {}

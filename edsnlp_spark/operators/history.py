@@ -29,8 +29,14 @@ class HistoryQualifier:
     def __init__(self, history_limit_days: int = 365,
                  cues: dict | None = None,
                  section_names: tuple[str, ...] = ("antecedents",),
-                 sections: SectionSegmenter | None = None):
+                 sections: SectionSegmenter | None = None,
+                 exclude_birthdate: bool = True):
+        """``exclude_birthdate`` drops date mentions equal to the
+        note's ``birth_datetime`` from the recency evidence (the
+        patient's birth date is biographical, not an antecedent marker
+        — history.py:224,271,359)."""
         self.limit = history_limit_days
+        self.exclude_birthdate = exclude_birthdate
         self.engine = QualifierEngine("history_cue", cues or HISTORY_CUES)
         self.section_names = section_names
         self.sections = sections or SectionSegmenter()
@@ -76,6 +82,15 @@ class HistoryQualifier:
 
         # (c) recency: nearest preceding date older than the limit
         dates = self.date_table(notes)
+        if self.exclude_birthdate and "birth_datetime" in notes.columns:
+            bd = notes.select(F.col("note_id").alias("b_note"),
+                              F.col("birth_datetime").cast("date")
+                              .alias("__bd"))
+            dates = dates.join(
+                bd, dates["d_note"] == bd["b_note"], "left",
+            ).filter(
+                F.col("__bd").isNull() | (F.col("d_date") != F.col("__bd"))
+            ).drop("b_note", "__bd")
         has_dt = "note_datetime" in notes.columns
         if has_dt:
             base = in_sec.join(

@@ -569,3 +569,36 @@ def test_split_regex_and_filter(spark):
                      filter_expr="frag_text LIKE '%Another%'") \
         .transform(df).collect()
     assert len(kept) == 1 and kept[0]["frag_text"].startswith("Another")
+
+
+def test_history_excludes_birthdate(spark):
+    """history.py:224/271/359: a date equal to birth_datetime is not
+    recency evidence; any other old date still is."""
+    import datetime
+    from edsnlp_spark.operators.history import HistoryQualifier
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.core.base import Pipeline
+    rows = [
+        (1, "nee le 23/11/1978, vue pour asthme persistant",
+         datetime.datetime(2024, 5, 1), datetime.datetime(1978, 11, 23)),
+        (2, "hospitalise le 10/01/2010 pour asthme aigu",
+         datetime.datetime(2024, 5, 1), datetime.datetime(1978, 11, 23)),
+    ]
+    notes = Pipeline([Tokenizer(), SentenceSegmenter()])(
+        spark.createDataFrame(
+            rows, "note_id long, note_text string, "
+                  "note_datetime timestamp, birth_datetime timestamp")
+    ).persist()
+    from edsnlp_spark.operators.matcher import PhraseMatcher
+    ents = PhraseMatcher({"resp": ["asthme"]}, attr="NORM").entities(notes)
+    hq = HistoryQualifier()
+    out = {r["note_id"]: r["history"]
+           for r in hq.qualify(notes, ents).collect()}
+    assert out[1] is False   # only the birth date precedes -> excluded
+    assert out[2] is True    # a real old date -> history
+    # with exclusion off, the birth date counts as an old date again
+    hq2 = HistoryQualifier(exclude_birthdate=False)
+    out2 = {r["note_id"]: r["history"]
+            for r in hq2.qualify(notes, ents).collect()}
+    assert out2[1] is True

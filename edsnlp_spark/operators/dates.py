@@ -201,19 +201,54 @@ def parse_partial_date(text: Column, note_dt: Column) -> Column:
     return F.coalesce(by_month_year, by_month, by_year, by_day)
 
 
-def date_mentions(notes: DataFrame) -> DataFrame:
+# Time suffix after a date mention: "à 11h34", "a 11 h", "11h"
+# (reference atomic/time.py; norm '<date> HHhMMm' per models.py:199-206)
+TIME_SUFFIX_RX = r"^\s*(?:a\s+)?(\d{1,2})\s*h\s*(\d{1,2})?(?![\d])"
+
+
+def date_mentions(notes: DataFrame,
+                  detect_time: bool = False) -> DataFrame:
     """ALL date mentions with char anchors + parsed values — the dates
     TABLE other pipes consume (eds.history recency, consultation_dates).
-    Native regex scan; one row per mention."""
+    Native regex scan; one row per mention.
+
+    ``detect_time`` (dates.py detect_time flag) also reads an immediate
+    "à HHhMM" suffix and emits ``norm`` as 'YYYY-MM-DD HHhMMm' like the
+    reference's AbsoluteDate.norm() (models.py:199-206)."""
     from .matcher import RegexMatcher
     d = RegexMatcher(
         {"date": ABSOLUTE_DATE_RXS},
         attr="NORM", span_type="date", native=True,
     ).entities(notes)
+    if detect_time:
+        txt = notes.select("note_id",
+                           norm_text(F.col("note_text")).alias("__nt"))
+        d = d.join(txt, "note_id")
+        after = F.substring(
+            "__nt", F.col("end_char") + 1, F.lit(12))
+        hh = F.regexp_extract(after, TIME_SUFFIX_RX, 1)
+        mm = F.regexp_extract(after, TIME_SUFFIX_RX, 2)
+        d = d.withColumn(
+            "time_norm",
+            F.when(hh != "", F.concat(
+                F.lpad(hh, 2, "0"), F.lit("h"),
+                F.when(mm != "", F.lpad(mm, 2, "0")).otherwise("00"),
+                F.lit("m"))),
+        ).drop("__nt")
     parsed = F.coalesce(
         parse_verbose_date(F.col("lexical_variant")),
         parse_numeric_date(F.col("lexical_variant")),
     )
+    if detect_time:
+        norm = F.when(
+            parsed.isNotNull() & F.col("time_norm").isNotNull(),
+            F.concat(F.date_format(parsed, "yyyy-MM-dd"), F.lit(" "),
+                     F.col("time_norm")),
+        ).otherwise(F.date_format(parsed, "yyyy-MM-dd"))
+        return d.select(
+            "note_id", "start_char", "end_char", "lexical_variant",
+            parsed.alias("parsed_date"), norm.alias("norm"),
+        )
     return d.select(
         "note_id", "start_char", "end_char", "lexical_variant",
         parsed.alias("parsed_date"),

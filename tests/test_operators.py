@@ -602,3 +602,20 @@ def test_history_excludes_birthdate(spark):
     out2 = {r["note_id"]: r["history"]
             for r in hq2.qualify(notes, ents).collect()}
     assert out2[1] is True
+
+
+def test_dates_detect_time(spark):
+    """Reference test_time (tests/pipelines/misc/test_dates.py:175-201):
+    with detect_time, '11/01/2012 à 11h34' norms to
+    '2012-01-11 11h34m'; without, the bare date."""
+    from edsnlp_spark.operators.dates import date_mentions
+    notes = spark.createDataFrame(
+        [(1, "vu le 11/01/2012 a 11h34 pour radio."),
+         (2, "vu le 11/01/2012 pour radio.")],
+        "note_id long, note_text string")
+    with_t = {r["note_id"]: r["norm"]
+              for r in date_mentions(notes, detect_time=True).collect()}
+    assert with_t == {1: "2012-01-11 11h34m", 2: "2012-01-11"}
+    without = date_mentions(notes).collect()
+    assert "norm" not in without[0].asDict()
+    assert str(without[0]["parsed_date"]) == "2012-01-11"

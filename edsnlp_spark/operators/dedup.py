@@ -229,3 +229,71 @@ def simhash64(text: Column) -> Column:
         F.when(vote(b) > 0, F.lit("1")).otherwise(F.lit("0"))
         for b in range(64)
     ])
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup PAIRS -> (id, component), the
+    resolution step of a dedup pipeline (which duplicates belong
+    together).  Component id = min member id.
+
+    Pregel-lite min-label propagation: each iteration joins labels
+    across edges and takes the elementwise min; converges in
+    O(diameter) <= O(log n) iterations for near-dup clusters (which are
+    short chains/cliques in practice).  Each iteration is one shuffle
+    keyed by node id; the driver loop only checks the converged flag —
+    no data ever leaves the cluster.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        .distinct().persist()
+    )
+    labels = (
+        edges.select("src").distinct()
+        .select("src", F.col("src").alias("comp")).persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, "src", "left")
+            .select("src", F.least(
+                "comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"))
+            .persist()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "src")
+            .filter(F.col("new_comp") != F.col("comp")).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("id"), "comp")
+
+
+def dedup_resolve(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id", id_a: str = "id_a",
+                  id_b: str = "id_b") -> DataFrame:
+    """Canonical-document selection: every doc joined to its near-dup
+    component (docs without a pair form their own component); keep =
+    the member with the smallest id.  This is the step that turns
+    near-dup PAIRS into a drop list at corpus scale."""
+    comps = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comp", F.col("id")).alias("component"),
+            (F.coalesce("comp", F.col("id")) == F.col("id"))
+            .alias("is_canonical"),
+        )
+    )

@@ -152,6 +152,57 @@ FROM verified WHERE jac >= 0.2
 """
 
 
+# ---- dedup resolution: components + canonical selection ---------------
+
+def dedup_components(spark, sf_dir):
+    """Near-dup pairs -> connected components -> canonical doc per
+    component (the drop-list step of a dedup pipeline). Components via
+    distributed min-label propagation; the oracle re-derives them with
+    a recursive CTE reachability closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return D.dedup_resolve(docs, pairs).select(
+        "doc_id", F.col("component").cast("bigint").alias("component"),
+        "is_canonical")
+
+
+DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, len(toks) - 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  WHERE ROUND(shared / (na + nb - shared), 4) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+"""
+
+
 # ---- SimHash fingerprints ---------------------------------------------
 
 def simhash_fingerprints(spark, sf_dir):
@@ -333,6 +384,7 @@ QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),

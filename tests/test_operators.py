@@ -619,3 +619,21 @@ def test_dates_detect_time(spark):
     without = date_mentions(notes).collect()
     assert "norm" not in without[0].asDict()
     assert str(without[0]["parsed_date"]) == "2012-01-11"
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation merges transitive chains: a-b, b-c, d-e
+    form {a,b,c} and {d,e}; singletons keep their own component."""
+    from edsnlp_spark.operators.dedup import (
+        connected_components, dedup_resolve)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    comps = {r["id"]: r["comp"] for r in
+             connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8]],
+                                 "doc_id long")
+    res = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in
+           dedup_resolve(docs, pairs).collect()}
+    assert res == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (7, True), 8: (7, False)}

@@ -105,6 +105,65 @@ FROM documents
 """
 
 
+# ---- model-based quality filtering (FineWeb-style) --------------------
+# Fixed "pretrained" logistic weights over the doc_quality features —
+# scoring is a broadcast dot product + sigmoid, pure whole-stage-codegen
+# projection at any corpus size (the training analog lives in the
+# endlines Spark-ML path; here the weights are model constants so the
+# DuckDB oracle can re-score bit-for-bit).
+_QM_WEIGHTS = {"n_tokens": 0.004, "avg_word_len": 0.35,
+               "distinct_ratio": 2.1}
+_QM_BIAS = -2.8
+
+
+def quality_model_scores(spark, sf_dir):
+    """Model-based quality score + keep decision per document: sigmoid
+    of a fixed linear model over length/word-shape/diversity features.
+    The scale path of 'model-based quality filtering' — one projection,
+    no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = X.word_tokens(F.col("text"))
+    feats = {
+        "n_tokens": F.size(toks).cast("double"),
+        "avg_word_len": X.avg_word_len(F.col("text")),
+        "distinct_ratio": F.size(F.array_distinct(toks)) / F.size(toks),
+    }
+    z = F.lit(float(_QM_BIAS))
+    for k, w in _QM_WEIGHTS.items():
+        z = z + F.lit(float(w)) * feats[k]
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+QUALITY_MODEL_SCORES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::DOUBLE AS n_tokens,
+         list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+           / len(string_split(text, ' ')) AS avg_word_len,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({_QM_BIAS}
+             + {_QM_WEIGHTS['n_tokens']} * n_tokens
+             + {_QM_WEIGHTS['avg_word_len']} * avg_word_len
+             + {_QM_WEIGHTS['distinct_ratio']} * distinct_ratio))), 6)
+         AS quality_score,
+       (1.0 / (1.0 + exp(-({_QM_BIAS}
+             + {_QM_WEIGHTS['n_tokens']} * n_tokens
+             + {_QM_WEIGHTS['avg_word_len']} * avg_word_len
+             + {_QM_WEIGHTS['distinct_ratio']} * distinct_ratio)))) >= 0.5
+         AS keep
+FROM feats
+"""
+
+
 _LANG_STOPWORDS = {
     "en": ["the", "a", "of", "and"],
     "fr": ["le", "la", "de", "et"],
@@ -854,6 +913,7 @@ QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

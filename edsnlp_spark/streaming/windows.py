@@ -87,3 +87,20 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", ts_col: str = "ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: md5-of-text dedup keys with a bounded
+    state window (``dropDuplicatesWithinWatermark``) — the streaming
+    half of the dedup family.  State holds one hash per distinct text
+    inside the watermark horizon, so memory is bounded by throughput x
+    horizon, not corpus size (the batch dedup handles the full-corpus
+    pass; this handles the ingest stream)."""
+    hashed = docs.withColumn("__h", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

@@ -99,3 +99,24 @@ def test_running_user_stats_state_across_batches(spark, tmp_path):
     second = {r["user_id"]: (r["n"], r["total"])
               for r in spark.read.parquet(out).filter("run = 'r2'").collect()}
     assert second[1] == (3, 7.0)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: repeated texts inside the
+    watermark horizon are emitted once; distinct texts all pass."""
+    from edsnlp_spark.streaming.windows import streaming_dedup
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": "hello world"},
+        {"doc_id": 2, "ts": "2024-01-01 10:01:00", "text": "hello world"},
+        {"doc_id": 3, "ts": "2024-01-01 10:02:00", "text": "something else"},
+        {"doc_id": 4, "ts": "2024-01-01 10:03:00", "text": "hello world"},
+    ]
+    write_events_jsonl(src / "a.jsonl", rows)
+    docs = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string").json(str(src))
+    q = run_to_memory(streaming_dedup(docs), "dedup_stream", mode="append")
+    out = sorted(r["text"] for r in
+                 spark.sql("select * from dedup_stream").collect())
+    assert out == ["hello world", "something else"]

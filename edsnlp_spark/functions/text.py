@@ -242,3 +242,29 @@ def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
         F.size(toks) > 0,
         F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks),
     ).otherwise(F.lit(None).cast("double"))
+
+
+# GPT-2-style pretokenizer pattern (the public BPE splitter shape:
+# optional leading space + letter runs | digit runs | other-symbol runs),
+# restricted to constructs Java and DuckDB regex share. Each pretoken
+# maps to >=1 BPE token; the count is the standard cheap lower-bound
+# estimate training pipelines use for budgeting.
+BPE_SPLIT_RX = r" ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ɏ0-9]+"
+
+
+def bpe_token_count(text: Column, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token count: number of GPT-style pretokens plus an extra
+    token per ceil(len/4) chars within long pretokens (long words split
+    into multiple BPE units; ~4 chars/token is the published average for
+    English-like text). Pure regexp projection."""
+    pretoks = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(BPE_SPLIT_RX), F.lit(0))
+    per = F.transform(
+        pretoks,
+        lambda p: F.greatest(
+            F.ceil(F.length(F.trim(p)) / F.lit(chars_per_token)),
+            F.lit(1).cast("bigint")),
+    )
+    return F.coalesce(
+        F.aggregate(per, F.lit(0).cast("bigint"), lambda a, x: a + x),
+        F.lit(0).cast("bigint"))

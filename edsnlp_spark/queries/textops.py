@@ -164,6 +164,33 @@ FROM feats
 """
 
 
+# ---- BPE-ish token counting (training-budget estimation) --------------
+
+def bpe_token_counts(spark, sf_dir):
+    """GPT-style pretoken split + ceil(len/4) long-word subdivision: the
+    cheap BPE token-count estimate a training pipeline budgets with.
+    Whitespace count alongside for comparison; pure regexp projection."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        X.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+         AS ws_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+         regexp_extract_all(text,
+           ' ?[A-Za-zÀ-ɏ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ɏ0-9]+'),
+         p -> greatest(ceil(len(trim(p)) / 4.0), 1))), 0) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
+
+
 _LANG_STOPWORDS = {
     "en": ["the", "a", "of", "and"],
     "fr": ["le", "la", "de", "et"],
@@ -914,6 +941,7 @@ QUERIES = {
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),
+    "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_COUNTS_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -78,3 +78,68 @@ def extract_features(df: DataFrame, decode_stub: bool = True,
             )
 
     return df.mapInPandas(run, FEATURE_DDL)
+
+
+RESIZED_DDL = "doc_id long, blob binary, meta struct<" + MEDIA_META_DDL + ">"
+FRAME_DDL = ("doc_id long, frame_idx int, ts_ms int, frame binary, "
+             "media_type string")
+
+
+def resize_media(df: DataFrame, width: int = 224, height: int = 224,
+                 decode_stub: bool = True) -> DataFrame:
+    """mapInPandas resize stage: (doc_id, blob, meta) -> same schema
+    with target dimensions.  Row-wise transform, no shuffle — at 100 TB
+    this is a pure map over file splits.  The pixel work is stubbed
+    (deterministic byte resampling standing in for libvips); the
+    schema/batching contract is the real one."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real resize requires libvips/PIL; "
+                        "not available in this container")
+                raw = bytes(blob)
+                target = max(1, (width * height) // 64)
+                out = (raw * (target // max(len(raw), 1) + 1))[:target]
+                rows.append((doc_id, out, {
+                    "media_type": meta["media_type"],
+                    "width": width, "height": height,
+                    "duration_ms": meta["duration_ms"]}))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob", "meta"])
+
+    return df.mapInPandas(run, RESIZED_DDL)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 decode_stub: bool = True) -> DataFrame:
+    """mapInPandas frame sampler: one input video row fans out to one
+    row PER SAMPLED FRAME (doc_id, frame_idx, ts_ms, frame bytes) — the
+    explode-shaped stage a video pipeline feeds to per-frame encoders.
+    Frame decode is stubbed (deterministic byte slices standing in for
+    ffmpeg); the fan-out schema and Arrow batching are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real frame extraction requires ffmpeg; "
+                        "not available in this container")
+                dur = meta["duration_ms"] or 0
+                n = max(1, int(dur) // every_ms)
+                raw = bytes(blob)
+                step = max(1, len(raw) // n)
+                for i in range(n):
+                    rows.append((doc_id, i, i * every_ms,
+                                 raw[i * step:(i + 1) * step] or b"\0",
+                                 meta["media_type"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "ts_ms", "frame", "media_type"])
+
+    return df.mapInPandas(run, FRAME_DDL)

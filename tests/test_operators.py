@@ -637,3 +637,34 @@ def test_connected_components_chain(spark):
            dedup_resolve(docs, pairs).collect()}
     assert res == {1: (1, True), 2: (1, False), 3: (1, False),
                    5: (5, True), 7: (7, True), 8: (7, False)}
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize keeps the (doc_id, blob, meta) contract with target dims;
+    frame_sample fans one video row out to duration/step frame rows
+    with monotonically increasing timestamps."""
+    from edsnlp_spark.operators.multimodal import (
+        attach_blob, resize_media, frame_sample)
+    import pyspark.sql.functions as SF
+    docs = spark.createDataFrame(
+        [(1, "some fake image bytes"), (2, "other payload")],
+        "doc_id long, text string")
+    blobs = attach_blob(docs)
+    r = resize_media(blobs, width=64, height=64).collect()
+    assert all(row["meta"]["width"] == 64 and row["meta"]["height"] == 64
+               for row in r)
+    assert all(len(bytes(row["blob"])) == 64 * 64 // 64 for row in r)
+    vids = blobs.withColumn(
+        "meta", SF.struct(
+            SF.lit("video/fake").alias("media_type"),
+            SF.col("meta.width"), SF.col("meta.height"),
+            SF.lit(3500).alias("duration_ms")))
+    f = frame_sample(vids, every_ms=1000).collect()
+    per_doc = {}
+    for row in f:
+        per_doc.setdefault(row["doc_id"], []).append(row)
+    for doc_id, frames in per_doc.items():
+        assert len(frames) == 3  # 3500ms // 1000
+        ts = sorted(fr["ts_ms"] for fr in frames)
+        assert ts == [0, 1000, 2000]
+        assert all(len(bytes(fr["frame"])) >= 1 for fr in frames)

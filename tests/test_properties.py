@@ -78,3 +78,28 @@ def test_filter_spans_invariants(spark, raw):
     for s, ln, lbl in raw:
         if (s, s + ln, lbl) not in kept_set:
             assert any(s < e2 and s2 < s + ln for s2, e2 in spans)
+
+
+WORD_NOSPACE = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                           max_codepoint=0x024F),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(WORD_NOSPACE, min_size=0, max_size=12))
+def test_token_shingles_match_naive(spark, words):
+    """The regexp-lookahead shingler equals the naive dedup'd sliding
+    window over split-on-space tokens, for ANY token list."""
+    from edsnlp_spark.operators.dedup import token_shingles
+    text = " ".join(words)
+    got = spark.range(1).select(
+        token_shingles(F.lit(text), 3).alias("sh")).collect()[0]["sh"]
+    naive, seen = [], set()
+    for i in range(max(0, len(words) - 2)):
+        s = " ".join(words[i:i + 3])
+        if s not in seen:
+            seen.add(s)
+            naive.append(s)
+    assert got == naive

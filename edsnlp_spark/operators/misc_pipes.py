@@ -52,6 +52,30 @@ def reason_spans(notes: DataFrame, use_sections: bool = True) -> DataFrame:
     return pat.unionByName(secs)
 
 
+def link_reason_entities(reasons: DataFrame,
+                         entities: DataFrame) -> DataFrame:
+    """Flag entities contained in a reason span (``is_reason`` — the
+    reference's eds.reason ents_reason linking, reason.py span
+    containment).  One interval semi-join per entity; pattern-sourced
+    reasons use their char interval, section-sourced ones extend from
+    the header to end-of-doc (tok_until is already the section bound
+    upstream, so start_char suffices as the left edge)."""
+    r = reasons.select(
+        F.col("note_id").alias("r_note"),
+        F.col("start_char").alias("r_s"),
+        F.coalesce(F.col("end_char"), F.lit(1 << 30)).alias("r_e"),
+    )
+    j = entities.join(
+        r,
+        (entities["note_id"] == r["r_note"])
+        & (entities["start_char"] >= r["r_s"])
+        & (entities["end_char"] <= r["r_e"]),
+        "left",
+    )
+    return j.groupBy(*entities.columns).agg(
+        (F.count("r_note") > 0).alias("is_reason"))
+
+
 # Full reference cue vocabularies
 # (pipes/misc/consultation_dates/patterns.py:1-49)
 CONSULT_CUES = [

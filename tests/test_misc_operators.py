@@ -243,3 +243,19 @@ def test_pollution_reference_classes(spark):
     assert not any(lab == "biology" for _, lab in labels)  # off by default
     bio = PollutionTagger(enabled=("biology",)).pollution_table(notes)
     assert {r["note_id"] for r in bio.collect()} == {2}
+
+
+def test_reason_entity_linking(spark):
+    """Reference test_reason: entities inside the reason span get
+    is_reason=True; entities elsewhere don't."""
+    from edsnlp_spark.operators.misc_pipes import link_reason_entities
+    notes = Tokenizer()(notes_df(spark, [
+        "Motif de l'hospitalisation : toux persistante.\n"
+        "Antecedent d'asthme ancien.",
+    ])).persist()
+    ents = PhraseMatcher({"resp": ["toux", "asthme"]},
+                         attr="NORM").entities(notes)
+    reasons = reason_spans(notes, use_sections=False)
+    out = {r["lexical_variant"]: r["is_reason"]
+           for r in link_reason_entities(reasons, ents).collect()}
+    assert out == {"toux": True, "asthme": False}

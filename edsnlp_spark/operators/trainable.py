@@ -266,3 +266,103 @@ def ner_crf_decode(notes: DataFrame,
         "note_id long, start_char int, end_char int, label string, "
         "lexical_variant string, span_type string, tok_start int, tok_end int",
     )
+
+
+def link_spans_from_embeddings(shared: SharedEmbedding, spans: DataFrame,
+                               concepts: DataFrame) -> DataFrame:
+    """Span-linker head (eds.span_linker contract: pooled span embedding
+    -> nearest concept in a knowledge base).  The pooling and cosine
+    ranking are REAL native algebra over the shared embedding; the
+    concept table (kb_id, emb array<double>) is broadcast — the
+    synonym-similarity design of the reference's span_linker with the
+    torch forward replaced by the shared stub embedder.
+
+    Plan: span->token equi-join on note_id + tok interval, grouped mean
+    pool, broadcast cross-score vs concepts, max_by(kb_id, cos).
+    """
+    s = spans.select(
+        F.col("note_id").alias("s_note_id"), "start_char", "end_char",
+        "tok_start", "tok_end",
+    )
+    j = s.join(
+        shared.embeddings,
+        (F.col("s_note_id") == F.col("note_id"))
+        & (F.col("tok_i") >= F.col("tok_start"))
+        & (F.col("tok_i") < F.col("tok_end")),
+    )
+    zero = F.array_repeat(F.lit(0.0), shared.dim)
+    pooled_sum = F.aggregate(
+        F.collect_list(F.col("emb").cast("array<double>")), zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+    g = j.groupBy("s_note_id", "start_char", "end_char").agg(
+        pooled_sum.alias("sum_emb"), F.count(F.lit(1)).alias("n_tok"))
+    mean = F.transform("sum_emb", _div_by_n_factory())
+    g = g.select("s_note_id", "start_char", "end_char", mean.alias("se"))
+    c = concepts.select(
+        F.col("kb_id"), F.col("emb").cast("array<double>").alias("ce"))
+    x = g.join(F.broadcast(c))
+    dot = F.aggregate(F.zip_with("se", "ce", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda v: v * v), F.lit(0.0),
+        lambda acc, v: acc + v))
+    cos = dot / (nrm("se") * nrm("ce") + F.lit(1e-12))
+    return x.groupBy(F.col("s_note_id").alias("note_id"),
+                     "start_char", "end_char").agg(
+        F.max_by("kb_id", cos).alias("kb_id"),
+        F.round(F.max(cos), 6).alias("link_score"),
+    )
+
+
+def _div_by_n_factory():
+    """Closure factory (HOF-lambda gotcha): n_tok bound via column ref."""
+    return lambda v: v / F.col("n_tok")
+
+
+def extract_answers(shared: SharedEmbedding, notes: DataFrame,
+                    question: str, forward=None) -> DataFrame:
+    """Extractive-QA head (eds.extractive_qa contract) at sentence
+    granularity: the question goes through the SAME embedder, each
+    sentence's pooled embedding is cosine-scored against it, and the
+    best sentence per note is the extracted answer span.
+
+    Real retrieval algebra (pool + cosine + max_by) over the shared
+    embedding; only the embedder forward is the deterministic stub.
+    """
+    import pandas as _pd
+    q_emb = (_pseudo_vector(question, shared.dim) if forward is None
+             else forward([question])[0])
+    sents = notes.select(
+        "note_id", F.posexplode("sentences").alias("s_i", "s"))
+    sents = sents.select(
+        "note_id", "s_i", F.col("s.start").alias("a_start"),
+        F.col("s.end").alias("a_end"),
+        F.col("s.tok_start").alias("s_ts"), F.col("s.tok_end").alias("s_te"))
+    j = sents.join(
+        shared.embeddings.withColumnRenamed("note_id", "e_note"),
+        (F.col("note_id") == F.col("e_note"))
+        & (F.col("tok_i") >= F.col("s_ts"))
+        & (F.col("tok_i") < F.col("s_te")),
+    )
+    zero = F.array_repeat(F.lit(0.0), shared.dim)
+    pooled = F.aggregate(
+        F.collect_list(F.col("emb").cast("array<double>")), zero,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b))
+    g = j.groupBy("note_id", "s_i", "a_start", "a_end").agg(
+        pooled.alias("sum_emb"), F.count(F.lit(1)).alias("n_tok"))
+    qa = F.array(*[F.lit(float(v)) for v in q_emb])
+    mean = F.transform("sum_emb", _div_by_n_factory())
+    dot = F.aggregate(F.zip_with(mean, qa, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    n1 = F.sqrt(F.aggregate(F.transform(mean, lambda v: v * v),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    n2 = F.lit(float(sum(v * v for v in q_emb)) ** 0.5)
+    cos = dot / (n1 * n2 + F.lit(1e-12))
+    scored = g.select("note_id", "a_start", "a_end",
+                      F.round(cos, 6).alias("answer_score"))
+    return scored.groupBy("note_id").agg(
+        F.max_by(F.struct("a_start", "a_end"), F.col("answer_score"))
+        .alias("ans"),
+        F.max("answer_score").alias("answer_score"),
+    ).select("note_id", F.col("ans.a_start").alias("start_char"),
+             F.col("ans.a_end").alias("end_char"), "answer_score")

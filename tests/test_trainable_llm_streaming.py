@@ -250,3 +250,55 @@ def test_parse_dependencies_plane(spark):
     # deterministic stub: same input -> same parse
     out2 = parse_dependencies(notes, decoding_mode="mst").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_span_linker_from_shared_embedding(spark):
+    """span_linker head: pooled span embedding linked to the nearest
+    concept — a span whose tokens embed like concept A links to A.
+    Concepts use the SAME stub embedder, so a span containing exactly a
+    concept's surface token must link to that concept with cos ~1."""
+    from edsnlp_spark.operators.trainable import (
+        SharedEmbedding, link_spans_from_embeddings, _pseudo_vector)
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.core.base import Pipeline
+    notes = Pipeline([Tokenizer()])(spark.createDataFrame(
+        [(1, "patient avec diabete severe"), (2, "suspicion de cancer")],
+        "note_id long, note_text string")).persist()
+    shared = SharedEmbedding(notes, dim=8).materialize()
+    dim = shared.dim
+    concepts = spark.createDataFrame(
+        [("C_DIAB", _pseudo_vector("diabete", dim)),
+         ("C_CANC", _pseudo_vector("cancer", dim))],
+        "kb_id string, emb array<double>")
+    # spans = the single interesting token per note
+    spans = spark.createDataFrame(
+        [(1, 13, 20, 2, 3), (2, 13, 19, 2, 3)],
+        "note_id long, start_char int, end_char int, "
+        "tok_start int, tok_end int")
+    out = {r["note_id"]: (r["kb_id"], r["link_score"]) for r in
+           link_spans_from_embeddings(shared, spans, concepts).collect()}
+    assert out[1][0] == "C_DIAB" and out[1][1] > 0.99
+    assert out[2][0] == "C_CANC" and out[2][1] > 0.99
+    shared.release()
+
+
+def test_extractive_qa_best_sentence(spark):
+    """extractive_qa head: the sentence sharing the question's tokens
+    wins the cosine ranking and is returned as the answer span."""
+    from edsnlp_spark.operators.trainable import (
+        SharedEmbedding, extract_answers)
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.core.base import Pipeline
+    text = ("Le patient dort bien. "
+            "Le traitement du diabete est l'insuline. "
+            "Il sort demain.")
+    notes = Pipeline([Tokenizer(), SentenceSegmenter()])(
+        spark.createDataFrame([(1, text)],
+                              "note_id long, note_text string")).persist()
+    shared = SharedEmbedding(notes, dim=8).materialize()
+    out = extract_answers(shared, notes,
+                          "traitement du diabete insuline").collect()[0]
+    ans = text[out["start_char"]:out["end_char"]]
+    assert "insuline" in ans
+    shared.release()

@@ -329,7 +329,6 @@ def extract_answers(shared: SharedEmbedding, notes: DataFrame,
     Real retrieval algebra (pool + cosine + max_by) over the shared
     embedding; only the embedder forward is the deterministic stub.
     """
-    import pandas as _pd
     q_emb = (_pseudo_vector(question, shared.dim) if forward is None
              else forward([question])[0])
     sents = notes.select(

@@ -35,13 +35,45 @@ def _default_client(prompt: str) -> Awaitable[str]:
     )
 
 
+def _select_few_shot(text: str, examples: list[tuple[str, str]],
+                     k: int) -> list[tuple[str, str]]:
+    """Closest-example retrieval (llm_markup_extractor.py:312
+    use_retriever): rank few-shot examples by token-overlap similarity
+    with the request text, keep the top k.  Runs inside the executor —
+    the example list is tiny (it ships with the closure)."""
+    toks = set((text or "").lower().split())
+    scored = sorted(
+        examples,
+        key=lambda ex: -len(toks & set(ex[0].lower().split())),
+    )
+    return scored[:k]
+
+
 def llm_markup_extract(notes: DataFrame,
                        complete_fn: CompleteFn | None = None,
                        prompt_template: str = "Annotate entities: {text}",
+                       few_shot_examples: list[tuple[str, str]] | None = None,
+                       max_few_shot_examples: int = -1,
                        max_concurrent: int = 8,
                        text_col: str = "note_text") -> DataFrame:
-    """-> entities plane rows parsed from the LLM's markup output."""
+    """-> entities plane rows parsed from the LLM's markup output.
+
+    ``few_shot_examples`` are (text, annotated_markup) pairs; when
+    ``max_few_shot_examples`` > 0 the closest examples to each request
+    (token-overlap retriever, llm_markup_extractor.py:226-312) are
+    prepended to the prompt as demonstration turns."""
     fn = complete_fn or _default_client
+    exs = few_shot_examples or []
+    k = (len(exs) if max_few_shot_examples < 0
+         else min(max_few_shot_examples, len(exs)))
+
+    def build_prompt(text: str) -> str:
+        parts = []
+        for ex_text, ex_markup in (
+                _select_few_shot(text, exs, k) if exs and k else []):
+            parts.append(f"Input: {ex_text}\nOutput: {ex_markup}")
+        parts.append(prompt_template.format(text=text or ""))
+        return "\n".join(parts)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         async def process(pdf: pd.DataFrame):
@@ -49,7 +81,7 @@ def llm_markup_extract(notes: DataFrame,
 
             async def one(note_id, text):
                 async with sem:
-                    out = await fn(prompt_template.format(text=text or ""))
+                    out = await fn(build_prompt(text))
                 return note_id, out
 
             return await asyncio.gather(*[

@@ -302,3 +302,31 @@ def test_extractive_qa_best_sentence(spark):
     ans = text[out["start_char"]:out["end_char"]]
     assert "insuline" in ans
     shared.release()
+
+
+def test_llm_few_shot_retrieval(spark):
+    """Few-shot prompts include the CLOSEST example by token overlap
+    (llm_markup_extractor use_retriever semantics), capped at
+    max_few_shot_examples.  The fake client encodes which examples it
+    saw into the returned label (executor-side state can't be
+    inspected from the driver)."""
+    from edsnlp_spark.operators.llm import llm_markup_extract
+
+    async def fake(prompt):
+        head = prompt.split("Annotate")[0]
+        label = ("fievre" if "fievre" in head else "none") + "_" + \
+            ("bio" if "biologie" in head else "nobio")
+        return f"<ent label={label}>ok</ent>"
+
+    notes = spark.createDataFrame(
+        [(1, "patient avec fievre et toux")],
+        "note_id long, note_text string").coalesce(1)
+    exs = [
+        ("rapport de biologie sanguine", "<ent label=bio>NFS</ent>"),
+        ("le patient a de la fievre", "<ent label=sym>fievre</ent>"),
+    ]
+    out = llm_markup_extract(
+        notes, complete_fn=fake, few_shot_examples=exs,
+        max_few_shot_examples=1).collect()
+    # only the closest (fievre) example was included, the other not
+    assert len(out) == 1 and out[0]["label"] == "fievre_nobio"

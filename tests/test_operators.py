@@ -668,3 +668,22 @@ def test_multimodal_resize_and_frame_sample(spark):
         ts = sorted(fr["ts_ms"] for fr in frames)
         assert ts == [0, 1000, 2000]
         assert all(len(bytes(fr["frame"])) >= 1 for fr in frames)
+
+
+@pytest.mark.parametrize("txt,from_group,result", [
+    ("It is a match1 group1", True, "match1 group1"),   # group didn't fire
+    ("It is a match1 group1", False, "match1 group1"),
+    ("It is a match1 group2", True, "group2"),          # group fired
+    ("It is a match1 group2", False, "match1 group2"),
+])
+def test_regex_span_from_group_reference_cases(spark, txt, from_group,
+                                               result):
+    """The reference's exact span_from_group parametrization
+    (tests/matchers/test_regex.py:29-62): a non-capturing alternative
+    falls back to the full match; a captured group narrows the span."""
+    df = notes_df(spark, [txt])
+    m = RegexMatcher({"test": [r"match1 (?:group1|(group2))"]},
+                     span_from_group=from_group)
+    r = m.entities(df).collect()[0]
+    assert r["lexical_variant"] == result
+    assert txt[r["start_char"]:r["end_char"]] == result

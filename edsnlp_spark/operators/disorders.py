@@ -175,7 +175,14 @@ class ReferenceDisorderMatcher:
 
     Distributed shape: two regex scans (anchors, cues) -> token-anchor
     join vs the tokens plane -> windowed cue joins -> grouped exclude
-    count + assigned map -> native status rules.  Documented deviations:
+    count + assigned map -> native status rules.
+
+    Scale bound: the token-anchor join duplicates each note's tokens
+    array once per anchor/cue row before the F.filter count, so cost is
+    O(spans_per_note x tokens_per_note) — clinical notes keep both
+    small; for long documents chunk with SplitDocs first (same guidance
+    as tokenize()).  All joins are note_id equi-joins; the cue metadata
+    table is broadcast.  Documented deviations:
     the opportunist/stopped negation re-check (aids.py:155,
     alcohol.py:119) is approximated by assign presence, and diabetes'
     whole-sentence far-complication sweep (diabetes.py:114-139) is

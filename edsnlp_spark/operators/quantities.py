@@ -317,3 +317,53 @@ class QuantitiesExtractor(Transformer):
 @registry.register("eds.quantities")
 def _make_quantities(**kw):
     return QuantitiesExtractor(**kw)
+
+
+def link_table_units(cells: DataFrame) -> DataFrame:
+    """Table unit linking (quantities use_tables,
+    tests/pipelines/misc/test_quantities.py:383-401): a bare numeric
+    cell takes the unit of the nearest unit-bearing cell in the SAME
+    ROW, preferring the closest cell to its left ("mg | 5" -> 5 mg).
+
+    One equi-join on (note, table, row) + grouped min_by over
+    (side-preference, distance) — relational, no per-table loops.
+    Input is the TablesExtractor cells plane.
+    """
+    low = F.lower(F.trim(F.col("cell")))
+    units = cells.filter(
+        low.isin(*UNIT_REGISTRY.keys())
+    ).select(
+        F.col("note_id").alias("u_note"), F.col("table_id").alias("u_tab"),
+        F.col("row_id").alias("u_row"), F.col("col_id").alias("u_col"),
+        low.alias("unit"),
+    )
+    nums = cells.filter(
+        F.trim(F.col("cell")).rlike(r"^\d+(?:[.,]\d+)?$")
+    ).select(
+        "note_id", "table_id", "row_id", "col_id",
+        F.replace(F.trim(F.col("cell")), F.lit(","), F.lit("."))
+        .cast("double").alias("value"),
+    )
+    j = nums.join(
+        units,
+        (nums["note_id"] == units["u_note"])
+        & (nums["table_id"] == units["u_tab"])
+        & (nums["row_id"] == units["u_row"]),
+        "inner",
+    )
+    dist = F.abs(F.col("col_id") - F.col("u_col"))
+    pref = F.struct(
+        # closest-left wins; right-side units only when nothing on the left
+        F.when(F.col("u_col") < F.col("col_id"), 0).otherwise(1)
+        .alias("side"),
+        dist.alias("dist"),
+        F.col("u_col").alias("tiebreak"),
+    )
+    g = j.groupBy("note_id", "table_id", "row_id", "col_id", "value").agg(
+        F.min_by("unit", pref).alias("unit"))
+    return g.select(
+        "note_id", "table_id", "row_id", "col_id", "value", "unit",
+        F.round(F.col("value") * unit_factor(F.col("unit")), 9)
+        .alias("value_si"),
+        unit_dimension(F.col("unit")).alias("dimension"),
+    )

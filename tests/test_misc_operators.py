@@ -259,3 +259,17 @@ def test_reason_entity_linking(spark):
     out = {r["lexical_variant"]: r["is_reason"]
            for r in link_reason_entities(reasons, ents).collect()}
     assert out == {"toux": True, "asthme": False}
+
+
+def test_table_unit_linking(spark):
+    """Reference test_table_unit_linking (test_quantities.py:383-401):
+    'mg | 5 | mL | 0.3' links 5 -> mg and 0.3 -> ml (closest-left unit
+    cell in the row)."""
+    from edsnlp_spark.operators.quantities import link_table_units
+    text = "mg | 5 | mL | 0.3\nmg | 7 | mL | 0.4\n"
+    cells = TablesExtractor().tables(notes_df(spark, [text]))
+    out = sorted(
+        ((r["row_id"], r["value"], r["unit"]) for r in
+         link_table_units(cells).collect()))
+    assert out == [(1, 0.3, "ml"), (1, 5.0, "mg"),
+                   (2, 0.4, "ml"), (2, 7.0, "mg")]

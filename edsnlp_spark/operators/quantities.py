@@ -298,6 +298,53 @@ def extract_contextual_quantity(text: Column) -> Column:
     return out
 
 
+# Sequence labels for zipped unitless extraction ("poids / IMC : 57/22"
+# — test_quantities.py:214-276): label list zipped positionally with the
+# value list that follows the colon.
+SEQ_UNITS = {"poids": "kg", "taille": "cm", "imc": "kg_per_m2"}
+_SEQ_LABEL_ALT = "|".join(SEQ_UNITS)
+
+
+def extract_unitless_sequence(text: Column) -> Column:
+    """Zipped unitless sequences (quantities use_tables unitless
+    handling): labels before the colon pair positionally with the bare
+    numbers after it -> array<struct<label, unit, value>>.  Covers the
+    separator shapes (/, -, 'et', whitespace); the glued '57imc22' form
+    is out of scope (documented subset)."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    head = F.substring_index(low, ":", 1)
+    tail = F.when(
+        F.instr(low, ":") > 0,
+        F.substring(low, F.instr(low, ":") + 1, F.length(low)),
+    ).otherwise(F.lit(""))
+    labels = F.regexp_extract_all(
+        head, F.lit(rf"\b({_SEQ_LABEL_ALT})\b"), F.lit(1))
+    values = F.regexp_extract_all(
+        tail, F.lit(r"(\d+(?:[.,]\d+)?)"), F.lit(1))
+    n = F.least(F.size(labels), F.size(values))
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+    unit_map = F.create_map(*[x for k, v in SEQ_UNITS.items()
+                              for x in (F.lit(k), F.lit(v))])
+    pairs = F.transform(
+        idx,
+        _seq_pair_factory(labels, values, unit_map),
+    )
+    return F.when(n >= 1, pairs).otherwise(
+        F.expr("cast(array() as "
+               "array<struct<label:string,unit:string,value:double>>)"))
+
+
+def _seq_pair_factory(labels, values, unit_map):
+    """Closure factory (HOF-lambda gotcha)."""
+    def mk(i):
+        lab = F.element_at(labels, i)
+        val = F.replace(F.element_at(values, i), F.lit(","), F.lit("."))
+        return F.struct(
+            lab.alias("label"), unit_map[lab].alias("unit"),
+            val.cast("double").alias("value"))
+    return mk
+
+
 class QuantitiesExtractor(Transformer):
     requires = ("note_text",)
     provides = ("quantity",)

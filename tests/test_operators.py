@@ -687,3 +687,29 @@ def test_regex_span_from_group_reference_cases(spark, txt, from_group,
     r = m.entities(df).collect()[0]
     assert r["lexical_variant"] == result
     assert txt[r["start_char"]:r["end_char"]] == result
+
+
+def test_unitless_sequences_zip(spark):
+    """Reference test_unitless_sequences shapes (test_quantities.py:
+    214-276): labels before the colon zip positionally with bare values
+    after it, for /, -, 'et' and whitespace separators."""
+    from edsnlp_spark.operators.quantities import extract_unitless_sequence
+    cases = [
+        ("poids / imc : 57/22 taille : 170",
+         [("poids", "kg", 57.0), ("imc", "kg_per_m2", 22.0)]),
+        ("poids / imc / taille : 57/22/150",
+         [("poids", "kg", 57.0), ("imc", "kg_per_m2", 22.0),
+          ("taille", "cm", 150.0)]),
+        ("poids, taille, imc : 57 et 170 et 22",
+         [("poids", "kg", 57.0), ("taille", "cm", 170.0),
+          ("imc", "kg_per_m2", 22.0)]),
+        ("poids - imc : 57 - 22",
+         [("poids", "kg", 57.0), ("imc", "kg_per_m2", 22.0)]),
+        ("rien ici", []),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    out = df.select(extract_unitless_sequence(F.col("t")).alias("q")) \
+        .collect()
+    for (txt, exp), row in zip(cases, out):
+        got = [(x["label"], x["unit"], x["value"]) for x in row["q"]]
+        assert got == exp, (txt, got)

@@ -60,3 +60,39 @@ def batchify(df: DataFrame, batch_size: int,
         F.concat_ws("_", part.cast("string"),
                     F.floor(ctr / batch_size).cast("string")),
     )
+
+
+def batchify_by_words(df: DataFrame, max_words: int,
+                      text_col: str = "note_text",
+                      batch_col: str = "batch_id",
+                      length_col: str | None = None) -> DataFrame:
+    """Stream.batchify(batch_by="words") (utils/batching.py:121
+    words_batchify): batches bounded by the SUM of per-row token counts
+    instead of the row count — the budget a GPU forward actually cares
+    about (padded activation memory tracks tokens, not documents).
+
+    Within each partition, batch id = floor(running word count /
+    max_words): a partition-local prefix sum over a window keyed by the
+    stable monotonically_increasing_id order.  One window per
+    partition, no cross-partition shuffle (partitionBy the partition
+    ordinal), matching batchify()'s locality contract.  A row longer
+    than ``max_words`` gets its own batch (same as the reference's
+    batcher yielding oversized singletons).
+    """
+    from pyspark.sql import Window
+    n_words = (F.col(length_col) if length_col
+               else F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                   r"\s+")))
+    mid = F.monotonically_increasing_id()
+    part = F.shiftrightunsigned(mid, 33)
+    d = df.withColumn("__n", F.least(n_words.cast("long"),
+                                     F.lit(int(max_words)))) \
+          .withColumn("__part", part).withColumn("__mid", mid)
+    w = (Window.partitionBy("__part").orderBy("__mid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("__n").over(w), F.lit(0))
+    return d.withColumn(
+        batch_col,
+        F.concat_ws("_", F.col("__part").cast("string"),
+                    F.floor(prior / max_words).cast("string")),
+    ).drop("__n", "__part", "__mid")

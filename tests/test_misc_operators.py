@@ -273,3 +273,24 @@ def test_table_unit_linking(spark):
          link_table_units(cells).collect()))
     assert out == [(1, 0.3, "ml"), (1, 5.0, "mg"),
                    (2, 0.4, "ml"), (2, 7.0, "mg")]
+
+
+def test_batchify_by_words(spark):
+    """Word-budget batching: cumulative token counts bound each batch;
+    oversized rows become singletons; total rows preserved."""
+    from edsnlp_spark.core.stream_ops import batchify_by_words
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([5, 5, 5, 20, 3, 3, 3, 3])]
+    df = spark.createDataFrame(rows, "note_id long, note_text string") \
+        .coalesce(1)
+    out = batchify_by_words(df, max_words=10).collect()
+    assert len(out) == len(rows)
+    sizes = {}
+    for r in out:
+        sizes.setdefault(r["batch_id"], 0)
+        sizes[r["batch_id"]] += min(len(r["note_text"].split()), 10)
+    # every batch's word budget holds (a batch may end past the
+    # boundary by construction of floor(prior/max) -- each batch's
+    # PRIOR sum is < max, so sum <= max + largest row cap)
+    assert all(v <= 20 for v in sizes.values())
+    assert len(sizes) >= 3  # budget actually splits the stream

@@ -160,6 +160,12 @@ def _name_eq_factory(e):
     return lambda x: x["as_name"] == e["as_name"]
 
 
+def _in_hits_factory():
+    """forall predicate: the required include label is among the hits
+    (closure factory per HOF gotcha)."""
+    return lambda lbl: F.array_contains(F.col("__inc_hit"), lbl)
+
+
 def _key_missing_factory():
     """map_filter predicate: keep entries whose key is NOT already in
     the grouped ``assigned`` map (closure factory per HOF gotcha)."""
@@ -211,6 +217,9 @@ class ReferenceDisorderMatcher:
         anchor_pats: dict[str, list[str]] = {}
         cue_pats: dict[str, list[str]] = {}
         self.snippet_assigns: list[tuple[str, str, str, tuple]] = []
+        # source -> labels of include rules that must ALL match
+        # (SingleIncludeModel: a required cue in the window)
+        self.include_rules: dict[str, list[str]] = {}
         self.cue_meta: list[tuple[str, str, str, str | None,
                                   tuple[int | None, int | None]]] = []
         ex_pats: dict[str, list[str]] = {}
@@ -232,6 +241,14 @@ class ReferenceDisorderMatcher:
                 ex_pats[lbl] = [r] if isinstance(r, str) else list(r)
                 self.cue_meta.append(
                     (lbl, "exclude", src, None, _win(e.get("window"))))
+            inc = p.get("include") or []
+            for i, e in enumerate(inc if isinstance(inc, list) else [inc]):
+                lbl = f"{src}~in~{i}"
+                r = e["regex"]
+                ex_pats[lbl] = [r] if isinstance(r, str) else list(r)
+                self.cue_meta.append(
+                    (lbl, "include", src, None, _win(e.get("window"))))
+                self.include_rules.setdefault(src, []).append(lbl)
             asg = p.get("assign") or []
             for a in (asg if isinstance(asg, list) else [asg]):
                 r = a["regex"]
@@ -338,7 +355,7 @@ class ReferenceDisorderMatcher:
             "start_char", "end_char", "lexical_variant",
         ).join(F.broadcast(meta), "c_label")
         c_tok = self._tok_anchor(cues, notes) \
-            .select("note_id", "kind", "c_source", "as_name",
+            .select("note_id", "kind", "c_label", "c_source", "as_name",
                     "w_before", "w_after",
                     F.col("lexical_variant").alias("c_text"),
                     F.col("tok_start").alias("c_ts"),
@@ -373,6 +390,10 @@ class ReferenceDisorderMatcher:
             F.sum(F.when((F.col("c.kind") == "exclude")
                          & ~inside_anchor, 1).otherwise(0))
             .alias("__n_ex"),
+            F.array_distinct(F.filter(
+                F.collect_list(F.when(F.col("c.kind") == "include",
+                                      F.col("c.c_label"))),
+                lambda v: v.isNotNull())).alias("__inc_hit"),
             # first-by-position value per assign name (reference keeps a
             # list per name; status rules need key presence + a value, so
             # dedupe by name keeping the earliest match)
@@ -394,6 +415,18 @@ class ReferenceDisorderMatcher:
             )).alias("assigned"),
         )
         out = grouped.filter(F.col("__n_ex") == 0).drop("__n_ex")
+        if self.include_rules:
+            # every include rule of the anchor's source must have fired
+            need = F.create_map(*[
+                x for src, lbls in self.include_rules.items()
+                for x in (F.lit(src),
+                          F.array(*[F.lit(v) for v in lbls]))])
+            required = need[F.col("source")]
+            out = out.filter(
+                required.isNull()
+                | F.forall(required, _in_hits_factory())
+            )
+        out = out.drop("__inc_hit")
         out = self._add_snippet_assigns(out, notes)
         result = self._apply_rules(out).withColumn(
             "label", F.lit(self.name))

@@ -377,3 +377,19 @@ def test_contextual_matcher_regex_schema(spark):
     assert set(rows) == {0, 2}
     assert rows[0]["assigned"]["stage"] == "3"
     assert rows[2]["assigned"] == {}
+
+
+def test_contextual_matcher_include_rule(spark):
+    """SingleIncludeModel: a required cue must appear in the window or
+    the anchor is dropped."""
+    from edsnlp_spark import registry
+    m = registry.create("eds.contextual_matcher", label="chute", patterns=[
+        dict(source="s1", regex=[r"chute"],
+             include=dict(regex=["mecanique"], window=[-4, 4])),
+    ])
+    notes = prep(spark, [
+        "chute mecanique de sa hauteur",
+        "chute dans les escaliers",
+    ])
+    got = {r["note_id"] for r in m.entities(notes).collect()}
+    assert got == {0}

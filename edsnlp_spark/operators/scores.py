@@ -96,25 +96,55 @@ TNM_RX = (
 
 
 def parse_tnm(text: Column) -> Column:
-    """First TNM mention -> struct<prefix,t,n,m,norm> (null if none)."""
-    rx = (r"(?i)\b(?:([cpyraum]) ?)?T ?([0-4x]|is)(?: ?N ?([0-3x]))?"
-          r"(?: ?M ?([01x]))?")
+    """First TNM mention -> struct<prefix,t,n,m,r,version,norm>.
+
+    Full reference grammar (tnm/tnm.py + model; golden set
+    tests/pipelines/ner/test_tnm.py): letter suffixes T2c/T1b,
+    micro-modifiers (m)/(mi)/(sn) on T and N, residual-tumor R,
+    repeated prefixes 'pT1 pN1', space//-separated components, and
+    UICC/TNM/AJCC versions with 2-digit year expansion (20 -> 2020,
+    68 -> 1968 — the same <25 century rule as dates)."""
+    rx = (r"(?i)\b(?:([cpyraum])\s?)?T\s?([0-4][a-d]?|is|x)"
+          r"(?:\(?(mi?|sn)\)?)?"
+          r"(?:[\s/]*(?:[cpyraum]\s*)?N\s?([0-3x])(?:\(?(mi|sn)\)?)?)?"
+          r"(?:[\s/]*M\s?([01x]))?"
+          r"(?:[\s/]*R\s?([0-2x]))?"
+          r"(?:\s*\(?\s*(UICC|TNM|AJCC)\s*(\d{2,4})\s*\)?)?")
     pre = F.lower(F.regexp_extract(text, rx, 1))
     t = F.lower(F.regexp_extract(text, rx, 2))
-    n = F.lower(F.regexp_extract(text, rx, 3))
-    m = F.lower(F.regexp_extract(text, rx, 4))
+    tsuf = F.lower(F.regexp_extract(text, rx, 3))
+    n = F.lower(F.regexp_extract(text, rx, 4))
+    nsuf = F.lower(F.regexp_extract(text, rx, 5))
+    m = F.lower(F.regexp_extract(text, rx, 6))
+    r_ = F.lower(F.regexp_extract(text, rx, 7))
+    vlabel = F.upper(F.regexp_extract(text, rx, 8))
+    vyear = F.regexp_extract(text, rx, 9)
+    year = F.when(
+        F.length(vyear) == 2,
+        F.when(vyear.cast("int") < 25, vyear.cast("int") + 2000)
+        .otherwise(vyear.cast("int") + 1900),
+    ).otherwise(vyear.cast("int"))
+    version = F.when(
+        vlabel != "", F.concat(vlabel, F.lit(" "), year.cast("string")))
     norm = F.concat(
         pre,
-        F.lit("T"), t,
-        F.when(n != "", F.concat(F.lit("N"), n)).otherwise(F.lit("")),
+        F.lit("T"), t, tsuf,
+        F.when(n != "", F.concat(F.lit("N"), n, nsuf)).otherwise(F.lit("")),
         F.when(m != "", F.concat(F.lit("M"), m)).otherwise(F.lit("")),
+        F.when(r_ != "", F.concat(F.lit("R"), r_)).otherwise(F.lit("")),
+        F.when(vlabel != "", F.concat(F.lit(" ("), version, F.lit(")")))
+        .otherwise(F.lit("")),
     )
     return F.when(
         t != "",
         F.struct(
             F.nullif(pre, F.lit("")).alias("prefix"),
-            t.alias("t"), F.nullif(n, F.lit("")).alias("n"),
-            F.nullif(m, F.lit("")).alias("m"), norm.alias("norm"),
+            F.concat(t, tsuf).alias("t"),
+            F.nullif(F.concat(n, nsuf), F.lit("")).alias("n"),
+            F.nullif(m, F.lit("")).alias("m"),
+            F.nullif(r_, F.lit("")).alias("r"),
+            version.alias("version"),
+            norm.alias("norm"),
         ),
     )
 

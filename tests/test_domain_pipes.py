@@ -140,3 +140,28 @@ def test_registry_domain_pipes(spark):
     for name in ("eds.covid", "eds.drugs", "eds.cim10", "eds.charlson",
                  "eds.tnm", "eds.adicap", "eds.history_full"):
         assert name in es.available(), name
+
+
+def test_tnm_reference_goldens(spark):
+    """The parseable cases of the reference TNM golden set
+    (tests/pipelines/ner/test_tnm.py): suffixes, micro-modifiers,
+    residual R, slash separators, repeated prefixes, UICC year
+    expansion."""
+    cases = [
+        ("TNM: aTxN1M0", "aTxN1M0"),
+        ("TNM: p Tx N1M 0", "pTxN1M0"),
+        ("TNM: p Tx N1M 0 (UICC 20)", "pTxN1M0 (UICC 2020)"),
+        ("TNM: aTxN1M0 (UICC 68)", "aTxN1M0 (UICC 1968)"),
+        ("TNM: aTxN1 R2", "aTxN1R2"),
+        ("TNM: pT2c N0 R0 (TNM 2010)", "pT2cN0R0 (TNM 2010)"),
+        ("TNM: aTx / N1 / M0", "aTxN1M0"),
+        ("TNM: pT2 N1mi", "pT2N1mi"),
+        ("TNM: pT1bN0(sn)", "pT1bN0sn"),
+        ("TNM: pT1 pN1 M0", "pT1N1M0"),
+        ("TNM: cT3N0M0", "cT3N0M0"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    out = df.select(parse_tnm(F.col("t")).alias("tnm")).collect()
+    for (txt, exp), row in zip(cases, out):
+        assert row["tnm"] is not None, txt
+        assert row["tnm"]["norm"] == exp, (txt, row["tnm"]["norm"], exp)

@@ -272,3 +272,39 @@ class AdicapDecoder(Transformer):
 
 registry.register("eds.tnm")(lambda **kw: TNMExtractor(**kw))
 registry.register("eds.adicap")(lambda **kw: AdicapDecoder(**kw))
+
+
+def parse_elston_ellis(text: Column) -> Column:
+    """Elston-Ellis computed grade (scores/elston_ellis/patterns.py):
+    the '(architecture : 3 + noyaux : 3 + mitoses : 1)' component form
+    sums its three 0-3 digits and maps <=5 -> 1, 6-7 -> 2, 8-9 -> 3.
+    Returns struct<components array<int>, total int, grade int>."""
+    p1 = r"[^\d()]*([0-3])"
+    rx = rf"\({p1}.{{0,2}}[+,]{p1}.{{0,2}}[+,]{p1}\)"
+    a = F.regexp_extract(text, rx, 1)
+    b = F.regexp_extract(text, rx, 2)
+    c = F.regexp_extract(text, rx, 3)
+    total = a.cast("int") + b.cast("int") + c.cast("int")
+    grade = (F.when(total <= 5, 1).when(total <= 7, 2)
+             .when(total <= 9, 3))
+    return F.when(
+        a != "",
+        F.struct(
+            F.array(a.cast("int"), b.cast("int"), c.cast("int"))
+            .alias("components"),
+            total.alias("total"), grade.alias("grade"),
+        ),
+    )
+
+
+# SOFA method qualifiers (scores/sofa/sofa.py:30-40: Maximum / 24H /
+# A l'admission markers near the score mention).
+def parse_sofa_method(text: Column) -> Column:
+    low = F.lower(text)
+    rx = r"sofa\s*(maximum|max|24h|a l'admission|admission)?"
+    raw = F.regexp_extract(low, rx, 1)
+    return (
+        F.when(raw.isin("maximum", "max"), "Maximum")
+        .when(raw == "24h", "24H")
+        .when(raw.isin("a l'admission", "admission"), "A l'admission")
+    )

@@ -165,3 +165,25 @@ def test_tnm_reference_goldens(spark):
     for (txt, exp), row in zip(cases, out):
         assert row["tnm"] is not None, txt
         assert row["tnm"]["norm"] == exp, (txt, row["tnm"]["norm"], exp)
+
+
+def test_elston_ellis_computed_and_sofa_method(spark):
+    """Reference score goldens (tests/pipelines/ner/test_score.py):
+    '(architecture : 3 + noyaux : 3 + mitoses : 1)' sums to 7 -> grade
+    2; 'SOFA maximum : 12' carries method=Maximum."""
+    from edsnlp_spark.operators.scores import (
+        parse_elston_ellis, parse_sofa_method)
+    df = spark.createDataFrame(
+        [("grade 2 selon Elston et Ellis "
+          "(architecture : 3 + noyaux : 3 + mitoses : 1).",),
+         ("(2+1,1)",), ("rien",)], "t string")
+    out = df.select(parse_elston_ellis(F.col("t")).alias("ee")).collect()
+    assert out[0]["ee"]["total"] == 7 and out[0]["ee"]["grade"] == 2
+    assert out[1]["ee"]["total"] == 4 and out[1]["ee"]["grade"] == 1
+    assert out[2]["ee"] is None
+    m = spark.createDataFrame(
+        [("SOFA maximum : 12",), ("sofa 24h : 8",), ("SOFA : 3",)],
+        "t string")
+    got = [r["m"] for r in
+           m.select(parse_sofa_method(F.col("t")).alias("m")).collect()]
+    assert got == ["Maximum", "24H", None]

@@ -163,6 +163,12 @@ class LexiconMatcher(Transformer):
 # dictionaries via LexiconMatcher (resources/*.parquet).
 COVID_PATTERNS = ["covid", "covid 19", "covid-19", "sars-cov-2", "sars-cov2",
                   "coronavirus", "pandemie"]
+# The reference's exact regex composition (covid/patterns.py:3-11):
+# optional disease-context prefix folded into the span
+# ("pneumopathie à COVID-19" is ONE mention).
+COVID_RX = (r"(?:(?:pneumopathies?|infections?)\s[àa]u?\s)?"
+            r"(?:covid(?:[-\s]?19)?|sars[-\s]?cov[-\s]?2"
+            r"|corona[-\s]?virus)")
 
 # Small curated fallbacks, kept for tests that exercise the
 # TerminologyMatcher (dict-input) path itself.
@@ -187,7 +193,12 @@ def _make_terminology(**kw):
 
 
 @registry.register("eds.covid")
-def _make_covid(**kw):
+def _make_covid(regex: bool = True, **kw):
+    # regex=True (default) uses the reference's exact pattern with the
+    # disease-context prefix; regex=False keeps the n-gram phrase path.
+    if regex:
+        from .matcher import RegexMatcher
+        return RegexMatcher({"covid": [COVID_RX]}, attr="NORM", **kw)
     from .matcher import PhraseMatcher
     return PhraseMatcher({"covid": COVID_PATTERNS}, **kw)
 

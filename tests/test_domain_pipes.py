@@ -187,3 +187,22 @@ def test_elston_ellis_computed_and_sofa_method(spark):
     got = [r["m"] for r in
            m.select(parse_sofa_method(F.col("t")).alias("m")).collect()]
     assert got == ["Maximum", "24H", None]
+
+
+def test_covid_reference_regex(spark):
+    """Reference covid pattern (covid/patterns.py): disease-context
+    prefix folds into the span; spaced/hyphen variants match."""
+    from edsnlp_spark import registry
+    m = registry.create("eds.covid")
+    df = spark.createDataFrame(
+        [(1, "Pneumopathie à COVID-19 confirmée."),
+         (2, "Positif au corona virus."),
+         (3, "sars cov 2 détecté."),
+         (4, "rien ici")],
+        "note_id long, note_text string")
+    got = {r["note_id"]: r["lexical_variant"]
+           for r in m.entities(df).collect()}
+    assert got[1] == "Pneumopathie à COVID-19"
+    assert got[2] == "corona virus"
+    assert got[3] == "sars cov 2"
+    assert 4 not in got

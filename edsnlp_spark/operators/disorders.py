@@ -106,8 +106,60 @@ for _name, (_pats, _s2) in DISORDER_CONFIGS.items():
     )
 
 
+# FULL reference modality patterns (pipes/ner/suicide_attempt/
+# patterns.py, verbatim; two mechanical adaptations: leading (?i)
+# scoped for OR-joining, one variable-width lookbehind split into
+# two fixed-width ones).
+SUICIDE_ATTEMPT_PATTERNS: dict[str, list[str]] = {
+    'suicide_attempt_unspecific': [
+        '\\b(?<!\\.)(?<!Voie\\s\\d\\s\\:\\s)(?<!Voie\\sd.abord\\s\\:\\s)(?<!surface\\s)(?<!d[ée]sorientation\\s)(?<!abord\\s)(?<!ECG\\s:\\s)(?<!volume\\s)(?<!\\d\\s[mc]m\\sde\\sla\\s)(?<!\\d[mc]m\\sde\\sla\\s)(?<!au\\scontact\\sde\\sla\\s)T\\.?S\\.?(?![\\.A-Za-z])(?!\\sapyr[eé]tique)(?!.+TRANSSEPTAL)(?!.+T[34])(?!.+en\\sr.gression)\\b',
+        '(?<!\\.)T\\.S\\.(?![A-Za-z])',
+        '\\b(?<!.)TS\\.\\B',
+        '(?i:tentative[s]?\\s+de\\s+sui?cide)',
+        '(?i:tent[ée]\\s+de\\s+((se\\s+(suicider|tuer))|(mettre\\s+fin\\s+[àa]\\s+((ses\\s+jours?)|(sa\\s+vie)))))',
+    ],
+    'autolysis': [
+        "(?i:tentative\\s+d'autolyse)",
+        '(?i:autolyse)',
+    ],
+    'intentional_drug_overdose': [
+        '(?i:(intoxication|ingestion)\\s+m[ée]dicamenteuse\\s+volontaire)',
+        '(?i:\\b(i\\.?m\\.?v\\.?)\\b)',
+        '(?i:(intoxication|ingestion)\\s*([a-zA-Z0-9_éàèôê\\-]+\\s*){0,3}\\s*volontaire)',
+        'TS\\s+med\\s+polymedicamenteuse',
+        'TS\\s+(poly)?([\\s-])?m[ée]dicamenteuse',
+    ],
+    'jumping_from_height': [
+        '(?i:tentative[s]?\\s+de\\s+d[ée]fenestration)',
+        '(?i:(?<!id[ée]e\\sde\\s)(?<!id[ée]es\\sde\\s)d[ée]fenestration(?!\\saccidentelle))',
+        '(?i:d[ée]fenestration\\s+volontaire)',
+        '(?i:d[ée]fenestration\\s+intentionnelle)',
+        '(?i:jet.r?\\sd.un\\spont)',
+    ],
+    'cuts': [
+        '(?i:phl[ée]botomie)',
+    ],
+    'strangling': [
+        '(?i:pendaison)',
+    ],
+    'self_destructive_behavior': [
+        '(?i:autodestruction)',
+    ],
+    'burn_gas_caustic': [
+        '(?i:ing[eé]stion\\sde\\s(produit\\s)?caustique)',
+    ],
+}
+
+
 @registry.register("eds.suicide_attempt")
-def _make_suicide_attempt(**kw):
+def _make_suicide_attempt(full: bool = True, **kw):
+    """Modality-labeled suicide-attempt matcher: the label IS the
+    modality (suicide_attempt.py:129-147 sets
+    span._.suicide_attempt_modality = span.label_). full=False keeps
+    the lightweight phrase subset."""
+    if full:
+        from .matcher import RegexMatcher
+        return RegexMatcher(SUICIDE_ATTEMPT_PATTERNS, attr="TEXT", **kw)
     return DisorderMatcher(
         "suicide_attempt",
         ["tentative de suicide", "ts medicamenteuse", "autolyse",

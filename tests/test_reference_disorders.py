@@ -393,3 +393,40 @@ def test_contextual_matcher_include_rule(spark):
     ])
     got = {r["note_id"] for r in m.entities(notes).collect()}
     assert got == {0}
+
+
+def test_suicide_attempt_reference_golden(spark):
+    """Reference modality golden set (tests/pipelines/ner/
+    test_suicide_attempt.py): span label = modality; guarded TS
+    acronym rejects 'surface TS'; idea-only defenestration rejected."""
+    from edsnlp_spark import registry
+    m = registry.create("eds.suicide_attempt")
+    cases = [
+        ("J'ai vu le patient à cause d'une TS médicamenteuse.",
+         "suicide_attempt_unspecific"),
+        ("J'ai vu le patient à cause d'une IMV.",
+         "intentional_drug_overdose"),
+        ("surface TS", None),
+        ("Patiente hospitalisée à cause d'une Tentative d'autolyse.",
+         "autolysis"),
+        ("Le patient exprime des idées de défenestration", None),
+        ("vu aux urgences suite à une défenestration volontaire",
+         "jumping_from_height"),
+        ("amené par les pompiers à cause d'une phlebotomie", "cuts"),
+        ("Antécédents :\n- pendaison (2010)", "strangling"),
+        ("plusieurs événements d'autodestruction",
+         "self_destructive_behavior"),
+        ("suspicion d'ingestion de caustique avec des idées suicidaires",
+         "burn_gas_caustic"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "note_id long, note_text string")
+    got = {}
+    for r in m.entities(df).collect():
+        got.setdefault(r["note_id"], set()).add(r["label"])
+    for i, (txt, exp) in enumerate(cases):
+        if exp is None:
+            assert i not in got, (txt, got.get(i))
+        else:
+            assert exp in got.get(i, set()), (txt, got.get(i))

@@ -18,16 +18,25 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table; events.ts is stored as TIMESTAMP(NANOS)
-    which Spark's parquet reader rejects, so read nanos as long (runtime
-    conf, works on any session) and convert — values are µs-aligned."""
+    """Read a testdata table, normalizing events.ts across driver data
+    generations: TIMESTAMP(NANOS) (Spark rejects without the
+    nanosAsLong runtime conf -> read long, convert) or TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ, which Spark 4 refuses to cast to BIGINT).
+    Either way we emit a session-tz TIMESTAMP with the stored wall-clock
+    interpreted as UTC, so epoch casts downstream are deterministic and
+    match DuckDB's naive reading of the same parquet."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

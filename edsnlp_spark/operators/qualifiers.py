@@ -6,35 +6,59 @@ its five subclasses (negation.py:52-364, family.py:51, hypothesis.py:51,
 history.py:56, reported_speech.py:51).  The shared algorithm:
 
 1. scan cue terms by class (pseudo / preceding / following / verbs /
-   termination) on NORM;
-2. cut the document into *boundaries*: sentence segments further split at
-   termination cues (negation.py:303-313);
-3. an entity is qualified iff a preceding-class cue exists in the same
-   boundary ending at-or-before the entity, or a following-class cue
-   starting at-or-after it;
-4. pseudo cues suppress overlapping real cues (negation.py:307).
+   termination, plus regex classes: negation's preceding_regex and
+   reported_speech's quotation) on NORM;
+2. cut the document into *boundaries*: sub-sentences split at termination
+   cue STARTS (pipes/base.py:130-141 — sentence starts ∪ termination
+   starts);
+3. pseudo cues suppress overlapping real cues with filter_spans ordering
+   (utils/filter.py:106-128: longest-then-leftmost wins — a real cue
+   survives iff no overlapping pseudo sorts strictly before it);
+   terminations are extracted BEFORE the pseudo filter (negation.py:305)
+   so they are exempt;
+4. an entity belongs to EVERY boundary it overlaps (check_inclusion +
+   consume_spans second_chance, utils/inclusion.py:4) and its final value
+   is the OR over those boundaries (``ent._.X = ent._.X or X``);
+5. within a boundary, a cue qualifies the entity per class:
+   preceding/verbs (and preceding_regex): cue.end <= ent.start
+   (within_ents: <= ent.end); following: cue.start >= ent.end
+   (within_ents: >= ent.start); family's cue class is *boundary*-scoped
+   (family.py:229-233: ``family = bool(cues)`` — any cue anywhere in the
+   boundary); reported_speech's quotation qualifies iff the quote span
+   strictly contains the entity (reported_speech.py:288-292).
 
 Spark design (SURVEY.md §2.7): this is sessionization + an interval join.
-- cue scan = PhraseMatcher broadcast join;
-- boundary ids = cut points (sentence starts ∪ termination-cue ends)
-  -> intervals via a lead() window per note;
-- entity/cue -> boundary assignment = equi-join on note_id + containment
+- cue scan = PhraseMatcher broadcast join (+ RegexMatcher Arrow path for
+  the regex classes, char spans re-aligned to token indices natively);
+- boundary ids = cut points -> intervals via a lead() window per note;
+- entity -> boundary assignment = equi-join on note_id + OVERLAP
   predicate (per-note row counts are tiny, AQE handles skew);
-- qualification = grouped EXISTS (left semi join) per direction;
-- pseudo suppression = left anti join on span overlap.
+- qualification = ONE left join on (note_id, boundary_id) + grouped max
+  (the OR over boundaries and cues in one aggregation);
+- pseudo suppression = left anti join on span overlap + sort-key order.
 
 All five pipes are configs of this one class.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core.base import Transformer
-from .matcher import PhraseMatcher
+from .matcher import PhraseMatcher, RegexMatcher
 from .. import registry
+
+# Cue classes matched as phrases vs regexes; "boundary" qualifies every
+# entity sharing its boundary (family semantics), "quotation" qualifies
+# strictly-contained entities (reported speech).
+_PHRASE_CLASSES = ("preceding", "following", "verbs", "pseudo",
+                   "termination", "boundary")
+_REGEX_CLASSES = ("preceding_regex", "quotation")
+_PRECEDING_LIKE = ("preceding", "verbs", "preceding_regex")
 
 
 class QualifierEngine(Transformer):
@@ -43,55 +67,118 @@ class QualifierEngine(Transformer):
     def __init__(self, qualifier: str,
                  cues: dict[str, Iterable[str]],
                  attr: str = "NORM",
-                 within_ents: bool = False):
-        """cues: {'preceding': [...], 'following': [...], 'pseudo': [...],
-        'termination': [...], 'verbs': [...]} — classes as enumerated at
-        negation.py:327-332; any subset may be provided.
+                 within_ents: bool = False,
+                 section_label: str | None = None):
+        """cues: any subset of {'preceding', 'following', 'verbs',
+        'pseudo', 'termination', 'boundary', 'preceding_regex',
+        'quotation'} — phrase classes as enumerated at negation.py:327-332
+        plus the regex classes (negation.py:200, reported_speech.py:180).
 
         within_ents (negation.py:346-354): when False (the reference's
-        default), a cue whose span lies inside a qualified entity does
-        not count as evidence for that entity — relationally, the cue
-        join adds a non-containment predicate.
+        default) a cue must lie strictly outside the entity
+        (cue.end <= ent.start / cue.start >= ent.end); when True the
+        bound relaxes to the entity's far edge.
+
+        section_label: when set, ``qualify(..., sections=...)`` treats a
+        section span with this label as a boundary-scoped cue for the
+        FIRST boundary starting inside it (family.py:206-225
+        use_sections + consume_spans without second_chance).
         """
         self.qualifier = qualifier
-        self.cues = {k: list(v) for k, v in cues.items() if v}
+        self.cues = {k: list(v) if not isinstance(v, str) else [v]
+                     for k, v in cues.items() if v}
+        unknown = set(self.cues) - set(_PHRASE_CLASSES) - set(_REGEX_CLASSES)
+        if unknown:
+            raise ValueError(f"unknown cue classes: {sorted(unknown)}")
         self.attr = attr
         self.within_ents = within_ents
+        self.section_label = section_label
+        phrase = {c: t for c, t in self.cues.items() if c in _PHRASE_CLASSES}
         self._cue_matcher = PhraseMatcher(
-            {cls: terms for cls, terms in self.cues.items()},
-            attr=attr, span_type="cue",
-        )
+            phrase, attr=attr, span_type="cue") if phrase else None
+        rx = {c: t for c, t in self.cues.items() if c in _REGEX_CLASSES}
+        # Regex cues carry zero-width assertions (\b, lookaheads) — the
+        # exact Arrow path, not the native locate fold.
+        self._rx_matcher = RegexMatcher(
+            rx, attr=attr, span_type="cue") if rx else None
 
     # -- relational pieces -------------------------------------------------
 
-    def _cue_table(self, notes: DataFrame) -> DataFrame:
-        cues = self._cue_matcher.entities(notes).select(
-            "note_id", "tok_start", "tok_end", F.col("label").alias("cue_class")
+    def _regex_cues(self, notes: DataFrame) -> DataFrame:
+        """Regex matches (char spans) -> token-index cue rows.
+
+        Token alignment = the reference's char_span(alignment_mode=
+        "expand"): tok_start = #tokens ending at-or-before start_char,
+        tok_end = #tokens starting before end_char — native HOFs on the
+        nested tokens column, no shuffle beyond the note_id equi-join.
+        """
+        rx = self._rx_matcher.entities(notes)
+        toks = notes.select(
+            "note_id", F.col("tokens").alias("__toks"))
+        sc, ec = F.col("start_char"), F.col("end_char")
+        return (
+            rx.join(toks, "note_id")
+            .select(
+                "note_id",
+                F.size(F.filter("__toks", lambda t: t["end"] <= sc))
+                .cast("int").alias("tok_start"),
+                F.size(F.filter("__toks", lambda t: t["start"] < ec))
+                .cast("int").alias("tok_end"),
+                F.col("label").alias("cue_class"),
+            )
         )
+
+    def _cue_table(self, notes: DataFrame) -> DataFrame:
+        parts = []
+        if self._cue_matcher is not None:
+            parts.append(self._cue_matcher.entities(notes).select(
+                "note_id", "tok_start", "tok_end",
+                F.col("label").alias("cue_class")))
+        if self._rx_matcher is not None:
+            parts.append(self._regex_cues(notes))
+        cues = parts[0]
+        for p in parts[1:]:
+            cues = cues.unionByName(p)
+        if "pseudo" not in self.cues:
+            return cues
+        # filter_spans(label_to_remove="pseudo") semantics
+        # (utils/filter.py:106-128): spans sort by (length, -start)
+        # descending; pseudo spans claim their tokens; a non-termination
+        # cue is discarded iff it overlaps a pseudo that sorts strictly
+        # before it.  Terminations were consumed earlier (negation.py:305)
+        # and never suppressed.
         pseudo = cues.filter(F.col("cue_class") == "pseudo")
         real = cues.filter(F.col("cue_class") != "pseudo")
-        if "pseudo" in self.cues:
-            # Suppress real cues overlapped by a pseudo span (anti overlap
-            # join — negation.py:307 semantics).
-            p = pseudo.select(
-                F.col("note_id").alias("p_note"),
-                F.col("tok_start").alias("p_s"), F.col("tok_end").alias("p_e"),
-            )
-            real = real.join(
-                p,
-                (real["note_id"] == p["p_note"])
-                & (real["tok_start"] < p["p_e"]) & (p["p_s"] < real["tok_end"]),
-                "left_anti",
-            )
-        return real
+        term = real.filter(F.col("cue_class") == "termination")
+        nonterm = real.filter(F.col("cue_class") != "termination")
+        p = pseudo.select(
+            F.col("note_id").alias("p_note"),
+            F.col("tok_start").alias("p_s"), F.col("tok_end").alias("p_e"),
+        )
+        r_len = nonterm["tok_end"] - nonterm["tok_start"]
+        p_len = p["p_e"] - p["p_s"]
+        wins = (p_len > r_len) | (
+            (p_len == r_len) & (p["p_s"] < nonterm["tok_start"]))
+        nonterm = nonterm.join(
+            p,
+            (nonterm["note_id"] == p["p_note"])
+            & (nonterm["tok_start"] < p["p_e"])
+            & (p["p_s"] < nonterm["tok_end"])
+            & wins,
+            "left_anti",
+        )
+        return nonterm.unionByName(term)
 
     def _boundaries(self, notes: DataFrame, cues: DataFrame) -> DataFrame:
-        """(note_id, b_start, b_end, boundary_id) token-index intervals."""
+        """(note_id, b_start, b_end, boundary_id) token-index intervals.
+
+        Cut points = sentence starts ∪ termination-cue STARTS ∪ doc end
+        (pipes/base.py:130-141)."""
         sent_cuts = notes.select(
             "note_id", F.explode("sentences").alias("s")
         ).select("note_id", F.col("s.tok_start").alias("cut"))
         term_cuts = cues.filter(F.col("cue_class") == "termination").select(
-            "note_id", F.col("tok_end").alias("cut")
+            "note_id", F.col("tok_start").alias("cut")
         )
         ntoks = notes.select("note_id", F.size("tokens").alias("cut"))
         cuts = sent_cuts.unionByName(term_cuts).unionByName(ntoks).distinct()
@@ -107,6 +194,8 @@ class QualifierEngine(Transformer):
 
     def _assign_boundary(self, df: DataFrame, bounds: DataFrame,
                          pos_col: str) -> DataFrame:
+        """Point containment on ``pos_col`` (cue assignment — the
+        reference consumes matches by ``start <= s.start < end``)."""
         b = bounds.select(
             F.col("note_id").alias("b_note"), "b_start", "b_end", "boundary_id"
         )
@@ -117,9 +206,53 @@ class QualifierEngine(Transformer):
             "left",
         ).drop("b_note", "b_start", "b_end")
 
+    def _assign_boundary_overlap(self, df: DataFrame,
+                                 bounds: DataFrame) -> DataFrame:
+        """Entity assignment: EVERY boundary the span overlaps
+        (check_inclusion, utils/inclusion.py:4-25) — the grouped max
+        downstream implements the reference's OR across boundaries."""
+        b = bounds.select(
+            F.col("note_id").alias("b_note"), "b_start", "b_end", "boundary_id"
+        )
+        return df.join(
+            b,
+            (df["note_id"] == b["b_note"])
+            & (df["tok_start"] < b["b_end"]) & (b["b_start"] < df["tok_end"]),
+            "left",
+        ).drop("b_note", "b_start", "b_end")
+
+    def _section_cues(self, bounds: DataFrame,
+                      sections: DataFrame) -> DataFrame:
+        """family use_sections (family.py:206-225): a section span with
+        ``section_label`` acts as a boundary-scoped cue for the FIRST
+        boundary whose start token lies inside it (consume_spans without
+        second_chance consumes each section exactly once)."""
+        s = sections.filter(
+            F.col("section") == self.section_label
+        ).select(
+            F.col("note_id").alias("s_note"),
+            F.col("tok_start").alias("s_s"),
+            F.col("tok_until").alias("s_e"),
+        )
+        hit = bounds.join(
+            s,
+            (bounds["note_id"] == s["s_note"])
+            & (bounds["b_start"] >= s["s_s"]) & (bounds["b_start"] < s["s_e"]),
+            "inner",
+        )
+        first = hit.groupBy("s_note", "s_s", "s_e").agg(
+            F.min("boundary_id").alias("c_bid"))
+        return first.select(
+            F.col("s_note").alias("c_note"), "c_bid",
+            F.lit(None).cast("int").alias("c_s"),
+            F.lit(None).cast("int").alias("c_e"),
+            F.lit("boundary").alias("cue_class"),
+        )
+
     # -- public API --------------------------------------------------------
 
-    def qualify(self, notes: DataFrame, entities: DataFrame) -> DataFrame:
+    def qualify(self, notes: DataFrame, entities: DataFrame,
+                sections: DataFrame | None = None) -> DataFrame:
         """entities (flat plane, with tok_start/tok_end) + boolean column
         named after the qualifier.
 
@@ -134,34 +267,34 @@ class QualifierEngine(Transformer):
         """
         cues = self._cue_table(notes).persist()
         bounds = self._boundaries(notes, cues).persist()
-        ents_b = self._assign_boundary(entities, bounds, "tok_start")
+        ents_b = self._assign_boundary_overlap(entities, bounds)
         active = cues.filter(F.col("cue_class") != "termination")
         cues_b = self._assign_boundary(active, bounds, "tok_start").select(
             F.col("note_id").alias("c_note"), F.col("boundary_id").alias("c_bid"),
             F.col("tok_start").alias("c_s"), F.col("tok_end").alias("c_e"),
             "cue_class",
         )
-        preceding_classes = [c for c in ("preceding", "verbs") if c in self.cues]
+        if self.section_label is not None and sections is not None:
+            cues_b = cues_b.unionByName(self._section_cues(bounds, sections))
+        preceding_classes = [c for c in _PRECEDING_LIKE if c in self.cues]
         joined = ents_b.join(
             cues_b,
             (F.col("note_id") == F.col("c_note"))
             & (F.col("boundary_id") == F.col("c_bid")),
             "left",
         )
+        prec_bound = F.col("tok_end") if self.within_ents else F.col("tok_start")
+        foll_bound = F.col("tok_start") if self.within_ents else F.col("tok_end")
         hit = (
             (F.col("cue_class").isin(preceding_classes)
-             & (F.col("c_e") <= F.col("tok_start")))
+             & (F.col("c_e") <= prec_bound))
             | ((F.col("cue_class") == "following")
-               & (F.col("c_s") >= F.col("tok_end")))
+               & (F.col("c_s") >= foll_bound))
+            | (F.col("cue_class") == "boundary")
+            | ((F.col("cue_class") == "quotation")
+               & (F.col("c_s") < F.col("tok_start"))
+               & (F.col("c_e") > F.col("tok_end")))
         )
-        if self.within_ents:
-            # negation.py:346-354: a cue contained in the entity span
-            # itself qualifies it (multi-word entities embedding a cue).
-            hit = hit | (
-                (F.col("c_s") >= F.col("tok_start"))
-                & (F.col("c_e") <= F.col("tok_end"))
-                & (F.col("cue_class") != "termination")
-            )
         return joined.groupBy(*entities.columns).agg(
             F.coalesce(F.max(F.when(hit, True)), F.lit(False)).alias(self.qualifier)
         )
@@ -173,17 +306,33 @@ class QualifierEngine(Transformer):
 
 
 # ---- French default cue configs ---------------------------------------
-# Curated subsets of the reference's pattern lists (negation/patterns.py,
-# family/patterns.py, hypothesis/patterns.py, history/patterns.py,
-# reported_speech/patterns.py).  Matched on NORM (lower, accent-folded).
+# The reference's FULL pattern lists, snapshotted to
+# resources/qualifier_patterns.json by scripts/build_qualifier_patterns.py
+# (negation/patterns.py, family/patterns.py, hypothesis/patterns.py,
+# history/patterns.py, reported_speech/patterns.py, terminations.py), and
+# expanded with the full verb-conjugation table (resources/verbs.parquet)
+# using each pipe's mode/tense filters.  Matched on NORM.
 
+_PATTERNS_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources", "qualifier_patterns.json")
+
+_PATTERNS: dict = {}
+
+
+def _patterns() -> dict:
+    if not _PATTERNS:
+        with open(_PATTERNS_JSON, encoding="utf-8") as f:
+            _PATTERNS.update(json.load(f))
+    return _PATTERNS
+
+
+# Kept for callers that want the light curated subsets (faster scans on
+# synthetic corpora); default_cues() below builds the full reference sets.
 NEGATION_CUES = {
     "preceding": ["pas de", "pas d'", "aucun", "aucune", "sans", "absence de",
                   "negatif pour", "ni", "jamais de", "n'a pas de",
                   "ne presente pas de", "n'est pas", "non"],
-    # multi-word negation verb phrases (the reference's "ne ... pas"
-    # preceding_regex, negation/patterns.py:104; single-verb forms are
-    # added from the full conjugation table by default_cues())
     "verbs": ["ne presente pas", "ne montre pas", "ne retrouve pas",
               "n'objective pas", "ne met pas en evidence"],
     "following": ["negatif", "negative", "exclu", "exclue", "ecarte", "ecartee"],
@@ -193,10 +342,10 @@ NEGATION_CUES = {
 }
 
 FAMILY_CUES = {
-    "preceding": ["antecedents familiaux", "dans la famille", "chez le pere",
-                  "chez la mere", "chez son pere", "chez sa mere", "familial",
-                  "familiale", "sa mere", "son pere", "sa soeur", "son frere",
-                  "grand-mere", "grand-pere", "tante", "oncle"],
+    "boundary": ["antecedents familiaux", "dans la famille", "chez le pere",
+                 "chez la mere", "chez son pere", "chez sa mere", "familial",
+                 "familiale", "sa mere", "son pere", "sa soeur", "son frere",
+                 "grand-mere", "grand-pere", "tante", "oncle"],
     "termination": ["chez le patient", "chez la patiente",
                     "pour sa part", "quant a lui", "quant a elle"],
 }
@@ -225,7 +374,6 @@ REPORTED_SPEECH_CUES = {
                   "la patiente rapporte", "selon le patient",
                   "selon la patiente", "d'apres le patient", "se plaint de",
                   "decrit", "signale", "rapporte", "affirme", "declare"],
-    "termination": ["a l'examen", "objectivement"],
 }
 
 _DEFAULTS = {
@@ -240,53 +388,92 @@ _DEFAULTS_EXPANDED: dict = {}
 
 
 def default_cues(qualifier: str) -> dict:
-    """Static cue lists + the reference's full verb-conjugation
-    expansion (built lazily: reads resources/verbs.parquet once).
+    """The reference's full cue sets, per-pipe:
 
-    Parity for the conjugation filters:
-    * negation (negation.py:247-272): preceding verbs = Indicatif
-      Présent ∪ Participe Présent ∪ Participe Passé ∪ Infinitif
-      Présent of the 8 negation lemmas; following += Participe Passé.
-    * hypothesis (hypothesis.py:230-263): preceding verbs = ALL
+    * negation (negation.py:190-214, 247-272): terms from
+      negation/patterns.py; termination = default termination set;
+      verbs = Indicatif Présent ∪ Participe Présent ∪ Participe Passé ∪
+      Infinitif Présent conjugations of the 8 negation lemmas;
+      following += Participe Passé forms; preceding_regex = the
+      "ne ... pas/point/ni/aucun/jamais/rien" lookahead.
+    * hypothesis (hypothesis.py:188-204, 230-263): verbs = ALL
       conjugations of the 9 verbs_hyp lemmas ∪ Conditionnel of the 693
-      verbs_eds lemmas; following += Participe Passé of verbs_hyp.
-    * reported_speech (reported_speech.py:202-228): verbs = Indicatif
-      Présent 3s/3p ∪ Participe Présent ∪ Participe Passé of its 41
-      lemmas.
+      verbs_eds lemmas; following += Participe Passé of verbs_hyp;
+      termination = default set.
+    * family (family.py:149-152, 229-233): the kinship terms as
+      BOUNDARY-scoped cues (any cue in the boundary qualifies);
+      termination = default set.
+    * reported_speech (reported_speech.py:155-164, 202-228): verbs =
+      Indicatif Présent 3s/3p ∪ Participe Présent ∪ Participe Passé of
+      its 40 lemmas (preceding direction); quotation regex; NO
+      termination (its _boundaries call passes none).
+    * history: the light curated config (the full history pipe is the
+      cross-pipe HistoryQualifier in operators/history.py).
     """
     if qualifier in _DEFAULTS_EXPANDED:
         return _DEFAULTS_EXPANDED[qualifier]
-    from ..resources import conjugated_terms, qualifier_verb_lemmas
-    cues = {k: list(v) for k, v in _DEFAULTS[qualifier].items()}
+    from ..resources import conjugated_terms
+    pats = _patterns()
+    term_default = pats["termination_default"]
     if qualifier == "negation":
-        lem = qualifier_verb_lemmas("negation")
-        cues["verbs"] = sorted(set(cues.get("verbs", [])) | set(
-            conjugated_terms(lem, lambda d:
-                ((d["mode"] == "Indicatif") & (d["tense"] == "Présent"))
-                | d["tense"].isin(["Participe Présent", "Participe Passé",
-                                   "Infinitif Présent"]))))
-        cues["following"] = sorted(set(cues.get("following", [])) | set(
-            conjugated_terms(lem, lambda d: d["tense"] == "Participe Passé")))
+        p = pats["negation"]
+        lem = p["verb_lemmas"]
+        cues = {
+            "pseudo": list(p["pseudo"]),
+            "preceding": list(p["preceding"]),
+            "preceding_regex": list(p["preceding_regex"]),
+            "following": sorted(set(p["following"]) | set(
+                conjugated_terms(lem,
+                                 lambda d: d["tense"] == "Participe Passé"))),
+            "verbs": sorted(set(
+                conjugated_terms(lem, lambda d:
+                    ((d["mode"] == "Indicatif") & (d["tense"] == "Présent"))
+                    | d["tense"].isin(["Participe Présent", "Participe Passé",
+                                       "Infinitif Présent"])))),
+            "termination": list(term_default),
+        }
     elif qualifier == "hypothesis":
-        hyp = qualifier_verb_lemmas("hypothesis_hyp")
-        eds = qualifier_verb_lemmas("hypothesis_eds")
-        cues["verbs"] = sorted(
-            set(conjugated_terms(hyp))
-            | set(conjugated_terms(eds, lambda d: d["mode"] == "Conditionnel")))
-        cues["following"] = sorted(set(cues.get("following", [])) | set(
-            conjugated_terms(hyp, lambda d: d["tense"] == "Participe Passé")))
+        p = pats["hypothesis"]
+        hyp, eds = p["verbs_hyp_lemmas"], p["verbs_eds_lemmas"]
+        cues = {
+            "pseudo": list(p["pseudo"]),
+            "preceding": list(p["preceding"]),
+            "following": sorted(set(p["following"]) | set(
+                conjugated_terms(hyp,
+                                 lambda d: d["tense"] == "Participe Passé"))),
+            "verbs": sorted(
+                set(conjugated_terms(hyp))
+                | set(conjugated_terms(
+                    eds, lambda d: d["mode"] == "Conditionnel"))),
+            "termination": list(term_default),
+        }
+    elif qualifier == "family":
+        cues = {
+            "boundary": list(pats["family"]["family"]),
+            "termination": list(term_default),
+        }
     elif qualifier == "reported_speech":
-        lem = qualifier_verb_lemmas("reported_speech")
-        cues["verbs"] = sorted(set(cues.get("verbs", [])) | set(
-            conjugated_terms(lem, lambda d:
-                ((d["mode"] == "Indicatif") & (d["tense"] == "Présent")
-                 & d["person"].isin(["3s", "3p"]))
-                | d["tense"].isin(["Participe Présent", "Participe Passé"]))))
+        p = pats["reported_speech"]
+        cues = {
+            "preceding": list(p["preceding"]),
+            "following": list(p["following"]),
+            "verbs": sorted(set(
+                conjugated_terms(p["verb_lemmas"], lambda d:
+                    ((d["mode"] == "Indicatif") & (d["tense"] == "Présent")
+                     & d["person"].isin(["3s", "3p"]))
+                    | d["tense"].isin(["Participe Présent",
+                                       "Participe Passé"])))),
+            "quotation": [p["quotation"]],
+        }
+    else:
+        cues = {k: list(v) for k, v in _DEFAULTS[qualifier].items()}
     _DEFAULTS_EXPANDED[qualifier] = cues
     return cues
 
 
 def make_qualifier(qualifier: str, cues: dict | None = None, **kw) -> QualifierEngine:
+    if qualifier == "family" and "section_label" not in kw:
+        kw["section_label"] = "antecedents familiaux"
     return QualifierEngine(qualifier, cues or default_cues(qualifier), **kw)
 
 

@@ -572,7 +572,13 @@ def durations_extraction(spark, sf_dir):
         .otherwise(F.concat(F.lit("surveillance pendant "), nh,
                             F.lit(" heures")))
     )
-    notes = o.select(k.alias("note_id"), text.alias("note_text"))
+    # The sf0.1 orders parquet is ONE file -> one input partition, which
+    # would serialize the Arrow regex stage; at real scale file splits
+    # provide this parallelism and the repartition is a no-op cost-wise
+    # (same rationale as _notes/_docs).
+    par = spark.sparkContext.defaultParallelism
+    notes = o.select(k.alias("note_id"), text.alias("note_text")) \
+        .repartition(par)
     return temporal_mentions(notes).select(
         F.col("note_id").alias("o_orderkey"), "lexical_variant", "kind",
         "direction", "bound", "offset_seconds", "norm",

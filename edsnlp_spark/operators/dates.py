@@ -24,8 +24,8 @@ FR_MONTHS = [
 ]
 # Accent-folded (matching runs on NORM); also accept common abbreviations.
 FR_MONTH_ABBREV = {
-    "janv": 1, "fevr": 2, "fev": 2, "avr": 4, "juil": 7, "sept": 9,
-    "oct": 10, "nov": 11, "dec": 12,
+    "janv": 1, "fevr": 2, "fev": 2, "mar": 3, "avr": 4, "juil": 7,
+    "juill": 7, "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
 }
 
 # Verbose date: "25 septembre 2021", "1er mars 1998", "25 sept. 2021"
@@ -329,9 +329,54 @@ RELATIVE_FWD_RX = rf"\b{_FWD_CUE}\s+{NUMBER_RX}\s*{UNIT_RX}\b"
 RELATIVE_BWD_RX = rf"\b{NUMBER_RX}\s*{UNIT_RX}\s+{_BWD_CUE}\b"
 SPECIFIC_RX = (r"\bavant[-\s]hier\b|\bhier\b"
                r"|\bapres[-\s]demain\b|\bdemain\b")
+# "all"-mode relative (relative.py make_specific_pattern(mode="all")):
+# preceding direction + number + unit + following direction, e.g.
+# "depuis la semaine derniere" — ordered before FWD/BWD in the scan so
+# Python's first-alternative-wins keeps the longest span.
+RELATIVE_ALL_RX = (rf"\b{_FWD_CUE}\s+{NUMBER_RX}\s*{UNIT_RX}"
+                   rf"\s+{_BWD_CUE}\b")
 CURRENT_RX = (r"\bcette\s+annee\b|\bce\s+jour\b|\baujourd'?\s?hui\b"
               r"|\bcette\s+semaine\b|\bces\s+jours[-\s]ci\b"
               r"|\bce\s+mois(?:[-\s]ci)?\b")
+
+# ---- partial-absolute families (patterns/absolute.py no_year /
+# no_day / full_year shapes) — each family has its own capture layout;
+# the scan ORs them in this order (first-alternative-wins ≈ longest).
+# Month-name alternation mirrors atomic/months.py:3-17 (accent-folded,
+# optional-dot abbreviations), longest-first per month.
+_MN = (r"(janvier|janv\.?|fevrier|fev\.?|mars|mar\.?|avril|avr\.?|mai"
+       r"|juin|juillet|juill\.?|juil\.?|aout|septembre|sept\.?|sep\."
+       r"|octobre|oct\.?|novembre|nov\.?|decembre|dec\.?)")
+# day + month name [+ year]: "4 août", "1er Septembre", "25 sept. 2021",
+# "11 janvier\n2017" (the delimiter class includes newline like
+# raw_delimiter_with_spaces_pattern).
+ABS_DMN_RX = (r"(?<!\d)(0?[1-9]|[12]\d|3[01])\s*(?:er)?[\s./-]{1,3}"
+              + _MN + r"(?:\.?\s{1,3}(19\d\d|20\d\d))?(?!\d)")
+# month name + year: "octobre 2020", "sept 2017", "Décembre 2004"
+ABS_MYN_RX = (r"(?<![a-z])" + _MN
+              + r"\.?\s{1,3}(19\d\d|20\d\d)(?!\d)")
+# day + numeric month, no year: "09/08", "07/01" (raw_delimiters / and -)
+ABS_DM_NUM_RXS = [_ANTE + _D + d + _M + _POST for d in (r"/", r"-")]
+# standalone FULL month name ("août").  Deviation from the reference,
+# documented: dotless short abbreviations ("sept", "mar") standalone are
+# pathologically ambiguous (sept = 7), so only full names match alone.
+ABS_MONTH_RX = (r"(?<![a-z])(janvier|fevrier|mars|avril|mai|juin|juillet"
+                r"|aout|septembre|octobre|novembre|decembre)(?![a-z])")
+# standalone full year ("2019"): not glued to other date/number runs.
+ABS_YEAR_RX = r"(?<![\d/.\-])(19\d\d|20\d\d)(?!\d)(?![./-]\d)"
+# False positives (false_positive.py): pagination "1/3" + phone runs.
+# Registered FIRST like dates.py:279 — on equal-span ties the FP match
+# must win the greedy overlap resolution, then be dropped.
+FALSE_POSITIVE_RXS = [r"\d/\d"] + [
+    r"(?:\d\d" + d + r"){3,}\d\d" for d in (r"/", r"-", r"\.", r"\s+")
+]
+# Scan order within the "absolute" label (Python alternation is
+# first-alternative-wins at each position, so longer families go first).
+ABS_FAMILY_RXS = (
+    NUMERIC_DATE_RXS + ISO_DATE_RXS + [NUMERIC_DATE_SPACE_RX, ABS_DMN_RX,
+    MONTH_YEAR_NUM_RX] + ABS_DM_NUM_RXS + [ABS_MYN_RX, ABS_MONTH_RX,
+    ABS_YEAR_RX]
+)
 
 # Bound cues checked in the chars just before an absolute date
 # (atomic/modes.py:3-8; suffix test instead of the reference's
@@ -424,15 +469,28 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
       (models.py:362-385).
     """
     from .matcher import RegexMatcher
+    from .filter_spans import filter_spans as _resolve_overlaps
     m = RegexMatcher(
         {
-            "absolute": ABSOLUTE_DATE_RXS,
-            "relative": [RELATIVE_FWD_RX, RELATIVE_BWD_RX, SPECIFIC_RX],
+            # "FP" sorts before the lowercase labels in the overlap
+            # resolver's tie-break, mirroring dates.py:279-282 where
+            # false_positive patterns are registered FIRST and win
+            # equal-span ties in filter_spans (then get dropped).
+            "FP": FALSE_POSITIVE_RXS,
+            "absolute": ABS_FAMILY_RXS,
+            "relative": [RELATIVE_ALL_RX, RELATIVE_FWD_RX,
+                         RELATIVE_BWD_RX, SPECIFIC_RX],
             "current": [CURRENT_RX],
             "duration": [DURATION_RX],
         },
         attr="NORM", span_type="date",
     ).entities(notes)
+    # Greedy longest-leftmost overlap resolution across families
+    # (dates.py:350), then drop the false positives ("1/3" pagination,
+    # phone-number runs) like dates.py:352.
+    m = _resolve_overlaps(m).filter(F.col("label") != "FP")
+    m = m.join(notes.select("note_id", F.col(text_col).alias("__text")),
+               "note_id")
     v = norm_text(F.col("lexical_variant"))
     num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)
     unit = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 2)
@@ -470,27 +528,115 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
         .when(v.contains("mois"), F.lit("month"))
         .otherwise(F.lit("day"))
     )
-    parsed = F.when(
-        F.col("label") == "absolute",
-        F.coalesce(parse_verbose_date(v), parse_numeric_date(v)))
+    # Absolute components (day / month / year ints, null = slot absent)
+    # per family, prefix-anchored against the matched variant in scan
+    # order — the basis of the reference's placeholder norms
+    # ('????-08-04', '2019-??-??', models.py AbsoluteDate.norm()).
+    def _g(rx: str, i: int) -> Column:
+        return F.regexp_extract(v, "^(?:" + rx + ")", i)
 
-    # Stage 1 (pre-join, functions of lexical_variant+label only): keeps
-    # each codegen'd projection under the JVM 64KB method limit and
-    # makes offset_seconds a real column instead of a 4x-inlined
-    # subexpression in norm.
+    def _st(d: Column, mo: Column, y: Column) -> Column:
+        return F.struct(d.alias("d"), mo.alias("m"), y.alias("y"))
+
+    def _mnum(name: Column) -> Column:
+        return month_number(F.regexp_replace(name, r"\.", ""))
+
+    _ni = F.lit(None).cast("int")
+    comp = F.coalesce(
+        *[F.when(_g(rx, 1) != "", _st(_g(rx, 1).cast("int"),
+                                      _g(rx, 2).cast("int"),
+                                      _resolve_year(_g(rx, 3))))
+          for rx in NUMERIC_DATE_RXS],
+        *[F.when(_g(rx, 3) != "", _st(_g(rx, 3).cast("int"),
+                                      _g(rx, 2).cast("int"),
+                                      _g(rx, 1).cast("int")))
+          for rx in ISO_DATE_RXS],
+        F.when(_g(NUMERIC_DATE_SPACE_RX, 1) != "",
+               _st(_g(NUMERIC_DATE_SPACE_RX, 1).cast("int"),
+                   _g(NUMERIC_DATE_SPACE_RX, 2).cast("int"),
+                   _resolve_year(_g(NUMERIC_DATE_SPACE_RX, 3)))),
+        F.when(_g(ABS_DMN_RX, 1) != "",
+               _st(_g(ABS_DMN_RX, 1).cast("int"),
+                   _mnum(_g(ABS_DMN_RX, 2)),
+                   F.when(_g(ABS_DMN_RX, 3) != "",
+                          _g(ABS_DMN_RX, 3).cast("int")))),
+        F.when(_g(MONTH_YEAR_NUM_RX, 1) != "",
+               _st(_ni, _g(MONTH_YEAR_NUM_RX, 1).cast("int"),
+                   _g(MONTH_YEAR_NUM_RX, 2).cast("int"))),
+        *[F.when(_g(rx, 1) != "", _st(_g(rx, 1).cast("int"),
+                                      _g(rx, 2).cast("int"), _ni))
+          for rx in ABS_DM_NUM_RXS],
+        F.when(_g(ABS_MYN_RX, 1) != "",
+               _st(_ni, _mnum(_g(ABS_MYN_RX, 1)),
+                   _g(ABS_MYN_RX, 2).cast("int"))),
+        F.when(_g(ABS_MONTH_RX, 1) != "",
+               _st(_ni, _mnum(_g(ABS_MONTH_RX, 1)), _ni)),
+        F.when(_g(ABS_YEAR_RX, 1) != "",
+               _st(_ni, _ni, _g(ABS_YEAR_RX, 1).cast("int"))),
+    )
+
+    # Stage 1 (functions of lexical_variant+label only): keeps each
+    # codegen'd projection under the JVM 64KB method limit and makes
+    # offset_seconds / the component struct real columns instead of
+    # inlined subexpressions in norm.
     pre = m.select(
         "note_id", "start_char", "end_char", "lexical_variant", "label",
+        "__text",
         direction.alias("direction"),
         offset.alias("offset_seconds"),
         current_key.alias("_ckey"),
-        parsed.alias("parsed_date"),
+        F.when(F.col("label") == "absolute", comp).alias("_c"),
         v.rlike(r"^depuis").alias("_rel_from"),
     )
 
+    # Stage 2: time-suffix extension for day-bearing absolute dates
+    # ("4 août à 11h13" — the reference appends time_pattern inside the
+    # match span, absolute.py:30-62; norm tail 'HHhMMm', models.py:199).
+    after = F.substring(norm_text(F.col("__text")),
+                        F.col("end_char") + 1, F.lit(12))
+    tmatch = F.when(
+        (F.col("label") == "absolute") & F.col("_c")["d"].isNotNull(),
+        F.regexp_extract(after, TIME_SUFFIX_RX, 0)).otherwise(F.lit(""))
+    hh = F.regexp_extract(after, TIME_SUFFIX_RX, 1)
+    mm = F.regexp_extract(after, TIME_SUFFIX_RX, 2)
+    end2 = (F.col("end_char")
+            + F.when(tmatch != "", F.length(tmatch)).otherwise(F.lit(0))
+            ).cast("int")
+    variant2 = F.when(
+        tmatch != "",
+        F.substring(F.col("__text"), F.col("start_char") + 1,
+                    end2 - F.col("start_char"))
+    ).otherwise(F.col("lexical_variant"))
+    tnorm = F.when(
+        tmatch != "",
+        F.concat(F.lpad(hh, 2, "0"), F.lit("h"),
+                 F.when(mm != "", F.lpad(mm, 2, "0")).otherwise(F.lit("00")),
+                 F.lit("m")))
+    pre = pre.select(
+        "note_id", "start_char", "label", "__text", "direction",
+        "offset_seconds", "_ckey", "_c", "_rel_from",
+        end2.alias("end_char"), variant2.alias("lexical_variant"),
+        tnorm.alias("_tnorm"),
+    )
+
     off = F.col("offset_seconds")
+    y_s = F.col("_c")["y"].cast("string")
+    m_s = F.lpad(F.col("_c")["m"].cast("string"), 2, "0")
+    d_s = F.lpad(F.col("_c")["d"].cast("string"), 2, "0")
+    abs_norm = F.concat(
+        F.coalesce(y_s, F.lit("????")), F.lit("-"),
+        F.coalesce(m_s, F.lit("??")), F.lit("-"),
+        F.coalesce(d_s, F.lit("??")))
+    abs_norm = F.when(F.col("_tnorm").isNotNull(),
+                      F.concat(abs_norm, F.lit(" "), F.col("_tnorm"))
+                      ).otherwise(abs_norm)
+    parsed = F.when(
+        F.col("_c")["d"].isNotNull() & F.col("_c")["m"].isNotNull()
+        & F.col("_c")["y"].isNotNull(),
+        _ymd(F.col("_c")["y"], F.col("_c")["m"].cast("string"),
+             F.col("_c")["d"].cast("string")))
     norm = (
-        F.when(F.col("label") == "absolute",
-               F.date_format(F.col("parsed_date"), "yyyy-MM-dd"))
+        F.when(F.col("label") == "absolute", abs_norm)
         .when(F.col("label") == "current",
               F.concat(F.lit("~0 "), F.col("_ckey")))
         .when(F.col("label") == "duration",
@@ -513,19 +659,15 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     ).when(
         (F.col("label") == "relative") & F.col("_rel_from"), F.lit("from"))
 
-    return (
-        pre.join(notes.select("note_id",
-                              F.col(text_col).alias("__text")), "note_id")
-        .select(
-            "note_id", "start_char", "end_char", "lexical_variant",
-            F.when(F.col("label") == "current", F.lit("relative"))
-            .otherwise(F.col("label")).alias("kind"),
-            "direction",
-            bound.alias("bound"),
-            "offset_seconds",
-            norm.alias("norm"),
-            "parsed_date",
-        )
+    return pre.select(
+        "note_id", "start_char", "end_char", "lexical_variant",
+        F.when(F.col("label") == "current", F.lit("relative"))
+        .otherwise(F.col("label")).alias("kind"),
+        "direction",
+        bound.alias("bound"),
+        "offset_seconds",
+        norm.alias("norm"),
+        parsed.alias("parsed_date"),
     )
 
 

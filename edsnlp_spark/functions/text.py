@@ -99,99 +99,114 @@ def norm_text(col: Column, lowercase: bool = True, accents: bool = True,
     return out
 
 
+_EMPTY_INT_ARR = "cast(array() as array<int>)"
+_TOK_CHUNK = 64
+
+
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row and expose it to ``body`` as a bound lambda variable.
+
+    Motivation (measured, see CLAUDE.md): referencing a computed
+    expression inside a higher-order-function lambda re-evaluates it per
+    element, and array-valued fold ACCUMULATORS are deep-copied per step
+    (a flat ``aggregate``+``array_append`` prefix-sum is O(n²) and 20×
+    slower than this pattern at 20k elements).  Wrapping the value in a
+    1-element array and ``transform``-ing over it turns every inner
+    reference into a cheap bound-variable lookup.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokenize(text: Column, regex: str = WORD_REGEX) -> Column:
     """Offset-bearing tokens as array<struct<i,text,start,end>> — native.
 
-    Fold over the in-order match list; ``locate`` from the previous
-    token's end recovers exact char offsets (see module docstring for the
-    proof sketch).  0-based, end-exclusive offsets, matching the
-    reference's span convention (converters.py:690-707).
+    0-based, end-exclusive offsets, matching the reference's span
+    convention (converters.py:690-707).  LINEAR in document length:
 
-    Scale bound: the fold's array_append copies the accumulator, so cost
-    is O(tokens^2) per document — immaterial for clinical notes (~100s
-    of tokens) but real for 10k+-token documents.  At that shape, chunk
-    first (``SplitDocs`` re-anchors offsets) so each tokenize call sees
-    a bounded token count; the pretokenized fast path below is linear.
+    - ``regexp_extract_all`` gives the in-order tokens;
+    - ``split`` on the SAME regex gives the (whitespace-only, by the
+      partition property in the module docstring) gaps between them, so
+      ``start_k = sum(len(gap_j)+len(tok_j) for j<k) + len(gap_k)``;
+    - the prefix sums are computed chunk-wise (chunks of 64) with
+      scalar-or-bounded fold accumulators, with the pair/chunk-start
+      arrays let-bound (see ``let_bound``) so nothing is re-evaluated
+      per element and no fold accumulator grows with the document.
+
+    A 100k-token document tokenizes in well under a second on one core;
+    no pre-chunking (SplitDocs) is needed at any realistic note size.
     """
-    toks = F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(regex), F.lit(0))
-    # acc: struct<pos:int (1-based locate cursor), out:array<token>>
-    zero = F.struct(
-        F.lit(0).cast("int").alias("pos"),
-        F.expr(
-            "cast(array() as array<struct<i:int,text:string,start:int,end:int>>)"
-        ).alias("out"),
-    )
+    t = F.coalesce(text, F.lit(""))
+    toks = F.regexp_extract_all(t, F.lit(regex), F.lit(0))
+    gaps = F.split(t, regex)
 
-    # Lambda let-bindings don't exist in Spark SQL, so locate() appears
-    # three times per step; each scan starts from the cursor, so total
-    # work stays near-linear in text length.  locate is 1-based; 0 =
-    # not-found cannot happen given the partition property.
-    safe_text = F.coalesce(text, F.lit(""))
-    return F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.struct(
-            (_locate(t, safe_text, acc["pos"] + 1) + F.length(t) - F.lit(1))
-            .cast("int")
-            .alias("pos"),
-            F.array_append(
-                acc["out"],
-                F.struct(
-                    F.size(acc["out"]).cast("int").alias("i"),
-                    t.alias("text"),
-                    (_locate(t, safe_text, acc["pos"] + 1) - F.lit(1))
-                    .cast("int")
-                    .alias("start"),
-                    (_locate(t, safe_text, acc["pos"] + 1) - F.lit(1) + F.length(t))
-                    .cast("int")
-                    .alias("end"),
-                ),
-            ).alias("out"),
-        ),
-        lambda acc: acc["out"],
-    )
+    # (gap_len, tok_len) pairs; gaps has exactly ntokens+1 entries.
+    pairs = F.zip_with(
+        F.slice(gaps, 1, F.size(toks)), toks,
+        lambda g, tk: F.struct(F.length(g).cast("int").alias("g"),
+                               F.length(tk).cast("int").alias("t")))
 
+    def with_pairs(P):
+        n = F.size(P)
+        m = F.ceil(n / F.lit(_TOK_CHUNK)).cast("int")
+        # per-chunk total lengths (scalar fold per chunk — O(n) overall)
+        csums = F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda ci: F.aggregate(
+                F.slice(P, ci * _TOK_CHUNK + 1, _TOK_CHUNK),
+                F.lit(0).cast("int"),
+                lambda a, e: (a + e["g"] + e["t"]).cast("int")))
+        # exclusive prefix over the m chunk sums (m ≈ n/64, so the
+        # per-step accumulator copy is O(n²/64²) — negligible)
+        cstarts = F.aggregate(
+            csums,
+            F.struct(F.lit(0).cast("int").alias("run"),
+                     F.expr(_EMPTY_INT_ARR).alias("out")),
+            lambda acc, s: F.struct(
+                (acc["run"] + s).cast("int").alias("run"),
+                F.array_append(acc["out"], acc["run"]).alias("out")),
+            lambda acc: acc["out"])
 
-def _locate(substr: Column, string: Column, pos: Column) -> Column:
-    """1-based locate(substr, string, pos) as a Column expression."""
-    return F.call_function("locate", substr, string, pos)
+        def with_cstarts(CST):
+            # per chunk: fold its 64 pairs into absolute token starts,
+            # cursor seeded from the chunk-start prefix; accumulator
+            # array is bounded at 64 ints so per-step copies stay O(64).
+            return F.flatten(F.transform(
+                F.sequence(F.lit(0), F.size(CST) - 1),
+                lambda ci: F.aggregate(
+                    F.slice(P, ci * _TOK_CHUNK + 1, _TOK_CHUNK),
+                    F.struct(F.element_at(CST, ci + 1).alias("run"),
+                             F.expr(_EMPTY_INT_ARR).alias("out")),
+                    lambda acc, e: F.struct(
+                        (acc["run"] + e["g"] + e["t"]).cast("int").alias("run"),
+                        F.array_append(
+                            acc["out"],
+                            (acc["run"] + e["g"]).cast("int")).alias("out")),
+                    lambda acc: acc["out"])))
+
+        return let_bound(cstarts, with_cstarts)
+
+    starts = F.when(F.size(toks) == 0, F.expr(_EMPTY_INT_ARR)).otherwise(
+        let_bound(pairs, with_pairs))
+    zipped = F.zip_with(
+        toks, starts,
+        lambda tk, s: F.struct(tk.alias("text"), s.alias("start"),
+                               (s + F.length(tk)).cast("int").alias("end")))
+    return F.transform(
+        zipped,
+        lambda x, i: F.struct(
+            i.cast("int").alias("i"), x["text"].alias("text"),
+            x["start"].alias("start"), x["end"].alias("end")))
 
 
 def tokenize_pretokenized(text: Column) -> Column:
     """Offset-bearing tokens for PRETOKENIZED text (tokens separated by
-    exactly one space, no leading/trailing space) — the reference's
-    whitespace tokenizer for already-tokenized corpora.
-
-    Offsets come from a prefix-sum fold (no per-token string scans), so
-    this is much cheaper than the locate-fold general tokenizer.  The
-    single-space precondition is the caller's contract; on free text use
-    ``tokenize`` instead.
+    single spaces) — the reference's whitespace tokenizer for
+    already-tokenized corpora.  Same linear chunked-prefix-sum core as
+    ``tokenize`` with the trivial token regex; repeated/leading spaces
+    just become longer gaps.
     """
-    toks = F.split(F.coalesce(text, F.lit("")), " ")
-    toks = F.filter(toks, lambda t: t != "")
-    zero = F.struct(
-        F.lit(0).cast("int").alias("pos"),
-        F.expr(
-            "cast(array() as array<struct<i:int,text:string,start:int,end:int>>)"
-        ).alias("out"),
-    )
-    return F.aggregate(
-        toks,
-        zero,
-        lambda acc, t: F.struct(
-            (acc["pos"] + F.length(t) + 1).cast("int").alias("pos"),
-            F.array_append(
-                acc["out"],
-                F.struct(
-                    F.size(acc["out"]).cast("int").alias("i"),
-                    t.alias("text"),
-                    acc["pos"].alias("start"),
-                    (acc["pos"] + F.length(t)).cast("int").alias("end"),
-                ),
-            ).alias("out"),
-        ),
-        lambda acc: acc["out"],
-    )
+    return tokenize(text, regex="[^ ]+")
 
 
 def token_texts(text: Column, regex: str = WORD_REGEX) -> Column:

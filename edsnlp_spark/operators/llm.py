@@ -55,13 +55,21 @@ def llm_markup_extract(notes: DataFrame,
                        few_shot_examples: list[tuple[str, str]] | None = None,
                        max_few_shot_examples: int = -1,
                        max_concurrent: int = 8,
+                       alignment_threshold: float = 0.0,
                        text_col: str = "note_text") -> DataFrame:
     """-> entities plane rows parsed from the LLM's markup output.
 
     ``few_shot_examples`` are (text, annotated_markup) pairs; when
     ``max_few_shot_examples`` > 0 the closest examples to each request
     (token-overlap retriever, llm_markup_extractor.py:226-312) are
-    prepended to the prompt as demonstration turns."""
+    prepended to the prompt as demonstration turns.
+
+    Offsets are emitted in SOURCE-text coordinates: when the model's
+    echo differs from the input (paraphrase, dropped whitespace,
+    truncation), spans are re-aligned with the fuzzy aligner
+    (operators/fuzzy_align.py, mirroring llm_markup_extractor.py:328-351
+    + utils/fuzzy_alignment.py); spans whose best alignment scores at or
+    under ``alignment_threshold`` are dropped, like the reference."""
     fn = complete_fn or _default_client
     exs = few_shot_examples or []
     k = (len(exs) if max_few_shot_examples < 0
@@ -76,13 +84,15 @@ def llm_markup_extract(notes: DataFrame,
         return "\n".join(parts)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fuzzy_align import align_spans
+
         async def process(pdf: pd.DataFrame):
             sem = asyncio.Semaphore(max_concurrent)
 
             async def one(note_id, text):
                 async with sem:
                     out = await fn(build_prompt(text))
-                return note_id, out
+                return note_id, text, out
 
             return await asyncio.gather(*[
                 one(nid, txt)
@@ -92,12 +102,28 @@ def llm_markup_extract(notes: DataFrame,
         for pdf in batches:
             results = asyncio.run(process(pdf))
             rows = []
-            for note_id, markup in results:
-                _, ents = parse_markup(markup or "")
-                for e in ents:
+            for note_id, source, markup in results:
+                echo, ents = parse_markup(markup or "")
+                echo = echo.rstrip()
+                src = (source or "").rstrip()
+                if echo == src:
+                    for e in ents:
+                        rows.append((
+                            note_id, e["start_char"], e["end_char"],
+                            e["label"], e["lexical_variant"], "llm",
+                        ))
+                    continue
+                # echo altered by the model -> re-align into source space
+                # (llm_markup_extractor.py:335-351).
+                mapped = align_spans(
+                    echo, [(e["start_char"], e["end_char"]) for e in ents],
+                    src, threshold=alignment_threshold)
+                for e, span in zip(ents, mapped):
+                    if span is None:
+                        continue
+                    s, t = span
                     rows.append((
-                        note_id, e["start_char"], e["end_char"], e["label"],
-                        e["lexical_variant"], "llm",
+                        note_id, s, t, e["label"], (source or "")[s:t], "llm",
                     ))
             yield pd.DataFrame(rows, columns=[
                 "note_id", "start_char", "end_char", "label",

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.base import Transformer
-from ..functions.text import WORD_REGEX, norm_text, py_norm_text
+from ..functions.text import WORD_REGEX, let_bound, norm_text, py_norm_text
 from .. import registry
 
 # Zero-width regex constructs that make the native locate-fold unsound:
@@ -106,43 +106,56 @@ class PhraseMatcher(Transformer):
         return norm_text(t)
 
     def entities(self, df: DataFrame) -> DataFrame:
-        """Return the matched entities as their own DataFrame (flat plane)."""
+        """Return the matched entities as their own DataFrame (flat plane).
+
+        Cost shape (measured, round 3): HOF lambdas are interpreted per
+        element, so each token must be attr-normalized exactly ONCE (a
+        single transform pass) rather than once per (position, offset)
+        inside the n-gram builder — and the per-position key build is a
+        JVM ``slice``+``array_join`` over the let-bound normalized array
+        instead of n ``element_at`` + n char-map normalizations.
+        """
         spark = df.sparkSession
         terms_df = spark.createDataFrame(
             self.term_rows, "ngram_key string, label string, n int"
         )
         toks = F.col(self.tokens_col)
-        # n-grams for each needed length, built natively on the array.
-        def gram_fn(n):
+        norm_toks = F.transform(toks, self._tok_attr)
+        bound = F.struct(toks.alias("tk"), norm_toks.alias("nt"))
+
+        _EMPTY_GRAMS = (
+            "cast(array() as array<struct<ngram_key:string,start_char:int,"
+            "end_char:int,tok_start:int,tok_end:int>>)"
+        )
+
+        def gram_fn(B, n):
             def fn(j):
                 return F.struct(
-                    F.concat_ws(
-                        " ",
-                        *[self._tok_attr(F.element_at(toks, j + k + 1))
-                          for k in range(n)],
-                    ).alias("ngram_key"),
-                    F.element_at(toks, j + 1)["start"].alias("start_char"),
-                    F.element_at(toks, j + n)["end"].alias("end_char"),
-                    F.element_at(toks, j + 1)["i"].alias("tok_start"),
-                    (F.element_at(toks, j + n)["i"] + 1).cast("int").alias("tok_end"),
+                    F.array_join(F.slice(B["nt"], j + 1, n), " ")
+                    .alias("ngram_key"),
+                    F.element_at(B["tk"], j + 1)["start"].alias("start_char"),
+                    F.element_at(B["tk"], j + n)["end"].alias("end_char"),
+                    F.element_at(B["tk"], j + 1)["i"].alias("tok_start"),
+                    (F.element_at(B["tk"], j + n)["i"] + 1).cast("int")
+                    .alias("tok_end"),
                 )
             return fn
 
-        grams = []
-        for n in self.ns:
-            idx = F.sequence(F.lit(0), F.size(toks) - n)
-            grams.append(
-                F.when(
-                    F.size(toks) >= n,
-                    F.transform(idx, gram_fn(n)),
-                ).otherwise(F.expr(
-                    "cast(array() as array<struct<ngram_key:string,start_char:int,"
-                    "end_char:int,tok_start:int,tok_end:int>>)"
-                ))
-            )
+        def with_bound(B):
+            grams = []
+            for n in self.ns:
+                idx = F.sequence(F.lit(0), F.size(B["tk"]) - n)
+                grams.append(
+                    F.when(
+                        F.size(B["tk"]) >= n,
+                        F.transform(idx, gram_fn(B, n)),
+                    ).otherwise(F.expr(_EMPTY_GRAMS))
+                )
+            return F.flatten(F.array(*grams))
+
         exploded = (
             df.select("note_id", F.col(self.text_col).alias("__text"),
-                      F.explode(F.flatten(F.array(*grams))).alias("g"))
+                      F.explode(let_bound(bound, with_bound)).alias("g"))
             .select("note_id", "__text", "g.*")
         )
         joined = exploded.join(F.broadcast(terms_df), "ngram_key", "inner")

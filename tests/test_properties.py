@@ -43,6 +43,28 @@ def test_tokenizer_offsets_always_exact(spark, texts):
         assert covered == nonspace
 
 
+def test_tokenizer_linear_on_20k_token_doc(spark):
+    """Scale guard: the chunked prefix-sum tokenizer must handle a
+    20k-token document directly (no SplitDocs pre-chunking) in linear
+    time.  The old locate-fold was O(tokens²) and took minutes here."""
+    import time
+
+    words = ["mot" + "abcdefghijklmnopqrstuvwxyz"[i % 26] for i in range(20000)]
+    text = " ".join(words) + "."
+    df = spark.createDataFrame([(0, text)], "note_id long, note_text string")
+    t0 = time.time()
+    toks = df.select(tokenize(F.col("note_text")).alias("t")).collect()[0]["t"]
+    elapsed = time.time() - t0
+    assert len(toks) == 20001  # 20k words + final period token
+    # exact offsets at chunk boundaries and at the end
+    for k in (0, 63, 64, 65, 12800, 19999, 20000):
+        t = toks[k]
+        assert text[t.start:t.end] == t.text, k
+        assert t.i == k
+    # generous wall bound — quadratic behavior would blow far past this
+    assert elapsed < 30, f"20k-token doc took {elapsed:.1f}s"
+
+
 WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
 
 

@@ -316,7 +316,9 @@ def test_llm_few_shot_retrieval(spark):
         head = prompt.split("Annotate")[0]
         label = ("fievre" if "fievre" in head else "none") + "_" + \
             ("bio" if "biologie" in head else "nobio")
-        return f"<ent label={label}>ok</ent>"
+        # echo the source so offsets pass through unaligned (the
+        # re-alignment path has its own tests in test_fuzzy_align.py)
+        return f"patient avec <ent label={label}>fievre</ent> et toux"
 
     notes = spark.createDataFrame(
         [(1, "patient avec fievre et toux")],

@@ -43,6 +43,9 @@ HEADLINE = R1_SET + [
     "drugs_lexicon_match",
     "durations_extraction",
     "embedding_neardup",
+    # round-3 addition: 200k-form lexicon over the non-broadcast
+    # (shuffle-hash) anchor join — the UMLS dictionary tier
+    "umls_scale_match",
 ]
 
 
@@ -75,6 +78,32 @@ def main() -> None:
         print(f"# {name}: warm {times[name]}s / cold {cold[name]}s ({n} rows)",
               file=sys.stderr)
 
+    # Regression guard: compare each warm time against the best recorded
+    # run (bench_best.json, committed) and flag >1.3x slowdowns loudly,
+    # so breadth additions can't silently tax the hot paths.  The best
+    # file only updates when a query improves.
+    best_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_best.json")
+    best: dict[str, float] = {}
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best = {k: float(v) for k, v in json.load(f).items()}
+    regressions = {
+        name: {"warm": t, "best": best[name],
+               "ratio": round(t / best[name], 2)}
+        for name, t in times.items()
+        if name in best and best[name] > 0.05 and t > 1.3 * best[name]
+    }
+    improved = {name: t for name, t in times.items()
+                if name not in best or t < best[name]}
+    if improved and os.environ.get("SPARK_GRAFT_FREEZE_BEST") != "1":
+        best.update(improved)
+        with open(best_path, "w") as f:
+            json.dump(best, f, indent=1, sort_keys=True)
+    for name, r in regressions.items():
+        print(f"# REGRESSION {name}: {r['warm']}s vs best {r['best']}s "
+              f"({r['ratio']}x)", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -84,6 +113,7 @@ def main() -> None:
         "queries_cold": cold,
         "total_cold": round(sum(cold.values()), 3),
         "value_r01_set": round(sum(times[n] for n in R1_SET), 3),
+        "regressions": regressions,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -85,10 +85,20 @@ class LexiconMatcher(Transformer):
     def __init__(self, label: str, resource: str, attr: str = "NORM",
                  span_type: str = "ents", tokens_col: str = "tokens",
                  text_col: str = "note_text",
-                 terms_df: Optional[DataFrame] = None):
+                 terms_df: Optional[DataFrame] = None,
+                 broadcast_terms: bool = True):
         """resource: bundled parquet name ('drugs', 'cim10') with columns
         (kb_id, term, key, n); terms_df overrides it with any DataFrame
-        of the same shape (e.g. a user's UMLS extract)."""
+        of the same shape (e.g. a user's UMLS extract).
+
+        broadcast_terms: True (default) hints a broadcast join — right
+        for the bundled dictionaries (≤ a few MB).  Set False for the
+        UMLS tier (hundreds of thousands to millions of forms): the
+        anchor join is then hinted shuffle_hash — both sides partition
+        by the anchor token and the terms side builds a per-partition
+        hash table, with no sort and no driver-side broadcast of a
+        dictionary that no longer fits one.
+        """
         self.label = label
         self.resource = resource
         self.attr = attr
@@ -96,6 +106,7 @@ class LexiconMatcher(Transformer):
         self.tokens_col = tokens_col
         self.text_col = text_col
         self.terms_df = terms_df
+        self.broadcast_terms = broadcast_terms
         self.requires = ("note_id", tokens_col)
 
     def _tok_attr(self, tok):
@@ -121,7 +132,9 @@ class LexiconMatcher(Transformer):
             F.posexplode(F.transform(toks, self._tok_attr)).alias(
                 "pos", "anchor"),
         )
-        cand = anchored.join(F.broadcast(terms), "anchor").select(
+        terms = (F.broadcast(terms) if self.broadcast_terms
+                 else terms.hint("shuffle_hash"))
+        cand = anchored.join(terms, "anchor").select(
             "note_id", "pos", "kb_id", "t_key", "n")
         slim = df.select(
             "note_id", F.col(self.text_col).alias("__text"),

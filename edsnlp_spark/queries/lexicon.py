@@ -96,6 +96,112 @@ SELECT doc_id, pos, kb_id, term FROM hit
 """
 
 
+# ---- UMLS-scale tier: 200k-form synthetic lexicon ---------------------
+# UMLS concept data itself is license-gated (reference
+# pipes/ner/umls/factory.py:23), so the SCALE PATH is demonstrated with a
+# deterministic 200k-form synthetic lexicon whose SHAPE matches a real
+# terminology: ~50k distinct anchor (first) tokens with ~4 terms each and
+# term lengths 1..3 — anchor selectivity is what keeps the anchor+verify
+# plan's candidate set proportional to true mentions (a 31-word anchor
+# vocabulary would expand every anchored token into ~30k candidates: the
+# degenerate case measured and rejected while building this query).
+# Each document gets one injected mention (term doc_id % 200k appended),
+# so hits include every injection plus incidental sub-term collisions.
+# At this size the terms table must not broadcast: the matcher runs with
+# broadcast_terms=False and the anchor join is a shuffle-hash join keyed
+# by anchor token (asserted in tests/test_plans.py).
+
+SCALE_N_TERMS = 200_000
+
+
+def _scale_key(i):
+    """key + n for synthetic term ``i`` (Column, 0-based)."""
+    t1 = F.concat(F.lit("u"), (i % 49999).cast("string"))
+    t2 = F.concat(F.lit("u"), ((i * 3 + 1) % 49999).cast("string"))
+    t3 = F.concat(F.lit("u"), ((i * 7 + 2) % 49999).cast("string"))
+    n = (i % 3 + 1).cast("int")
+    key = (
+        F.when(n == 1, t1)
+        .when(n == 2, F.concat_ws(" ", t1, t2))
+        .otherwise(F.concat_ws(" ", t1, t2, t3))
+    )
+    return key, n
+
+
+def scale_terms(spark):
+    """(kb_id, term, key, n) — the synthetic 200k-form lexicon."""
+    i = F.col("id")
+    key, n = _scale_key(i)
+    return spark.range(SCALE_N_TERMS).select(
+        F.concat(F.lit("C"), i).alias("kb_id"),
+        key.alias("term"), key.alias("key"), n.alias("n"),
+    )
+
+
+def umls_scale_match(spark, sf_dir):
+    """200k-form lexicon through the non-broadcast LexiconMatcher path."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    key, _ = _scale_key(F.col("doc_id") % SCALE_N_TERMS)
+    notes = docs.select(
+        F.col("doc_id").alias("note_id"),
+        F.concat_ws(" ", "text", key).alias("note_text"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(notes)
+    ents = LexiconMatcher(
+        "umls", resource="", terms_df=scale_terms(spark),
+        broadcast_terms=False,
+    ).entities(notes)
+    return ents.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        "kb_id",
+        F.col("lexical_variant").alias("term"),
+    )
+
+
+_SCALE_KEY_SQL = """
+  CASE ({i}) % 3
+    WHEN 0 THEN 'u' || (({i}) % 49999)
+    WHEN 1 THEN 'u' || (({i}) % 49999) || ' u' || ((({i}) * 3 + 1) % 49999)
+    ELSE 'u' || (({i}) % 49999) || ' u' || ((({i}) * 3 + 1) % 49999)
+         || ' u' || ((({i}) * 7 + 2) % 49999)
+  END
+"""
+UMLS_SCALE_MATCH_SQL = f"""
+WITH terms AS (
+  SELECT 'C' || i AS kb_id,
+         {_SCALE_KEY_SQL.format(i='i')} AS key,
+         i % 3 + 1 AS n
+  FROM range({SCALE_N_TERMS}) t(i)
+),
+notes AS (
+  SELECT doc_id,
+         text || ' ' || {_SCALE_KEY_SQL.format(i=f'doc_id % {SCALE_N_TERMS}')}
+           AS note_text
+  FROM documents
+),
+toklist AS (SELECT doc_id, string_split(note_text, ' ') AS toks FROM notes),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM toklist
+),
+grams AS (
+  SELECT doc_id, pos, 1 AS n, token AS g FROM tok
+  UNION ALL
+  SELECT doc_id, pos, 2, token || ' ' || LEAD(token, 1) OVER w
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  UNION ALL
+  SELECT doc_id, pos, 3, token || ' ' || LEAD(token, 1) OVER w2 || ' ' ||
+         LEAD(token, 2) OVER w2
+  FROM tok WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos, t.kb_id, g.g AS term
+FROM grams g JOIN terms t ON g.n = t.n AND g.g = t.key
+"""
+
+
 QUERIES = {
     "drugs_lexicon_match": (drugs_lexicon_match, DRUGS_LEXICON_MATCH_SQL),
+    "umls_scale_match": (umls_scale_match, UMLS_SCALE_MATCH_SQL),
 }

@@ -83,3 +83,14 @@ def test_quantity_operators_native(spark, sf_dir):
     s = plan_of(spark, sf_dir, "quantity_operators")
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s \
         and "MapInPandas" not in s
+
+
+def test_umls_scale_no_broadcast(spark, sf_dir):
+    """The 200k-form lexicon tier must NOT broadcast the terms table:
+    the anchor join is a shuffle-hash join (hinted), which is the only
+    place a ShuffledHashJoin can appear in this plan."""
+    s = plan_of(spark, sf_dir, "umls_scale_match")
+    assert "ShuffledHashJoin" in s, "anchor join lost the shuffle_hash hint"
+    # the terms range-generator side must not appear under a broadcast
+    assert "BroadcastExchange" not in s.split("ShuffledHashJoin")[1][:2000] \
+        or "Range" not in s.split("ShuffledHashJoin")[1][:500]

@@ -62,6 +62,80 @@ def batchify(df: DataFrame, batch_size: int,
     )
 
 
+def greedy_padded_groups(lengths, batch_size: int) -> list[int]:
+    """Group index per item under the PADDED budget: a batch costs
+    (items in batch) x (longest item), i.e. the memory of the padded
+    tensor a GPU forward allocates (utils/batching.py:181-240
+    batchify_by_padded).  Greedy in input order: close the batch when
+    admitting the next item would push (count+1) * max(maxlen, len)
+    over ``batch_size``; an oversized single item gets its own batch.
+    """
+    out: list[int] = []
+    bid = count = maxlen = 0
+    for ln in lengths:
+        ln = int(ln)
+        nl = max(maxlen, ln)
+        if (count + 1) * nl > batch_size and count > 0:
+            bid += 1
+            count = 0
+            nl = ln
+        out.append(bid)
+        count += 1
+        maxlen = nl
+    return out
+
+
+def batchify_by_padded_words(df: DataFrame, batch_size: int,
+                             text_col: str = "note_text",
+                             batch_col: str = "batch_id",
+                             length_col: str | None = None) -> DataFrame:
+    """Stream.batchify(batch_by="padded_words"): batches bounded by
+    rows x longest-row — the true padded-activation footprint
+    (utils/batching.py:181-240).
+
+    The running max makes this inherently sequential, so unlike the
+    prefix-sum ``batchify_by_words`` it runs as a per-partition greedy
+    pass in an Arrow stage (state carried across Arrow chunks within
+    the partition).  Batch ids are '<partition>_<seq>' — the same
+    partition-local contract as ``batchify()``, no shuffle.
+    """
+    import pandas as pd  # noqa: F401  (Arrow stage)
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    out_cols = list(df.columns) + [batch_col]
+    schema = ", ".join(f"{n} {t}" for n, t in df.dtypes) + f", {batch_col} string"
+    with_len = df.withColumn(
+        "__part", F.spark_partition_id().cast("int"),
+    ).withColumn(
+        "__len",
+        (F.col(length_col) if length_col
+         else F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             r"\s+"))).cast("int"),
+    )
+
+    def run(batches):
+        bid = count = maxlen = 0
+        part = None
+        for pdf in batches:
+            ids = []
+            for p, ln in zip(pdf["__part"], pdf["__len"]):
+                part = int(p)
+                ln = int(ln)
+                nl = max(maxlen, ln)
+                if (count + 1) * nl > batch_size and count > 0:
+                    bid += 1
+                    count = 0
+                    nl = ln
+                ids.append(f"{part}_{bid}")
+                count += 1
+                maxlen = nl
+            pdf = pdf.assign(**{batch_col: ids})
+            yield pdf[out_cols]
+
+    return with_len.mapInPandas(run, schema)
+
+
 def batchify_by_words(df: DataFrame, max_words: int,
                       text_col: str = "note_text",
                       batch_col: str = "batch_id",

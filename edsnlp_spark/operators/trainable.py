@@ -66,20 +66,50 @@ def window_tokens(notes: DataFrame, window: int = 128, stride: int = 64,
 
 def embed_windows(windows: DataFrame, dim: int = 16,
                   forward: Callable[[list[str]], list[list[float]]] | None = None,
+                  padded_budget: int | None = None,
+                  batch_forward: Callable[[list[list[str]]],
+                                          list[list[list[float]]]] | None = None,
                   ) -> DataFrame:
-    """Model stage: one Arrow batch = one minibatch; rows sorted by
-    length inside the batch to minimize padding waste."""
+    """Model stage: rows sorted by length inside each Arrow chunk to
+    minimize padding waste (changelog.md:553's 2x trick).
+
+    ``padded_budget`` sub-batches each Arrow chunk under the PADDED
+    budget — minibatch cost = windows x longest window, the tensor a
+    real GPU forward allocates (utils/batching.py:181 batchify_by_padded
+    semantics via ``greedy_padded_groups``).  ``batch_forward`` is the
+    GPU-shaped injectable: it receives one whole minibatch (list of
+    token lists) per call; the per-window ``forward`` remains for simple
+    fakes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.stream_ops import greedy_padded_groups
         fwd = forward or (lambda toks: [_pseudo_vector(t, dim) for t in toks])
         for pdf in batches:
             pdf = pdf.assign(__len=pdf["toks"].map(len)).sort_values("__len")
+            rows = list(zip(pdf["note_id"], pdf["win_id"], pdf["win_start"],
+                            pdf["toks"]))
+            if padded_budget is not None:
+                gids = greedy_padded_groups((len(r[3]) for r in rows),
+                                            padded_budget)
+            else:
+                gids = [0] * len(rows)
             out_rows = []
-            for note_id, win_id, win_start, toks in zip(
-                    pdf["note_id"], pdf["win_id"], pdf["win_start"], pdf["toks"]):
-                vecs = fwd(list(toks))
-                for i, v in enumerate(vecs):
-                    out_rows.append((note_id, win_id, int(win_start) + i, v))
+            start = 0
+            while start < len(rows):
+                end = start
+                while end < len(rows) and gids[end] == gids[start]:
+                    end += 1
+                chunk = rows[start:end]
+                if batch_forward is not None:
+                    all_vecs = batch_forward([list(r[3]) for r in chunk])
+                else:
+                    all_vecs = [fwd(list(r[3])) for r in chunk]
+                for (note_id, win_id, win_start, _), vecs in zip(chunk,
+                                                                 all_vecs):
+                    for i, v in enumerate(vecs):
+                        out_rows.append(
+                            (note_id, win_id, int(win_start) + i, v))
+                start = end
             yield pd.DataFrame(
                 out_rows, columns=["note_id", "win_id", "tok_i", "emb"])
 
@@ -100,10 +130,12 @@ def resolve_overlaps(embedded: DataFrame, window: int = 128) -> DataFrame:
 
 def transformer_embeddings(notes: DataFrame, window: int = 128,
                            stride: int = 64, dim: int = 16,
-                           forward=None) -> DataFrame:
+                           forward=None, padded_budget: int | None = None,
+                           batch_forward=None) -> DataFrame:
     """Full eds.transformer pipeline: fan-out -> model -> overlap resolve."""
     w = window_tokens(notes, window, stride)
-    e = embed_windows(w, dim, forward)
+    e = embed_windows(w, dim, forward, padded_budget=padded_budget,
+                      batch_forward=batch_forward)
     return resolve_overlaps(e, window)
 
 

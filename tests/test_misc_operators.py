@@ -294,3 +294,38 @@ def test_batchify_by_words(spark):
     # PRIOR sum is < max, so sum <= max + largest row cap)
     assert all(v <= 20 for v in sizes.values())
     assert len(sizes) >= 3  # budget actually splits the stream
+
+
+def test_batchify_padded_words(spark):
+    """Padded-budget batching (utils/batching.py:181-240): every batch
+    satisfies rows x longest_row <= budget (oversized singletons
+    excepted), order within a partition is preserved, and nothing is
+    lost."""
+    from edsnlp_spark.core.stream_ops import batchify_by_padded_words
+    lens = [5, 7, 3, 30, 2, 2, 12, 4, 4, 4]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "note_id long, note_text string") \
+        .coalesce(1)
+    out = batchify_by_padded_words(df, batch_size=24).collect()
+    assert sorted(r["note_id"] for r in out) == list(range(len(lens)))
+    batches = {}
+    for r in out:
+        batches.setdefault(r["batch_id"], []).append(
+            len(r["note_text"].split()))
+    for ls in batches.values():
+        if len(ls) > 1:
+            assert len(ls) * max(ls) <= 24, ls
+    # the 30-word row exceeds the budget alone -> its own batch
+    assert any(ls == [30] for ls in batches.values())
+    # greedy in ORDER: [5,7,3] fits (3*7=21), adding 30 would blow it
+    first = [r for r in out if r["batch_id"].endswith("_0")]
+    assert sorted(r["note_id"] for r in first) == [0, 1, 2]
+
+
+def test_greedy_padded_groups_pure():
+    from edsnlp_spark.core.stream_ops import greedy_padded_groups
+    # (count+1) * max(maxlen, len) > budget closes the batch
+    assert greedy_padded_groups([5, 7, 3, 30, 2, 2], 24) == \
+        [0, 0, 0, 1, 2, 2]
+    assert greedy_padded_groups([], 10) == []
+    assert greedy_padded_groups([100], 10) == [0]  # oversized singleton

@@ -332,3 +332,66 @@ def test_llm_few_shot_retrieval(spark):
         max_few_shot_examples=1).collect()
     # only the closest (fievre) example was included, the other not
     assert len(out) == 1 and out[0]["label"] == "fievre_nobio"
+
+
+# ---- training loop smoke (trainer.py:444-1003 shape) -------------------
+
+def test_training_smoke_loop(spark):
+    """One epoch-bounded training loop wired from the engine's pieces:
+    Stream.loop (epoch replication) -> seeded shuffle -> padded-words
+    batching -> injectable batch forward (budget asserted inside the
+    'GPU' stage) -> GenericScorer-style P/R/F aggregation per epoch.
+    Gradients are out of scope (no torch in container, CLAUDE.md); the
+    loop's data-plane contract is what this verifies:
+      * every epoch presents every document exactly once,
+      * no minibatch exceeds the padded budget,
+      * metrics computed from predictions are exact.
+    """
+    from edsnlp_spark.core.stream_ops import (
+        batchify_by_padded_words, loop, shuffle)
+    from edsnlp_spark.operators.metrics import ner_exact_metrics
+    from edsnlp_spark.operators.trainable import transformer_embeddings
+
+    texts = [f"alpha beta w{i} gamma spark" for i in range(20)]
+    notes = make_notes(spark, texts)
+    n_epochs, budget = 2, 64
+
+    stream = shuffle(loop(notes, n_epochs), seed=7)
+    stream = batchify_by_padded_words(stream, budget, text_col="note_text")
+
+    # data-plane contract: per epoch, each doc exactly once
+    per_epoch = stream.groupBy("epoch").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("note_id").alias("d")).collect()
+    assert len(per_epoch) == n_epochs
+    assert all(r["n"] == 20 and r["d"] == 20 for r in per_epoch)
+    # padded budget holds per batch
+    b = stream.withColumn("__l", F.size(F.split("note_text", " "))) \
+        .groupBy("batch_id").agg(F.count("*").alias("c"),
+                                 F.max("__l").alias("m")).collect()
+    assert all(r["c"] * r["m"] <= budget for r in b if r["c"] > 1)
+
+    # "model" stage over epoch 0 with a batch forward that asserts the
+    # padded budget inside the Arrow stage itself
+    def batch_forward(tok_lists):
+        assert len(tok_lists) * max(len(t) for t in tok_lists) <= budget
+        return [[[float(len(t))] * 4 for t in toks] for toks in tok_lists]
+
+    ep0 = stream.filter(F.col("epoch") == 0).drop("epoch", "batch_id")
+    emb = transformer_embeddings(ep0, window=8, stride=4, dim=4,
+                                 padded_budget=budget,
+                                 batch_forward=batch_forward)
+    # one embedding per token; 'w{i}' splits letter|digits -> 6 tokens
+    assert emb.count() == 20 * 6
+
+    # scorer: fake tagger predicts 'spark' tokens; gold = the same span
+    # set => exact F1 1.0 for the label, shape mirrors GenericScorer's
+    # per-label + micro table
+    toks = notes.select(
+        "note_id", F.posexplode(F.split("note_text", " ")).alias("i", "t"))
+    pred = toks.filter(F.col("t") == "spark").select(
+        "note_id", F.col("i").alias("start_char"),
+        (F.col("i") + 1).alias("end_char"), F.lit("SYS").alias("label"))
+    gold = pred
+    m = {r["label"]: r for r in ner_exact_metrics(pred, gold).collect()}
+    assert m["SYS"]["f1"] == 1.0 and m["micro"]["tp"] == 20

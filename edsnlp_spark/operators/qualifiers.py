@@ -101,6 +101,11 @@ class QualifierEngine(Transformer):
         # exact Arrow path, not the native locate fold.
         self._rx_matcher = RegexMatcher(
             rx, attr=attr, span_type="cue") if rx else None
+        if self._cue_matcher is None and self._rx_matcher is None:
+            raise ValueError(
+                f"QualifierEngine({qualifier!r}): no non-empty cue class "
+                f"given — provide at least one of "
+                f"{_PHRASE_CLASSES + _REGEX_CLASSES}")
 
     # -- relational pieces -------------------------------------------------
 
@@ -143,15 +148,28 @@ class QualifierEngine(Transformer):
             return cues
         # filter_spans(label_to_remove="pseudo") semantics
         # (utils/filter.py:106-128): spans sort by (length, -start)
-        # descending; pseudo spans claim their tokens; a non-termination
-        # cue is discarded iff it overlaps a pseudo that sorts strictly
-        # before it.  Terminations were consumed earlier (negation.py:305)
-        # and never suppressed.
+        # descending; only PSEUDO spans claim tokens, and only when they
+        # were themselves disjoint from earlier-kept pseudos
+        # (seen_tokens is not updated for shadowed pseudos) — so the
+        # pseudo set is first self-resolved with the same greedy fold as
+        # filter_spans, and a real cue overlapping only a SHADOWED
+        # pseudo survives, like the reference (round-3 ADVICE #2).  A
+        # non-termination cue is then discarded iff it overlaps a KEPT
+        # pseudo that sorts strictly before it.  Terminations were
+        # consumed earlier (negation.py:305) and never suppressed.
+        # Deliberate divergence, documented: on EXACT (length, start)
+        # ties between a pseudo and a real cue (identical extents) the
+        # reference falls back to its matcher emission order, an
+        # implementation artifact with no relational analog; here the
+        # real cue deterministically survives.
+        from .filter_spans import filter_spans as _resolve
         pseudo = cues.filter(F.col("cue_class") == "pseudo")
+        kept_pseudo = _resolve(pseudo, start_col="tok_start",
+                               end_col="tok_end", label_col="cue_class")
         real = cues.filter(F.col("cue_class") != "pseudo")
         term = real.filter(F.col("cue_class") == "termination")
         nonterm = real.filter(F.col("cue_class") != "termination")
-        p = pseudo.select(
+        p = kept_pseudo.select(
             F.col("note_id").alias("p_note"),
             F.col("tok_start").alias("p_s"), F.col("tok_end").alias("p_e"),
         )

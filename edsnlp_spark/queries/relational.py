@@ -17,26 +17,49 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _ntz_epoch() -> F.Column:
+    # built lazily: F.lit needs an active session at call time
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def _epoch_s(col) -> F.Column:
+    """Epoch seconds of a TIMESTAMP_NTZ holding UTC wall-clock — pure
+    NTZ arithmetic, independent of spark.sql.session.timeZone."""
+    return F.timestamp_diff("SECOND", _ntz_epoch(), F.col(col) if
+                            isinstance(col, str) else col)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, normalizing events.ts across driver data
     generations: TIMESTAMP(NANOS) (Spark rejects without the
     nanosAsLong runtime conf -> read long, convert) or TIMESTAMP(MICROS)
-    (read as TIMESTAMP_NTZ, which Spark 4 refuses to cast to BIGINT).
-    Either way we emit a session-tz TIMESTAMP with the stored wall-clock
-    interpreted as UTC, so epoch casts downstream are deterministic and
-    match DuckDB's naive reading of the same parquet."""
+    (read natively as TIMESTAMP_NTZ).  Either way ``ts`` is emitted as a
+    TIMESTAMP_NTZ carrying the stored UTC wall-clock — matching DuckDB's
+    naive reading of the same parquet — and every downstream consumer
+    uses NTZ-pure arithmetic (``_epoch_s``, date_trunc on NTZ), so NO
+    session conf is mutated and results don't depend on
+    spark.sql.session.timeZone (round-3 ADVICE #1: the previous
+    session.timeZone=UTC mutation made query results order-dependent).
+    """
     if name == "events":
+        # required to read TIMESTAMP(NANOS) parquet at all; affects only
+        # how nanos columns parse, not the semantics of other queries
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts",
+                F.timestamp_add("MICROSECOND",
+                                (F.col("ts") / 1000).cast("long"),
+                                _ntz_epoch()),
             )
-        elif dt == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif dt == "timestamp":
+            # instant-typed generation: epoch micros -> UTC NTZ, tz-free
+            df = df.withColumn(
+                "ts", F.timestamp_add("MICROSECOND", F.unix_micros("ts"),
+                                      _ntz_epoch()))
     return df
 
 
@@ -211,8 +234,7 @@ def event_sessions(spark, sf_dir):
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+            _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w) > 1800, 1
         ).otherwise(F.lit(0)),
     ).withColumn("session_id", F.sum("new_session").over(w))
     return flagged.groupBy("user_id", "session_id").agg(
@@ -292,7 +314,7 @@ def close_event_pairs(spark, sf_dir):
     over all their active buckets instead of one shuffle key."""
     e = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
-        F.floor(F.col("ts").cast("long") / 300).alias("bucket"),
+        F.floor(_epoch_s("ts") / 300).alias("bucket"),
     )
     a = e.select(
         F.col("user_id").alias("a_user_id"),
@@ -306,8 +328,7 @@ def close_event_pairs(spark, sf_dir):
         (F.col("a_user_id") == F.col("user_id"))
         & (F.col("a_jbucket") == F.col("bucket"))
         & (F.col("a_event_id") < F.col("event_id"))
-        & (F.abs(F.col("a_ts").cast("long") - F.col("ts").cast("long"))
-           <= 300),
+        & (F.abs(_epoch_s("a_ts") - _epoch_s("ts")) <= 300),
     )
     return pairs.groupBy(F.col("a_user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -713,3 +713,39 @@ def test_unitless_sequences_zip(spark):
     for (txt, exp), row in zip(cases, out):
         got = [(x["label"], x["unit"], x["value"]) for x in row["q"]]
         assert got == exp, (txt, got)
+
+
+def test_qualifier_empty_cues_raises(spark):
+    """Round-3 ADVICE #3: constructing the engine with no usable cue
+    class is a clear ValueError, not a deferred IndexError."""
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    with pytest.raises(ValueError, match="no non-empty cue class"):
+        QualifierEngine("negation", {})
+    with pytest.raises(ValueError, match="no non-empty cue class"):
+        QualifierEngine("negation", {"preceding": [], "pseudo": []})
+
+
+def test_pseudo_shadowed_by_pseudo_does_not_suppress(spark):
+    """Round-3 ADVICE #2 (utils/filter.py:106-128 seen_tokens): a
+    pseudo overlapping an earlier-kept pseudo claims NO tokens, so a
+    real cue overlapping only that shadowed pseudo survives."""
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    # tokens: alpha beta gamma douleur
+    # pseudo 'alpha beta' (toks 0-2, kept) shadows pseudo 'beta gamma'
+    # (toks 1-3); real cue 'gamma' (toks 2-3) overlaps ONLY the
+    # shadowed pseudo -> must survive and negate 'douleur'.
+    ndf = run_pipeline(spark, ["alpha beta gamma douleur"]).persist()
+    ents = PhraseMatcher({"sym": ["douleur"]}).entities(ndf)
+    q = QualifierEngine("negation", {
+        "preceding": ["gamma"],
+        "pseudo": ["alpha beta", "beta gamma"],
+        "termination": ["mais"],
+    })
+    assert q.qualify(ndf, ents).collect()[0]["negation"] is True
+    # control: a real cue overlapping the KEPT pseudo is suppressed
+    q2 = QualifierEngine("negation", {
+        "preceding": ["beta"],
+        "pseudo": ["alpha beta"],
+        "termination": ["mais"],
+    })
+    assert q2.qualify(ndf, ents).collect()[0]["negation"] is False

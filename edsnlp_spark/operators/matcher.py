@@ -233,33 +233,66 @@ class RegexMatcher(Transformer):
         return self._entities_udf(df)
 
     def _entities_native(self, df: DataFrame) -> DataFrame:
-        """regexp_extract_all + in-order locate fold (no Python)."""
-        src = self._match_col(df)
+        """regexp_extract_all + in-order locate fold (no Python).
+
+        Offsets come from a cursor-advancing ``locate`` fold over the
+        match list.  Two structural costs are engineered away (same
+        findings as the round-3 tokenizer rewrite, see
+        functions/text.py): the normalized haystack is LET-BOUND so the
+        per-element lambda reads a bound variable instead of
+        re-normalizing the whole document per match, and the span
+        starts accumulate chunk-wise (bounded ``cur`` array + chunk
+        list) so fold accumulator copies stay O(chunk), linear overall.
+        """
+        _EMPTY_I = "cast(array() as array<int>)"
+        _EMPTY_II = "cast(array() as array<array<int>>)"
+        CH = 64
+        src0 = F.coalesce(self._match_col(df), F.lit(""))
         parts = []
+        def make_with_src(rx):
+            # closure factory, NOT a default arg: pyspark treats a
+            # 2-arg lambda as (element, index) (CLAUDE.md gotcha)
+            def with_src(B):
+                matches = F.regexp_extract_all(B["s"], F.lit(rx), F.lit(0))
+                zero = F.struct(
+                    F.lit(0).cast("int").alias("pos"),
+                    F.expr(_EMPTY_I).alias("cur"),
+                    F.expr(_EMPTY_II).alias("lps"),
+                )
+
+                def step(acc, m):
+                    start = (F.call_function("locate", m, B["s"],
+                                             acc["pos"] + 1) - 1).cast("int")
+                    new_pos = (F.call_function("locate", m, B["s"],
+                                               acc["pos"] + 1)
+                               + F.length(m) - 1).cast("int")
+                    new_cur = F.array_append(acc["cur"], start)
+                    closed = F.struct(
+                        new_pos.alias("pos"), F.expr(_EMPTY_I).alias("cur"),
+                        F.array_append(acc["lps"], new_cur).alias("lps"))
+                    opened = F.struct(new_pos.alias("pos"),
+                                      new_cur.alias("cur"),
+                                      acc["lps"].alias("lps"))
+                    return F.when(F.size(new_cur) >= F.lit(CH),
+                                  closed).otherwise(opened)
+
+                starts = F.aggregate(
+                    matches, zero, step,
+                    lambda acc: F.flatten(
+                        F.when(F.size(acc["cur"]) > 0,
+                               F.array_append(acc["lps"], acc["cur"]))
+                        .otherwise(acc["lps"])))
+                return F.zip_with(
+                    matches, starts,
+                    lambda m, s: F.struct(
+                        s.alias("start_char"),
+                        (s + F.length(m)).cast("int").alias("end_char")))
+
+            return with_src
+
         for label, pats in self.patterns.items():
             rx = "|".join(f"(?:{p})" for p in pats)
-            matches = F.regexp_extract_all(F.coalesce(src, F.lit("")), F.lit(rx), F.lit(0))
-            zero = F.struct(
-                F.lit(0).cast("int").alias("pos"),
-                F.expr("cast(array() as array<struct<start_char:int,end_char:int>>)").alias("out"),
-            )
-            spans = F.aggregate(
-                matches, zero,
-                lambda acc, m: F.struct(
-                    (F.call_function("locate", m, src, acc["pos"] + 1) + F.length(m) - 1)
-                    .cast("int").alias("pos"),
-                    F.array_append(
-                        acc["out"],
-                        F.struct(
-                            (F.call_function("locate", m, src, acc["pos"] + 1) - 1)
-                            .cast("int").alias("start_char"),
-                            (F.call_function("locate", m, src, acc["pos"] + 1) - 1 + F.length(m))
-                            .cast("int").alias("end_char"),
-                        ),
-                    ).alias("out"),
-                ),
-                lambda acc: acc["out"],
-            )
+            spans = let_bound(F.struct(src0.alias("s")), make_with_src(rx))
             parts.append(
                 df.select(
                     "note_id", F.col(self.text_col).alias("__text"),

@@ -44,9 +44,13 @@ def _lexicon_notes(spark, sf_dir, resource: str):
 
 
 def drugs_lexicon_match(spark, sf_dir):
-    """Full ATC drug dictionary (5 789 forms) via LexiconMatcher."""
+    """Full ATC drug dictionary (5 789 forms) via LexiconMatcher.
+
+    notes is persisted: LexiconMatcher references it twice (anchor
+    explode + verify join-back) and the tokenized subtree would rebuild
+    per reference otherwise (CLAUDE.md lazy-plan gotcha)."""
     notes = Pipeline([Tokenizer(mode="pretokenized")])(
-        _lexicon_notes(spark, sf_dir, "drugs"))
+        _lexicon_notes(spark, sf_dir, "drugs")).persist()
     ents = LexiconMatcher("drug", "drugs").entities(notes)
     return ents.select(
         F.col("note_id").alias("doc_id"),
@@ -146,7 +150,8 @@ def umls_scale_match(spark, sf_dir):
         F.col("doc_id").alias("note_id"),
         F.concat_ws(" ", "text", key).alias("note_text"),
     ).repartition(spark.sparkContext.defaultParallelism)
-    notes = Pipeline([Tokenizer(mode="pretokenized")])(notes)
+    # persisted: two references from the anchor+verify join (see above)
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(notes).persist()
     ents = LexiconMatcher(
         "umls", resource="", terms_df=scale_terms(spark),
         broadcast_terms=False,

@@ -575,10 +575,13 @@ def durations_extraction(spark, sf_dir):
     # The sf0.1 orders parquet is ONE file -> one input partition, which
     # would serialize the Arrow regex stage; at real scale file splits
     # provide this parallelism and the repartition is a no-op cost-wise
-    # (same rationale as _notes/_docs).
+    # (same rationale as _notes/_docs).  Persisted because
+    # temporal_mentions references notes TWICE (matcher + text join-back)
+    # and the unpersisted subtree would rebuild + reshuffle per
+    # reference (measured: 2.9s -> 1.2s warm at sf0.1).
     par = spark.sparkContext.defaultParallelism
     notes = o.select(k.alias("note_id"), text.alias("note_text")) \
-        .repartition(par)
+        .repartition(par).persist()
     return temporal_mentions(notes).select(
         F.col("note_id").alias("o_orderkey"), "lexical_variant", "kind",
         "direction", "bound", "offset_seconds", "norm",

@@ -40,8 +40,22 @@ _WS = ("\\s\\x1c-\\x1f\\x85\xa0\u1680"
 # tokenizes as ["d'", "anomalie"] — this is what lets apostrophe-bearing
 # qualifier cues ("pas d'", "n'a pas de") build n-gram keys that match
 # corpus n-grams.
+# Reference EDSTokenizer structure (language.py:44-80), re-expressed in
+# the Java/Python-shared regex subset:
+# * tokenizer exceptions keep their dot ("Dr." one token);
+# * acronyms: capital + caps/digits + dot followed by a word char
+#   ("E.Coli" -> ["E.", "Coli"]) — this is what keeps "E.Coli" from
+#   triggering a sentence boundary (reference test_sentences.py:64-72);
+# * numbers: digits with ONE optional decimal digit ("3,5" one token,
+#   "3,55" -> ["3", ",", "55"]) per num_like at language.py:63.
+TOKENIZER_EXCEPTIONS_RX = r"Dr\.|Pr\.|M\.|Mme\.|Mlle\.|(?i:ep\.)"
+ACRONYM_RX = r"[A-Z][A-Z0-9]*\.(?=[A-Za-z0-9_À-ɏ])"
+NUM_RX = r"\d+(?:[.,]\d(?![.,]?[0-9])|(?![.,]?[0-9]))?"
 WORD_REGEX = (
-    r"[A-Za-zÀ-ɏ]+(?:['’](?=[A-Za-zÀ-ɏ]|$))?|\d+(?:[.,]\d+)?|[^" + _WS + r"]"
+    TOKENIZER_EXCEPTIONS_RX
+    + "|" + ACRONYM_RX
+    + "|" + NUM_RX
+    + r"|[A-Za-zÀ-ɏ]+(?:['’](?=[A-Za-zÀ-ɏ]|$))?|[^" + _WS + r"]"
 )
 
 # Accent fold used by eds.accents (accents.py:11 char list).

@@ -144,12 +144,18 @@ class SentenceSegmenter(Transformer):
     def _elements(self, text: Column, toks: Column) -> Column:
         """Per-token struct (i, t, nl, tab, pc): gap-derived newline
         count (after the last tab, minus excluded newlines), tab flag,
-        and punct-chars membership."""
+        and punct-chars membership.
+
+        Documents with no newline/tab anywhere (one doc-level check)
+        take a fast path that skips the per-token gap machinery — on a
+        newline-free corpus the gap substring/translate work was pure
+        overhead (~0.9s of negation_tokens at sf0.1)."""
         punct_arr = F.array(*[F.lit(c) for c in self.punct_chars]) \
             if self.punct_chars else F.expr("cast(array() as array<string>)")
         n = F.size(toks)
+        idx = F.sequence(F.lit(0), n - 1)
 
-        def elem(i):
+        def elem_full(i):
             cur = F.element_at(toks, i + 1)
             prev_end = F.when(i == 0, F.lit(0)) \
                 .otherwise(F.element_at(toks, i)["end"])
@@ -172,7 +178,20 @@ class SentenceSegmenter(Transformer):
                 F.array_contains(punct_arr, cur["text"]).alias("pc"),
             )
 
-        return F.transform(F.sequence(F.lit(0), n - 1), elem)
+        def elem_simple(i):
+            cur = F.element_at(toks, i + 1)
+            return F.struct(
+                i.cast("int").alias("i"),
+                cur["text"].alias("t"),
+                F.lit(0).cast("int").alias("nl"),
+                F.lit(False).alias("tab"),
+                F.array_contains(punct_arr, cur["text"]).alias("pc"),
+            )
+
+        has_specials = (text.contains("\n") | text.contains("\r")
+                        | text.contains("\t"))
+        return F.when(has_specials, F.transform(idx, elem_full)) \
+            .otherwise(F.transform(idx, elem_simple))
 
     def _sentence_starts(self, elements: Column) -> Column:
         """The reference state machine (fast_sentences.pyx:84-146) as a
@@ -249,9 +268,28 @@ class SentenceSegmenter(Transformer):
             return F.transform(SS, sent)
 
         sents = let_bound(starts_all, with_starts)
+        # Degenerate-doc short-circuit: with no newline/tab and none of
+        # the punct chars anywhere in the text, the machine can never
+        # pend, so the answer is one whole-document sentence — skip the
+        # per-token pass entirely (big win on pretokenized corpora).
+        punct_str = "".join(self.punct_chars)
+        trivial = (
+            ~(text.contains("\n") | text.contains("\r")
+              | text.contains("\t"))
+            & (F.length(F.translate(text, punct_str, "")) == F.length(text))
+        ) if punct_str else F.lit(False)
+        one_sent = F.array(F.struct(
+            F.lit(0).cast("int").alias("sent_id"),
+            F.element_at(toks, 1)["start"].alias("start"),
+            F.element_at(toks, n)["end"].alias("end"),
+            F.lit(0).cast("int").alias("tok_start"),
+            n.cast("int").alias("tok_end"),
+        ))
         return df.withColumn(
             self.out_col,
-            F.when(n > 0, sents).otherwise(F.expr(_EMPTY_SENTS)))
+            F.when(n == 0, F.expr(_EMPTY_SENTS))
+            .when(trivial, one_sent)
+            .otherwise(sents))
 
 
 @registry.register("eds.sentences")

@@ -43,9 +43,11 @@ HEADLINE = R1_SET + [
     "drugs_lexicon_match",
     "durations_extraction",
     "embedding_neardup",
-    # round-3 addition: 200k-form lexicon over the non-broadcast
-    # (shuffle-hash) anchor join — the UMLS dictionary tier
+    # round-3 additions: 200k-form lexicon over the non-broadcast
+    # (shuffle-hash) anchor join (the UMLS dictionary tier) and the
+    # mention-level quantity engine (propagation windows + Arrow scan)
     "umls_scale_match",
+    "quantity_mentions",
 ]
 
 

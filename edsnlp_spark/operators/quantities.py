@@ -414,3 +414,226 @@ def link_table_units(cells: DataFrame) -> DataFrame:
         .alias("value_si"),
         unit_dimension(F.col("unit")).alias("dimension"),
     )
+
+
+# ---- quantity_mentions: ALL mentions, reference pipe semantics ---------
+# Parity: the eds.quantities pipe's span list (quantities.py:379-1030 +
+# patterns.py common_quantities) — every quantity in the document with
+# label (size/weight/bmi by dimension), parsed value(s), unit and the
+# reference's str(value) norm, including:
+#  * unit propagation over connector chains ("2 par 1mm" -> 2 mm;
+#    "8, 13 et 15dm" -> all dm) via a per-note window, never a loop;
+#  * followed_by composites ("1m50" -> 1.5 m, "1kg300" -> 1.3 kg,
+#    "1h30" -> 1.5 h);
+#  * vulgar fractions ("⅛ m" -> 0.125 m) and letter numbers ("deux m");
+#  * ranges ("entre 1 et 2m" -> 1-2 m) when extract_ranges;
+#  * unitless context rules (patterns.py:62-104: pese/mesure/imc with
+#    value-scaled units: weight <200 -> kg else g, size <3 -> m else
+#    cm, bmi -> kg_per_m2);
+#  * non-match guards: rates ("10 g / h", "10 cm par jour"), glued
+#    letters ("10cma"), dotted number chains ("01.42.43.56.78 m").
+
+_DEFAULT_DIMS = ("length", "mass")
+_DIM_LABEL = {"length": "size", "mass": "weight"}
+_NUMG = r"\d+(?:[.,]\d+)?"
+_FRACTIONS = {"½": 0.5, "⅓": 1 / 3, "¼": 0.25, "⅕": 0.2, "⅙": 1 / 6,
+              "⅐": 1 / 7, "⅛": 0.125, "⅑": 1 / 9, "⅔": 2 / 3, "¾": 0.75,
+              "⅖": 0.4, "⅗": 0.6, "⅜": 0.375}
+# (main unit, sub unit implied by followed_by, sub-per-main divisor) —
+# patterns.py followed_by entries.  Divisors (not scales): value =
+# main + sub / divisor keeps the float bit-identical to an engine
+# computing sub/100.0 (an ulp differs via sub * 0.01).
+_FOLLOWED_BY = [("m", "cm", 100.0), ("kg", "g", 1000.0), ("h", "min", 60.0)]
+# reference stopwords (patterns.py:108) + the '/' unit divisor act as
+# value-sequence connectors for unit propagation
+_CONNECTOR_GAP_RX = r"^(?:\s|,|et\b|par\b|de\b|a\b|sur\b|-|/)*$"
+_CTX_TERMS = {
+    "size": ["mesure", "taille", "mesurant", "mesurent", "mesurait",
+             "mesuree", "hauteur", "largeur", "longueur"],
+    "weight": ["poids", "poid", "pese", "pesant", "pesait", "pesent"],
+    "bmi": ["imc", "bmi"],
+}
+
+
+def _qm_units(all_units: bool) -> list[str]:
+    if all_units:
+        return list(UNIT_REGISTRY)
+    return [u for u, (d, _) in UNIT_REGISTRY.items() if d in _DEFAULT_DIMS]
+
+
+def quantity_mentions(notes: DataFrame, text_col: str = "note_text",
+                      extract_ranges: bool = True,
+                      all_units: bool = False) -> DataFrame:
+    """All quantity mentions as a flat table:
+
+    (note_id, start_char, end_char, lexical_variant, label, value,
+     value_high, unit, operator, norm, value_si)
+
+    ``notes`` should be persisted by the caller (referenced twice:
+    matcher scan + gap/text join)."""
+    from .matcher import RegexMatcher
+    from .filter_spans import filter_spans
+    from ..functions.text import norm_text
+
+    units = sorted(_qm_units(all_units), key=len, reverse=True)
+    ualt = "|".join(units)
+    uend = _UNIT_END
+    frac_cls = "".join(_FRACTIONS)
+    num_guard = r"(?<![0-9.,])"
+
+    patterns: dict[str, list[str]] = {
+        # FP families: matched longest so filter_spans suppresses the
+        # inner simple/bare matches, then dropped.
+        "aa_fp": [
+            rf"\d+(?:[.,]\d+){{2,}}",                       # dotted chains
+            rf"{_NUMG}\s*(?:{ualt}){uend}\s*(?:/|par\b)\s*\w+",  # rates
+        ],
+        "comp": [
+            rf"{num_guard}(\d+)\s*{m}\s*(\d+)(?![.,]?\d)"
+            rf"(?!\s*(?:{ualt}){uend})"
+            for m, _, _ in _FOLLOWED_BY
+        ],
+        "simple": [rf"{num_guard}{_NUMG}\s*(?:{ualt}){uend}"],
+        "letter": [rf"\b(?:{_LETTER_ALT})\s+(?:{ualt}){uend}"],
+        "frac": [rf"[{frac_cls}]\s*(?:{ualt}){uend}"],
+        "bare": [rf"{num_guard}{_NUMG}(?![.,]?\d)"
+                 rf"(?!\s*(?:{ualt}){uend})"],
+    }
+    if extract_ranges:
+        patterns["range"] = [
+            rf"entre\s+{_NUMG}\s+et\s+{_NUMG}\s*(?:{ualt}){uend}",
+            rf"(?:de\s+)?{num_guard}{_NUMG}\s*(?:-|a)\s*{_NUMG}"
+            rf"\s*(?:{ualt}){uend}",
+        ]
+    for kind, terms in _CTX_TERMS.items():
+        talt = "|".join(terms)
+        # trailing guards: not mid-number, not a value sequence (57/22),
+        # not unit-bearing, not glued to letters (composites like
+        # "taille 1m70" belong to the comp family)
+        patterns[f"ctx_{kind}"] = [
+            rf"\b(?:{talt})\s*:?\s*(?:de\s+)?{_NUMG}(?![.,]?\d)"
+            rf"(?!\s*[/,]?\s*\d)(?!\s*(?:{ualt}){uend})(?!\s*[a-zµ])"
+        ]
+    if all_units:
+        patterns["op"] = [
+            rf"(?:{_LT_ALT}|{_GT_ALT})\s*{_NUMG}\s*(?:{ualt}){uend}"]
+
+    m = RegexMatcher(patterns, attr="NORM", span_type="quantity") \
+        .entities(notes)
+    m = filter_spans(m).filter(F.col("label") != "aa_fp")
+
+    v = norm_text(F.col("lexical_variant"))
+    fam = F.col("label")
+
+    def num_at(rx, i=1):
+        return F.regexp_extract(v, rx, i)
+
+    # per-family parsed (value, value_high, unit_raw, operator, decimal?)
+    simple_v = num_at(rf"({_NUMG})")
+    simple_u = num_at(rf"{_NUMG}\s*({ualt}){uend}")
+    comp_main = num_at(r"(\d+)")
+    comp_sub = num_at(r"\d+\s*[a-z]+\s*(\d+)")
+    comp_unit = num_at(rf"\d+\s*({'|'.join(mu for mu, _, _ in _FOLLOWED_BY)})")
+    comp_scale = F.create_map(*[x for mu, _, s in _FOLLOWED_BY
+                                for x in (F.lit(mu), F.lit(s))])
+    rng_lo = num_at(rf"({_NUMG})")
+    rng_hi = num_at(rf"{_NUMG}\s*(?:-|a|et)\s*({_NUMG})")
+    letter_word = num_at(rf"\b({_LETTER_ALT})\s")
+    frac_char = num_at(rf"([{frac_cls}])")
+    frac_map = F.create_map(*[x for k, val in _FRACTIONS.items()
+                              for x in (F.lit(k), F.lit(float(val)))])
+    op_raw = num_at(rf"^({_LT_ALT}|{_GT_ALT})")
+    ctx_v = num_at(rf"({_NUMG})\s*$")
+
+    value = (
+        F.when(fam == "comp",
+               comp_main.cast("double")
+               + comp_sub.cast("double") / comp_scale[comp_unit])
+        .when(fam == "range", _num(rng_lo))
+        .when(fam == "letter", _letter_value(letter_word))
+        .when(fam == "frac", frac_map[frac_char])
+        .when(fam.startswith("ctx_"), _num(ctx_v))
+        .otherwise(_num(simple_v))
+    )
+    value_high = F.when(fam == "range", _num(rng_hi))
+    unit0 = (
+        F.when(fam == "comp", comp_unit)
+        .when(fam == "letter",
+              num_at(rf"\b(?:{_LETTER_ALT})\s+({ualt}){uend}"))
+        .when(fam == "frac", num_at(rf"[{frac_cls}]\s*({ualt}){uend}"))
+        .when(fam == "ctx_size",
+              F.when(_num(ctx_v) < 3, F.lit("m")).otherwise(F.lit("cm")))
+        .when(fam == "ctx_weight",
+              F.when(_num(ctx_v) < 200, F.lit("kg")).otherwise(F.lit("g")))
+        .when(fam == "ctx_bmi", F.lit("kg_per_m2"))
+        .when(fam == "bare", F.lit(None).cast("string"))
+        .otherwise(F.when(simple_u != "", simple_u))
+    )
+    operator = F.when(
+        fam == "op",
+        F.when(op_raw.rlike(rf"^(?:{_LT_ALT})$"), F.lit("<"))
+        .otherwise(F.lit(">")))
+    parsed = m.select(
+        "note_id", "start_char", "end_char", "lexical_variant",
+        fam.alias("family"), value.alias("value"),
+        value_high.alias("value_high"), unit0.alias("unit"),
+        operator.alias("operator"),
+    )
+
+    # unit propagation across connector chains (window, no loop)
+    from pyspark.sql import Window
+    slim = notes.select("note_id",
+                        norm_text(F.col(text_col)).alias("__norm"))
+    p = parsed.join(slim, "note_id")
+    w = Window.partitionBy("note_id").orderBy("start_char", "end_char")
+    prev_end = F.lag("end_char").over(w)
+    gap = F.substring(F.col("__norm"), prev_end + 1,
+                      F.col("start_char") - prev_end)
+    conn = F.coalesce(gap.rlike(_CONNECTOR_GAP_RX), F.lit(False))
+    p = p.withColumn("__grp",
+                     F.sum(F.when(conn, 0).otherwise(1)).over(w))
+    wg = (Window.partitionBy("note_id", "__grp")
+          .orderBy("start_char", "end_char")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    p = p.withColumn("unit_eff", F.first("unit", ignorenulls=True).over(wg))
+    p = p.filter(F.col("unit_eff").isNotNull())
+
+    dim = unit_dimension(F.col("unit_eff"))
+    label = (
+        F.when(F.col("family") == "ctx_bmi", F.lit("bmi"))
+        .otherwise(F.coalesce(
+            _lit_map(_DIM_LABEL)[dim],
+            F.col("unit_eff")))
+    )
+
+    def fmt(val, dec):
+        return F.when(dec, val.cast("string")) \
+            .otherwise(val.cast("long").cast("string"))
+
+    # str(value) decimal-ness follows the SOURCE number on each side
+    nv = norm_text(F.col("lexical_variant"))
+    lo_dec = (F.col("family").isin("comp", "frac")
+              | nv.rlike(r"^.*?\d+[.,]\d"))
+    lo_dec = F.when(F.col("family") == "range",
+                    nv.rlike(r"^(?:entre\s+|de\s+)?\d+[.,]\d")) \
+        .otherwise(lo_dec)
+    lo_s = fmt(F.col("value"), lo_dec)
+    hi_dec = nv.rlike(r"(?:-|a\s|et\s)\s*\d+[.,]\d")
+    hi_s = F.when(F.col("value_high").isNotNull(),
+                  fmt(F.col("value_high"), hi_dec))
+    val_str = F.when(F.col("value_high").isNotNull(),
+                     F.concat(lo_s, F.lit("-"), hi_s)).otherwise(lo_s)
+    norm = F.when(
+        F.col("operator").isNotNull(),
+        F.concat(F.col("operator"), val_str, F.lit(" "), F.col("unit_eff"))
+    ).otherwise(F.concat(val_str, F.lit(" "), F.col("unit_eff")))
+
+    si = F.col("value") * F.coalesce(unit_factor(F.col("unit_eff")),
+                                     F.lit(1.0))
+    return p.select(
+        "note_id", "start_char", "end_char", "lexical_variant",
+        label.alias("label"), F.col("value"),
+        F.col("value_high"), F.col("unit_eff").alias("unit"),
+        F.col("operator"), norm.alias("norm"),
+        F.round(si, 9).alias("value_si"),
+    )

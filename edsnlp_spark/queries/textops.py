@@ -945,6 +945,78 @@ FROM marked WHERE token IN ('join', 'scan')
 """
 
 
+# ---- full mention-level quantity engine --------------------------------
+
+def quantity_mentions_q(spark, sf_dir):
+    """quantity_mentions over constructed French measurement texts: unit
+    propagation ('N par M mm' -> both mm), followed_by composites
+    ('1mNN' -> 1.NN m), ranges, unitless weight context, and plain
+    pairs — every reference mention family in one oracled query."""
+    from ..operators.quantities import quantity_mentions
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = (k % 28 + 2).cast("string")
+    m2 = (k % 9 + 3).cast("string")
+    c = (k % 90 + 10).cast("string")
+    w = (k % 150 + 40).cast("string")
+    text = (
+        F.when(k % 5 == 0, F.concat(F.lit("la tumeur fait "), n,
+                                    F.lit(" par "), m2, F.lit(" mm")))
+        .when(k % 5 == 1, F.concat(F.lit("le patient fait 1m"), c))
+        .when(k % 5 == 2, F.concat(F.lit("lesion entre "), n,
+                                   F.lit(" et "), (k % 28 + 5).cast("string"),
+                                   F.lit(" cm")))
+        .when(k % 5 == 3, F.concat(F.lit("poids : "), w))
+        .otherwise(F.concat(F.lit("mesure "), n, F.lit(" cm x "), m2,
+                            F.lit(" cm")))
+    )
+    notes = o.select(k.alias("note_id"), text.alias("note_text")) \
+        .repartition(spark.sparkContext.defaultParallelism).persist()
+    out = quantity_mentions(notes)
+    return out.select(
+        F.col("note_id").alias("o_orderkey"),
+        "label", "unit", "norm",
+        F.round("value", 4).alias("value"),
+        F.round("value_high", 4).alias("value_high"),
+        F.round("value_si", 6).alias("value_si"),
+    )
+
+
+QUANTITY_MENTIONS_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey % 28 + 2 AS n, o_orderkey % 9 + 3 AS m2,
+         o_orderkey % 90 + 10 AS c, o_orderkey % 150 + 40 AS w,
+         o_orderkey % 28 + 5 AS hi, o_orderkey % 5 AS br
+  FROM orders
+)
+SELECT k AS o_orderkey, 'size' AS label, 'mm' AS unit,
+       n::VARCHAR || ' mm' AS norm, CAST(n AS DOUBLE) AS value,
+       CAST(NULL AS DOUBLE) AS value_high, ROUND(n * 0.001, 6) AS value_si
+FROM b WHERE br = 0
+UNION ALL
+SELECT k, 'size', 'mm', m2::VARCHAR || ' mm', CAST(m2 AS DOUBLE),
+       NULL, ROUND(m2 * 0.001, 6) FROM b WHERE br = 0
+UNION ALL
+SELECT k, 'size', 'm', (1 + c / 100.0)::VARCHAR || ' m',
+       ROUND(1 + c / 100.0, 4), NULL, ROUND(1 + c / 100.0, 6)
+FROM b WHERE br = 1
+UNION ALL
+SELECT k, 'size', 'cm', n::VARCHAR || '-' || hi::VARCHAR || ' cm',
+       CAST(n AS DOUBLE), CAST(hi AS DOUBLE), ROUND(n * 0.01, 6)
+FROM b WHERE br = 2
+UNION ALL
+SELECT k, 'weight', 'kg', w::VARCHAR || ' kg', CAST(w AS DOUBLE),
+       NULL, ROUND(w * 1000.0, 6) FROM b WHERE br = 3
+UNION ALL
+SELECT k, 'size', 'cm', n::VARCHAR || ' cm', CAST(n AS DOUBLE),
+       NULL, ROUND(n * 0.01, 6) FROM b WHERE br = 4
+UNION ALL
+SELECT k, 'size', 'cm', m2::VARCHAR || ' cm', CAST(m2 AS DOUBLE),
+       NULL, ROUND(m2 * 0.01, 6) FROM b WHERE br = 4
+"""
+
+
+
 QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
@@ -965,4 +1037,5 @@ QUERIES = {
     "quantity_operators": (quantity_operators, QUANTITY_OPERATORS_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
+    "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),
 }

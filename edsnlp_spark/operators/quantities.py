@@ -580,15 +580,28 @@ def quantity_mentions(notes: DataFrame, text_col: str = "note_text",
         operator.alias("operator"),
     )
 
-    # unit propagation across connector chains (window, no loop)
+    # unit propagation across connector chains (window, no loop).
+    # Scale note: only a 64-char prefix window rides the shuffle, not
+    # the document text — a gap longer than that cannot be a pure
+    # connector chain anyway.
     from pyspark.sql import Window
     slim = notes.select("note_id",
                         norm_text(F.col(text_col)).alias("__norm"))
-    p = parsed.join(slim, "note_id")
+    p = parsed.join(slim, "note_id").select(
+        parsed["*"],
+        F.substring(
+            F.col("__norm"),
+            F.greatest(F.col("start_char") - 64, F.lit(0)) + 1,
+            F.least(F.col("start_char"), F.lit(64)),
+        ).alias("__prefix"),
+    )
     w = Window.partitionBy("note_id").orderBy("start_char", "end_char")
     prev_end = F.lag("end_char").over(w)
-    gap = F.substring(F.col("__norm"), prev_end + 1,
-                      F.col("start_char") - prev_end)
+    dist = F.col("start_char") - prev_end
+    gap = F.when(
+        dist <= 64,
+        F.substring(F.col("__prefix"),
+                    F.length(F.col("__prefix")) - dist + 1, dist))
     conn = F.coalesce(gap.rlike(_CONNECTOR_GAP_RX), F.lit(False))
     p = p.withColumn("__grp",
                      F.sum(F.when(conn, 0).otherwise(1)).over(w))

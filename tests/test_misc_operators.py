@@ -329,3 +329,41 @@ def test_greedy_padded_groups_pure():
         [0, 0, 0, 1, 2, 2]
     assert greedy_padded_groups([], 10) == []
     assert greedy_padded_groups([100], 10) == [0]  # oversized singleton
+
+
+def test_pollution_intraword_split_and_strip(spark):
+    """Reference test_normalization_intraword_breaks + the footer golden
+    (tests/pipelines/core/test_normalisation.py:87-123): excluding
+    pollution reconstructs the clean reading text."""
+    from edsnlp_spark.operators.pollution import (
+        PollutionTagger, strip_pollution)
+    t1 = "Le patient a un diab-\nète de type II."
+    t3 = ("Le jour de \n"
+          "3/5CRH service ABC HC SOINS INTENSIFS CARDIOLOGIE - "
+          "CARDIOLOGIE-2EME ETAGE-B    Pat.: Prenom NOM | M | 13/10/1789 "
+          "| 8012345678 | xxxxxxxx \nconsultation")
+    df = spark.createDataFrame([(1, t1), (3, t3)],
+                               "note_id long, note_text string")
+    out = {r["note_id"]: r["excluded_text"]
+           for r in strip_pollution(PollutionTagger()(df)).collect()}
+    assert out[1] == "Le patient a un diabète de type II."
+    assert out[3] == "Le jour de \nconsultation"
+
+
+def test_regex_match_across_exclusions(spark):
+    """Reference tests/matchers/test_regex.py:66-78 (ignore_excluded):
+    the pattern matches on the pollution-stripped text; the reported
+    span lives in RAW offsets and spans the pollution run."""
+    from edsnlp_spark.operators.pollution import (
+        PollutionTagger, entities_with_exclusions)
+    text = ("pneumopathie à NBNbWbWbNbWbNBNbNbWbWbNBNbWbNbNbWbNBNbWbNbNB "
+            "coronavirus")
+    df = spark.createDataFrame([(1, text)], "note_id long, note_text string")
+    notes = PollutionTagger()(df)
+    out = entities_with_exclusions(
+        notes, {"test": ["pneumopathie à coronavirus"]}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["clean_variant"] == "pneumopathie à coronavirus"
+    assert r["lexical_variant"] == text
+    assert text[r["start_char"]:r["end_char"]] == text

@@ -21,7 +21,7 @@ import asyncio
 from typing import Awaitable, Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..sources.converters import parse_markup
 
@@ -136,32 +136,126 @@ def llm_markup_extract(notes: DataFrame,
     )
 
 
+_SCHEMA_CASTS = {
+    "boolean": lambda v: bool(v) if isinstance(v, bool)
+    else str(v).strip().lower() in ("true", "1", "yes", "oui"),
+    "string": lambda v: None if v is None else str(v),
+    "date": lambda v: None if v in (None, "") else str(v)[:10],
+}
+
+
+def _span_context(text: str, start: int, end: int, label: str,
+                  context_words: int | None) -> str:
+    """XML-marked context around the span (the reference's doc2xml
+    context_formatter + 'words[-n:n]' context_getter,
+    llm_span_qualifier.py): n whitespace words each side, the span
+    wrapped as <LABEL>span</LABEL>."""
+    left, span, right = text[:start], text[start:end], text[end:]
+    if context_words is not None:
+        lw = left.split(" ")
+        rw = right.split(" ")
+        left = " ".join(lw[-context_words - 1:]) if lw else ""
+        right = " ".join(rw[:context_words + 1]) if rw else ""
+    return f"{left}<{label}>{span}</{label}>{right}"
+
+
 def llm_span_qualify(entities: DataFrame,
                      complete_fn: CompleteFn | None = None,
-                     attribute: str = "negation",
-                     max_concurrent: int = 8) -> DataFrame:
-    """Per-span boolean attribute from an LLM JSON answer ('true'/'false'
-    accepted loosely, as the reference's tolerant JSON parsing does)."""
+                     attribute: str | None = None,
+                     schema: dict[str, str] | None = None,
+                     notes: DataFrame | None = None,
+                     context_words: int | None = 2,
+                     prompt_template: str | None = None,
+                     on_error: str = "skip",
+                     max_concurrent: int = 8,
+                     text_col: str = "note_text") -> DataFrame:
+    """Per-span attributes from an LLM JSON answer.
+
+    Parity: eds.llm_span_qualifier (llm_span_qualifier.py:29 +
+    tests/pipelines/llm/test_llm_span_qualifier.py):
+
+    * ``schema`` maps attribute name -> type ('boolean' | 'string' |
+      'date'); ONE output column per attribute, values parsed from the
+      model's JSON with tolerant casting (the legacy single
+      ``attribute`` arg is a {attribute: boolean} schema);
+    * when ``notes`` is given, each request carries the span's
+      XML-marked context (``<LABEL>span</LABEL>`` with
+      ``context_words`` words each side) instead of the bare variant;
+    * ``on_error='skip'`` leaves attributes null on a failed request /
+      unparseable answer; 'raise' propagates (reference on_error).
+    """
+    import json as _json
+
     fn = complete_fn or _default_client
+    sch = dict(schema) if schema else {attribute or "negation": "boolean"}
+    for k, t in sch.items():
+        if t not in _SCHEMA_CASTS:
+            raise ValueError(f"unsupported schema type {t!r} for {k!r}")
+    tmpl = prompt_template or (
+        "You are a span classifier. Answer with JSON using the keys: "
+        + ", ".join(sch) + ".\nContext: {context}")
+
+    ents = entities
+    if notes is not None:
+        slim = notes.select(F.col("note_id").alias("__nid"),
+                            F.col(text_col).alias("__text"))
+        ents = entities.join(
+            slim, entities["note_id"] == slim["__nid"], "left"
+        ).drop("__nid")
+    in_cols = entities.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         async def process(pdf):
             sem = asyncio.Semaphore(max_concurrent)
 
-            async def one(idx, variant):
+            async def one(idx, row):
+                if "__text" in row and isinstance(row["__text"], str):
+                    ctx = _span_context(
+                        row["__text"], int(row["start_char"]),
+                        int(row["end_char"]), str(row["label"]),
+                        context_words)
+                else:
+                    ctx = str(row["lexical_variant"])
                 async with sem:
-                    out = await fn(f"Is '{variant}' {attribute}? json bool")
-                return idx, "true" in (out or "").lower()
+                    try:
+                        out = await fn(tmpl.format(context=ctx))
+                    except Exception:
+                        if on_error == "raise":
+                            raise
+                        return idx, None
+                return idx, out
 
             return await asyncio.gather(*[
-                one(i, v) for i, v in enumerate(pdf["lexical_variant"])
+                one(i, row) for i, (_, row) in enumerate(pdf.iterrows())
             ])
 
         for pdf in batches:
-            verdicts = dict(asyncio.run(process(pdf)))
+            answers = dict(asyncio.run(process(pdf)))
             pdf = pdf.copy()
-            pdf[attribute] = [verdicts[i] for i in range(len(pdf))]
-            yield pdf
+            parsed = []
+            for i in range(len(pdf)):
+                raw = answers.get(i)
+                try:
+                    obj = _json.loads(raw) if raw else {}
+                    if not isinstance(obj, dict):
+                        obj = {}
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    obj = {}
+                parsed.append(obj)
+            for k, t in sch.items():
+                cast = _SCHEMA_CASTS[t]
+                pdf[k] = [
+                    (cast(p[k]) if k in p and p[k] is not None else None)
+                    for p in parsed]
+            yield pdf[in_cols + list(sch)]
 
+    types = {"boolean": "boolean", "string": "string", "date": "string"}
     fields = ", ".join(f"{n} {t}" for n, t in entities.dtypes)
-    return entities.mapInPandas(run, f"{fields}, {attribute} boolean")
+    out_fields = ", ".join(f"{k} {types[t]}" for k, t in sch.items())
+    out = ents.mapInPandas(run, f"{fields}, {out_fields}")
+    for k, t in sch.items():
+        if t == "date":
+            out = out.withColumn(k, F.to_date(F.col(k)))
+    return out

@@ -89,7 +89,7 @@ def test_llm_span_qualify_with_fake_client(spark):
         "lexical_variant string, span_type string")
 
     async def fake(prompt):
-        return json.dumps({"answer": "fever" in prompt})
+        return json.dumps({"negation": "fever" in prompt})
 
     out = {r["lexical_variant"]: r["negation"]
            for r in llm_span_qualify(ents, complete_fn=fake).collect()}
@@ -395,3 +395,64 @@ def test_training_smoke_loop(spark):
     gold = pred
     m = {r["label"]: r for r in ner_exact_metrics(pred, gold).collect()}
     assert m["SYS"]["f1"] == 1.0 and m["micro"]["tp"] == 20
+
+
+def test_llm_span_qualifier_schema_and_context(spark):
+    """Reference test_llm_span_qualifier_async_multiple_spans shape:
+    typed multi-attribute schema, XML-marked word context per span,
+    per-span JSON answers landing in typed columns."""
+    import datetime
+    src = "Le patient a une tuberculose et une pneumonie."
+    notes = spark.createDataFrame([(1, src)],
+                                  "note_id long, note_text string")
+    s1, s2 = src.index("tuberculose"), src.index("pneumonie")
+    ents = spark.createDataFrame(
+        [(1, s1, s1 + 11, "DIAG", "tuberculose", "ents"),
+         (1, s2, s2 + 9, "DIAG", "pneumonie", "ents")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string")
+
+    seen = []
+
+    async def fake(prompt):
+        seen.append(prompt)
+        if "tuberculose" in prompt:
+            assert "<DIAG>tuberculose</DIAG>" in prompt
+            return '{"negation": true}'
+        assert "<DIAG>pneumonie</DIAG>" in prompt
+        return '{"negation": false, "date": "2024-06-01"}'
+
+    out = llm_span_qualify(
+        ents, complete_fn=fake,
+        schema={"negation": "boolean", "date": "date"},
+        notes=notes, context_words=2).collect()
+    vals = {r["lexical_variant"]: (r["negation"], r["date"]) for r in out}
+    assert vals == {
+        "tuberculose": (True, None),
+        "pneumonie": (False, datetime.date(2024, 6, 1)),
+    }
+
+
+def test_llm_span_qualifier_error_modes(spark):
+    """on_error='skip' leaves attributes null; 'raise' propagates
+    (reference test_llm_span_qualifier_async_error)."""
+    import pytest as _pytest
+    ents = spark.createDataFrame(
+        [(1, 0, 5, "dis", "fever", "ents")],
+        "note_id long, start_char int, end_char int, label string, "
+        "lexical_variant string, span_type string")
+
+    async def bad(prompt):
+        raise RuntimeError("boom")
+
+    out = llm_span_qualify(ents, complete_fn=bad, on_error="skip").collect()
+    assert len(out) == 1 and out[0]["negation"] is None
+
+    with _pytest.raises(Exception):
+        llm_span_qualify(ents, complete_fn=bad, on_error="raise").collect()
+
+    async def garbage(prompt):
+        return "not json at all"
+
+    out = llm_span_qualify(ents, complete_fn=garbage).collect()
+    assert out[0]["negation"] is None

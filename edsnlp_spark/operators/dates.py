@@ -327,8 +327,11 @@ _BWD_CUE = (r"(prochaines?|prochains?|suivantes?|suivants?|plus\s+tard"
 DURATION_RX = rf"\b(?:pendant|durant|pdt).{{0,3}}{NUMBER_RX}\s*{UNIT_RX}\b"
 RELATIVE_FWD_RX = rf"\b{_FWD_CUE}\s+{NUMBER_RX}\s*{UNIT_RX}\b"
 RELATIVE_BWD_RX = rf"\b{NUMBER_RX}\s*{UNIT_RX}\s+{_BWD_CUE}\b"
-SPECIFIC_RX = (r"\bavant[-\s]hier\b|\bhier\b"
-               r"|\bapres[-\s]demain\b|\bdemain\b")
+# optional "depuis " prefix folds into the span so the from-bound rule
+# fires on "depuis hier" (reference since-mode, modes.py)
+SPECIFIC_RX = (r"(?:\bdepuis\s+)?"
+               r"(?:\bavant[-\s]hier\b|\bhier\b"
+               r"|\bapres[-\s]demain\b|\bdemain\b)")
 # "all"-mode relative (relative.py make_specific_pattern(mode="all")):
 # preceding direction + number + unit + following direction, e.g.
 # "depuis la semaine derniere" — ordered before FWD/BWD in the scan so
@@ -501,18 +504,20 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     direction = (
         F.when(F.col("label") == "current", F.lit("current"))
         .when(F.col("label") == "duration", F.lit(None).cast("string"))
-        .when(v.rlike(r"^(avant[-\s]hier|hier)"), F.lit("past"))
-        .when(v.rlike(r"^(apres[-\s]demain|demain)"), F.lit("future"))
+        .when(v.rlike(r"^(?:depuis\s+)?(avant[-\s]hier|hier)"),
+              F.lit("past"))
+        .when(v.rlike(r"^(?:depuis\s+)?(apres[-\s]demain|demain)"),
+              F.lit("future"))
         .when(v.rlike(r"^dans\b"), F.lit("future"))
         .when(v.rlike(r"(prochain|suivant|plus\stard)"), F.lit("future"))
         .when(v.rlike(r"(dernier|passe|precedent|plus\stot)"), F.lit("past"))
         .when(v.rlike(r"^(depuis|il\s+y\s+a)"), F.lit("past"))
     )
     specific_days = (
-        F.when(v.rlike(r"^avant[-\s]hier"), F.lit(-2))
-        .when(v.rlike(r"^hier"), F.lit(-1))
-        .when(v.rlike(r"^apres[-\s]demain"), F.lit(2))
-        .when(v.rlike(r"^demain"), F.lit(1))
+        F.when(v.rlike(r"^(?:depuis\s+)?avant[-\s]hier"), F.lit(-2))
+        .when(v.rlike(r"^(?:depuis\s+)?hier"), F.lit(-1))
+        .when(v.rlike(r"^(?:depuis\s+)?apres[-\s]demain"), F.lit(2))
+        .when(v.rlike(r"^(?:depuis\s+)?demain"), F.lit(1))
     )
     offset = (
         F.when(F.col("label") == "current", F.lit(0).cast("bigint"))

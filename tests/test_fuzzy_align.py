@@ -118,3 +118,28 @@ def test_llm_markup_exact_echo_unchanged(spark):
     rows = llm_markup_extract(notes, complete_fn=fake).collect()
     assert len(rows) == 1
     assert src[rows[0].start_char:rows[0].end_char] == "malade"
+
+
+def test_align_property_whitespace_mutations():
+    """Property: for spans over non-space tokens, collapsing/stretching
+    whitespace anywhere in the document must not change what text the
+    aligned span selects (modulo surrounding whitespace)."""
+    import random
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma",
+             "kappa", "lambda", "mu", "nu"]
+    for trial in range(25):
+        n = rng.randint(5, 12)
+        toks = [rng.choice(words) + str(i) for i in range(n)]
+        old = " ".join(toks)
+        # mutate whitespace: random runs of spaces/newlines/tabs
+        seps = [rng.choice([" ", "  ", "\n", " \n ", "\t", "   "])
+                for _ in range(n - 1)]
+        new = toks[0] + "".join(s + t for s, t in zip(seps, toks[1:]))
+        # span = one random token
+        k = rng.randrange(n)
+        b = old.index(toks[k])
+        got = align_spans(old, [(b, b + len(toks[k]))], new, threshold=0.0)
+        assert got[0] is not None, (trial, toks[k])
+        s, e = got[0]
+        assert new[s:e].strip() == toks[k], (trial, new[s:e], toks[k])

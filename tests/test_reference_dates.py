@@ -135,3 +135,18 @@ def test_reference_dates_suite(spark):
                     f"[{i}] {text[s:e]!r}: bound {r['bound']!r} != "
                     f"{mods['bound']!r}")
     assert not failures, "\n".join(failures)
+
+
+def test_dates_bound_relative_to_duration(spark):
+    """Reference test_dates.py:301-317: 'depuis hier' parses as a past
+    relative with a from-bound and a -1 day offset."""
+    df = spark.createDataFrame(
+        [(1, "Mal au bras depuis hier.")], "note_id long, note_text string")
+    rows = temporal_mentions(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["kind"] == "relative"
+    assert r["direction"] == "past"
+    assert r["bound"] == "from"
+    assert r["offset_seconds"] == -86400
+    assert r["norm"] == "-1 day"

@@ -250,14 +250,25 @@ class ReferenceDisorderMatcher:
     def __init__(self, name: str, attr: str = "NORM",
                  use_patterns_metastasis_ct_scan: bool = False,
                  use_tnm: bool = False,
-                 patterns: list[dict] | None = None):
+                 patterns: list[dict] | None = None,
+                 include_assigned: bool = False):
         """``patterns`` overrides the named bundle with user-supplied
         source-dicts in the reference's ContextualMatcher schema
         ({source, regex, exclude: {regex, window}, assign: [{name,
-        regex, window}], regex_attr}) — this is the general regex
-        contextual-matcher surface; the 18 disorder names are presets."""
+        regex, window, reduce_mode, replace_entity, required}],
+        regex_attr}) — this is the general regex contextual-matcher
+        surface; the 18 disorder names are presets.  In patterns mode
+        the output follows the reference ContextualMatcher span-list
+        semantics exactly (replace_entity / include_assigned /
+        keep_first / keep_last / multi-value assigns,
+        contextual_matcher.py:260-400); presets keep the disorder
+        status-rule pipeline."""
         from .matcher import RegexMatcher
         self.name = name
+        self._contextual_mode = patterns is not None
+        self.include_assigned = include_assigned
+        # per (source, assign name): rule order, reduce, replace, required
+        self.assign_opts: dict[tuple[str, str], tuple] = {}
         if patterns is not None:
             pats = list(patterns)
         else:
@@ -302,9 +313,13 @@ class ReferenceDisorderMatcher:
                     (lbl, "include", src, None, _win(e.get("window"))))
                 self.include_rules.setdefault(src, []).append(lbl)
             asg = p.get("assign") or []
-            for a in (asg if isinstance(asg, list) else [asg]):
+            for rule_idx, a in enumerate(asg if isinstance(asg, list)
+                                         else [asg]):
                 r = a["regex"]
                 rl = [r] if isinstance(r, str) else list(r)
+                self.assign_opts[(src, a["name"])] = (
+                    rule_idx, a.get("reduce_mode"),
+                    bool(a.get("replace_entity")), bool(a.get("required")))
                 if any("^" in x.replace("[^", "").replace("\\^", "")
                        for x in rl):
                     # snippet-relative pattern (zero_after's `^` means
@@ -405,6 +420,7 @@ class ReferenceDisorderMatcher:
             "note_id",
             F.col("label").alias("c_label"),
             "start_char", "end_char", "lexical_variant",
+            "full_start", "full_end",
         ).join(F.broadcast(meta), "c_label")
         c_tok = self._tok_anchor(cues, notes) \
             .select("note_id", "kind", "c_label", "c_source", "as_name",
@@ -413,7 +429,9 @@ class ReferenceDisorderMatcher:
                     F.col("tok_start").alias("c_ts"),
                     F.col("tok_end").alias("c_te"),
                     F.col("start_char").alias("c_sc"),
-                    F.col("end_char").alias("c_ec"))
+                    F.col("end_char").alias("c_ec"),
+                    F.col("full_start").alias("c_fs"),
+                    F.col("full_end").alias("c_fe"))
         a = anchors.alias("a")
         c = c_tok.alias("c")
         # window clamped to the anchor's sentence (limit_to_sentence)
@@ -436,7 +454,23 @@ class ReferenceDisorderMatcher:
         )
         key = ["a.note_id", "a.source", "a.start_char", "a.end_char",
                "a.lexical_variant", "a.tok_start", "a.tok_end"]
+        extra_aggs = []
+        if self._contextual_mode:
+            extra_aggs.append(
+                F.array_sort(F.filter(
+                    F.collect_list(F.when(
+                        F.col("c.kind") == "assign",
+                        F.struct(
+                            F.col("c.c_sc").alias("g_s"),
+                            F.col("c.c_ec").alias("g_e"),
+                            F.col("c.c_text").alias("g_text"),
+                            F.col("c.c_fs").alias("f_s"),
+                            F.col("c.c_fe").alias("f_e"),
+                            F.col("c.as_name").alias("name"),
+                        ))),
+                    lambda s: s.isNotNull())).alias("__asg"))
         grouped = j.groupBy(*[F.col(k) for k in key]).agg(
+            *extra_aggs,
             # exclude matches NOT inside the anchor span kill it
             # (SingleExcludeModel doc, models.py:46-55)
             F.sum(F.when((F.col("c.kind") == "exclude")
@@ -479,6 +513,8 @@ class ReferenceDisorderMatcher:
                 | F.forall(required, _in_hits_factory())
             )
         out = out.drop("__inc_hit")
+        if self._contextual_mode:
+            return self._contextual_finish(out, notes)
         out = self._add_snippet_assigns(out, notes)
         result = self._apply_rules(out).withColumn(
             "label", F.lit(self.name))
@@ -502,6 +538,130 @@ class ReferenceDisorderMatcher:
             F.when(m1, 2).otherwise(1).alias("status"),
             F.expr("cast(map() as map<string,string>)").alias("assigned"),
             F.lit(self.name).alias("label"),
+        )
+
+    def _contextual_finish(self, out: DataFrame,
+                           notes: DataFrame) -> DataFrame:
+        """Reference ContextualMatcher output semantics
+        (contextual_matcher.py:260-400), applied per anchor over its
+        collected assign matches in an Arrow stage (the algorithm is a
+        per-row fold over a handful of matches — exactly the
+        'semantics built-ins can't express' case):
+
+        * reduce_mode keep_first/keep_last pick the match closest
+          to / farthest from the anchor start; None keeps ALL values;
+        * required=True drops the anchor when the assign has no match;
+        * replace_entity spawns one entity per kept match of that
+          assign (full-match spans), each carrying its own value when
+          reduce_mode is None;
+        * include_assigned merges the anchor with the kept full-match
+          spans (and, under replace_entity, with the CLOSEST
+          replacement, the rest staying separate entities).
+        """
+        import pandas as pd  # noqa: F401
+
+        opts = dict(self.assign_opts)
+        include_assigned = self.include_assigned
+        label = self.name
+
+        def finish(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    src = r["source"]
+                    a_s, a_e = int(r["start_char"]), int(r["end_char"])
+                    asg = r["__asg"]
+                    asg = [] if asg is None else list(asg)
+                    by_name: dict[str, list] = {}
+                    for e in asg:
+                        by_name.setdefault(e["name"], []).append(e)
+                    # required assigns (reference: return [] when a
+                    # required assign has no match)
+                    if any(req for (s2, nm), (_i, _r, _p, req)
+                           in opts.items()
+                           if s2 == src and nm not in by_name):
+                        continue
+                    replace_key, kept = None, {}
+                    for nm in sorted(by_name,
+                                     key=lambda n: opts.get((src, n),
+                                                            (0,))[0]):
+                        g = by_name[nm]
+                        _, reduce_mode, repl, _req = opts.get(
+                            (src, nm), (0, None, False, False))
+                        if repl:
+                            replace_key = nm
+                        if reduce_mode == "keep_first":
+                            g = [min(g, key=lambda e:
+                                     abs(int(e["g_s"]) - a_s))]
+                        elif reduce_mode == "keep_last":
+                            g = [max(g, key=lambda e:
+                                     abs(int(e["g_s"]) - a_s))]
+                        kept[nm] = g
+                    if replace_key is not None:
+                        kept[replace_key] = sorted(
+                            kept[replace_key],
+                            key=lambda e: abs(int(e["g_s"]) - a_s))
+                    # assigned values render in NORM like the reference
+                    # (ext get_text(attr) with the pattern's regex_attr)
+                    from ..functions.text import py_norm_text
+                    ext = {nm: [py_norm_text(e["g_text"]) for e in g]
+                           for nm, g in kept.items()}
+
+                    def emit(s, e, assigned):
+                        rows.append((int(r["note_id"]), src, int(s),
+                                     int(e), assigned))
+
+                    if replace_key is None:
+                        s, e = a_s, a_e
+                        if include_assigned and kept:
+                            fs = [int(x["f_s"]) for g in kept.values()
+                                  for x in g]
+                            fe = [int(x["f_e"]) for g in kept.values()
+                                  for x in g]
+                            s, e = min([s] + fs), max([e] + fe)
+                        emit(s, e, ext)
+                    else:
+                        reps = kept[replace_key]
+                        red = opts.get((src, replace_key),
+                                       (0, None, False, False))[1]
+                        if include_assigned:
+                            first, rest = reps[0], reps[1:]
+                            others_s = [int(x["f_s"]) for nm, g in
+                                        kept.items() if nm != replace_key
+                                        for x in g]
+                            others_e = [int(x["f_e"]) for nm, g in
+                                        kept.items() if nm != replace_key
+                                        for x in g]
+                            s = min([int(first["f_s"]), a_s] + others_s)
+                            e = max([int(first["f_e"]), a_e] + others_e)
+                            spans = [(s, e)] + [(int(x["f_s"]),
+                                                 int(x["f_e"]))
+                                                for x in rest]
+                        else:
+                            spans = [(int(x["f_s"]), int(x["f_e"]))
+                                     for x in reps]
+                        for idx, (s, e) in enumerate(spans):
+                            assigned = {
+                                k: ([v[idx]] if (k == replace_key
+                                                 and red is None) else v)
+                                for k, v in ext.items()}
+                            emit(s, e, assigned)
+                yield pd.DataFrame(
+                    rows, columns=["note_id", "source", "start_char",
+                                   "end_char", "assigned"])
+
+        res = out.mapInPandas(
+            finish,
+            "note_id long, source string, start_char int, end_char int, "
+            "assigned map<string,array<string>>")
+        slim = notes.select("note_id", F.col("note_text").alias("__txt"))
+        return res.join(slim, "note_id").select(
+            "note_id", "start_char", "end_char",
+            F.lit(label).alias("label"), "source",
+            F.substring(F.col("__txt"), F.col("start_char") + 1,
+                        F.col("end_char") - F.col("start_char"))
+            .alias("lexical_variant"),
+            "assigned", F.lit(1).alias("status"),
         )
 
     def _add_snippet_assigns(self, out: DataFrame,

@@ -304,6 +304,8 @@ class RegexMatcher(Transformer):
                                 F.col("s.end_char") - F.col("s.start_char"))
                     .alias("lexical_variant"),
                     F.lit(self.span_type).alias("span_type"),
+                    F.col("s.start_char").alias("full_start"),
+                    F.col("s.end_char").alias("full_end"),
                 )
             )
         out = parts[0]
@@ -325,7 +327,8 @@ class RegexMatcher(Transformer):
         from_group = self.span_from_group
         out_schema = (
             "note_id long, start_char int, end_char int, label string, "
-            "lexical_variant string, span_type string"
+            "lexical_variant string, span_type string, "
+            "full_start int, full_end int"
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -343,16 +346,19 @@ class RegexMatcher(Transformer):
                         text.lower() if attr == "LOWER" else text)
                     for label, rx in compiled:
                         for m in rx.finditer(hay):
-                            s, e = m.start(), m.end()
+                            fs, fe = m.start(), m.end()
+                            s, e = fs, fe
                             if from_group and m.lastindex:
                                 for gi in range(1, m.lastindex + 1):
                                     if m.group(gi) is not None:
                                         s, e = m.span(gi)
                                         break
-                            rows.append((note_id, s, e, label, text[s:e], span_type))
+                            rows.append((note_id, s, e, label, text[s:e],
+                                         span_type, fs, fe))
                 yield pd.DataFrame(
                     rows, columns=["note_id", "start_char", "end_char",
-                                   "label", "lexical_variant", "span_type"])
+                                   "label", "lexical_variant", "span_type",
+                                   "full_start", "full_end"])
 
         return df.select("note_id", text_col).mapInPandas(run, out_schema)
 

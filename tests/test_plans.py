@@ -94,3 +94,13 @@ def test_umls_scale_no_broadcast(spark, sf_dir):
     # the terms range-generator side must not appear under a broadcast
     assert "BroadcastExchange" not in s.split("ShuffledHashJoin")[1][:2000] \
         or "Range" not in s.split("ShuffledHashJoin")[1][:500]
+
+
+def test_quantity_mentions_plan_shape(spark, sf_dir):
+    """Mention engine: no cartesian products; the propagation windows
+    partition by note_id (bounded state), and only the 64-char prefix
+    window rides the shuffle, not the document text."""
+    s = plan_of(spark, sf_dir, "quantity_mentions")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "__prefix" in s and "__norm" not in s.split("Window")[0]

@@ -375,7 +375,9 @@ def test_contextual_matcher_regex_schema(spark):
     ])
     rows = {r["note_id"]: r for r in m.entities(notes).collect()}
     assert set(rows) == {0, 2}
-    assert rows[0]["assigned"]["stage"] == "3"
+    # patterns mode follows the reference span-list semantics: default
+    # reduce_mode=None keeps a LIST of values
+    assert rows[0]["assigned"]["stage"] == ["3"]
     assert rows[2]["assigned"] == {}
 
 

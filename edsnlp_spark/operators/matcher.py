@@ -362,6 +362,55 @@ class RegexMatcher(Transformer):
 
         return df.select("note_id", text_col).mapInPandas(run, out_schema)
 
+    def entities_with_groupdict(self, df: DataFrame) -> DataFrame:
+        """Matches + NAMED capture groups as spans — the reference's
+        ``match_with_groupdict_as_spans`` (matchers/regex.py +
+        tests/matchers/test_regex.py:221-231): each row carries a
+        ``groups`` map of group name -> struct<start_char, end_char,
+        text> for the groups that participated in the match."""
+        compiled = [
+            (label, re.compile(
+                "|".join(f"(?:{_scope_flags(p)})" for p in pats), self.flags))
+            for label, pats in self.patterns.items()
+        ]
+        span_type = self.span_type
+        text_col = self.text_col
+        attr = self.attr
+        out_schema = (
+            "note_id long, start_char int, end_char int, label string, "
+            "lexical_variant string, span_type string, "
+            "groups map<string,struct<start_char:int,end_char:int,"
+            "text:string>>"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for note_id, text in zip(pdf["note_id"], pdf[text_col]):
+                    if text is None:
+                        continue
+                    hay = py_norm_text(text) if attr == "NORM" else (
+                        text.lower() if attr == "LOWER" else text)
+                    for label, rx in compiled:
+                        for m in rx.finditer(hay):
+                            gd = {}
+                            for name, val in (m.groupdict() or {}).items():
+                                if val is None:
+                                    continue
+                                gs, ge = m.span(name)
+                                gd[name] = {"start_char": gs,
+                                            "end_char": ge,
+                                            "text": text[gs:ge]}
+                            rows.append((note_id, m.start(), m.end(),
+                                         label, text[m.start():m.end()],
+                                         span_type, gd))
+                yield pd.DataFrame(
+                    rows, columns=["note_id", "start_char", "end_char",
+                                   "label", "lexical_variant",
+                                   "span_type", "groups"])
+
+        return df.select("note_id", text_col).mapInPandas(run, out_schema)
+
     def transform(self, df: DataFrame) -> DataFrame:
         ents = self.entities(df)
         agg = ents.groupBy("note_id").agg(

@@ -209,6 +209,34 @@ def exclude_polluted(entities: DataFrame, pollution: DataFrame) -> DataFrame:
     )
 
 
+def entities_ignoring_spaces(notes: DataFrame, patterns: dict,
+                             attr: str = "TEXT",
+                             text_col: str = "note_text") -> DataFrame:
+    """RegexMatcher(ignore_space_tokens=True) analog (eds.spaces +
+    tests/matchers/test_regex.py:233-250): whitespace RUNS collapse to
+    a single space before matching, and spans re-anchor to RAW offsets
+    — 'pneumopathie à      coronavirus' matches the single-space
+    pattern with the raw stretched span reported.
+
+    Built on the exclusion machinery: the tail of every whitespace run
+    (all but its first char) becomes a cut interval.
+    """
+    from .matcher import RegexMatcher
+    sp = RegexMatcher({"__sp": [r"(?<=\s)\s+"]}, attr="TEXT",
+                      span_type="sp", text_col=text_col)
+    agg = sp.entities(notes).groupBy(
+        F.col("note_id").alias("p_note")).agg(
+        F.sort_array(F.collect_list(F.struct("start_char", "end_char")))
+        .alias("pollution"))
+    prepared = notes.join(agg, F.col("note_id") == F.col("p_note"),
+                          "left").drop("p_note").withColumn(
+        "pollution",
+        F.coalesce(F.col("pollution"), F.expr(
+            "cast(array() as array<struct<start_char:int,end_char:int>>)")))
+    return entities_with_exclusions(prepared, patterns, attr=attr,
+                                    text_col=text_col)
+
+
 @registry.register("eds.pollution")
 def _make_pollution(**kw):
     return PollutionTagger(**kw)

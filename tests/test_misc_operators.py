@@ -367,3 +367,37 @@ def test_regex_match_across_exclusions(spark):
     assert r["clean_variant"] == "pneumopathie à coronavirus"
     assert r["lexical_variant"] == text
     assert text[r["start_char"]:r["end_char"]] == text
+
+
+def test_regex_groupdict_as_spans(spark):
+    """Reference match_with_groupdict_as_spans golden
+    (tests/matchers/test_regex.py:221-231): named groups that
+    participated in a match come back as labeled sub-spans."""
+    from edsnlp_spark.operators.matcher import RegexMatcher
+    texts = ["Le patient est malade, il a des douleurs",
+             "Le patient va bien"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "note_id long, note_text string")
+    m = RegexMatcher({"test": [r"patient(?i:(?=.*(?P<cause>douleurs))?)"]},
+                     attr="TEXT")
+    rows = {r["note_id"]: r for r in
+            m.entities_with_groupdict(df).collect()}
+    assert rows[0]["lexical_variant"] == "patient"
+    assert rows[0]["groups"]["cause"]["text"] == "douleurs"
+    assert rows[1]["lexical_variant"] == "patient"
+    assert dict(rows[1]["groups"]) == {}
+
+
+def test_regex_ignore_space_tokens(spark):
+    """Reference test_regex_with_space (tests/matchers/test_regex.py:
+    233-250): the single-space pattern matches across a stretched
+    whitespace run; the reported span is the raw stretched text."""
+    from edsnlp_spark.operators.pollution import entities_ignoring_spaces
+    text = "pneumopathie à      coronavirus"
+    df = spark.createDataFrame([(1, text)], "note_id long, note_text string")
+    out = entities_ignoring_spaces(
+        df, {"test": ["pneumopathie à coronavirus"]}).collect()
+    assert len(out) == 1
+    assert out[0]["lexical_variant"] == text
+    assert out[0]["clean_variant"] == "pneumopathie à coronavirus"

@@ -43,4 +43,9 @@ def all_queries() -> dict:
         out.update(disorders_q.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import domain
+        out.update(domain.QUERIES)
+    except ImportError:
+        pass
     return out

@@ -9,7 +9,7 @@ factories (registry.py), mirroring edsnlp/core/registries.py:318-457.
 """
 
 from .core.base import Pipeline, Transformer
-from .core.facade import SparkNLP, blank
+from .core.facade import SparkNLP, blank, load
 from .registry import available, create, register
 from .session import get_spark
 

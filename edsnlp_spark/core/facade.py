@@ -18,6 +18,9 @@ pipes (entity annotators) in add order.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import registry
@@ -35,6 +38,10 @@ class SparkNLP:
         self._emitters = []     # produce entities (matchers)
         self._qualifiers = []   # annotate entities (qualify(notes, ents))
         self.pipe_names: list[str] = []
+        # (factory_name, config) per add_pipe(str, ...) call — the
+        # serializable pipeline declaration (to_disk).  Pipes added as
+        # live objects are not declarable and block to_disk.
+        self._decl: list[tuple[str, dict] | None] = []
 
     def add_pipe(self, name: str, **config) -> "SparkNLP":
         pipe = registry.create(name, **config) if isinstance(name, str) else name
@@ -45,7 +52,36 @@ class SparkNLP:
         else:
             self._prep.add_pipe(pipe)
         self.pipe_names.append(getattr(pipe, "name", str(name)))
+        self._decl.append((name, config) if isinstance(name, str) else None)
         return self
+
+    # -- config round-trip (reference Pipeline.to_disk / edsnlp.load,
+    #    core/pipeline.py:550-614: the pipeline IS its config — every
+    #    component is reconstructable from its factory name + params) --
+
+    def to_disk(self, path: str) -> None:
+        """Serialize the pipeline declaration to ``<path>/config.json``.
+
+        Only pipes added by factory NAME are serializable (the
+        config-not-code invariant, SURVEY §2.6); a pipe added as a live
+        object has no declaration and raises."""
+        bad = [n for n, d in zip(self.pipe_names, self._decl) if d is None]
+        if bad:
+            raise ValueError(
+                f"cannot serialize pipes added as objects: {bad}; "
+                f"add them by factory name instead")
+        try:
+            payload = {
+                "pipeline": [n for n, _ in self._decl],
+                "components": [
+                    {"@factory": n, **cfg} for n, cfg in self._decl],
+            }
+            blob = json.dumps(payload, indent=1, sort_keys=True)
+        except TypeError as e:
+            raise ValueError(f"non-JSON-serializable pipe config: {e}")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(blob)
 
     def prepare(self, notes: DataFrame) -> DataFrame:
         """notes plane with tokens/norm/sentences (persisted: several
@@ -75,3 +111,16 @@ class SparkNLP:
 
 def blank() -> SparkNLP:
     return SparkNLP()
+
+
+def load(path: str) -> SparkNLP:
+    """Rebuild a pipeline saved with ``SparkNLP.to_disk`` (the
+    ``edsnlp.load(model_dir)`` analog): re-create every component from
+    its factory name + config via the registry."""
+    with open(os.path.join(path, "config.json")) as f:
+        payload = json.load(f)
+    nlp = SparkNLP()
+    for comp in payload["components"]:
+        cfg = {k: v for k, v in comp.items() if k != "@factory"}
+        nlp.add_pipe(comp["@factory"], **cfg)
+    return nlp

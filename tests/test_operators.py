@@ -298,6 +298,31 @@ def test_facade_blank_pipe(spark):
     assert [(r["lexical_variant"], r["negation"]) for r in doc] == [("covid", True)]
 
 
+def test_facade_config_roundtrip(spark, tmp_path):
+    """to_disk/load (reference Pipeline.to_disk + edsnlp.load,
+    core/pipeline.py:550-614): the reloaded pipeline is behaviorally
+    identical, and object-added pipes are rejected as non-declarable."""
+    import pytest as _pytest
+    import edsnlp_spark as es2
+    nlp = es2.blank()
+    nlp.add_pipe("eds.matcher", terms={"covid": ["covid", "coronavirus"]})
+    nlp.add_pipe("eds.negation")
+    nlp.to_disk(str(tmp_path / "model"))
+    nlp2 = es2.load(str(tmp_path / "model"))
+    assert nlp2.pipe_names == nlp.pipe_names
+    notes = notes_df(spark, ["Le patient n'a pas le covid.",
+                             "Il a le coronavirus."])
+    got = {(r["lexical_variant"], r["negation"])
+           for r in nlp2.pipe(notes).collect()}
+    assert got == {("covid", True), ("coronavirus", False)}
+    # live-object pipes have no declaration -> to_disk refuses
+    from edsnlp_spark.operators.matcher import PhraseMatcher
+    nlp3 = es2.blank()
+    nlp3.add_pipe(PhraseMatcher({"t": ["x"]}))
+    with _pytest.raises(ValueError, match="added as objects"):
+        nlp3.to_disk(str(tmp_path / "model3"))
+
+
 def test_quantity_range(spark):
     from edsnlp_spark.operators.quantities import extract_range
     df = spark.createDataFrame(

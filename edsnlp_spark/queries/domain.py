@@ -30,8 +30,19 @@ from ..operators.scores import ScoreMatcher, TNMExtractor, AdicapDecoder
 from ..resources import resource_path
 
 
+def _par(df):
+    # constructed notes come from ONE parquet file -> one input split;
+    # the per-row NLP work (tokenize, sentence machine, regex scans) is
+    # compute-bound, so spread it (same rationale as textops._notes —
+    # at real scale file splits provide this and the repartition is a
+    # no-op cost relative to the scan)
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _pipe(df):
-    return Pipeline([Tokenizer(mode="pretokenized"), SentenceSegmenter()])(df)
+    return Pipeline([Tokenizer(mode="pretokenized"),
+                     SentenceSegmenter()])(_par(df))
 
 
 # ---- eds.tnm: full grammar over constructed mentions -------------------
@@ -60,7 +71,7 @@ def tnm_mentions(spark, sf_dir):
         F.when(r.isNotNull(), F.concat(F.lit(" R"), r)).otherwise(F.lit("")),
         ver,
     )
-    notes = o.select(k.alias("note_id"), text.alias("note_text"))
+    notes = _par(o.select(k.alias("note_id"), text.alias("note_text")))
     out = TNMExtractor().transform(notes)
     s = F.col("tnm")
     return out.select(
@@ -114,11 +125,11 @@ def adicap_decode(spark, sf_dir):
     code = F.element_at(
         F.array(*[F.lit(c) for c in _ADICAP_CODES]),
         (F.col("doc_id") % 10 + 1).cast("int"))
-    notes = d.select(
+    notes = _par(d.select(
         F.col("doc_id").alias("note_id"),
         F.concat(F.col("text"), F.lit(" code adicap : "), code)
         .alias("note_text"),
-    )
+    ))
     out = AdicapDecoder().entities(notes)
     return out.select(
         F.col("note_id").alias("doc_id"), "code", "sampling_mode",
@@ -346,10 +357,15 @@ def sentence_boundaries(spark, sf_dir):
                   F.lit("bien ."))
     s2 = F.concat(F.lit("Elle revient "), F.repeat(F.lit("vite "), b),
                   F.lit("demain"))
+    # persist BEFORE explode: Generate over the fold-built sentences
+    # expression blows the codegen method limit and falls back to
+    # interpreted eval of the whole machine per row (measured 100s vs
+    # 1.3s at sf0.1); materializing the array column first keeps the
+    # fold in its own codegen'd stage
     notes = _pipe(o.select(
         k.alias("note_id"),
         F.concat(s1, F.lit(" "), s2).alias("note_text"),
-    ))
+    )).select("note_id", "sentences").persist()
     s = F.explode("sentences").alias("s")
     out = notes.select("note_id", s)
     return out.select(

@@ -48,6 +48,12 @@ HEADLINE = R1_SET + [
     # mention-level quantity engine (propagation windows + Arrow scan)
     "umls_scale_match",
     "quantity_mentions",
+    # round-3 continuation: the reference-exact sentence machine at
+    # 150k docs, the three-evidence history combine, and the ADICAP
+    # dictionary decode (11 broadcast dim joins)
+    "sentence_boundaries",
+    "history_qualifier",
+    "adicap_decode",
 ]
 
 

@@ -46,8 +46,15 @@ class HistoryQualifier:
         )
 
     def date_table(self, notes: DataFrame) -> DataFrame:
-        """Date mentions with char anchors + parsed value."""
-        d = self.date_matcher.entities(notes)
+        """Date mentions with char anchors + parsed value.
+
+        Cheap pre-gate: every ABSOLUTE_DATE_RXS pattern requires a
+        digit, so notes without one skip the multi-family regex pass
+        entirely (same coarse-filter-then-exact-scan shape as the
+        durations pre-gate; a codegen'd rlike is ~free next to the
+        per-family span folds)."""
+        gated = notes.filter(F.col("note_text").rlike(r"\d"))
+        d = self.date_matcher.entities(gated)
         parsed = F.coalesce(
             parse_verbose_date(F.col("lexical_variant")),
             parse_numeric_date(F.col("lexical_variant")),

@@ -41,8 +41,10 @@ from .. import registry
 # earliest occurrence at-or-after the cursor — which a \b / lookaround
 # may have rejected at that position (e.g. '125/09/2021 ... 25/09/2021'
 # locates inside the first run).  Over-detection (escaped literals) is
-# safe: it only routes to the exact UDF path.
-_ZERO_WIDTH_RX = re.compile(r"\\b|\\B|\(\?=|\(\?!|\(\?<|\^|\$")
+# safe: it only routes to the exact UDF path.  '^' is only an anchor
+# OUTSIDE a character class — '[^...]' negation must not trip the guard
+# (it sent the quotation pattern '"[^"]*"' to Python for no reason).
+_ZERO_WIDTH_RX = re.compile(r"\\b|\\B|\(\?=|\(\?!|\(\?<|(?<!\[)\^|\$")
 
 
 def _scope_flags(p: str) -> str:

@@ -97,10 +97,13 @@ class QualifierEngine(Transformer):
         self._cue_matcher = PhraseMatcher(
             phrase, attr=attr, span_type="cue") if phrase else None
         rx = {c: t for c, t in self.cues.items() if c in _REGEX_CLASSES}
-        # Regex cues carry zero-width assertions (\b, lookaheads) — the
-        # exact Arrow path, not the native locate fold.
+        # native=True routes through the JVM locate fold; RegexMatcher's
+        # soundness guard automatically falls back to the exact Arrow
+        # path when any pattern carries zero-width constructs (\b,
+        # lookaheads — the default negation/rspeech sets do; a plain
+        # quotation pattern stays fully native).
         self._rx_matcher = RegexMatcher(
-            rx, attr=attr, span_type="cue") if rx else None
+            rx, attr=attr, span_type="cue", native=True) if rx else None
         if self._cue_matcher is None and self._rx_matcher is None:
             raise ValueError(
                 f"QualifierEngine({qualifier!r}): no non-empty cue class "

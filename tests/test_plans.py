@@ -96,6 +96,27 @@ def test_umls_scale_no_broadcast(spark, sf_dir):
         or "Range" not in s.split("ShuffledHashJoin")[1][:500]
 
 
+def test_domain_queries_native_and_broadcast(spark, sf_dir):
+    # these round-3 domain queries stay JVM-side end-to-end (including
+    # reported_speech: a plain quotation regex routes through the native
+    # locate fold — only zero-width patterns take the exact Arrow path,
+    # which is why history_qualifier is exempt: its date regexes carry
+    # \b and deliberately run exact)
+    for name in ("tnm_mentions", "adicap_decode", "charlson_scores",
+                 "sentence_boundaries", "family_tokens",
+                 "reported_speech_tokens"):
+        s = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s \
+            and "MapInPandas" not in s, f"{name} has a Python stage"
+    # the 11 adicap dim lookups are all broadcast map-side joins
+    s = plan_of(spark, sf_dir, "adicap_decode")
+    assert s.count("BroadcastHashJoin") >= 11
+    # the history date leg is pre-gated by the cheap digit rlike before
+    # the multi-family regex pass
+    s = plan_of(spark, sf_dir, "history_qualifier")
+    assert "RLIKE" in s or "rlike" in s
+
+
 def test_quantity_mentions_plan_shape(spark, sf_dir):
     """Mention engine: no cartesian products; the propagation windows
     partition by note_id (bounded state), and only the 64-char prefix

@@ -66,28 +66,28 @@ class HistoryQualifier:
         ).filter(F.col("d_date").isNotNull())
 
     def qualify(self, notes: DataFrame, entities: DataFrame) -> DataFrame:
+        """Each evidence source is pre-aggregated to ONE row per note
+        (a bounded array of section intervals / date mentions), so the
+        entity plane takes three equi-joins on ``note_id`` and HOF
+        lookups — no join fan-out and no wide re-grouping over every
+        entity column.  The earlier join-then-groupBy(*all columns)
+        shape shuffled the full entity plane twice and dominated the
+        query (~2.5s of a 7.9s sf0.1 run); per-note arrays are bounded
+        by note content, so this also holds at cluster scale."""
         # (a) cue-based
         out = self.engine.qualify(notes, entities)
 
-        # (b) section containment (tok interval join)
-        secs = self.sections.sections_table(notes).filter(
+        # (b) section containment: per-note interval array
+        secs_agg = self.sections.sections_table(notes).filter(
             F.col("section").isin(*self.section_names)
-        ).select(
-            F.col("note_id").alias("s_note"),
-            F.col("tok_start").alias("s_from"),
-            F.col("tok_until").alias("s_until"),
-        )
-        in_sec = out.join(
-            secs,
-            (out["note_id"] == secs["s_note"])
-            & (out["tok_start"] >= secs["s_from"])
-            & (out["tok_start"] < secs["s_until"]),
-            "left",
-        ).groupBy(*out.columns).agg(
-            (F.count("s_note") > 0).alias("in_history_section")
+        ).groupBy("note_id").agg(
+            F.collect_list(F.struct(
+                F.col("tok_start").alias("s_from"),
+                F.col("tok_until").alias("s_until"),
+            )).alias("__secs")
         )
 
-        # (c) recency: nearest preceding date older than the limit
+        # (c) recency: per-note date mentions sorted by char anchor
         dates = self.date_table(notes)
         if self.exclude_birthdate and "birth_datetime" in notes.columns:
             bd = notes.select(F.col("note_id").alias("b_note"),
@@ -98,37 +98,39 @@ class HistoryQualifier:
             ).filter(
                 F.col("__bd").isNull() | (F.col("d_date") != F.col("__bd"))
             ).drop("b_note", "__bd")
+        dates_agg = dates.groupBy(F.col("d_note").alias("note_id")).agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("d_start"), F.col("d_date")))).alias("__dates")
+        )
+
+        j = out.join(secs_agg, "note_id", "left")
         has_dt = "note_datetime" in notes.columns
         if has_dt:
-            base = in_sec.join(
-                notes.select(
-                    F.col("note_id").alias("n_note"), "note_datetime"),
-                in_sec["note_id"] == F.col("n_note"), "left",
-            ).drop("n_note")
-            j = base.join(
-                dates,
-                (base["note_id"] == dates["d_note"])
-                & (dates["d_start"] <= base["start_char"]),
-                "left",
-            ).groupBy(*base.columns).agg(
-                F.max_by(F.col("d_date"), F.col("d_start")).alias("prev_date")
-            )
+            j = j.join(dates_agg, "note_id", "left").join(
+                notes.select("note_id", "note_datetime"), "note_id", "left")
+        ts, sc = F.col("tok_start"), F.col("start_char")
+        in_sec = F.coalesce(
+            F.exists("__secs",
+                     lambda s: (ts >= s["s_from"]) & (ts < s["s_until"])),
+            F.lit(False))
+        if has_dt:
+            # nearest preceding mention = last element of the sorted
+            # array at or before the entity's char anchor
+            prev = F.element_at(
+                F.filter("__dates", lambda d: d["d_start"] <= sc), -1)
             old = (
-                F.col("prev_date").isNotNull()
+                prev.isNotNull()
                 & F.col("note_datetime").isNotNull()
                 & (F.datediff(F.col("note_datetime").cast("date"),
-                              F.col("prev_date")) > self.limit)
+                              prev["d_date"]) > self.limit)
             )
-            j = j.withColumn("date_is_old", old)
         else:
-            j = in_sec.withColumn("date_is_old", F.lit(False))
+            old = F.lit(False)
 
         return j.withColumn(
             "history",
-            F.col("history_cue") | F.col("in_history_section")
-            | F.col("date_is_old"),
-        ).drop("history_cue", "in_history_section", "prev_date",
-               "date_is_old", "note_datetime")
+            F.col("history_cue") | in_sec | F.coalesce(old, F.lit(False)),
+        ).drop("history_cue", "__secs", "__dates", "note_datetime")
 
 
 @registry.register("eds.history_full")

@@ -1,136 +1,305 @@
-"""eds.history: antecedent-vs-current qualification — cross-pipe.
+"""eds.history: antecedent-vs-current qualification — cross-pipe,
+reference-exact.
 
-Parity target: edsnlp/pipes/qualifiers/history/history.py:56 — an entity
-is "history" if:
-  (a) a history cue precedes it in its boundary (ATCD...)        [cues]
-  (b) it sits inside an "antécédents" section                    [sections]
-  (c) the nearest preceding date mention is older than
-      ``history_limit`` days relative to note_datetime           [dates]
+Parity target: edsnlp/pipes/qualifiers/history/history.py:339-597. The
+reference computes, per termination-cut *boundary* (sub-sentence):
 
-Spark design (SURVEY.md §2.2 join #2): (a) is the shared QualifierEngine;
-(b) is an interval-containment join against the sections table; (c) is an
-as-of join — nearest preceding date via max_by over a windowed join —
-then a timestamp difference against note_datetime.
+  history_cues  = history cue matches in the boundary
+                ∪ history-section titles of sections the boundary ends in
+                  (``s.start < b_end <= s.end``)
+                ∪ "close" HISTORY-classified dates
+  recent_cues   = "close" RECENT-classified dates
+  history       = bool(history_cues) and not bool(recent_cues)
+
+i.e. a recent date VETOES cue/section evidence (history.py:576). Every
+section TITLE also acts as an extra termination cut (history.py:385).
+
+Date classification (history.py:395-460):
+  * relative, direction=current: recent iff granularity fits the limit
+    (year→limit≥365d, month→≥30d, week→≥7d, day→always);
+  * relative, direction=past: history iff duration ≥ limit, else recent
+    (months=30d, years=365d per models.py:305-309);
+  * absolute (requires note_datetime): recent iff note_dt − date <
+    limit; else history, unless it equals ``birth_datetime`` and
+    ``exclude_birthdate`` (history.py:453);
+  * durations / future relatives: not evidence.
+
+``closest_dates_only`` (history.py:493-546): a boundary first sees the
+dates *overlapping it*; when a sentence-sharing date exists but none
+overlaps, the single nearest (by |tok_start − b_start|) wins, recent
+beating history on strict distance.
+
+Spark design: every per-boundary decision folds into ONE per-note row —
+sorted boundary / cue / section / classified-date arrays built by
+groupBy("note_id"), flags computed with nested HOFs, then a single
+equi-join probes entities (overlap + OR across boundaries, matching
+consume_spans-with-second-chance + ``ent._.history or history``). No
+join fan-out, no wide re-grouping; array sizes are bounded by note
+content, so the shape holds at cluster scale.
+
+Divergences (documented): ``use_sections``/``use_dates`` default True
+here (False in the reference — the cross-pipe combine is this
+operator's point); sub-day absolute precision uses the parsed time
+suffix when present, else midnight.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .qualifiers import QualifierEngine, HISTORY_CUES
 from .sections import SectionSegmenter
-from .matcher import RegexMatcher
-from .dates import (parse_verbose_date, parse_numeric_date,
-                    ABSOLUTE_DATE_RXS)
 from .. import registry
+
+# superset gate for any text temporal_mentions could classify as
+# history/recent evidence: digits (absolute/relative numerics), the
+# specific days, and every current/letter-number unit word stem
+_DATE_GATE_RX = r"\d|hier|demain|jour|semaine|mois|an"
 
 
 class HistoryQualifier:
-    def __init__(self, history_limit_days: int = 365,
+    def __init__(self, history_limit_days: int = 14,
                  cues: dict | None = None,
+                 use_sections: bool = True,
+                 use_dates: bool = True,
                  section_names: tuple[str, ...] = ("antecedents",),
                  sections: SectionSegmenter | None = None,
-                 exclude_birthdate: bool = True):
-        """``exclude_birthdate`` drops date mentions equal to the
-        note's ``birth_datetime`` from the recency evidence (the
-        patient's birth date is biographical, not an antecedent marker
-        — history.py:224,271,359)."""
+                 exclude_birthdate: bool = True,
+                 closest_dates_only: bool = True,
+                 attr: str = "NORM"):
+        """``cues``: QualifierEngine-style class dict; history terms are
+        read from the 'preceding'/'boundary'/'history' keys (reference
+        history cues are boundary-scoped, history.py:560), terminations
+        from 'termination'. Defaults to HISTORY_CUES (a documented
+        superset of patterns.py:1-7)."""
         self.limit = history_limit_days
+        self.use_sections = use_sections
+        self.use_dates = use_dates
         self.exclude_birthdate = exclude_birthdate
-        self.engine = QualifierEngine("history_cue", cues or HISTORY_CUES)
+        self.closest_dates_only = closest_dates_only
+        src = cues or HISTORY_CUES
+        hist_terms = [t for k in ("preceding", "boundary", "history")
+                      for t in src.get(k, ())]
+        self.engine = QualifierEngine(
+            "history_cue",
+            {"boundary": hist_terms,
+             "termination": list(src.get("termination", ()))},
+            attr=attr)
         self.section_names = section_names
         self.sections = sections or SectionSegmenter()
-        self.date_matcher = RegexMatcher(
-            {"date": ABSOLUTE_DATE_RXS},
-            attr="NORM", span_type="date", native=True,
-        )
+
+    # -- date evidence ---------------------------------------------------
 
     def date_table(self, notes: DataFrame) -> DataFrame:
-        """Date mentions with char anchors + parsed value.
+        """Classified date evidence: one row per kept mention with
+        (d_note, tok_s, tok_e, sent_s, sent_e, is_recent)."""
+        from .dates import temporal_mentions
+        gated = notes.filter(F.col("note_text").rlike(_DATE_GATE_RX))
+        dm = temporal_mentions(gated)
 
-        Cheap pre-gate: every ABSOLUTE_DATE_RXS pattern requires a
-        digit, so notes without one skip the multi-family regex pass
-        entirely (same coarse-filter-then-exact-scan shape as the
-        durations pre-gate; a codegen'd rlike is ~free next to the
-        per-family span folds)."""
-        gated = notes.filter(F.col("note_text").rlike(r"\d"))
-        d = self.date_matcher.entities(gated)
-        parsed = F.coalesce(
-            parse_verbose_date(F.col("lexical_variant")),
-            parse_numeric_date(F.col("lexical_variant")),
+        ctx_cols = ["note_id", "tokens", "sentences"]
+        has_dt = "note_datetime" in notes.columns
+        has_bd = "birth_datetime" in notes.columns
+        if has_dt:
+            ctx_cols.append("note_datetime")
+        if has_bd:
+            ctx_cols.append("birth_datetime")
+        d = dm.join(gated.select(*ctx_cols), "note_id")
+
+        lim_s = F.lit(int(self.limit) * 86400).cast("bigint")
+        sc, ec = F.col("start_char"), F.col("end_char")
+        tok_s = F.size(F.filter("tokens", lambda t: t["end"] <= sc))
+        tok_e = F.size(F.filter("tokens", lambda t: t["start"] < ec))
+        d = d.select(
+            "note_id", "kind", "direction", "offset_seconds", "norm",
+            *( ["note_datetime"] if has_dt else [] ),
+            *( ["birth_datetime"] if has_bd else [] ),
+            tok_s.cast("int").alias("tok_s"), tok_e.cast("int").alias("tok_e"),
+            F.coalesce(
+                F.element_at(F.filter(
+                    "sentences",
+                    lambda s: (s["tok_start"] <= tok_s)
+                    & (tok_s < s["tok_end"])), 1),
+                F.element_at("sentences", 1),
+            ).alias("__sent"),
         )
-        return d.select(
+
+        is_current = (F.col("kind") == "relative") & \
+            (F.col("direction") == "current")
+        cur_unit = F.regexp_extract(F.col("norm"), r"^~0 (\w+)", 1)
+        cur_recent = (
+            ((cur_unit == "year") & (lim_s >= 365 * 86400))
+            | ((cur_unit == "month") & (lim_s >= 30 * 86400))
+            | ((cur_unit == "week") & (lim_s >= 7 * 86400))
+            | (cur_unit == "day")
+        )
+        is_past = (F.col("kind") == "relative") & \
+            (F.col("direction") == "past")
+        past_recent = (-F.col("offset_seconds")) < lim_s
+
+        # absolute: recover (y, m, d, hh, mm) from the placeholder norm
+        # and apply to_datetime(infer_from_context=True, default_day=15,
+        # default_month=1) inference (models.py:104-116, history.py:433)
+        ny = F.regexp_extract("norm", r"^(\d{4})-", 1)
+        nm = F.regexp_extract("norm", r"^[\d?]{4}-(\d{2})-", 1)
+        nd = F.regexp_extract("norm", r"^[\d?]{4}-[\d?]{2}-(\d{2})", 1)
+        nh = F.regexp_extract("norm", r" (\d{2})h", 1)
+        nmin = F.regexp_extract("norm", r" \d{2}h(\d{2})m", 1)
+        y_i = F.when(ny != "", ny.cast("int"))
+        m_i = F.when(nm != "", nm.cast("int"))
+        d_i = F.when(nd != "", nd.cast("int"))
+        if has_dt:
+            ndt = F.col("note_datetime").cast("timestamp")
+            yy = F.coalesce(y_i, F.year(ndt))
+            mm = F.coalesce(
+                m_i,
+                F.when(y_i.isNotNull() & d_i.isNull(), F.lit(1))
+                .otherwise(F.month(ndt)))
+            dd = F.coalesce(d_i, F.lit(15))
+            abs_ts = F.expr(
+                "try_make_timestamp(__y, __m, __d, __hh, __mi, 0D)")
+            d = d.withColumns({
+                "__y": yy, "__m": mm, "__d": dd,
+                "__hh": F.when(nh != "", nh.cast("int")).otherwise(F.lit(0)),
+                "__mi": F.when(nmin != "", nmin.cast("int"))
+                         .otherwise(F.lit(0)),
+            })
+            delta_s = (F.unix_timestamp(ndt)
+                       - F.unix_timestamp(abs_ts)).cast("bigint")
+            abs_ok = (F.col("kind") == "absolute") & abs_ts.isNotNull() \
+                & ndt.isNotNull()
+            abs_recent = delta_s < lim_s
+            if self.exclude_birthdate and has_bd:
+                bd_ts = F.col("birth_datetime").cast("timestamp")
+                abs_birth = bd_ts.isNotNull() & (
+                    F.unix_timestamp(abs_ts) == F.unix_timestamp(bd_ts))
+                abs_keep = abs_ok & (abs_recent | ~abs_birth)
+            else:
+                abs_keep = abs_ok
+        else:
+            abs_keep = F.lit(False)
+            abs_recent = F.lit(False)
+
+        is_recent = (
+            F.when(is_current, cur_recent)
+            .when(is_past, past_recent)
+            .otherwise(abs_recent)
+        )
+        keep = (is_current & cur_recent) | is_past | abs_keep
+        return d.filter(keep).select(
             F.col("note_id").alias("d_note"),
-            F.col("start_char").alias("d_start"),
-            parsed.alias("d_date"),
-        ).filter(F.col("d_date").isNotNull())
+            "tok_s", "tok_e",
+            F.col("__sent")["tok_start"].alias("sent_s"),
+            F.col("__sent")["tok_end"].alias("sent_e"),
+            is_recent.alias("is_recent"),
+        )
+
+    # -- main ------------------------------------------------------------
 
     def qualify(self, notes: DataFrame, entities: DataFrame) -> DataFrame:
-        """Each evidence source is pre-aggregated to ONE row per note
-        (a bounded array of section intervals / date mentions), so the
-        entity plane takes three equi-joins on ``note_id`` and HOF
-        lookups — no join fan-out and no wide re-grouping over every
-        entity column.  The earlier join-then-groupBy(*all columns)
-        shape shuffled the full entity plane twice and dominated the
-        query (~2.5s of a 7.9s sf0.1 run); per-note arrays are bounded
-        by note content, so this also holds at cluster scale."""
-        # (a) cue-based
-        out = self.engine.qualify(notes, entities)
+        eng = self.engine
+        cues = eng._cue_table(notes)
 
-        # (b) section containment: per-note interval array
-        secs_agg = self.sections.sections_table(notes).filter(
-            F.col("section").isin(*self.section_names)
-        ).groupBy("note_id").agg(
-            F.collect_list(F.struct(
-                F.col("tok_start").alias("s_from"),
-                F.col("tok_until").alias("s_until"),
-            )).alias("__secs")
-        )
+        hist_secs = None
+        if self.use_sections:
+            st = self.sections.sections_table(notes).persist()
+            # every section title start is an extra termination cut
+            cues = cues.unionByName(st.select(
+                "note_id", "tok_start",
+                (F.col("tok_start") + 1).cast("int").alias("tok_end"),
+                F.lit("termination").alias("cue_class")))
+            hist_secs = st.filter(F.col("section").isin(*self.section_names))
+        cues = cues.persist()
+        bounds = eng._boundaries(notes, cues)
 
-        # (c) recency: per-note date mentions sorted by char anchor
-        dates = self.date_table(notes)
-        if self.exclude_birthdate and "birth_datetime" in notes.columns:
-            bd = notes.select(F.col("note_id").alias("b_note"),
-                              F.col("birth_datetime").cast("date")
-                              .alias("__bd"))
-            dates = dates.join(
-                bd, dates["d_note"] == bd["b_note"], "left",
-            ).filter(
-                F.col("__bd").isNull() | (F.col("d_date") != F.col("__bd"))
-            ).drop("b_note", "__bd")
-        dates_agg = dates.groupBy(F.col("d_note").alias("note_id")).agg(
+        # per-note evidence arrays
+        b_agg = bounds.groupBy("note_id").agg(
             F.sort_array(F.collect_list(F.struct(
-                F.col("d_start"), F.col("d_date")))).alias("__dates")
-        )
-
-        j = out.join(secs_agg, "note_id", "left")
-        has_dt = "note_datetime" in notes.columns
-        if has_dt:
-            j = j.join(dates_agg, "note_id", "left").join(
-                notes.select("note_id", "note_datetime"), "note_id", "left")
-        ts, sc = F.col("tok_start"), F.col("start_char")
-        in_sec = F.coalesce(
-            F.exists("__secs",
-                     lambda s: (ts >= s["s_from"]) & (ts < s["s_until"])),
-            F.lit(False))
-        if has_dt:
-            # nearest preceding mention = last element of the sorted
-            # array at or before the entity's char anchor
-            prev = F.element_at(
-                F.filter("__dates", lambda d: d["d_start"] <= sc), -1)
-            old = (
-                prev.isNotNull()
-                & F.col("note_datetime").isNotNull()
-                & (F.datediff(F.col("note_datetime").cast("date"),
-                              prev["d_date"]) > self.limit)
-            )
+                "b_start", "b_end"))).alias("__b"))
+        cue_agg = cues.filter(F.col("cue_class") == "boundary") \
+            .groupBy("note_id").agg(
+                F.collect_list("tok_start").alias("__cues"))
+        plane = b_agg.join(cue_agg, "note_id", "left")
+        if hist_secs is not None:
+            sec_agg = hist_secs.groupBy("note_id").agg(
+                F.collect_list(F.struct(
+                    F.col("tok_start").alias("s_from"),
+                    F.col("tok_until").alias("s_until"))).alias("__secs"))
+            plane = plane.join(sec_agg, "note_id", "left")
         else:
-            old = F.lit(False)
+            plane = plane.withColumn(
+                "__secs",
+                F.lit(None).cast("array<struct<s_from:int,s_until:int>>"))
+        if self.use_dates:
+            d_agg = self.date_table(notes).groupBy(
+                F.col("d_note").alias("note_id")).agg(
+                F.collect_list(F.struct(
+                    "tok_s", "tok_e", "sent_s", "sent_e", "is_recent"
+                )).alias("__dates"))
+            plane = plane.join(d_agg, "note_id", "left")
+        else:
+            plane = plane.withColumn("__dates", F.lit(None).cast(
+                "array<struct<tok_s:int,tok_e:int,sent_s:int,"
+                "sent_e:int,is_recent:boolean>>"))
 
-        return j.withColumn(
-            "history",
-            F.col("history_cue") | in_sec | F.coalesce(old, F.lit(False)),
-        ).drop("history_cue", "__secs", "__dates", "note_datetime")
+        empty_c = F.coalesce(F.col("__cues"),
+                             F.expr("cast(array() as array<int>)"))
+        empty_s = F.coalesce(
+            F.col("__secs"),
+            F.expr("cast(array() as array<struct<s_from:int,s_until:int>>)"))
+        empty_d = F.coalesce(F.col("__dates"), F.expr(
+            "cast(array() as array<struct<tok_s:int,tok_e:int,"
+            "sent_s:int,sent_e:int,is_recent:boolean>>)"))
+        closest = self.closest_dates_only
+
+        def flag(b: Column) -> Column:
+            bs, be = b["b_start"], b["b_end"]
+            has_cue = F.exists(empty_c, lambda c: (c >= bs) & (c < be))
+            has_sec = F.exists(
+                empty_s, lambda s: (s["s_from"] < be) & (be <= s["s_until"]))
+            sub = F.filter(
+                empty_d, lambda d: (d["sent_s"] < be) & (d["sent_e"] > bs))
+            sub_r = F.filter(sub, lambda d: d["is_recent"])
+            sub_h = F.filter(sub, lambda d: ~d["is_recent"])
+            if closest:
+                inb = F.filter(
+                    sub, lambda d: (d["tok_s"] < be) & (d["tok_e"] > bs))
+                in_r = F.size(F.filter(inb, lambda d: d["is_recent"]))
+                in_h = F.size(F.filter(inb, lambda d: ~d["is_recent"]))
+                mdr = F.array_min(F.transform(
+                    sub_r, lambda d: F.abs(d["tok_s"] - bs)))
+                mdh = F.array_min(F.transform(
+                    sub_h, lambda d: F.abs(d["tok_s"] - bs)))
+                both_sub = (F.size(sub_r) > 0) & (F.size(sub_h) > 0)
+                none_in = (in_r == 0) & (in_h == 0)
+                recent_p = F.when(
+                    F.size(sub_r) == 0, F.lit(False)).otherwise(
+                    F.when(F.size(sub_h) == 0, F.lit(True))
+                    .when(none_in, mdr < mdh)
+                    .otherwise(in_r > 0))
+                hist_p = F.when(
+                    F.size(sub_h) == 0, F.lit(False)).otherwise(
+                    F.when(F.size(sub_r) == 0, F.lit(True))
+                    .when(none_in & both_sub, ~(mdr < mdh))
+                    .otherwise(in_h > 0))
+            else:
+                recent_p = F.size(sub_r) > 0
+                hist_p = F.size(sub_h) > 0
+            return F.struct(
+                bs.alias("b_start"), be.alias("b_end"),
+                ((has_cue | has_sec | hist_p) & ~recent_p).alias("flag"))
+
+        plane = plane.select(
+            "note_id", F.transform("__b", flag).alias("__flags"))
+
+        ts, te = F.col("tok_start"), F.col("tok_end")
+        hist = F.coalesce(
+            F.exists("__flags",
+                     lambda x: (ts < x["b_end"]) & (x["b_start"] < te)
+                     & x["flag"]),
+            F.lit(False))
+        return entities.join(plane, "note_id", "left") \
+            .withColumn("history", hist).drop("__flags")
 
 
 @registry.register("eds.history_full")

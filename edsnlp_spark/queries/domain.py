@@ -316,6 +316,7 @@ def history_qualifier(spark, sf_dir):
     )).persist()
     ents = PhraseMatcher({"disease": ["diabete"]}, attr="TEXT").entities(notes)
     h = HistoryQualifier(
+        history_limit_days=365,
         cues={"preceding": ["atcd"], "termination": ["actuellement"]},
         sections=SectionSegmenter({"antecedents": ["antecedents"]}),
     )

@@ -194,23 +194,36 @@ class QualifierEngine(Transformer):
         """(note_id, b_start, b_end, boundary_id) token-index intervals.
 
         Cut points = sentence starts ∪ termination-cue STARTS ∪ doc end
-        (pipes/base.py:130-141)."""
-        sent_cuts = notes.select(
-            "note_id", F.explode("sentences").alias("s")
-        ).select("note_id", F.col("s.tok_start").alias("cut"))
-        term_cuts = cues.filter(F.col("cue_class") == "termination").select(
-            "note_id", F.col("tok_start").alias("cut")
-        )
-        ntoks = notes.select("note_id", F.size("tokens").alias("cut"))
-        cuts = sent_cuts.unionByName(term_cuts).unionByName(ntoks).distinct()
-        w = Window.partitionBy("note_id").orderBy("cut")
-        return (
-            cuts.withColumn("b_end", F.lead("cut").over(w))
-            .filter(F.col("b_end").isNotNull())
-            .select(
-                "note_id", F.col("cut").alias("b_start"), "b_end",
-                F.row_number().over(w).alias("boundary_id"),
-            )
+        (pipes/base.py:130-141).  The cut set is assembled per note with
+        array HOFs (sentence starts are already a nested column) and
+        pair-zipped in place, so the only shuffle is the small
+        termination-cut groupBy — no distinct/window passes over an
+        exploded cuts plane (that shape cost ~1.6s of negation_tokens'
+        2.7s at sf0.1)."""
+        term = cues.filter(F.col("cue_class") == "termination") \
+            .groupBy("note_id").agg(F.collect_set("tok_start").alias("__tc"))
+        base = notes.select(
+            "note_id",
+            F.transform("sentences", lambda s: s["tok_start"]).alias("__sc"),
+            F.size("tokens").alias("__n"),
+        ).join(term, "note_id", "left")
+        cuts = F.array_sort(F.array_distinct(F.concat(
+            F.col("__sc"),
+            F.coalesce(F.col("__tc"), F.expr("cast(array() as array<int>)")),
+            F.array(F.col("__n")))))
+        pairs = F.filter(
+            F.zip_with(
+                cuts,
+                F.slice(cuts, 2, F.greatest(F.size(cuts) - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("b_start"), b.alias("b_end"))),
+            lambda x: x["b_end"].isNotNull())
+        return base.select(
+            "note_id", F.posexplode(pairs).alias("__i", "__b")
+        ).select(
+            "note_id",
+            F.col("__b.b_start").alias("b_start"),
+            F.col("__b.b_end").alias("b_end"),
+            (F.col("__i") + 1).cast("int").alias("boundary_id"),
         )
 
     def _assign_boundary(self, df: DataFrame, bounds: DataFrame,

@@ -494,7 +494,21 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     m = _resolve_overlaps(m).filter(F.col("label") != "FP")
     m = m.join(notes.select("note_id", F.col(text_col).alias("__text")),
                "note_id")
-    v = norm_text(F.col("lexical_variant"))
+    # Materialization barrier (persist).  The downstream classification
+    # is ~50 regexp_extracts over the normalized variant plus the
+    # component-struct coalesce; adjacent .select()s do NOT protect it —
+    # Catalyst's ProjectCollapsing fuses them back into the broadcast
+    # join's doConsume, whose generated method cannot be split and
+    # overflows the JVM 64 KB codegen limit (stage silently runs
+    # interpreted).  Persisting the compact mention plane (a) puts the
+    # giant projection over an InMemoryTableScan where expression
+    # splitting works, and (b) materializes norm_text(variant) ONCE
+    # instead of re-deriving it inside every extract.
+    m = m.select(
+        "note_id", "start_char", "end_char", "lexical_variant", "label",
+        "__text", norm_text(F.col("lexical_variant")).alias("__v"),
+    ).persist()
+    v = F.col("__v")
     num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)
     unit = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 2)
     nval = _number_value(num)

@@ -50,6 +50,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .qualifiers import QualifierEngine, HISTORY_CUES
 from .sections import SectionSegmenter
 from .. import registry
+from ..functions.text import let_bound
 
 # superset gate for any text temporal_mentions could classify as
 # history/recent evidence: digits (absolute/relative numerics), the
@@ -123,6 +124,12 @@ class HistoryQualifier:
                 F.element_at("sentences", 1),
             ).alias("__sent"),
         )
+        # Barrier: the date-classification projection below (regexp
+        # component recovery + try_make_timestamp + recency whens) fused
+        # with this join's doConsume overflows the 64 KB codegen limit;
+        # persisting the compact mention plane keeps both stages
+        # compiled (see temporal_mentions for the same pattern).
+        d = d.persist()
 
         is_current = (F.col("kind") == "relative") & \
             (F.col("direction") == "current")
@@ -252,45 +259,74 @@ class HistoryQualifier:
             "sent_s:int,sent_e:int,is_recent:boolean>>)"))
         closest = self.closest_dates_only
 
-        def flag(b: Column) -> Column:
-            bs, be = b["b_start"], b["b_end"]
-            has_cue = F.exists(empty_c, lambda c: (c >= bs) & (c < be))
-            has_sec = F.exists(
-                empty_s, lambda s: (s["s_from"] < be) & (be <= s["s_until"]))
-            sub = F.filter(
-                empty_d, lambda d: (d["sent_s"] < be) & (d["sent_e"] > bs))
-            sub_r = F.filter(sub, lambda d: d["is_recent"])
-            sub_h = F.filter(sub, lambda d: ~d["is_recent"])
-            if closest:
-                inb = F.filter(
-                    sub, lambda d: (d["tok_s"] < be) & (d["tok_e"] > bs))
-                in_r = F.size(F.filter(inb, lambda d: d["is_recent"]))
-                in_h = F.size(F.filter(inb, lambda d: ~d["is_recent"]))
-                mdr = F.array_min(F.transform(
-                    sub_r, lambda d: F.abs(d["tok_s"] - bs)))
-                mdh = F.array_min(F.transform(
-                    sub_h, lambda d: F.abs(d["tok_s"] - bs)))
-                both_sub = (F.size(sub_r) > 0) & (F.size(sub_h) > 0)
-                none_in = (in_r == 0) & (in_h == 0)
-                recent_p = F.when(
-                    F.size(sub_r) == 0, F.lit(False)).otherwise(
-                    F.when(F.size(sub_h) == 0, F.lit(True))
-                    .when(none_in, mdr < mdh)
-                    .otherwise(in_r > 0))
-                hist_p = F.when(
-                    F.size(sub_h) == 0, F.lit(False)).otherwise(
-                    F.when(F.size(sub_r) == 0, F.lit(True))
-                    .when(none_in & both_sub, ~(mdr < mdh))
-                    .otherwise(in_h > 0))
-            else:
-                recent_p = F.size(sub_r) > 0
-                hist_p = F.size(sub_h) > 0
-            return F.struct(
-                bs.alias("b_start"), be.alias("b_end"),
-                ((has_cue | has_sec | hist_p) & ~recent_p).alias("flag"))
+        # Every derived array (the sentence-sharing date subset, its
+        # recent/history splits, the overlapping subset) is let-bound so
+        # it is computed ONCE per boundary; naively referencing the
+        # filter expressions duplicates their subtrees at every use and
+        # the fused whole-stage method overflows the JVM 64 KB codegen
+        # limit (observed: stage silently de-optimized to interpreted).
+        def flag_fn(cue_arr: Column, sec_arr: Column, date_arr: Column):
+            def flag(b: Column) -> Column:
+                bs, be = b["b_start"], b["b_end"]
+                has_cue = F.exists(cue_arr, lambda c: (c >= bs) & (c < be))
+                has_sec = F.exists(
+                    sec_arr,
+                    lambda s: (s["s_from"] < be) & (be <= s["s_until"]))
+
+                def finish(recent_p: Column, hist_p: Column) -> Column:
+                    return F.struct(
+                        bs.alias("b_start"), be.alias("b_end"),
+                        ((has_cue | has_sec | hist_p)
+                         & ~recent_p).alias("flag"))
+
+                def with_sub(sub: Column) -> Column:
+                    sub_r0 = F.filter(sub, lambda d: d["is_recent"])
+                    sub_h0 = F.filter(sub, lambda d: ~d["is_recent"])
+                    if not closest:
+                        return finish(F.size(sub_r0) > 0, F.size(sub_h0) > 0)
+                    inb0 = F.filter(
+                        sub, lambda d: (d["tok_s"] < be) & (d["tok_e"] > bs))
+
+                    def with_parts(sub_r, sub_h, inb):
+                        in_r = F.size(F.filter(inb, lambda d: d["is_recent"]))
+                        in_h = F.size(F.filter(inb, lambda d: ~d["is_recent"]))
+                        mdr = F.array_min(F.transform(
+                            sub_r, lambda d: F.abs(d["tok_s"] - bs)))
+                        mdh = F.array_min(F.transform(
+                            sub_h, lambda d: F.abs(d["tok_s"] - bs)))
+                        both_sub = (F.size(sub_r) > 0) & (F.size(sub_h) > 0)
+                        none_in = (in_r == 0) & (in_h == 0)
+                        recent_p = F.when(
+                            F.size(sub_r) == 0, F.lit(False)).otherwise(
+                            F.when(F.size(sub_h) == 0, F.lit(True))
+                            .when(none_in, mdr < mdh)
+                            .otherwise(in_r > 0))
+                        hist_p = F.when(
+                            F.size(sub_h) == 0, F.lit(False)).otherwise(
+                            F.when(F.size(sub_r) == 0, F.lit(True))
+                            .when(none_in & both_sub, ~(mdr < mdh))
+                            .otherwise(in_h > 0))
+                        return finish(recent_p, hist_p)
+
+                    return let_bound(sub_r0, lambda sub_r: let_bound(
+                        sub_h0, lambda sub_h: let_bound(
+                            inb0,
+                            lambda inb: with_parts(sub_r, sub_h, inb))))
+
+                sub0 = F.filter(
+                    date_arr,
+                    lambda d: (d["sent_s"] < be) & (d["sent_e"] > bs))
+                return let_bound(sub0, with_sub)
+
+            return flag
 
         plane = plane.select(
-            "note_id", F.transform("__b", flag).alias("__flags"))
+            "note_id",
+            let_bound(empty_c, lambda cue_arr: let_bound(
+                empty_s, lambda sec_arr: let_bound(
+                    empty_d, lambda date_arr: F.transform(
+                        "__b", flag_fn(cue_arr, sec_arr, date_arr)
+                    )))).alias("__flags"))
 
         ts, te = F.col("tok_start"), F.col("tok_end")
         hist = F.coalesce(

@@ -52,10 +52,21 @@ from .sections import SectionSegmenter
 from .. import registry
 from ..functions.text import let_bound
 
-# superset gate for any text temporal_mentions could classify as
-# history/recent evidence: digits (absolute/relative numerics), the
-# specific days, and every current/letter-number unit word stem
-_DATE_GATE_RX = r"\d|hier|demain|jour|semaine|mois|an"
+# Superset gate for any text temporal_mentions could classify as
+# history/recent evidence.  Every non-digit-bearing temporal pattern
+# requires a specific day (hier/demain/aujourd'hui), a month name, or a
+# unit word (letter-number relatives/durations/current all carry one),
+# so gating on those word stems is lossless.  Word boundaries matter:
+# a bare "an" substring admits "antecedents" and doubles the rows fed
+# to the (Arrow-exact) regex scan.  Runs on RAW text, hence the
+# accent-tolerant stems and the scoped (?i:...).
+_DATE_GATE_RX = (
+    r"(?i:\d|hier|demain|aujourd"
+    r"|\bans?\b|\bann|\bmois\b|\bsemaine|\bsemestre|\btrimestre"
+    r"|\bjour|\bheure|\bminute|\bmin\b|\bseconde|\bsec\b|\bh\b|\bs\b"
+    r"|\bjanv|\bf[eé]v|\bmars?\b|\bmar\.|\bavr|\bmai\b|\bjuin\b"
+    r"|\bjuil|\bao[uû]t|\bsept?\b|\bseptembre|\boct|\bnov|\bd[eé]c)"
+)
 
 
 class HistoryQualifier:

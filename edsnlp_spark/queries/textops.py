@@ -708,20 +708,38 @@ def quantity_operators(spark, sf_dir):
                             F.element_at(words, (k % 4 + 1).cast("int")),
                             F.lit(" m")))
     )
-    d = o.select("o_orderkey", text.alias("qty_text"))
-    op = extract_operator_quantity(F.col("qty_text"))
-    rg = extract_range(F.col("qty_text"))
-    lt = extract_letter_quantity(F.col("qty_text"))
-    has_range = rg.isNotNull()
+    # small parquet reads land in ONE partition; spread the fat regex
+    # tree below across cores (at cluster scale the scan already
+    # provides parallelism and this collapses to a cheap round-robin)
+    d = o.select("o_orderkey", text.alias("qty_text")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    # The three extractors are fat regex/when trees (the letter-number
+    # branch alone is ~35 rlike whens); referencing them once per output
+    # column duplicated the trees 8x and overflowed the 64 KB codegen
+    # method limit (whole stage fell back to interpreted eval — 12s vs
+    # ~2s at sf0.01).  let-bind each ONCE, build the output fields from
+    # the bound variables, and expand via one inline() Generate.
+    def build(op, rg, lt):
+        has_range = rg.isNotNull()
+        return F.struct(
+            F.when(~has_range, F.coalesce(op["operator"], F.lit("=")))
+             .alias("operator"),
+            F.when(~has_range, F.coalesce(op["value"], lt["value"]))
+             .alias("value"),
+            F.coalesce(op["unit"], rg["unit"], lt["unit"]).alias("unit"),
+            rg["low"].alias("low"), rg["high"].alias("high"),
+        )
+
+    fields = X.let_bound(
+        extract_operator_quantity(F.col("qty_text")),
+        lambda op: X.let_bound(
+            extract_range(F.col("qty_text")),
+            lambda rg: X.let_bound(
+                extract_letter_quantity(F.col("qty_text")),
+                lambda lt: build(op, rg, lt))))
     return d.select(
-        "o_orderkey", "qty_text",
-        F.when(~has_range, F.coalesce(op["operator"], F.lit("=")))
-         .alias("operator"),
-        F.when(~has_range, F.coalesce(op["value"], lt["value"]))
-         .alias("value"),
-        F.coalesce(op["unit"], rg["unit"], lt["unit"]).alias("unit"),
-        rg["low"].alias("low"), rg["high"].alias("high"),
-    )
+        "o_orderkey", "qty_text", F.inline(F.array(fields)))
 
 
 _Q_WORD_CASE = " ".join(
@@ -853,15 +871,22 @@ def composed_units(spark, sf_dir):
         .when(k == 4, F.concat(F.lit("dose : "), vs, F.lit(" mg/kg")))
         .otherwise(F.concat(F.lit("prises : "), vs, F.lit("/j")))
     )
-    d = li.select("l_orderkey", "l_linenumber", text.alias("qty_text"))
-    q = extract_composed_quantity(F.lower(F.col("qty_text")))
+    # repartition: small parquet = 1 partition, and the composed-unit
+    # regex tree is per-row heavy; let-bind q so the tree is evaluated
+    # once per row instead of once per output column (same codegen-size
+    # + work-duplication reasoning as quantity_operators above)
+    d = li.select("l_orderkey", "l_linenumber", text.alias("qty_text")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    fields = X.let_bound(
+        extract_composed_quantity(F.lower(F.col("qty_text"))),
+        lambda q: F.struct(
+            q["value"].alias("value"),
+            q["unit"].alias("unit"),
+            q["dimension"].alias("dimension"),
+            F.round(q["value_si"], 9).alias("value_si"),
+        ))
     return d.select(
-        "l_orderkey", "l_linenumber", "qty_text",
-        q["value"].alias("value"),
-        q["unit"].alias("unit"),
-        q["dimension"].alias("dimension"),
-        F.round(q["value_si"], 9).alias("value_si"),
-    )
+        "l_orderkey", "l_linenumber", "qty_text", F.inline(F.array(fields)))
 
 
 COMPOSED_UNITS_SQL = """

@@ -40,6 +40,10 @@ def _lexicon_notes(spark, sf_dir, resource: str):
             F.col("doc_id").alias("note_id"),
             F.concat_ws(" ", "text", "key").alias("note_text"),
         )
+        # documents.parquet is a single split at test SFs and the
+        # broadcast join preserves it — spread the downstream
+        # tokenization across cores (no-op shape at cluster scale)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

@@ -72,17 +72,22 @@ def main() -> None:
     for name in HEADLINE:
         fn, _ = qs[name]
         # Cold run includes codegen/compile of the query's expression
-        # tree; the second run measures steady-state execution (what a
-        # long-running cluster job sees).  Cache cleared between queries
-        # so internally-persisted tables don't cross-contaminate.
+        # tree; the warm number is the BEST of two steady-state runs —
+        # a single sample is hostage to host-load spikes (observed 2-3x
+        # swings on a shared box), and min-of-2 is the standard defense.
+        # Cache cleared between runs so internally-persisted tables
+        # don't cross-contaminate.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            warm.append(time.perf_counter() - t0)
+        times[name] = round(min(warm), 3)
         print(f"# {name}: warm {times[name]}s / cold {cold[name]}s ({n} rows)",
               file=sys.stderr)
 

@@ -125,3 +125,44 @@ def test_token_shingles_match_naive(spark, words):
             seen.add(s)
             naive.append(s)
     assert got == naive
+
+
+# ---- native RegexMatcher locate-fold vs Python re -----------------------
+# The native path recovers offsets with a cursor-advancing locate fold
+# over regexp_extract_all output.  Soundness rests on pattern
+# context-freeness (no zero-width constructs — see the matcher's
+# _ZERO_WIDTH_RX routing); this differential test guards the
+# implementation itself (chunked prefix-sum accumulator, 1-based locate
+# arithmetic, duplicate matches) against Python's re on arbitrary text.
+
+# Patterns chosen to mean the same thing in Java and Python regex and to
+# stress the fold: repeats, alternation with shared prefixes/suffixes,
+# single chars that occur in runs, multi-char literals overlapping
+# their own tails.
+_NATIVE_PATTERNS = ["ab+", "[xy]{2,3}", "foo|fo|o", "a.c", "aba", "a"]
+_NATIVE_ALPHABET = "abcfoxy .\n"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet=_NATIVE_ALPHABET, max_size=80),
+                min_size=1, max_size=6))
+def test_regex_native_path_matches_python_re(spark, texts):
+    import re as _re
+
+    from edsnlp_spark.operators.matcher import RegexMatcher
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "note_id long, note_text string")
+    m = RegexMatcher({str(i): [p] for i, p in enumerate(_NATIVE_PATTERNS)},
+                     attr="TEXT", native="unchecked")
+    got = sorted(
+        (r.note_id, int(r.label), r.start_char, r.end_char,
+         r.lexical_variant)
+        for r in m.entities(df).collect())
+    want = sorted(
+        (i, pi, mt.start(), mt.end(), mt.group(0))
+        for i, t in enumerate(texts)
+        for pi, p in enumerate(_NATIVE_PATTERNS)
+        for mt in _re.finditer(p, t))
+    assert got == want

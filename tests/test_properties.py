@@ -166,3 +166,28 @@ def test_regex_native_path_matches_python_re(spark, texts):
         for pi, p in enumerate(_NATIVE_PATTERNS)
         for mt in _re.finditer(p, t))
     assert got == want
+
+
+# ---- JVM norm_text vs Python py_norm_text -------------------------------
+# The Arrow-exact matcher path normalizes with py_norm_text while every
+# native expression path uses the norm_text Column; offsets and match
+# results are only interchangeable if the two are char-for-char
+# identical on ANY input (both are length-preserving char maps).
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(max_codepoint=0x2100,
+                           blacklist_categories=("Cs",)),
+    max_size=100), min_size=1, max_size=8))
+def test_norm_text_jvm_matches_python(spark, texts):
+    from edsnlp_spark.functions.text import norm_text, py_norm_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "note_id long, note_text string")
+    rows = df.select("note_id", norm_text(F.col("note_text"))
+                     .alias("n")).collect()
+    for r in rows:
+        py = py_norm_text(texts[r.note_id])
+        assert r.n == py
+        assert len(py) == len(texts[r.note_id])  # length-preserving

@@ -191,3 +191,26 @@ def test_norm_text_jvm_matches_python(spark, texts):
         py = py_norm_text(texts[r.note_id])
         assert r.n == py
         assert len(py) == len(texts[r.note_id])  # length-preserving
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(1, 10),
+              st.sampled_from(["a", "b", "fp"])),
+    min_size=0, max_size=14))
+def test_filter_spans_matches_greedy_model(spark, raw):
+    """The fold equals a direct Python model of the documented greedy
+    resolve: sort by (longest, leftmost, label), keep iff disjoint from
+    everything already kept — for ANY span multiset."""
+    rows = [(1, s, s + ln, lbl, "t", "ents") for s, ln, lbl in raw]
+    ents = spark.createDataFrame(
+        rows, "note_id long, start_char int, end_char int, label string, "
+              "lexical_variant string, span_type string")
+    got = sorted((r.start_char, r.end_char, r.label)
+                 for r in filter_spans(ents).collect())
+    model_kept = []
+    for s, e, lbl in sorted(((s, s + ln, lbl) for s, ln, lbl in raw),
+                            key=lambda x: (-(x[1] - x[0]), x[0], x[1], x[2])):
+        if all(e <= ks or ke <= s for ks, ke, _ in model_kept):
+            model_kept.append((s, e, lbl))
+    assert got == sorted(model_kept)

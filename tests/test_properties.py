@@ -214,3 +214,83 @@ def test_filter_spans_matches_greedy_model(spark, raw):
         if all(e <= ks or ke <= s for ks, ke, _ in model_kept):
             model_kept.append((s, e, lbl))
     assert got == sorted(model_kept)
+
+
+# ---- QualifierEngine vs a direct Python model ---------------------------
+# Negation-style config over random token streams: single-token
+# preceding/following/termination cues, a two-token pseudo ("sans
+# doute") that shadows the preceding cue "sans", and single-token
+# entities.  The model re-derives the documented semantics directly:
+# boundaries = sentence start ∪ termination STARTS ∪ doc end; pseudo
+# self-resolve then suppression by filter_spans order; cue→boundary by
+# the cue's start token; entity→every overlapped boundary; negated =
+# OR over boundaries of (preceding cue ending at-or-before the entity
+# start) | (following cue starting at-or-after the entity end).
+
+_Q_VOCAB = ["le", "patient", "rien", "note", "sans", "aucun", "doute",
+            "absent", "mais", "fievre", "toux"]
+_Q_PREC = {"sans", "aucun"}
+_Q_FOLL = {"absent"}
+_Q_TERM = {"mais"}
+_Q_ENTS = {"fievre", "toux"}
+
+
+def _q_model(words):
+    n = len(words)
+    pseudo = [(i, i + 2) for i in range(n - 1)
+              if words[i] == "sans" and words[i + 1] == "doute"]
+    # pseudo self-resolve (longest-then-leftmost greedy; all len 2 here)
+    kept_p = []
+    for s, e in sorted(pseudo):
+        if all(e <= ks or ke <= s for ks, ke in kept_p):
+            kept_p.append((s, e))
+    def shadowed(i, j):
+        # a kept pseudo suppresses an overlapping real cue iff it sorts
+        # strictly before it: longer, or equal length and more leftmost
+        return any(s < j and i < e
+                   and ((e - s > j - i) or (e - s == j - i and s < i))
+                   for s, e in kept_p)
+    prec = [(i, i + 1) for i, w in enumerate(words)
+            if w in _Q_PREC and not shadowed(i, i + 1)]
+    foll = [(i, i + 1) for i, w in enumerate(words)
+            if w in _Q_FOLL and not shadowed(i, i + 1)]
+    cuts = sorted({0, n} | {i for i, w in enumerate(words) if w in _Q_TERM})
+    bounds = [(a, b) for a, b in zip(cuts, cuts[1:]) if a < b]
+    out = set()
+    for q, w in enumerate(words):
+        if w not in _Q_ENTS:
+            continue
+        neg = False
+        for bs, be in bounds:
+            if not (q < be and bs < q + 1):
+                continue
+            neg = neg or any(bs <= cs < be and ce <= q for cs, ce in prec) \
+                      or any(bs <= cs < be and cs >= q + 1 for cs, ce in foll)
+        out.add((q, w, neg))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_Q_VOCAB), min_size=1,
+                         max_size=14), min_size=1, max_size=4))
+def test_qualifier_engine_matches_model(spark, docs):
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.operators.matcher import PhraseMatcher
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+
+    notes = Pipeline([Tokenizer(mode="pretokenized"), SentenceSegmenter()])(
+        spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "note_id long, note_text string")).persist()
+    ents = PhraseMatcher({"sym": sorted(_Q_ENTS)}, attr="NORM") \
+        .entities(notes)
+    eng = QualifierEngine("negated", {
+        "preceding": sorted(_Q_PREC), "following": sorted(_Q_FOLL),
+        "pseudo": ["sans doute"], "termination": sorted(_Q_TERM)})
+    got = {(r.note_id, r.tok_start, r.lexical_variant, r.negated)
+           for r in eng.qualify(notes, ents).collect()}
+    want = {(i, q, w, neg)
+            for i, ws in enumerate(docs) for q, w, neg in _q_model(ws)}
+    assert got == want

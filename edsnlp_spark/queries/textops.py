@@ -1041,6 +1041,149 @@ SELECT k, 'size', 'cm', m2::VARCHAR || ' cm', CAST(m2 AS DOUBLE),
 """
 
 
+# ---- PII scrubbing (training-data pipeline) ----------------------------
+
+def pii_redaction(spark, sf_dir):
+    """PIIScrubber over documents with one injected identifier per doc
+    (email / FR phone / NIR / FR IBAN by doc_id%4): per-class hit
+    counts + the placeholder-redacted text.  Patterns are RE2-safe so
+    the oracle runs the SAME regex strings.  NIR digits avoid '0' (via
+    translate) so no phone-shaped substring hides inside — class counts
+    stay independent of redaction order."""
+    from ..operators.pii import PIIScrubber, PII_PATTERNS
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    email = F.concat(F.lit("contact jean.dupont"), k.cast("string"),
+                     F.lit("@example.org"))
+    phone = F.concat(F.lit("appeler 06 "),
+                     F.lpad((k % 89 + 10).cast("string"), 2, "0"),
+                     F.lit(" 34 56 78"))
+    nir = F.concat(F.lit("nir 18411"),
+                   F.translate(F.lpad((k % 100000000).cast("string"),
+                                      8, "0"), "0", "9"),
+                   F.lit("42"))
+    iban = F.concat(F.lit("compte FR76"),
+                    F.lpad(k.cast("string"), 23, "0"))
+    inject = (F.when(k % 4 == 0, email).when(k % 4 == 1, phone)
+              .when(k % 4 == 2, nir).otherwise(iban))
+    notes = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit(" "), inject,
+                 F.lit(" fin")).alias("note_text"))
+    sc = PIIScrubber()
+    out = sc.transform(notes)
+    counts = [
+        F.size(F.regexp_extract_all(
+            "note_text", F.lit(PII_PATTERNS[c]), F.lit(0)))
+        .cast("int").alias(f"n_{c}")
+        for c in ("email", "phone", "nir", "iban")
+    ]
+    return out.select("doc_id", *counts, "note_text_redacted")
+
+
+def _pii_sql():
+    from ..operators.pii import PII_PATTERNS
+
+    def esc(rx):
+        return rx.replace("'", "''")
+
+    red = "note_text"
+    for label in ("iban", "nir", "email", "phone"):
+        red = (f"regexp_replace({red}, '{esc(PII_PATTERNS[label])}', "
+               f"'[{label.upper()}]', 'g')")
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(note_text, "
+        f"'{esc(PII_PATTERNS[c])}')) AS INT) AS n_{c}"
+        for c in ("email", "phone", "nir", "iban"))
+    return f"""
+WITH built AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' ' ||
+    CASE doc_id % 4
+      WHEN 0 THEN 'contact jean.dupont' || doc_id || '@example.org'
+      WHEN 1 THEN 'appeler 06 ' ||
+                  lpad((doc_id % 89 + 10)::VARCHAR, 2, '0') || ' 34 56 78'
+      WHEN 2 THEN 'nir 18411' ||
+                  translate(lpad((doc_id % 100000000)::VARCHAR, 8, '0'),
+                            '0', '9') || '42'
+      ELSE 'compte FR76' || lpad(doc_id::VARCHAR, 23, '0')
+    END || ' fin' AS note_text
+  FROM documents)
+SELECT doc_id, {counts}, {red} AS note_text_redacted
+FROM built
+"""
+
+
+PII_REDACTION_SQL = _pii_sql()
+
+
+# ---- test-set decontamination (training-data pipeline) -----------------
+
+_DECON_CANARY = ("the quick spark benchmark canary passage "
+                 "rows columns shuffle joins")
+
+
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    8-token shingle with the eval split (doc_id%97==0).  A fixed canary
+    passage is appended to the eval docs AND to doc_id%31==5 corpus
+    docs, so known-contaminated rows exist.  Plan: one shingle explode,
+    distinct eval shingles broadcast, equi-join + countDistinct — the
+    standard n-gram-overlap decontamination shape (eval sets are tiny
+    next to the corpus, so the broadcast side stays small at 100 TB)."""
+    from ..operators.dedup import token_shingles
+    docs = _notes(spark, sf_dir)
+    k = F.col("note_id")
+    is_eval = (k % 97 == 0)
+    tainted = (k % 31 == 5) & ~is_eval
+    docs = docs.select(
+        "note_id", is_eval.alias("is_eval"),
+        F.when(is_eval | tainted,
+               F.concat("note_text", F.lit(" " + _DECON_CANARY)))
+        .otherwise(F.col("note_text")).alias("note_text"))
+    sh = docs.select(
+        "note_id", "is_eval",
+        F.explode(token_shingles(F.col("note_text"), 8)).alias("sh"))
+    eval_sh = sh.filter("is_eval").select("sh").distinct()
+    hits = (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("note_id")
+        .agg(F.countDistinct("sh").cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.filter(~F.col("is_eval")).select("note_id")
+        .join(hits, "note_id", "left")
+        .select(
+            F.col("note_id").alias("doc_id"),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH built AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+         CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 5
+              THEN text || ' {_DECON_CANARY}' ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, is_eval, string_split(text, ' ') AS t FROM built),
+sh AS (
+  SELECT DISTINCT doc_id, is_eval,
+         unnest([array_to_string(t[i:i+7], ' ')
+                 for i in range(1, len(t) - 6)]) AS sh
+  FROM tok),
+ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(DISTINCT s.sh) AS BIGINT) AS n_hits
+  FROM sh s JOIN ev USING (sh) WHERE NOT s.is_eval GROUP BY s.doc_id)
+SELECT b.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM built b LEFT JOIN hits h USING (doc_id)
+WHERE NOT b.is_eval
+"""
+
 
 QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
@@ -1060,6 +1203,9 @@ QUERIES = {
     "durations_extraction": (durations_extraction, DURATIONS_EXTRACTION_SQL),
     "quantities_extraction": (quantities_extraction, QUANTITIES_EXTRACTION_SQL),
     "quantity_operators": (quantity_operators, QUANTITY_OPERATORS_SQL),
+    "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
+    "decontamination_overlap": (decontamination_overlap,
+                                DECONTAMINATION_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

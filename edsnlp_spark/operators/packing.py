@@ -1,0 +1,105 @@
+"""Greedy sequence packing — group documents into fixed token-budget
+packs for pretraining batches.
+
+No reference analog: aphp/edsnlp batches a STREAM by token budget
+(edsnlp/utils/batching.py:121-240 ``words``/``padded_words`` — batch
+boundaries fall wherever the stream happens to be); corpus-level sample
+packing needs a DETERMINISTIC assignment of every document to a pack so
+that downstream shuffles / re-reads reproduce the same packs.
+
+Algorithm: documents are hash-sharded (``id % n_shards``), and within a
+shard packed greedily in id order — a document opens a new pack when
+adding it would exceed ``budget`` (oversized documents get a pack of
+their own).  Pack ids are (shard, pack-index-within-shard), both
+returned, so ids are stable under any execution order.
+
+Spark design: ONE groupBy(shard) + sort_array(collect_list) + a
+chunked-accumulator fold (CLAUDE.md round-3 pattern: scalar running
+state + bounded ``cur`` array + list-of-chunks, so per-step accumulator
+copies stay O(64) and the fold is linear).  Sequential greedy packing
+is inherently order-dependent, so the per-shard fold IS the parallel
+unit: choose ``n_shards`` so a shard holds O(10k) docs (each shard's
+doc list must fit one task) — at 100 TB that means millions of shards,
+which is exactly what the hash shard gives for free.  No window
+functions, no driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import registry
+
+_EMPTY_I = "cast(array() as array<int>)"
+_EMPTY_II = "cast(array() as array<array<int>>)"
+_CHUNK = 64
+
+
+def pack_documents(docs: DataFrame, budget: int, n_shards: int = 32,
+                   id_col: str = "note_id",
+                   count_col: str | None = None,
+                   text_col: str = "note_text") -> DataFrame:
+    """-> (id_col, n_tokens, shard, pack_id) — greedy packs whose token
+    totals stay <= budget (single oversized docs excepted).
+
+    ``count_col``: precomputed token-count column; defaults to
+    whitespace token count of ``text_col``.
+    """
+    n_tok = (F.col(count_col) if count_col
+             else F.size(F.split(F.col(text_col), " "))).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    grouped = base.groupBy("shard").agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__id").alias("id"), F.col("n_tokens").alias("n")
+        ))).alias("ds"))
+
+    b = F.lit(int(budget))
+    zero = F.struct(
+        F.lit(0).cast("int").alias("used"),
+        F.lit(-1).cast("int").alias("pack"),
+        F.expr(_EMPTY_I).alias("cur"),
+        F.expr(_EMPTY_II).alias("lps"),
+    )
+
+    def step(acc: Column, d: Column) -> Column:
+        opens = (acc["pack"] < 0) | (acc["used"] + d["n"] > b)
+        pack = F.when(opens, acc["pack"] + 1).otherwise(acc["pack"])
+        used = F.when(opens, d["n"]).otherwise(acc["used"] + d["n"])
+        cur = F.array_append(acc["cur"], pack)
+        closed = F.struct(
+            used.alias("used"), pack.alias("pack"),
+            F.expr(_EMPTY_I).alias("cur"),
+            F.array_append(acc["lps"], cur).alias("lps"))
+        opened = F.struct(used.alias("used"), pack.alias("pack"),
+                          cur.alias("cur"), acc["lps"].alias("lps"))
+        return F.when(F.size(cur) >= _CHUNK, closed).otherwise(opened)
+
+    packs = F.aggregate(
+        F.col("ds"), zero, step,
+        lambda acc: F.flatten(
+            F.when(F.size(acc["cur"]) > 0,
+                   F.array_append(acc["lps"], acc["cur"]))
+            .otherwise(acc["lps"])))
+    out = grouped.select(
+        "shard",
+        F.explode(F.zip_with(
+            "ds", packs,
+            lambda d, p: F.struct(d["id"].alias("id"), d["n"].alias("n"),
+                                  p.alias("pack_id")))).alias("x"))
+    return out.select(
+        F.col("x.id").alias(id_col),
+        F.col("x.n").alias("n_tokens"),
+        "shard",
+        F.col("x.pack_id").alias("pack_id"),
+    )
+
+
+@registry.register("eds.pack_documents")
+def _make_packing(**kw):
+    def run(docs, **more):
+        return pack_documents(docs, **{**kw, **more})
+    return run

@@ -1185,6 +1185,37 @@ WHERE NOT b.is_eval
 """
 
 
+# ---- sequence packing (training-data pipeline) -------------------------
+
+def sequence_packing(spark, sf_dir):
+    """Greedy token-budget packing of documents (budget 256, 8 hash
+    shards): deterministic (shard, pack_id) per doc — the corpus-level
+    sample-packing step before pretraining batch assembly."""
+    from ..operators.packing import pack_documents
+    docs = _notes(spark, sf_dir)
+    return pack_documents(docs, budget=256, n_shards=8) \
+        .withColumnRenamed("note_id", "doc_id")
+
+
+SEQUENCE_PACKING_SQL = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS used, 0 AS pack
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.used + d.n_tokens > 256
+              THEN d.n_tokens ELSE p.used + d.n_tokens END,
+         CASE WHEN p.used + d.n_tokens > 256 THEN p.pack + 1 ELSE p.pack END
+  FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+SELECT doc_id, n_tokens, shard, CAST(pack AS INT) AS pack_id FROM packed
+"""
+
+
 QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
@@ -1206,6 +1237,7 @@ QUERIES = {
     "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
     "decontamination_overlap": (decontamination_overlap,
                                 DECONTAMINATION_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

@@ -54,6 +54,12 @@ HEADLINE = R1_SET + [
     "sentence_boundaries",
     "history_qualifier",
     "adicap_decode",
+    # round-3 session-2: training-data pipeline additions — PII scrub
+    # (pure codegen projection), benchmark decontamination (shingle
+    # broadcast join), sequence packing (sharded greedy fold)
+    "pii_redaction",
+    "decontamination_overlap",
+    "sequence_packing",
 ]
 
 

@@ -120,3 +120,25 @@ def test_streaming_dedup(spark, tmp_path):
     out = sorted(r["text"] for r in
                  spark.sql("select * from dedup_stream").collect())
     assert out == ["hello world", "something else"]
+
+
+def test_streaming_pii_scrub(spark, tmp_path):
+    """PIIScrubber.transform is a pure projection, so it composes with
+    Structured Streaming unchanged — the scrub-on-ingest shape of a
+    training-data pipeline."""
+    from edsnlp_spark.operators.pii import PIIScrubber
+
+    src = tmp_path / "pii_docs"
+    src.mkdir()
+    write_events_jsonl(src / "a.jsonl", [
+        {"note_id": 1, "note_text": "mail a.b@x.org ok"},
+        {"note_id": 2, "note_text": "tel 06 12 34 56 78"},
+        {"note_id": 3, "note_text": "rien"},
+    ])
+    docs = spark.readStream.schema(
+        "note_id long, note_text string").json(str(src))
+    q = run_to_memory(PIIScrubber().transform(docs), "pii_stream",
+                      mode="append")
+    out = {r["note_id"]: r["note_text_redacted"] for r in
+           spark.sql("select * from pii_stream").collect()}
+    assert out == {1: "mail [EMAIL] ok", 2: "tel [PHONE]", 3: "rien"}

@@ -1185,6 +1185,48 @@ WHERE NOT b.is_eval
 """
 
 
+# ---- unigram LM quality scoring (training-data pipeline) ---------------
+
+def unigram_logppl(spark, sf_dir):
+    """CCNet-style LM quality filter: train a unigram LM on the corpus
+    itself (token -> ln(count/total)), score every document by its mean
+    negative log-probability (low = in-distribution, high = outlier).
+
+    Plan: one token explode feeds BOTH the LM aggregation and the
+    scoring join; the LM (vocab-sized) broadcasts back onto the token
+    plane — the corpus is never shuffled, only the vocab aggregation
+    is.  That is the right 100 TB shape (real vocabs are millions of
+    rows; swap the broadcast hint for a shuffle join above memory)."""
+    docs = _notes(spark, sf_dir)
+    tok = docs.select(
+        "note_id", F.explode(F.split("note_text", " ")).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+        .alias("logp"))
+    return (
+        tok.join(F.broadcast(lm), "t")
+        .groupBy("note_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+             F.round(F.avg(-F.col("logp")), 4).alias("nll"))
+        .select(F.col("note_id").alias("doc_id"), "n_tokens", "nll")
+    )
+
+
+UNIGRAM_LOGPPL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS tot FROM cnt),
+lm AS (SELECT t, ln(c::DOUBLE / tot::DOUBLE) AS logp FROM cnt, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(-logp), 4) AS nll
+FROM tok JOIN lm USING (t) GROUP BY doc_id
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -1238,6 +1280,7 @@ QUERIES = {
     "decontamination_overlap": (decontamination_overlap,
                                 DECONTAMINATION_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

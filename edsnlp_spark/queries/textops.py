@@ -1227,6 +1227,55 @@ FROM tok JOIN lm USING (t) GROUP BY doc_id
 """
 
 
+# ---- Gopher-style repetition filters (training-data pipeline) ----------
+
+def gopher_repetition(spark, sf_dir):
+    """Gopher/FineWeb repetition-quality rules per document: fraction of
+    bigram INSTANCES whose bigram occurs more than once in the doc, and
+    the share of the single most frequent bigram.  One overlapping-
+    bigram regexp pass (no HOF chain), one (doc, gram) aggregation —
+    shuffles gram counts only, never text."""
+    docs = _notes(spark, sf_dir)
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + " " + tok + "))" + tok + " "
+    grams = docs.select(
+        "note_id",
+        F.explode(F.regexp_extract_all(
+            "note_text", F.lit(rx), F.lit(1))).alias("g"))
+    per = grams.groupBy("note_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("note_id").agg(
+            F.sum("c").alias("__tot"),
+            F.sum(F.when(F.col("c") > 1, F.col("c"))
+                  .otherwise(F.lit(0))).alias("__dup"),
+            F.max("c").alias("__top"))
+        .select(
+            F.col("note_id").alias("doc_id"),
+            F.col("__tot").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("__dup") / F.col("__tot"), 4)
+            .alias("dup_bigram_frac"),
+            F.round(F.col("__top") / F.col("__tot"), 4)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+  FROM tok),
+per AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 4)
+         AS dup_bigram_frac,
+       ROUND(MAX(c) / SUM(c), 4) AS top_bigram_frac
+FROM per GROUP BY doc_id
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -1281,6 +1330,7 @@ QUERIES = {
                                 DECONTAMINATION_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
+    "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

@@ -1276,6 +1276,46 @@ FROM per GROUP BY doc_id
 """
 
 
+# ---- deterministic split assignment (training-data pipeline) -----------
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+_SPLIT_MOD = 4294967296   # 2^32
+
+
+def split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment: a Knuth multiplicative
+    hash of the document id buckets every doc reproducibly (95/2.5/2.5)
+    — no RNG state, so any engine (or a later re-run over 100 TB)
+    derives the SAME split.  Pure projection + a per-(lang, split)
+    count rollup to audit stratification."""
+    d = _t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    split = (
+        F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
+        .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+SPLIT_ASSIGNMENT_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+                   < {int(0.95 * _SPLIT_MOD)} THEN 'train'
+              WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+                   < {int(0.975 * _SPLIT_MOD)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY lang, split
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -1331,6 +1371,7 @@ QUERIES = {
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
+    "split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

@@ -142,3 +142,36 @@ def test_streaming_pii_scrub(spark, tmp_path):
     out = {r["note_id"]: r["note_text_redacted"] for r in
            spark.sql("select * from pii_stream").collect()}
     assert out == {1: "mail [EMAIL] ok", 2: "tel [PHONE]", 3: "rien"}
+
+
+def test_streaming_decontamination(spark, tmp_path):
+    """Ingest-time decontamination: a STREAM of documents joined against
+    the static eval-shingle table (stream-static broadcast join) — docs
+    sharing an 8-token shingle with the eval set are flagged before they
+    ever land in the corpus."""
+    from pyspark.sql import functions as F
+    from edsnlp_spark.operators.dedup import token_shingles
+
+    canary = "a b c d e f g h"
+    eval_docs = spark.createDataFrame(
+        [(100, "x y " + canary + " z")], "doc_id long, text string")
+    eval_sh = eval_docs.select(
+        F.explode(token_shingles(F.col("text"), 8)).alias("sh")).distinct()
+
+    src = tmp_path / "stream_docs"
+    src.mkdir()
+    write_events_jsonl(src / "a.jsonl", [
+        {"doc_id": 1, "text": "clean words only here totally fine ok yes"},
+        {"doc_id": 2, "text": "prefix " + canary + " suffix"},
+    ])
+    docs = spark.readStream.schema("doc_id long, text string").json(str(src))
+    flagged = (
+        docs.select("doc_id",
+                    F.explode(token_shingles(F.col("text"), 8)).alias("sh"))
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id").count()
+    )
+    run_to_memory(flagged, "decon_stream", mode="complete")
+    out = {r["doc_id"] for r in
+           spark.sql("select * from decon_stream").collect()}
+    assert out == {2}

@@ -294,3 +294,39 @@ def test_qualifier_engine_matches_model(spark, docs):
     want = {(i, q, w, neg)
             for i, ws in enumerate(docs) for q, w, neg in _q_model(ws)}
     assert got == want
+
+
+# ---- PhraseMatcher n-gram join vs a direct token-slice model ------------
+# Mixed-length terms that overlap each other ("b", "a b", "a b c") over
+# random token streams: every occurrence of every term must surface,
+# including nested and crossing ones (the matcher emits ALL matches;
+# overlap resolution is filter_spans' job downstream).
+
+_PM_TERMS = {"one": ["b"], "two": ["a b"], "three": ["a b c"], "other": ["c d"]}
+_PM_VOCAB = ["a", "b", "c", "d", "e"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_PM_VOCAB), min_size=1,
+                         max_size=12), min_size=1, max_size=4))
+def test_phrase_matcher_matches_slice_model(spark, docs):
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.matcher import PhraseMatcher
+
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(
+        spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "note_id long, note_text string"))
+    got = {(r.note_id, r.label, r.tok_start, r.tok_end, r.lexical_variant)
+           for r in PhraseMatcher(_PM_TERMS, attr="NORM")
+           .entities(notes).collect()}
+    want = set()
+    for i, ws in enumerate(docs):
+        for label, terms in _PM_TERMS.items():
+            for term in terms:
+                t = term.split(" ")
+                for j in range(len(ws) - len(t) + 1):
+                    if ws[j:j + len(t)] == t:
+                        want.add((i, label, j, j + len(t), " ".join(t)))
+    assert got == want

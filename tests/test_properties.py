@@ -330,3 +330,42 @@ def test_phrase_matcher_matches_slice_model(spark, docs):
                     if ws[j:j + len(t)] == t:
                         want.add((i, label, j, j + len(t), " ".join(t)))
     assert got == want
+
+
+# ---- SimstringMatcher vs a direct char-ngram dice model -----------------
+
+_SS_TERMS = {"drug": ["diabete", "paracetamol"], "sym": ["fievre"]}
+_SS_WORDS = ["diabete", "diabetes", "diabte", "fievre", "fiebre",
+             "paracetamol", "paracetmol", "chat", "de"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_SS_WORDS), min_size=1,
+                         max_size=10), min_size=1, max_size=3))
+def test_simstring_matches_dice_model(spark, docs):
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.simstring import SimstringMatcher
+
+    def grams(s, n=3):
+        p = "#" * (n - 1) + s + "#" * (n - 1)
+        return {p[i:i + n] for i in range(len(p) - n + 1)}
+
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(
+        spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "note_id long, note_text string"))
+    got = {(r.note_id, r.tok_start, r.lexical_variant, r.label,
+            r.matched_term, r.similarity)
+           for r in SimstringMatcher(_SS_TERMS, threshold=0.75)
+           .entities(notes).collect()}
+    want = set()
+    for i, ws in enumerate(docs):
+        for j, w in enumerate(ws):
+            for label, terms in _SS_TERMS.items():
+                for term in terms:
+                    a, b = grams(w), grams(term)
+                    d = 2 * len(a & b) / (len(a) + len(b))
+                    if d >= 0.75:
+                        want.add((i, j, w, label, term, round(d, 4)))
+    assert got == want

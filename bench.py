@@ -60,6 +60,9 @@ HEADLINE = R1_SET + [
     "pii_redaction",
     "decontamination_overlap",
     "sequence_packing",
+    # the composed curation pass (quality -> dedup -> PII -> split ->
+    # pack in one Catalyst plan)
+    "corpus_curation",
 ]
 
 

@@ -1316,6 +1316,90 @@ FROM assigned GROUP BY lang, split
 """
 
 
+# ---- end-to-end corpus curation (composed pipeline) --------------------
+
+def corpus_curation(spark, sf_dir):
+    """A full FineWeb-style curation pass as ONE composed DataFrame
+    plan: Gopher-ish quality gate (length + lexical diversity) -> exact
+    content dedup (keep smallest doc_id per md5) -> PII redaction ->
+    deterministic split assignment -> greedy sequence packing of the
+    train split.  Every stage is one of this repo's operators; Catalyst
+    sees the whole chain and prunes/pushes across stage boundaries —
+    the composability argument for an engine living inside Spark."""
+    from ..operators.pii import PIIScrubber
+    from ..operators.packing import pack_documents
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    kept = d.select(
+        "doc_id", "text", F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("__dr"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("__dr") >= 0.3))
+    # exact dedup: survive iff smallest doc_id for this content hash
+    first = kept.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id"))
+    kept = kept.join(first, "doc_id")
+    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    split = (
+        F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
+        .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
+        .otherwise(F.lit("test")))
+    scrubbed = PIIScrubber(text_col="text").transform(
+        kept.select("doc_id", "text", "n_tokens", split.alias("split")))
+    train = scrubbed.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("note_id"),
+        F.col("text_redacted").alias("note_text"),
+        "n_tokens")
+    packed = pack_documents(train, budget=512, n_shards=4,
+                            count_col="n_tokens")
+    return (
+        scrubbed.select("doc_id", "split", "n_tokens")
+        .join(packed.select(F.col("note_id").alias("doc_id"),
+                            "shard", "pack_id"), "doc_id", "left")
+        .select("doc_id", "split",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                "shard", "pack_id")
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH RECURSIVE feat AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS dr
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM feat
+  WHERE n_tokens >= 30 AND dr >= 0.3),
+first AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM kept
+          GROUP BY md5(text)),
+surv AS (
+  SELECT k.doc_id, k.n_tokens,
+         CASE WHEN (k.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+                   < {int(0.95 * _SPLIT_MOD)} THEN 'train'
+              WHEN (k.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+                   < {int(0.975 * _SPLIT_MOD)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k JOIN first f USING (doc_id)),
+train AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(n_tokens AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM surv WHERE split = 'train'),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS used, 0 AS pack
+  FROM train WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.used + t.n_tokens > 512
+              THEN t.n_tokens ELSE p.used + t.n_tokens END,
+         CASE WHEN p.used + t.n_tokens > 512 THEN p.pack + 1 ELSE p.pack END
+  FROM train t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT s.doc_id, s.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       p.shard, CAST(p.pack AS INT) AS pack_id
+FROM surv s LEFT JOIN packed p USING (doc_id)
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -1372,6 +1456,7 @@ QUERIES = {
     "unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
+    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

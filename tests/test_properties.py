@@ -369,3 +369,36 @@ def test_simstring_matches_dice_model(spark, docs):
                     if d >= 0.75:
                         want.add((i, j, w, label, term, round(d, 4)))
     assert got == want
+
+
+# ---- SectionSegmenter vs the header-interval model -----------------------
+
+_SEC_TITLES = {"antecedents": ["antecedents"], "traitement": ["traitement"],
+               "conclusion": ["conclusion"]}
+_SEC_VOCAB = ["antecedents", "traitement", "conclusion", "le", "patient",
+              "va", "bien"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_SEC_VOCAB), min_size=1,
+                         max_size=12), min_size=1, max_size=4))
+def test_sections_match_header_interval_model(spark, docs):
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.sections import SectionSegmenter
+
+    notes = Pipeline([Tokenizer(mode="pretokenized")])(
+        spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "note_id long, note_text string"))
+    got = {(r.note_id, r.sec_id, r.section, r.tok_start, r.tok_until)
+           for r in SectionSegmenter(_SEC_TITLES)
+           .sections_table(notes).collect()}
+    title_of = {t: lbl for lbl, ts in _SEC_TITLES.items() for t in ts}
+    want = set()
+    for i, ws in enumerate(docs):
+        heads = [(j, title_of[w]) for j, w in enumerate(ws) if w in title_of]
+        for k, (j, lbl) in enumerate(heads):
+            until = heads[k + 1][0] if k + 1 < len(heads) else len(ws)
+            want.add((i, k + 1, lbl, j, until))
+    assert got == want

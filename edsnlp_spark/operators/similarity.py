@@ -213,3 +213,52 @@ def cosine_neardup(emb: DataFrame, planes: list[list[float]],
         .select("a_id", "b_id", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(emb: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for training corpora — cluster embeddings with a
+    coarse quantizer, then within each cluster drop the HIGHER-id member
+    of every pair whose cosine clears ``threshold``.
+
+    -> (id_col, cell, keep) for every input vector.
+
+    Scale shape: assignment is a pure projection over the broadcast
+    centroid literal (no shuffle); the pairwise cosine is a per-cell
+    self-join, so quadratic work is confined to cluster cells (the
+    paper's point — never a corpus-level cross join).  Cell sizes are
+    governed by the centroid count, exactly like the IVF index above.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    carr = _centers_arr([list(map(float, c)) for c in centroids])
+    assigned = emb.select(
+        F.col(id_col).alias("__id"), vec.alias("v")
+    ).withColumn(
+        "cell",
+        F.sort_array(F.transform(
+            carr,
+            lambda c: F.struct(
+                (-cosine(F.col("v"), c["cv"])).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        ))[0]["cell"],
+    ).persist()
+    a = assigned.select("cell", F.col("__id").alias("a_id"),
+                        F.col("v").alias("a_v"))
+    b = assigned.select("cell", F.col("__id").alias("b_id"),
+                        F.col("v").alias("b_v"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("a_v"), F.col("b_v")) >= F.lit(threshold))
+        .select(F.col("b_id").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)),
+                      "__id", "left")
+        .select(F.col("__id").alias(id_col), "cell",
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )

@@ -291,6 +291,62 @@ def embedding_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb, queries, k=10, n_probe=3, centroids=cents)
 
 
+
+# ---- SemDeDup: semantic dedup for training corpora ---------------------
+
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup over the embeddings table with planted exact clones
+    (vec_id%37==1 duplicated at id+100000): cluster via the same 8
+    deterministic seed centroids as the IVF query, then drop the
+    higher-id member of every in-cell pair with cosine >= 0.95 (natural
+    max off-diagonal cosine in this table is ~0.51, so exactly the
+    clones fall)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 37 == 1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    allv = emb.unionByName(clones)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    return S.semdedup(allv, centroids=cents, threshold=0.95)
+
+
+SEMDEDUP_SQL = """
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 37 = 1),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e0 WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(b.v, b.v))) >= 0.95)
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+"""
+
 EMBEDDING_TOPK_IVF_SQL = """
 WITH e AS (
   SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -388,5 +444,6 @@ QUERIES = {
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
+    "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

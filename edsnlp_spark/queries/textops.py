@@ -1400,6 +1400,74 @@ FROM surv s LEFT JOIN packed p USING (doc_id)
 """
 
 
+# ---- source mixture balancing (training-data pipeline) -----------------
+
+_MIX_BUDGET_FRAC = 0.6  # corpus-level token/doc budget
+
+
+def source_mixture_sample(spark, sf_dir):
+    """Data-mixing pass: deterministically downsample each source to a
+    weighted quota (weights from config; quota_s = share_s * budget),
+    keeping doc iff knuth_hash(doc_id) * n_s < quota_s * 2^32 — an
+    ALL-INTEGER threshold, so the oracle reproduces the exact keep set.
+    Two passes: a per-source count (tiny aggregate, broadcast back) and
+    a pure-projection filter — the standard mixture-reweighting shape
+    (counts are metadata; the corpus is never shuffled)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # configured weights: source index % 3 -> 1x / 2x / 3x
+    widx = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3 + 1
+    d = d.withColumn("w", widx.cast("bigint"))
+    counts = d.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("w").alias("wsum"),
+                     F.sum("n_docs").alias("n_total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.floor(F.col("w") * F.floor(F.lit(_MIX_BUDGET_FRAC)
+                                     * F.col("n_total"))
+                / F.col("wsum")).cast("bigint").alias("quota"))
+    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    kept = (
+        d.join(F.broadcast(quota), "source")
+        .filter(u * F.col("n_docs") < F.col("quota") * F.lit(_SPLIT_MOD))
+    )
+    return (
+        kept.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .join(quota, "source", "right")
+        .select("source",
+                F.col("n_docs").cast("bigint").alias("n_docs"), "quota",
+                F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                .alias("n_kept"))
+    )
+
+
+SOURCE_MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 3 + 1 AS w
+  FROM documents),
+counts AS (
+  SELECT source, any_value(w) AS w, COUNT(*) AS n_docs
+  FROM d GROUP BY source),
+tot AS (SELECT SUM(w) AS wsum, SUM(n_docs) AS n_total FROM counts),
+quota AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(w * FLOOR({_MIX_BUDGET_FRAC} * n_total) / wsum)
+              AS BIGINT) AS quota
+  FROM counts, tot),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM d JOIN quota q USING (source)
+  WHERE ((d.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) * q.n_docs
+        < q.quota * {_SPLIT_MOD}
+  GROUP BY d.source)
+SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.quota,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM quota q LEFT JOIN kept k USING (source)
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -1457,6 +1525,7 @@ QUERIES = {
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "source_mixture_sample": (source_mixture_sample, SOURCE_MIXTURE_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

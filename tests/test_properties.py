@@ -402,3 +402,56 @@ def test_sections_match_header_interval_model(spark, docs):
             until = heads[k + 1][0] if k + 1 < len(heads) else len(ws)
             want.add((i, k + 1, lbl, j, until))
     assert got == want
+
+
+# ---- temporal_mentions numeric dates vs a from-scratch rule model --------
+# Generated "vu le D<sep>M<sep>Y fin" strings across valid/invalid
+# day/month/year classes and all three delimiters, checked against a
+# direct implementation of the documented rules: day 01-31, month
+# 01-12, year 19xx/20xx/2-digit (<25 -> 2000+y, else year dropped but
+# span kept with a '????' norm), calendar-invalid dates keep the span
+# with a null parsed_date.  The Spark side runs the FULL machinery
+# (matcher + FP resolution + component recovery + norm building).
+
+_DT_DAYS = ["0", "1", "5", "05", "9", "10", "28", "29", "30", "31", "32"]
+_DT_MONTHS = ["0", "1", "01", "2", "9", "10", "12", "13"]
+_DT_YEARS = ["2021", "1994", "2024", "07", "24", "25", "99", "1850"]
+_DT_SEPS = ["/", ".", "-"]
+
+
+def _dt_model(ds, ms, y):
+    import datetime
+    import re as _re
+    if not (_re.fullmatch(r"0?[1-9]|[12]\d|3[01]", ds)
+            and _re.fullmatch(r"0?[1-9]|1[0-2]", ms)
+            and _re.fullmatch(r"19\d\d|20\d\d|\d\d", y)):
+        return None
+    yy = (2000 + int(y) if int(y) < 25 else None) if len(y) == 2 else int(y)
+    norm = f"{yy if yy is not None else '????'}-{int(ms):02d}-{int(ds):02d}"
+    parsed = None
+    if yy is not None:
+        try:
+            parsed = str(datetime.date(yy, int(ms), int(ds)))
+        except ValueError:
+            parsed = None
+    return norm, parsed
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(_DT_DAYS),
+                          st.sampled_from(_DT_MONTHS),
+                          st.sampled_from(_DT_YEARS),
+                          st.sampled_from(_DT_SEPS)),
+                min_size=1, max_size=8))
+def test_numeric_dates_match_rule_model(spark, combos):
+    from edsnlp_spark.operators.dates import temporal_mentions
+
+    rows = [(i, f"vu le {d}{sep}{m}{sep}{y} fin")
+            for i, (d, m, y, sep) in enumerate(combos)]
+    notes = spark.createDataFrame(rows, "note_id long, note_text string")
+    got = {r.note_id: (r.norm, str(r.parsed_date) if r.parsed_date else None)
+           for r in temporal_mentions(notes)
+           .filter("kind = 'absolute'").collect()}
+    for i, (d, m, y, sep) in enumerate(combos):
+        want = _dt_model(d, m, y)
+        assert got.get(i) == want, (combos[i], got.get(i), want)

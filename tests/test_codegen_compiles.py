@@ -28,6 +28,9 @@ GUARDED = [
     "quantity_operators",
     "composed_units",
     "negation_tokens",
+    "quantity_mentions",
+    "corpus_curation",
+    "gopher_repetition",
 ]
 
 

@@ -455,3 +455,48 @@ def test_numeric_dates_match_rule_model(spark, combos):
     for i, (d, m, y, sep) in enumerate(combos):
         want = _dt_model(d, m, y)
         assert got.get(i) == want, (combos[i], got.get(i), want)
+
+
+# ---- extract_quantity vs a direct value/SI model -------------------------
+# FIRST quantity in generated texts with decimal-comma/dot values, all
+# registry units (longest-first alternation order matters: "ml" vs
+# "m"), glued/spaced forms, and the _UNIT_END guard ("10cma" is NOT a
+# quantity).  Model re-derives value, unit and SI conversion from the
+# registry table directly.
+
+_QV = ["3", "3,5", "12.25", "0,5", "120"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(
+    st.sampled_from(_QV),
+    st.sampled_from(["mg", "kg", "m", "cm", "ml", "mm", "g"]),
+    st.sampled_from(["", " "]),
+    st.sampled_from([" fin", "a fin", " et 4 kg apres"]),
+), min_size=1, max_size=8))
+def test_extract_quantity_matches_model(spark, combos):
+    from edsnlp_spark.operators.quantities import (
+        extract_quantity, UNIT_REGISTRY)
+
+    rows = [(i, f"valeur {v}{sep}{u}{tail}")
+            for i, (v, u, sep, tail) in enumerate(combos)]
+    df = spark.createDataFrame(rows, "note_id long, qty_text string")
+    got = {r.note_id: (None if r.q is None else
+                       (r.q.value, r.q.unit, round(r.q.value_si, 9)))
+           for r in df.select(
+               "note_id",
+               extract_quantity(__import__("pyspark.sql.functions",
+                                           fromlist=["col"])
+                                .col("qty_text")).alias("q")).collect()}
+    for i, (v, u, sep, tail) in enumerate(combos):
+        glued_letter = tail.startswith("a")  # "10cma" -> guard kills it
+        if glued_letter:
+            # the first VALID quantity is the one in the tail, if any
+            if "4 kg" in tail:
+                want = (4.0, "kg", round(4.0 * UNIT_REGISTRY["kg"][1], 9))
+            else:
+                want = None
+        else:
+            val = float(v.replace(",", "."))
+            want = (val, u, round(val * UNIT_REGISTRY[u][1], 9))
+        assert got[i] == want, (rows[i], got[i], want)

@@ -94,15 +94,20 @@ class EndlinesModel:
             _typo_class(F.element_at("toks", -1)).alias("a1"),
             _typo_class(F.col("next_first")).alias("a2"),
         )
-        stats = nl.groupBy("note_id").agg(
-            F.avg("l").alias("mu"),
-            F.coalesce(F.nullif(F.stddev("l"), F.lit(0.0)), F.lit(1.0))
-            .alias("sigma"),
-        ).withColumn("cv", F.col("sigma") / F.col("mu"))
-        return nl.join(F.broadcast(stats), "note_id").select(
+        # Per-note mu/sigma as window aggregates over the SAME lineage:
+        # one hash-partition by note_id, no join, and crucially no
+        # broadcast of an unbounded one-row-per-document table (a
+        # broadcast-hinted stats join would ship the whole corpus'
+        # stats to every executor at scale).
+        wn = Window.partitionBy("note_id")
+        mu = F.avg("l").over(wn)
+        sigma = F.coalesce(
+            F.nullif(F.stddev("l").over(wn), F.lit(0.0)), F.lit(1.0)
+        )
+        return nl.select(
             "note_id", "line_no", "blank", "a1", "a2",
-            ((F.col("l") - F.col("mu")) / F.col("sigma")).alias("l_norm"),
-            "cv",
+            ((F.col("l") - mu) / sigma).alias("l_norm"),
+            (sigma / mu).alias("cv"),
         )
 
     @staticmethod

@@ -42,11 +42,20 @@ def pack_documents(docs: DataFrame, budget: int, n_shards: int = 32,
     """-> (id_col, n_tokens, shard, pack_id) — greedy packs whose token
     totals stay <= budget (single oversized docs excepted).
 
-    ``count_col``: precomputed token-count column; defaults to
-    whitespace token count of ``text_col``.
+    ``count_col``: precomputed token-count column; defaults to the
+    whitespace token count of ``text_col`` — split on an EXPLICIT
+    whitespace class ``[ \\t\\n\\r\\f]+`` with empty tokens dropped
+    (ADVICE r3: a bare ``split(text, ' ')`` counts runs of spaces /
+    tabs / newlines wrong, and Java ``\\s`` vs RE2 ``\\s`` disagree on
+    ``\\x0B``, so the class is spelled out to keep any SQL oracle
+    bit-identical).  Empty text counts 0 tokens.
     """
-    n_tok = (F.col(count_col) if count_col
-             else F.size(F.split(F.col(text_col), " "))).cast("int")
+    if count_col:
+        n_tok = F.col(count_col).cast("int")
+    else:
+        n_tok = F.size(F.filter(
+            F.split(F.col(text_col), r"[ \t\n\r\f]+"),
+            lambda x: x != "")).cast("int")
     base = docs.select(
         F.col(id_col).alias("__id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),

@@ -1193,10 +1193,13 @@ def unigram_logppl(spark, sf_dir):
     negative log-probability (low = in-distribution, high = outlier).
 
     Plan: one token explode feeds BOTH the LM aggregation and the
-    scoring join; the LM (vocab-sized) broadcasts back onto the token
-    plane — the corpus is never shuffled, only the vocab aggregation
-    is.  That is the right 100 TB shape (real vocabs are millions of
-    rows; swap the broadcast hint for a shuffle join above memory)."""
+    scoring join.  The LM side carries NO broadcast hint: real vocabs
+    follow Heaps' law into millions of rows, so a hard-coded
+    broadcast hint on the LM would OOM the driver at web-corpus scale.  With
+    AQE on, Spark measures the built side at runtime and broadcasts
+    exactly when it fits (it does at test SF); above the threshold it
+    degrades gracefully to a shuffle join on `t`.  The 1-row `total`
+    aggregate is bounded by construction and keeps its hint."""
     docs = _notes(spark, sf_dir)
     tok = docs.select(
         "note_id", F.explode(F.split("note_text", " ")).alias("t"))
@@ -1207,7 +1210,7 @@ def unigram_logppl(spark, sf_dir):
         F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
         .alias("logp"))
     return (
-        tok.join(F.broadcast(lm), "t")
+        tok.join(lm, "t")
         .groupBy("note_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
              F.round(F.avg(-F.col("logp")), 4).alias("nll"))
@@ -1232,29 +1235,66 @@ FROM tok JOIN lm USING (t) GROUP BY doc_id
 def gopher_repetition(spark, sf_dir):
     """Gopher/FineWeb repetition-quality rules per document: fraction of
     bigram INSTANCES whose bigram occurs more than once in the doc, and
-    the share of the single most frequent bigram.  One overlapping-
-    bigram regexp pass (no HOF chain), one (doc, gram) aggregation —
-    shuffles gram counts only, never text."""
+    the share of the single most frequent bigram.
+
+    SHUFFLE-FREE: the whole computation is per-document, so there is no
+    (doc, gram) groupBy at all — bigram run statistics come from an
+    in-row ``sort_array`` + scalar-accumulator ``aggregate`` fold
+    (the repo's linear-fold pattern; the accumulator holds 4 scalars,
+    never a growing array).  The plan has NO hash-partition Exchange:
+    at 100 TB the stats are a projection over the scan.
+
+    Token stream is ``split(text, ' ')`` — identical to the oracle's
+    ``string_split`` (empty tokens kept), so both sides see the same
+    bigram multiset even on documents with consecutive spaces
+    (ADVICE r3 split-semantics parity)."""
     docs = _notes(spark, sf_dir)
-    tok = r"[^ ]+"
-    rx = "(?=(" + tok + " " + tok + "))" + tok + " "
-    grams = docs.select(
-        "note_id",
-        F.explode(F.regexp_extract_all(
-            "note_text", F.lit(rx), F.lit(1))).alias("g"))
-    per = grams.groupBy("note_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    t = F.split("note_text", " ")
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("top"),
+    )
+
+    def _step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closed_dup = acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+            F.when(same, acc["top"])
+            .otherwise(F.greatest(acc["top"], acc["run"])).alias("top"),
+        )
+
+    stats = F.aggregate(
+        F.sort_array(grams), init, _step,
+        lambda acc: F.struct(
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+             .otherwise(F.lit(0))).alias("dup"),
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+        ),
+    )
     return (
-        per.groupBy("note_id").agg(
-            F.sum("c").alias("__tot"),
-            F.sum(F.when(F.col("c") > 1, F.col("c"))
-                  .otherwise(F.lit(0))).alias("__dup"),
-            F.max("c").alias("__top"))
-        .select(
+        docs.select(
             F.col("note_id").alias("doc_id"),
-            F.col("__tot").cast("bigint").alias("n_bigrams"),
-            F.round(F.col("__dup") / F.col("__tot"), 4)
+            F.greatest(n - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+            stats.alias("__s"),
+        )
+        .filter(F.col("n_bigrams") >= 1)
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("__s.dup") / F.col("n_bigrams"), 4)
             .alias("dup_bigram_frac"),
-            F.round(F.col("__top") / F.col("__tot"), 4)
+            F.round(F.col("__s.top") / F.col("n_bigrams"), 4)
             .alias("top_bigram_frac"),
         )
     )
@@ -1282,6 +1322,31 @@ _SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
 _SPLIT_MOD = 4294967296   # 2^32
 
 
+def _knuth32(col):
+    """``(doc_id * 2654435761) mod 2^32`` WITHOUT int64 overflow.
+
+    The naive product overflows int64 for doc_id above ~3.47e9 — Spark
+    (non-ANSI) wraps silently while DuckDB widens to int128, so the
+    "any engine derives the SAME split" determinism claim would break
+    exactly at 100 TB scale (ADVICE r3).  Splitting the 32-bit residue
+    into 16-bit halves keeps every intermediate < 2^49:
+    ``a*b mod 2^32 == ((a_hi*b mod 2^16)*2^16 + a_lo*b) mod 2^32``.
+    Identical to the plain product whenever it does not overflow, so
+    existing small-id hashes are unchanged."""
+    a = F.pmod(col, F.lit(_SPLIT_MOD))
+    hi = F.shiftright(a, 16) * F.lit(_SPLIT_MULT) % F.lit(65536)
+    lo = (a % F.lit(65536)) * F.lit(_SPLIT_MULT)
+    return (hi * F.lit(65536) + lo) % F.lit(_SPLIT_MOD)
+
+
+def _knuth32_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`_knuth32` (same 16-bit-split modmul,
+    `//` integer division) so both engines agree for ANY int64 id."""
+    a = f"((({expr}) % {_SPLIT_MOD} + {_SPLIT_MOD}) % {_SPLIT_MOD})"
+    return (f"((({a} // 65536) * {_SPLIT_MULT} % 65536) * 65536"
+            f" + ({a} % 65536) * {_SPLIT_MULT}) % {_SPLIT_MOD}")
+
+
 def split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment: a Knuth multiplicative
     hash of the document id buckets every doc reproducibly (95/2.5/2.5)
@@ -1289,7 +1354,7 @@ def split_assignment(spark, sf_dir):
     derives the SAME split.  Pure projection + a per-(lang, split)
     count rollup to audit stratification."""
     d = _t(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    u = _knuth32(F.col("doc_id"))
     split = (
         F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
         .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
@@ -1305,9 +1370,9 @@ def split_assignment(spark, sf_dir):
 SPLIT_ASSIGNMENT_SQL = f"""
 WITH assigned AS (
   SELECT doc_id, lang,
-         CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+         CASE WHEN {_knuth32_sql('doc_id')}
                    < {int(0.95 * _SPLIT_MOD)} THEN 'train'
-              WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+              WHEN {_knuth32_sql('doc_id')}
                    < {int(0.975 * _SPLIT_MOD)} THEN 'val'
               ELSE 'test' END AS split
   FROM documents)
@@ -1338,7 +1403,7 @@ def corpus_curation(spark, sf_dir):
     first = kept.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id"))
     kept = kept.join(first, "doc_id")
-    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    u = _knuth32(F.col("doc_id"))
     split = (
         F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
         .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
@@ -1374,9 +1439,9 @@ first AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM kept
           GROUP BY md5(text)),
 surv AS (
   SELECT k.doc_id, k.n_tokens,
-         CASE WHEN (k.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+         CASE WHEN {_knuth32_sql('k.doc_id')}
                    < {int(0.95 * _SPLIT_MOD)} THEN 'train'
-              WHEN (k.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}
+              WHEN {_knuth32_sql('k.doc_id')}
                    < {int(0.975 * _SPLIT_MOD)} THEN 'val'
               ELSE 'test' END AS split
   FROM kept k JOIN first f USING (doc_id)),
@@ -1426,7 +1491,7 @@ def source_mixture_sample(spark, sf_dir):
         F.floor(F.col("w") * F.floor(F.lit(_MIX_BUDGET_FRAC)
                                      * F.col("n_total"))
                 / F.col("wsum")).cast("bigint").alias("quota"))
-    u = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD)
+    u = _knuth32(F.col("doc_id"))
     kept = (
         d.join(F.broadcast(quota), "source")
         .filter(u * F.col("n_docs") < F.col("quota") * F.lit(_SPLIT_MOD))
@@ -1459,7 +1524,7 @@ quota AS (
 kept AS (
   SELECT d.source, COUNT(*) AS n_kept
   FROM d JOIN quota q USING (source)
-  WHERE ((d.doc_id * {_SPLIT_MULT}) % {_SPLIT_MOD}) * q.n_docs
+  WHERE ({_knuth32_sql('d.doc_id')}) * q.n_docs
         < q.quota * {_SPLIT_MOD}
   GROUP BY d.source)
 SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.quota,
@@ -1480,10 +1545,11 @@ def sequence_packing(spark, sf_dir):
         .withColumnRenamed("note_id", "doc_id")
 
 
-SEQUENCE_PACKING_SQL = """
+SEQUENCE_PACKING_SQL = r"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
+                              x -> x <> '')) AS INT) AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM documents),
 packed AS (

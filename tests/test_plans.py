@@ -125,3 +125,14 @@ def test_quantity_mentions_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "__prefix" in s and "__norm" not in s.split("Window")[0]
+
+
+def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
+    # r4: per-doc repetition stats are an in-row sorted-run fold — the
+    # plan must have NO hash-partition Exchange (the old (doc, gram)
+    # groupBy shuffled one row per distinct bigram).  The only allowed
+    # Exchange is the round-robin repartition that spreads the small
+    # local parquet split across cores.
+    s = plan_of(spark, sf_dir, "gopher_repetition")
+    assert "hashpartitioning" not in s
+    assert "HashAggregate" not in s and "SortAggregate" not in s

@@ -201,3 +201,69 @@ def test_hf_hub_import_gate():
     if not has:
         with pytest.raises(ImportError):
             _import_datasets()
+
+
+# ---- r4: distributed markup converter ---------------------------------
+
+_MARKUP_CASES = [
+    "plain text no entities",
+    "<ent label=drug>aspirin</ent> given daily",
+    "pre <ent label=a norm=x=y>mid text</ent> post <ent>bare</ent> end",
+    "multi\nline <ent label=b>ent\ntext</ent> tail",
+    "<ent label=a></ent>empty inner",
+    "unclosed <ent label=a>foo then <ent label=c>bar</ent>",
+    "dup <ent label=z>tok</ent> and again <ent label=z>tok</ent>!",
+    "",
+    "attrs <ent  label=v1   k2=v2 >spaced</ent>.",
+    "sixty " + "<ent label=m>x</ent> " * 70 + "end",  # > chunk size 64
+]
+
+
+def test_from_markup_native_matches_python_model(spark):
+    """The distributed locate-fold parse must agree with parse_markup
+    (the Python spec) on text, offsets, labels, and attr maps —
+    including unclosed tags, '=' inside values, empty inners, DOTALL
+    newlines, and >64 entities (chunked-fold boundary)."""
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_MARKUP_CASES)],
+        "note_id long, markup string")
+    notes, ents = from_markup(df)
+    got_notes = {r.note_id: r.note_text for r in notes.collect()}
+    got = {}
+    for r in ents.collect():
+        got.setdefault(r.note_id, []).append(
+            (r.start_char, r.end_char, r.label, r.lexical_variant,
+             dict(r.attrs or {})))
+    for i, c in enumerate(_MARKUP_CASES):
+        text, es = parse_markup(c)
+        assert got_notes[i] == text, f"case {i}"
+        assert sorted(got.get(i, [])) == sorted(
+            (e["start_char"], e["end_char"], e["label"],
+             e["lexical_variant"], e["attrs"]) for e in es), f"case {i}"
+
+
+def test_from_markup_never_touches_driver(spark, tmp_path):
+    """Both planes must be projections over the input scan: lineage
+    flows from the parquet file (no LocalTableScan / ExistingRDD from a
+    driver-side re-create) and nothing is collected at build time."""
+    p = str(tmp_path / "mk.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} <ent label=l{i % 2}>e{i}</ent> z") for i in range(50)],
+        "note_id long, markup string").write.parquet(p)
+    notes, ents = from_markup(spark.read.parquet(p))
+    for df in (notes, ents):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" in plan.lower()
+        assert "LocalTableScan" not in plan
+        assert "ExistingRDD" not in plan
+    assert ents.count() == 50 and notes.count() == 50
+
+
+def test_from_markup_roundtrip_distributed(spark):
+    """to_markup(from_markup(x)) == x on a DataFrame-only pipeline."""
+    src = [(i, f"head{i} <ent label=a>mid{i}</ent> tail") for i in range(20)]
+    df = spark.createDataFrame(src, "note_id long, markup string")
+    notes, ents = from_markup(df)
+    back = {r.note_id: r.markup
+            for r in to_markup(notes, ents).collect()}
+    assert back == dict(src)

@@ -160,11 +160,15 @@ class QualifierEngine(Transformer):
         # non-termination cue is then discarded iff it overlaps a KEPT
         # pseudo that sorts strictly before it.  Terminations were
         # consumed earlier (negation.py:305) and never suppressed.
-        # Deliberate divergence, documented: on EXACT (length, start)
-        # ties between a pseudo and a real cue (identical extents) the
-        # reference falls back to its matcher emission order, an
-        # implementation artifact with no relational analog; here the
-        # real cue deterministically survives.
+        # Exact (length, start) ties between a pseudo and a real cue
+        # (identical extents): the reference's stable sort falls back to
+        # EDSPhraseMatcher emission order, and for one span carrying
+        # several labels that order is ``map_iter`` over a preshed HASH
+        # MAP keyed by label hash (matchers/phrase.pyx:144-146) — i.e.
+        # which label wins depends on string-hash bucket order, an
+        # artifact no engine should reproduce.  Here the real cue
+        # deterministically survives (pinned by
+        # test_pseudo_real_exact_tie_keeps_real).
         from .filter_spans import filter_spans as _resolve
         pseudo = cues.filter(F.col("cue_class") == "pseudo")
         kept_pseudo = _resolve(pseudo, start_col="tok_start",

@@ -774,3 +774,30 @@ def test_pseudo_shadowed_by_pseudo_does_not_suppress(spark):
         "termination": ["mais"],
     })
     assert q2.qualify(ndf, ents).collect()[0]["negation"] is False
+
+
+def test_pseudo_real_exact_tie_keeps_real(spark):
+    """r4: identical-extent pseudo vs real cue.  The reference resolves
+    this tie by preshed hash-map iteration order over the labels of one
+    span (matchers/phrase.pyx:144-146) — a string-hash artifact.  Our
+    documented deterministic rule: the real cue survives (a pseudo only
+    suppresses when it sorts STRICTLY before: longer, or equal length
+    and more leftward)."""
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    ndf = run_pipeline(spark, ["gamma douleur"]).persist()
+    ents = PhraseMatcher({"sym": ["douleur"]}).entities(ndf)
+    q = QualifierEngine("negation", {
+        "preceding": ["gamma"],
+        "pseudo": ["gamma"],        # same extent as the real cue
+        "termination": ["mais"],
+    })
+    assert q.qualify(ndf, ents).collect()[0]["negation"] is True
+    # strictly-longer pseudo still wins over a shorter real cue
+    ndf2 = run_pipeline(spark, ["beta gamma douleur"]).persist()
+    ents2 = PhraseMatcher({"sym": ["douleur"]}).entities(ndf2)
+    q2 = QualifierEngine("negation", {
+        "preceding": ["gamma"],
+        "pseudo": ["beta gamma"],
+        "termination": ["mais"],
+    })
+    assert q2.qualify(ndf2, ents2).collect()[0]["negation"] is False

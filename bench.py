@@ -126,8 +126,40 @@ def main() -> None:
         print(f"# REGRESSION {name}: {r['warm']}s vs best {r['best']}s "
               f"({r['ratio']}x)", file=sys.stderr)
 
+    # Scale evidence (r4): when the 10x replica exists (generated by
+    # scripts/gen_scale10x.py into .scale10x/, gitignored), run the five
+    # heaviest queries against it once — codegen is already warm from
+    # the sf0.1 loop, so the measured ratio is the DATA-scale curve, not
+    # compile time.  Near-linear (ratio <= ~12x for 10x rows) is the
+    # pass bar; SCALE.md records the analysis.
+    scale_set = ["history_qualifier", "durations_extraction",
+                 "negation_tokens", "sentence_boundaries",
+                 "quantity_mentions"]
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".scale10x"))
+    scale_10x: dict[str, dict] = {}
+    if os.path.isdir(scale_dir) and \
+            os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        for name in scale_set:
+            fn, _ = qs[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, scale_dir).count()
+            secs = round(time.perf_counter() - t0, 3)
+            scale_10x[name] = {
+                "sec": secs,
+                "ratio_vs_sf01": round(secs / times[name], 2)
+                if times.get(name) else None,
+                "rows": n,
+            }
+            print(f"# scale10x {name}: {secs}s "
+                  f"({scale_10x[name]['ratio_vs_sf01']}x vs sf0.1, "
+                  f"{n} rows)", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -136,9 +168,18 @@ def main() -> None:
         "total_cold": round(sum(cold.values()), 3),
         "value_r01_set": round(sum(times[n] for n in R1_SET), 3),
         "regressions": regressions,
+        "scale_10x": scale_10x,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
     spark.stop()
+    # The summary must be the LAST stdout line and must parse (r3 bench
+    # hygiene: the driver's `parsed` field was null because output
+    # followed the JSON).  Self-validate, flush stderr first, then emit.
+    line = json.dumps(summary)
+    json.loads(line)
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ from .qualifiers import QualifierEngine, HISTORY_CUES
 from .sections import SectionSegmenter
 from .. import registry
 from ..functions.text import let_bound
+from ..core.caching import tracked_persist
 
 # Superset gate for any text temporal_mentions could classify as
 # history/recent evidence.  Every non-digit-bearing temporal pattern
@@ -140,7 +141,7 @@ class HistoryQualifier:
         # with this join's doConsume overflows the 64 KB codegen limit;
         # persisting the compact mention plane keeps both stages
         # compiled (see temporal_mentions for the same pattern).
-        d = d.persist()
+        d = tracked_persist(d, "history")
 
         is_current = (F.col("kind") == "relative") & \
             (F.col("direction") == "current")
@@ -220,14 +221,15 @@ class HistoryQualifier:
 
         hist_secs = None
         if self.use_sections:
-            st = self.sections.sections_table(notes).persist()
+            st = tracked_persist(self.sections.sections_table(notes),
+                                 "history")
             # every section title start is an extra termination cut
             cues = cues.unionByName(st.select(
                 "note_id", "tok_start",
                 (F.col("tok_start") + 1).cast("int").alias("tok_end"),
                 F.lit("termination").alias("cue_class")))
             hist_secs = st.filter(F.col("section").isin(*self.section_names))
-        cues = cues.persist()
+        cues = tracked_persist(cues, "history")
         bounds = eng._boundaries(notes, cues)
 
         # per-note evidence arrays

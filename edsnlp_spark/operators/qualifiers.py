@@ -49,6 +49,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core.base import Transformer
+from ..core.caching import tracked_persist
 from .matcher import PhraseMatcher, RegexMatcher
 from .. import registry
 
@@ -303,8 +304,9 @@ class QualifierEngine(Transformer):
         followed by a grouped max — no semi-join + join-back double pass.
         Duplicate entity rows (identical on all columns) collapse.
         """
-        cues = self._cue_table(notes).persist()
-        bounds = self._boundaries(notes, cues).persist()
+        cues = tracked_persist(self._cue_table(notes), "qualifier")
+        bounds = tracked_persist(self._boundaries(notes, cues),
+                                 "qualifier")
         ents_b = self._assign_boundary_overlap(entities, bounds)
         active = cues.filter(F.col("cue_class") != "termination")
         cues_b = self._assign_boundary(active, bounds, "tok_start").select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..core.caching import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -244,7 +246,8 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
                 c["cell"].alias("cell"),
             ),
         ))[0]["cell"],
-    ).persist()
+    )
+    assigned = tracked_persist(assigned, "semdedup")
     a = assigned.select("cell", F.col("__id").alias("a_id"),
                         F.col("v").alias("a_v"))
     b = assigned.select("cell", F.col("__id").alias("b_id"),

@@ -801,3 +801,24 @@ def test_pseudo_real_exact_tie_keeps_real(spark):
         "termination": ["mais"],
     })
     assert q2.qualify(ndf2, ents2).collect()[0]["negation"] is False
+
+
+def test_tracked_persist_release(spark):
+    """r4 (ADVICE r3 #2): operator-internal persists (qualifier cues/
+    bounds, history planes, semdedup assignment) are TRACKED; a
+    long-lived session releases them with caching.release() after
+    materializing the output instead of accumulating cached tables."""
+    from edsnlp_spark.core import caching
+    caching.release()  # clean slate
+    ndf = run_pipeline(spark, ["pas de douleur aujourd'hui"]).persist()
+    ents = PhraseMatcher({"sym": ["douleur"]}).entities(ndf)
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    q = QualifierEngine("negation", {"preceding": ["pas de"],
+                                     "termination": ["mais"]})
+    q.qualify(ndf, ents).collect()
+    live = caching.tracked_scopes()
+    assert live.get("qualifier", 0) >= 2  # cues + bounds
+    released = caching.release("qualifier")
+    assert released >= 2
+    assert caching.tracked_scopes().get("qualifier", 0) == 0
+    ndf.unpersist()

@@ -181,10 +181,17 @@ class SectionSegmenter(Transformer):
             self._matcher = PhraseMatcher(self.sections, attr=attr,
                                           span_type="section_header")
 
-    def sections_table(self, notes: DataFrame) -> DataFrame:
+    def sections_table(self, notes: DataFrame,
+                       headers: DataFrame | None = None) -> DataFrame:
         """(note_id, section, sec_id, start_char, tok_start, end_tok)
-        — end is the next header's start (or doc token count)."""
-        headers = self._matcher.entities(notes)
+        — end is the next header's start (or doc token count).
+
+        ``headers``: precomputed header matches (note_id, label,
+        start_char [, tok_start]) — lets a caller that already scans the
+        notes plane (e.g. HistoryQualifier's merged cue scan) feed this
+        without a second PhraseMatcher pass."""
+        if headers is None:
+            headers = self._matcher.entities(notes)
         if "tok_start" not in headers.columns:
             # exact-regex path emits char anchors only: recover the
             # token anchor as the count of tokens starting before the

@@ -53,9 +53,10 @@ def pack_documents(docs: DataFrame, budget: int, n_shards: int = 32,
     if count_col:
         n_tok = F.col(count_col).cast("int")
     else:
-        n_tok = F.size(F.filter(
-            F.split(F.col(text_col), r"[ \t\n\r\f]+"),
-            lambda x: x != "")).cast("int")
+        # count of non-whitespace RUNS == whitespace-split token count
+        # with empties dropped, in one regex pass (no array built)
+        n_tok = F.regexp_count(
+            F.col(text_col), F.lit(r"[^ \t\n\r\f]+")).cast("int")
     base = docs.select(
         F.col(id_col).alias("__id"),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),

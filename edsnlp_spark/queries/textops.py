@@ -1548,8 +1548,8 @@ def sequence_packing(spark, sf_dir):
 SEQUENCE_PACKING_SQL = r"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f]+'),
-                              x -> x <> '')) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\r\f]+'))
+              AS INT) AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
   FROM documents),
 packed AS (

@@ -1611,9 +1611,71 @@ FROM m
 """
 
 
+# ---- endlines rule classifier (r4) -------------------------------------
+
+def endlines_rule(spark, sf_dir):
+    """EndLinesClassifier rule path over constructed multi-line notes
+    (reference `edsnlp/pipes/core/endlines`): per line, a real end iff
+    blank OR sentence-final punctuation OR the next line opens with an
+    uppercase/list marker.  The plan is ONE lead() window over the
+    exploded lines — per-note partitioning, no join, no broadcast (the
+    r3 per-note-stats broadcast lived in the ML path and is gone;
+    see tests/test_broadcast_guard.py)."""
+    from ..operators.endlines import EndLinesClassifier
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    mid = (
+        F.when(k % 3 == 0, F.lit("Suite en majuscule"))
+        .when(k % 3 == 1, F.lit("  "))
+        .otherwise(F.lit("1. item liste"))
+    )
+    text = F.concat(
+        F.substring("text", 1, 25), F.lit("\n"),
+        F.substring("text", 27, 20), F.lit(".\n"),
+        mid, F.lit("\n"),
+        F.substring("text", 50, 15),
+    )
+    notes = d.select(k.alias("note_id"), text.alias("note_text"))
+    t = EndLinesClassifier().endlines_table(notes)
+    return t.select(
+        F.col("note_id").alias("doc_id"),
+        F.col("line_no").cast("int").alias("line_no"),
+        "true_end",
+    )
+
+
+ENDLINES_RULE_SQL = r"""
+WITH built AS (
+  SELECT doc_id,
+         substr(text, 1, 25) || chr(10) || substr(text, 27, 20) || '.'
+         || chr(10)
+         || CASE WHEN doc_id % 3 = 0 THEN 'Suite en majuscule'
+                 WHEN doc_id % 3 = 1 THEN '  '
+                 ELSE '1. item liste' END
+         || chr(10) || substr(text, 50, 15) AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(t, chr(10))))) AS line_no,
+         unnest(string_split(t, chr(10))) AS line
+  FROM built),
+r AS (
+  SELECT doc_id, line_no, line,
+         lead(line) OVER (PARTITION BY doc_id ORDER BY line_no) AS nxt
+  FROM lines)
+SELECT doc_id, CAST(line_no AS INT) AS line_no,
+       (trim(line) = '')
+       OR regexp_matches(trim(line), '[.!?:;]\s*$')
+       OR COALESCE(regexp_matches(nxt, '^\s*(?:[A-ZÀ-Ý]|\d+[.)]|[-•*])'),
+                   TRUE) AS true_end
+FROM r
+"""
+
+
 QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
+    "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),

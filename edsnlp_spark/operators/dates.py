@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..core.base import Transformer
-from ..functions.text import norm_text
+from ..functions.text import let_bound, norm_text
 from .. import registry
 
 FR_MONTHS = [
@@ -472,8 +472,7 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
       (models.py:362-385).
     """
     from .matcher import RegexMatcher
-    from .filter_spans import filter_spans as _resolve_overlaps
-    m = RegexMatcher(
+    g = RegexMatcher(
         {
             # "FP" sorts before the lowercase labels in the overlap
             # resolver's tie-break, mirroring dates.py:279-282 where
@@ -486,27 +485,55 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
             "current": [CURRENT_RX],
             "duration": [DURATION_RX],
         },
-        attr="NORM", span_type="date",
-    ).entities(notes)
+        attr="NORM", span_type="date", text_col=text_col,
+    ).entities_grouped(notes)
     # Greedy longest-leftmost overlap resolution across families
-    # (dates.py:350), then drop the false positives ("1/3" pagination,
-    # phone-number runs) like dates.py:352.
-    m = _resolve_overlaps(m).filter(F.col("label") != "FP")
-    m = m.join(notes.select("note_id", F.col(text_col).alias("__text")),
-               "note_id")
+    # (dates.py:350) IN-ROW: entities_grouped keeps one row per note,
+    # so the resolve is the same sorted greedy fold as filter_spans
+    # (identical struct sort order: neg_len, start, end, label, then
+    # payload) over an array column — NO groupBy shuffle, and the
+    # source text rides along instead of a notes re-join (r4; was two
+    # extra exchanges).  FP matches are dropped after resolution, like
+    # dates.py:352.
+    spans = F.sort_array(F.transform("ms", lambda s: F.struct(
+        (-(s["end_char"] - s["start_char"])).cast("int").alias("neg_len"),
+        s["start_char"].alias("start"),
+        s["end_char"].alias("end"),
+        s["label"].alias("label"),
+        s["lexical_variant"].alias("lexical_variant"),
+        F.lit("date").alias("span_type"),
+        s["full_start"].alias("full_start"),
+        s["full_end"].alias("full_end"),
+    )))
+    kept = let_bound(spans, lambda sp: F.aggregate(
+        sp,
+        F.slice(sp, 1, 0),
+        lambda acc, s: F.when(
+            F.exists(acc, lambda k: (s["start"] < k["end"])
+                     & (k["start"] < s["end"])),
+            acc,
+        ).otherwise(F.array_append(acc, s)),
+    ))
+    m = g.select(
+        "note_id", "__text", F.explode(kept).alias("s")
+    ).filter(F.col("s.label") != "FP")
     # Materialization barrier (persist).  The downstream classification
     # is ~50 regexp_extracts over the normalized variant plus the
     # component-struct coalesce; adjacent .select()s do NOT protect it —
-    # Catalyst's ProjectCollapsing fuses them back into the broadcast
-    # join's doConsume, whose generated method cannot be split and
-    # overflows the JVM 64 KB codegen limit (stage silently runs
-    # interpreted).  Persisting the compact mention plane (a) puts the
-    # giant projection over an InMemoryTableScan where expression
-    # splitting works, and (b) materializes norm_text(variant) ONCE
-    # instead of re-deriving it inside every extract.
+    # Catalyst's ProjectCollapsing fuses them back into the upstream
+    # doConsume, whose generated method cannot be split and overflows
+    # the JVM 64 KB codegen limit (stage silently runs interpreted).
+    # Persisting the compact mention plane (a) puts the giant
+    # projection over an InMemoryTableScan where expression splitting
+    # works, and (b) materializes norm_text(variant) ONCE instead of
+    # re-deriving it inside every extract.
     m = m.select(
-        "note_id", "start_char", "end_char", "lexical_variant", "label",
-        "__text", norm_text(F.col("lexical_variant")).alias("__v"),
+        "note_id",
+        F.col("s.start").cast("int").alias("start_char"),
+        F.col("s.end").cast("int").alias("end_char"),
+        F.col("s.lexical_variant").alias("lexical_variant"),
+        F.col("s.label").alias("label"),
+        "__text", norm_text(F.col("s.lexical_variant")).alias("__v"),
     ).persist()
     v = F.col("__v")
     num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)

@@ -315,6 +315,57 @@ class RegexMatcher(Transformer):
             out = out.unionByName(p)
         return out
 
+    def entities_grouped(self, df: DataFrame) -> DataFrame:
+        """Arrow path, ONE output row per note with >=1 match:
+        ``(note_id, __text, ms array<struct<start_char, end_char,
+        label, lexical_variant, full_start, full_end>>)``.
+
+        mapInPandas is a map — the input partitioning survives — so a
+        consumer that resolves overlaps / classifies per note can do it
+        IN-ROW with array folds instead of a groupBy("note_id") shuffle
+        over one-row-per-match output, and it gets the source text for
+        free instead of re-joining the notes plane (r4: shaved the two
+        shuffles out of temporal_mentions)."""
+        compiled = [
+            (label, re.compile(
+                "|".join(f"(?:{_scope_flags(p)})" for p in pats), self.flags))
+            for label, pats in self.patterns.items()
+        ]
+        text_col = self.text_col
+        attr = self.attr
+        from_group = self.span_from_group
+        out_schema = (
+            "note_id long, __text string, ms array<struct<"
+            "start_char:int,end_char:int,label:string,"
+            "lexical_variant:string,full_start:int,full_end:int>>"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            norm = py_norm_text
+            for pdf in batches:
+                rows = []
+                for note_id, text in zip(pdf["note_id"], pdf[text_col]):
+                    if text is None:
+                        continue
+                    hay = norm(text) if attr == "NORM" else (
+                        text.lower() if attr == "LOWER" else text)
+                    ms = []
+                    for label, rx in compiled:
+                        for m in rx.finditer(hay):
+                            fs, fe = m.start(), m.end()
+                            s, e = fs, fe
+                            if from_group and m.lastindex:
+                                for gi in range(1, m.lastindex + 1):
+                                    if m.group(gi) is not None:
+                                        s, e = m.span(gi)
+                                        break
+                            ms.append((s, e, label, text[s:e], fs, fe))
+                    if ms:
+                        rows.append((note_id, text, ms))
+                yield pd.DataFrame(rows, columns=["note_id", "__text", "ms"])
+
+        return df.select("note_id", text_col).mapInPandas(run, out_schema)
+
     def _entities_udf(self, df: DataFrame) -> DataFrame:
         """Arrow-batched mapInPandas with re.finditer — exact semantics,
         the reference's own algorithm class (regex.py:166-494)."""

@@ -822,3 +822,33 @@ def test_tracked_persist_release(spark):
     assert released >= 2
     assert caching.tracked_scopes().get("qualifier", 0) == 0
     ndf.unpersist()
+
+
+def test_entities_grouped_matches_flat_path(spark):
+    """r4: RegexMatcher.entities_grouped (per-note Arrow output) must
+    carry exactly the flat Arrow path's matches, plus the source text."""
+    from edsnlp_spark.operators.matcher import RegexMatcher
+    texts = [
+        "vu le 12/04/1995 et revu 03.05.2021 pour controle",
+        "aucun motif temporel ici",
+        "MAJUSCULES et Le 5 janvier 2020, puis hier soir",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "note_id long, note_text string")
+    m = RegexMatcher(
+        {"num": [r"\d{1,2}[/.]\d{1,2}[/.]\d{4}"],
+         "word": [r"\b(janvier|hier)\b"]},
+        attr="NORM", span_type="date")
+    flat = {}
+    for r in m.entities(df).collect():
+        flat.setdefault(r.note_id, []).append(
+            (r.start_char, r.end_char, r.label, r.lexical_variant))
+    grouped = {}
+    for r in m.entities_grouped(df).collect():
+        assert r["__text"] == texts[r.note_id]
+        grouped[r.note_id] = sorted(
+            (s.start_char, s.end_char, s.label, s.lexical_variant)
+            for s in r.ms)
+    assert {k: sorted(v) for k, v in flat.items()} == grouped
+    assert 1 not in grouped and 3 not in grouped  # no-match/null rows absent

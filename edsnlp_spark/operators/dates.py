@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..core.base import Transformer
 from ..functions.text import let_bound, norm_text
+from ..core.caching import tracked_persist
 from .. import registry
 
 FR_MONTHS = [
@@ -534,7 +535,8 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
         F.col("s.lexical_variant").alias("lexical_variant"),
         F.col("s.label").alias("label"),
         "__text", norm_text(F.col("s.lexical_variant")).alias("__v"),
-    ).persist()
+    )
+    m = tracked_persist(m, "dates")
     v = F.col("__v")
     num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)
     unit = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 2)

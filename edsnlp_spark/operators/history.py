@@ -231,6 +231,7 @@ class HistoryQualifier:
         mergeable = (
             self.use_sections
             and isinstance(self.sections._matcher, PhraseMatcher)
+            and self.sections._matcher.attr == eng.attr
             and eng._rx_matcher is None
             and "pseudo" not in eng.cues
         )

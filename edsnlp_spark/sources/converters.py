@@ -94,6 +94,10 @@ def parse_markup(markup: str) -> tuple[str, list[dict]]:
 
 # Java rendering of _MARKUP_RX: (?P<name>...) is Python-only syntax, so
 # plain groups — group 1 = attrs run, group 2 = inner text; (?s) = DOTALL.
+# Known delta vs the Python spec: Java's \w is ASCII-only while
+# Python's is Unicode, so a non-ASCII attr KEY (e.g. <ent clé=v>) is
+# recognized by parse_markup but not by the distributed path; reference
+# markup attrs (negation, hypothesis, …) are ASCII identifiers.
 _MARKUP_RX_J = r"(?s)<ent((?:\s+\w+=[^\s>]+)*)\s*>(.*?)</ent>"
 
 _EMPTY_ENTS = (

@@ -500,3 +500,33 @@ def test_extract_quantity_matches_model(spark, combos):
             val = float(v.replace(",", "."))
             want = (val, u, round(val * UNIT_REGISTRY[u][1], 9))
         assert got[i] == want, (rows[i], got[i], want)
+
+
+# ---- r4: distributed markup parser vs Python spec ----------------------
+
+_MK_CHUNK = st.sampled_from(
+    ["txt", "a b", "<ent", "</ent>", ">", "x=y", " ", "\n", "<", "ent",
+     "<ent label=a>in</ent>", "<ent k=v1 l=v2>deep</ent>", "<ent>b</ent>"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_MK_CHUNK, min_size=0, max_size=12))
+def test_from_markup_native_fuzz(spark, chunks):
+    """Random concatenations of markup fragments — including broken
+    tags, stray '<ent'/'</ent>', and nested-looking runs — must parse
+    identically in the distributed locate-fold path and the Python
+    parse_markup spec (clean text, offsets, labels, attrs)."""
+    from edsnlp_spark.sources.converters import from_markup, parse_markup
+    markup = " ".join(chunks)
+    df = spark.createDataFrame([(0, markup)], "note_id long, markup string")
+    notes, ents = from_markup(df)
+    text, es = parse_markup(markup)
+    assert notes.collect()[0].note_text == text
+    got = sorted(
+        (r.start_char, r.end_char, r.label, r.lexical_variant,
+         dict(r.attrs or {}))
+        for r in ents.collect())
+    exp = sorted(
+        (e["start_char"], e["end_char"], e["label"], e["lexical_variant"],
+         e["attrs"]) for e in es)
+    assert got == exp, markup

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..core.base import Transformer
 from ..functions.text import let_bound, norm_text
 from ..core.caching import tracked_persist
+from ..functions.memo import memo_column as _memo_column
 from .. import registry
 
 FR_MONTHS = [
@@ -537,6 +538,30 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
         "__text", norm_text(F.col("s.lexical_variant")).alias("__v"),
     )
     m = tracked_persist(m, "dates")
+    stages = _memo_column(("temporal_classification",),
+                          _temporal_classification_stages)
+    out = m
+    for args in stages:
+        out = out.select(*args)
+    return out
+
+
+class _ArgCapture:
+    """Select-argument recorder: lets the classification block below run
+    verbatim while we harvest its three projection stages for
+    memoization (functions/memo.py — the block is ~2s of driver-side
+    expression construction per call, all name-based)."""
+
+    def __init__(self):
+        self.stages: list = []
+
+    def select(self, *args):
+        self.stages.append(list(args))
+        return self
+
+
+def _temporal_classification_stages() -> list:
+    m = _ArgCapture()
     v = F.col("__v")
     num = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 1)
     unit = F.regexp_extract(v, NUMBER_RX + r"\s*" + UNIT_RX, 2)
@@ -707,7 +732,7 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     ).when(
         (F.col("label") == "relative") & F.col("_rel_from"), F.lit("from"))
 
-    return pre.select(
+    pre.select(
         "note_id", "start_char", "end_char", "lexical_variant",
         F.when(F.col("label") == "current", F.lit("relative"))
         .otherwise(F.col("label")).alias("kind"),
@@ -717,6 +742,7 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
         norm.alias("norm"),
         parsed.alias("parsed_date"),
     )
+    return m.stages
 
 
 class DatesExtractor(Transformer):

@@ -391,13 +391,18 @@ class HistoryQualifier:
 
             return flag
 
-        plane = plane.select(
-            "note_id",
-            let_bound(empty_c, lambda cue_arr: let_bound(
+        # The per-boundary flag fold is a huge name-based expression
+        # parameterized only by closest_dates_only — memoized per config
+        # so repeated plan builds reuse the tree (functions/memo.py).
+        from ..functions.memo import memo_column
+        flags_col = memo_column(
+            ("history_flags", closest),
+            lambda: let_bound(empty_c, lambda cue_arr: let_bound(
                 empty_s, lambda sec_arr: let_bound(
                     empty_d, lambda date_arr: F.transform(
                         "__b", flag_fn(cue_arr, sec_arr, date_arr)
-                    )))).alias("__flags"))
+                    )))))
+        plane = plane.select("note_id", flags_col.alias("__flags"))
 
         ts, te = F.col("tok_start"), F.col("tok_end")
         hist = F.coalesce(

@@ -37,10 +37,19 @@ class Tokenizer(Transformer):
         self.provides = (out_col,)
 
     def transform(self, df: DataFrame) -> DataFrame:
+        # The fold expression is thousands of nodes; memoize it per
+        # (mode, regex, input name) — it only references F.col(name),
+        # so the unresolved tree is reusable across plans
+        # (functions/memo.py; measured ~0.4s of driver build per call).
+        from ..functions.memo import memo_column
         if self.mode == "pretokenized":
-            col = tokenize_pretokenized(F.col(self.text_col))
+            col = memo_column(
+                ("tokenize_pretokenized", self.text_col),
+                lambda: tokenize_pretokenized(F.col(self.text_col)))
         else:
-            col = tokenize(F.col(self.text_col), self.regex)
+            col = memo_column(
+                ("tokenize", self.text_col, self.regex),
+                lambda: tokenize(F.col(self.text_col), self.regex))
         return df.withColumn(self.out_col, col)
 
 

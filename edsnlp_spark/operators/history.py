@@ -119,7 +119,6 @@ class HistoryQualifier:
             ctx_cols.append("birth_datetime")
         d = dm.join(gated.select(*ctx_cols), "note_id")
 
-        lim_s = F.lit(int(self.limit) * 86400).cast("bigint")
         sc, ec = F.col("start_char"), F.col("end_char")
         tok_s = F.size(F.filter("tokens", lambda t: t["end"] <= sc))
         tok_e = F.size(F.filter("tokens", lambda t: t["start"] < ec))
@@ -143,75 +142,15 @@ class HistoryQualifier:
         # compiled (see temporal_mentions for the same pattern).
         d = tracked_persist(d, "history")
 
-        is_current = (F.col("kind") == "relative") & \
-            (F.col("direction") == "current")
-        cur_unit = F.regexp_extract(F.col("norm"), r"^~0 (\w+)", 1)
-        cur_recent = (
-            ((cur_unit == "year") & (lim_s >= 365 * 86400))
-            | ((cur_unit == "month") & (lim_s >= 30 * 86400))
-            | ((cur_unit == "week") & (lim_s >= 7 * 86400))
-            | (cur_unit == "day")
-        )
-        is_past = (F.col("kind") == "relative") & \
-            (F.col("direction") == "past")
-        past_recent = (-F.col("offset_seconds")) < lim_s
-
-        # absolute: recover (y, m, d, hh, mm) from the placeholder norm
-        # and apply to_datetime(infer_from_context=True, default_day=15,
-        # default_month=1) inference (models.py:104-116, history.py:433)
-        ny = F.regexp_extract("norm", r"^(\d{4})-", 1)
-        nm = F.regexp_extract("norm", r"^[\d?]{4}-(\d{2})-", 1)
-        nd = F.regexp_extract("norm", r"^[\d?]{4}-[\d?]{2}-(\d{2})", 1)
-        nh = F.regexp_extract("norm", r" (\d{2})h", 1)
-        nmin = F.regexp_extract("norm", r" \d{2}h(\d{2})m", 1)
-        y_i = F.when(ny != "", ny.cast("int"))
-        m_i = F.when(nm != "", nm.cast("int"))
-        d_i = F.when(nd != "", nd.cast("int"))
-        if has_dt:
-            ndt = F.col("note_datetime").cast("timestamp")
-            yy = F.coalesce(y_i, F.year(ndt))
-            mm = F.coalesce(
-                m_i,
-                F.when(y_i.isNotNull() & d_i.isNull(), F.lit(1))
-                .otherwise(F.month(ndt)))
-            dd = F.coalesce(d_i, F.lit(15))
-            abs_ts = F.expr(
-                "try_make_timestamp(__y, __m, __d, __hh, __mi, 0D)")
-            d = d.withColumns({
-                "__y": yy, "__m": mm, "__d": dd,
-                "__hh": F.when(nh != "", nh.cast("int")).otherwise(F.lit(0)),
-                "__mi": F.when(nmin != "", nmin.cast("int"))
-                         .otherwise(F.lit(0)),
-            })
-            delta_s = (F.unix_timestamp(ndt)
-                       - F.unix_timestamp(abs_ts)).cast("bigint")
-            abs_ok = (F.col("kind") == "absolute") & abs_ts.isNotNull() \
-                & ndt.isNotNull()
-            abs_recent = delta_s < lim_s
-            if self.exclude_birthdate and has_bd:
-                bd_ts = F.col("birth_datetime").cast("timestamp")
-                abs_birth = bd_ts.isNotNull() & (
-                    F.unix_timestamp(abs_ts) == F.unix_timestamp(bd_ts))
-                abs_keep = abs_ok & (abs_recent | ~abs_birth)
-            else:
-                abs_keep = abs_ok
-        else:
-            abs_keep = F.lit(False)
-            abs_recent = F.lit(False)
-
-        is_recent = (
-            F.when(is_current, cur_recent)
-            .when(is_past, past_recent)
-            .otherwise(abs_recent)
-        )
-        keep = (is_current & cur_recent) | is_past | abs_keep
-        return d.filter(keep).select(
-            F.col("note_id").alias("d_note"),
-            "tok_s", "tok_e",
-            F.col("__sent")["tok_start"].alias("sent_s"),
-            F.col("__sent")["tok_end"].alias("sent_e"),
-            is_recent.alias("is_recent"),
-        )
+        from ..functions.memo import memo_column
+        wc, keep, args = memo_column(
+            ("date_classification", int(self.limit), has_dt, has_bd,
+             bool(self.exclude_birthdate)),
+            lambda: _date_classification(int(self.limit), has_dt, has_bd,
+                                         bool(self.exclude_birthdate)))
+        if wc:
+            d = d.withColumns(wc)
+        return d.filter(keep).select(*args)
 
     # -- main ------------------------------------------------------------
 
@@ -410,8 +349,92 @@ class HistoryQualifier:
                      lambda x: (ts < x["b_end"]) & (x["b_start"] < te)
                      & x["flag"]),
             F.lit(False))
-        return entities.join(plane, "note_id", "left") \
-            .withColumn("history", hist).drop("__flags")
+        # one select instead of withColumn+drop: every extra API call on
+        # top of the giant __flags tree re-analyzes it (r4 build-cost
+        # finding)
+        keep_cols = [c for c in entities.columns if c != "history"]
+        return entities.join(plane, "note_id", "left").select(
+            *keep_cols, hist.alias("history"))
+
+
+def _date_classification(limit_days: int, has_dt: bool, has_bd: bool,
+                         exclude_birthdate: bool):
+    """Date-evidence classification expressions (history.py:395-460
+    reference semantics), built once per config and memoized: returns
+    (withColumns dict | None, keep filter, output select args).  Pure
+    function of column names + the four config inputs."""
+    lim_s = F.lit(limit_days * 86400).cast("bigint")
+    is_current = (F.col("kind") == "relative") & \
+        (F.col("direction") == "current")
+    cur_unit = F.regexp_extract(F.col("norm"), r"^~0 (\w+)", 1)
+    cur_recent = (
+        ((cur_unit == "year") & (lim_s >= 365 * 86400))
+        | ((cur_unit == "month") & (lim_s >= 30 * 86400))
+        | ((cur_unit == "week") & (lim_s >= 7 * 86400))
+        | (cur_unit == "day")
+    )
+    is_past = (F.col("kind") == "relative") & \
+        (F.col("direction") == "past")
+    past_recent = (-F.col("offset_seconds")) < lim_s
+
+    # absolute: recover (y, m, d, hh, mm) from the placeholder norm
+    # and apply to_datetime(infer_from_context=True, default_day=15,
+    # default_month=1) inference (models.py:104-116, history.py:433)
+    ny = F.regexp_extract("norm", r"^(\d{4})-", 1)
+    nm = F.regexp_extract("norm", r"^[\d?]{4}-(\d{2})-", 1)
+    nd = F.regexp_extract("norm", r"^[\d?]{4}-[\d?]{2}-(\d{2})", 1)
+    nh = F.regexp_extract("norm", r" (\d{2})h", 1)
+    nmin = F.regexp_extract("norm", r" \d{2}h(\d{2})m", 1)
+    y_i = F.when(ny != "", ny.cast("int"))
+    m_i = F.when(nm != "", nm.cast("int"))
+    d_i = F.when(nd != "", nd.cast("int"))
+    wc = None
+    if has_dt:
+        ndt = F.col("note_datetime").cast("timestamp")
+        yy = F.coalesce(y_i, F.year(ndt))
+        mm = F.coalesce(
+            m_i,
+            F.when(y_i.isNotNull() & d_i.isNull(), F.lit(1))
+            .otherwise(F.month(ndt)))
+        dd = F.coalesce(d_i, F.lit(15))
+        abs_ts = F.expr(
+            "try_make_timestamp(__y, __m, __d, __hh, __mi, 0D)")
+        wc = {
+            "__y": yy, "__m": mm, "__d": dd,
+            "__hh": F.when(nh != "", nh.cast("int")).otherwise(F.lit(0)),
+            "__mi": F.when(nmin != "", nmin.cast("int"))
+                     .otherwise(F.lit(0)),
+        }
+        delta_s = (F.unix_timestamp(ndt)
+                   - F.unix_timestamp(abs_ts)).cast("bigint")
+        abs_ok = (F.col("kind") == "absolute") & abs_ts.isNotNull() \
+            & ndt.isNotNull()
+        abs_recent = delta_s < lim_s
+        if exclude_birthdate and has_bd:
+            bd_ts = F.col("birth_datetime").cast("timestamp")
+            abs_birth = bd_ts.isNotNull() & (
+                F.unix_timestamp(abs_ts) == F.unix_timestamp(bd_ts))
+            abs_keep = abs_ok & (abs_recent | ~abs_birth)
+        else:
+            abs_keep = abs_ok
+    else:
+        abs_keep = F.lit(False)
+        abs_recent = F.lit(False)
+
+    is_recent = (
+        F.when(is_current, cur_recent)
+        .when(is_past, past_recent)
+        .otherwise(abs_recent)
+    )
+    keep = (is_current & cur_recent) | is_past | abs_keep
+    args = [
+        F.col("note_id").alias("d_note"),
+        "tok_s", "tok_e",
+        F.col("__sent")["tok_start"].alias("sent_s"),
+        F.col("__sent")["tok_end"].alias("sent_e"),
+        is_recent.alias("is_recent"),
+    ]
+    return wc, keep, args
 
 
 @registry.register("eds.history_full")

@@ -144,10 +144,15 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         for name in scale_set:
             fn, _ = qs[name]
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            n = fn(spark, scale_dir).count()
-            secs = round(time.perf_counter() - t0, 3)
+            # best-of-2 like the sf0.1 loop: a single 10x sample under a
+            # shared-host load spike once inflated a 7x ratio to 19x
+            samples = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n = fn(spark, scale_dir).count()
+                samples.append(time.perf_counter() - t0)
+            secs = round(min(samples), 3)
             scale_10x[name] = {
                 "sec": secs,
                 "ratio_vs_sf01": round(secs / times[name], 2)

@@ -522,63 +522,71 @@ def quantity_mentions(notes: DataFrame, text_col: str = "note_text",
         .entities(notes)
     m = filter_spans(m).filter(F.col("label") != "aa_fp")
 
-    v = norm_text(F.col("lexical_variant"))
-    fam = F.col("label")
+    # Family-parsing projection: a large name-based expression set
+    # (every branch interpolates the unit alternation) — built once
+    # per unit config and memoized (functions/memo.py).
+    def _parsed_args():
+        v = norm_text(F.col("lexical_variant"))
+        fam = F.col("label")
 
-    def num_at(rx, i=1):
-        return F.regexp_extract(v, rx, i)
+        def num_at(rx, i=1):
+            return F.regexp_extract(v, rx, i)
 
-    # per-family parsed (value, value_high, unit_raw, operator, decimal?)
-    simple_v = num_at(rf"({_NUMG})")
-    simple_u = num_at(rf"{_NUMG}\s*({ualt}){uend}")
-    comp_main = num_at(r"(\d+)")
-    comp_sub = num_at(r"\d+\s*[a-z]+\s*(\d+)")
-    comp_unit = num_at(rf"\d+\s*({'|'.join(mu for mu, _, _ in _FOLLOWED_BY)})")
-    comp_scale = F.create_map(*[x for mu, _, s in _FOLLOWED_BY
-                                for x in (F.lit(mu), F.lit(s))])
-    rng_lo = num_at(rf"({_NUMG})")
-    rng_hi = num_at(rf"{_NUMG}\s*(?:-|a|et)\s*({_NUMG})")
-    letter_word = num_at(rf"\b({_LETTER_ALT})\s")
-    frac_char = num_at(rf"([{frac_cls}])")
-    frac_map = F.create_map(*[x for k, val in _FRACTIONS.items()
-                              for x in (F.lit(k), F.lit(float(val)))])
-    op_raw = num_at(rf"^({_LT_ALT}|{_GT_ALT})")
-    ctx_v = num_at(rf"({_NUMG})\s*$")
+        # per-family parsed (value, value_high, unit_raw, operator, decimal?)
+        simple_v = num_at(rf"({_NUMG})")
+        simple_u = num_at(rf"{_NUMG}\s*({ualt}){uend}")
+        comp_main = num_at(r"(\d+)")
+        comp_sub = num_at(r"\d+\s*[a-z]+\s*(\d+)")
+        comp_unit = num_at(rf"\d+\s*({'|'.join(mu for mu, _, _ in _FOLLOWED_BY)})")
+        comp_scale = F.create_map(*[x for mu, _, s in _FOLLOWED_BY
+                                    for x in (F.lit(mu), F.lit(s))])
+        rng_lo = num_at(rf"({_NUMG})")
+        rng_hi = num_at(rf"{_NUMG}\s*(?:-|a|et)\s*({_NUMG})")
+        letter_word = num_at(rf"\b({_LETTER_ALT})\s")
+        frac_char = num_at(rf"([{frac_cls}])")
+        frac_map = F.create_map(*[x for k, val in _FRACTIONS.items()
+                                  for x in (F.lit(k), F.lit(float(val)))])
+        op_raw = num_at(rf"^({_LT_ALT}|{_GT_ALT})")
+        ctx_v = num_at(rf"({_NUMG})\s*$")
 
-    value = (
-        F.when(fam == "comp",
-               comp_main.cast("double")
-               + comp_sub.cast("double") / comp_scale[comp_unit])
-        .when(fam == "range", _num(rng_lo))
-        .when(fam == "letter", _letter_value(letter_word))
-        .when(fam == "frac", frac_map[frac_char])
-        .when(fam.startswith("ctx_"), _num(ctx_v))
-        .otherwise(_num(simple_v))
-    )
-    value_high = F.when(fam == "range", _num(rng_hi))
-    unit0 = (
-        F.when(fam == "comp", comp_unit)
-        .when(fam == "letter",
-              num_at(rf"\b(?:{_LETTER_ALT})\s+({ualt}){uend}"))
-        .when(fam == "frac", num_at(rf"[{frac_cls}]\s*({ualt}){uend}"))
-        .when(fam == "ctx_size",
-              F.when(_num(ctx_v) < 3, F.lit("m")).otherwise(F.lit("cm")))
-        .when(fam == "ctx_weight",
-              F.when(_num(ctx_v) < 200, F.lit("kg")).otherwise(F.lit("g")))
-        .when(fam == "ctx_bmi", F.lit("kg_per_m2"))
-        .when(fam == "bare", F.lit(None).cast("string"))
-        .otherwise(F.when(simple_u != "", simple_u))
-    )
-    operator = F.when(
-        fam == "op",
-        F.when(op_raw.rlike(rf"^(?:{_LT_ALT})$"), F.lit("<"))
-        .otherwise(F.lit(">")))
-    parsed = m.select(
-        "note_id", "start_char", "end_char", "lexical_variant",
+        value = (
+            F.when(fam == "comp",
+                   comp_main.cast("double")
+                   + comp_sub.cast("double") / comp_scale[comp_unit])
+            .when(fam == "range", _num(rng_lo))
+            .when(fam == "letter", _letter_value(letter_word))
+            .when(fam == "frac", frac_map[frac_char])
+            .when(fam.startswith("ctx_"), _num(ctx_v))
+            .otherwise(_num(simple_v))
+        )
+        value_high = F.when(fam == "range", _num(rng_hi))
+        unit0 = (
+            F.when(fam == "comp", comp_unit)
+            .when(fam == "letter",
+                  num_at(rf"\b(?:{_LETTER_ALT})\s+({ualt}){uend}"))
+            .when(fam == "frac", num_at(rf"[{frac_cls}]\s*({ualt}){uend}"))
+            .when(fam == "ctx_size",
+                  F.when(_num(ctx_v) < 3, F.lit("m")).otherwise(F.lit("cm")))
+            .when(fam == "ctx_weight",
+                  F.when(_num(ctx_v) < 200, F.lit("kg")).otherwise(F.lit("g")))
+            .when(fam == "ctx_bmi", F.lit("kg_per_m2"))
+            .when(fam == "bare", F.lit(None).cast("string"))
+            .otherwise(F.when(simple_u != "", simple_u))
+        )
+        operator = F.when(
+            fam == "op",
+            F.when(op_raw.rlike(rf"^(?:{_LT_ALT})$"), F.lit("<"))
+            .otherwise(F.lit(">")))
+        return [
+            "note_id", "start_char", "end_char", "lexical_variant",
         fam.alias("family"), value.alias("value"),
         value_high.alias("value_high"), unit0.alias("unit"),
         operator.alias("operator"),
-    )
+        ]
+
+    from ..functions.memo import memo_column
+    parsed = m.select(*memo_column(("qm_parsed_args", all_units),
+                                   _parsed_args))
 
     # unit propagation across connector chains (window, no loop).
     # Scale note: only a 64-char prefix window rides the shuffle, not

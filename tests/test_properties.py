@@ -530,3 +530,63 @@ def test_from_markup_native_fuzz(spark, chunks):
         (e["start_char"], e["end_char"], e["label"], e["lexical_variant"],
          e["attrs"]) for e in es)
     assert got == exp, markup
+
+
+# ---- r4: overflow-safe Knuth split hash --------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.one_of(
+    st.integers(min_value=0, max_value=2**63 - 1),
+    st.integers(min_value=3_000_000_000, max_value=6_000_000_000)))
+def test_knuth32_matches_bigint_reference(spark, doc_id):
+    """The 16-bit-split modmul must equal true big-integer
+    (id * 2654435761) mod 2^32 for ANY int64 id — including ids above
+    ~3.47e9 where the naive product overflows int64 (ADVICE r3)."""
+    from edsnlp_spark.queries.textops import (_knuth32, _knuth32_sql,
+                                              _SPLIT_MULT, _SPLIT_MOD)
+    import duckdb
+    expected = (doc_id * _SPLIT_MULT) % _SPLIT_MOD  # Python bigint
+    got_spark = spark.createDataFrame(
+        [(doc_id,)], "doc_id long").select(
+        _knuth32(F.col("doc_id")).alias("h")).collect()[0].h
+    got_duck = duckdb.sql(
+        f"SELECT {_knuth32_sql(str(doc_id))} AS h").fetchone()[0]
+    assert got_spark == expected == got_duck
+
+
+# ---- r4: shuffle-free gopher repetition vs Python model ----------------
+
+_GR_TOK = st.sampled_from(["a", "b", "ab", "ccc", ""])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_GR_TOK, min_size=0, max_size=14))
+def test_gopher_fold_matches_python_model(spark, toks):
+    """The in-row sorted-run fold must reproduce exact bigram multiset
+    statistics on texts WITH consecutive/leading/trailing spaces (the
+    r3 ADVICE divergence class): both sides split on single space,
+    empty tokens kept."""
+    from collections import Counter
+    from edsnlp_spark.queries.textops import gopher_repetition
+    import edsnlp_spark.queries.textops as T
+    text = " ".join(toks)
+    parts = text.split(" ")
+    grams = [f"{a} {b}" for a, b in zip(parts, parts[1:])]
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    orig_t = T._t
+    T._t = lambda sp, sf, name: df  # route the query at this one-row table
+    try:
+        rows = gopher_repetition(spark, "unused").collect()
+    finally:
+        T._t = orig_t
+    if not grams:
+        assert rows == []
+        return
+    c = Counter(grams)
+    tot = sum(c.values())
+    dup = sum(v for v in c.values() if v > 1)
+    top = max(c.values())
+    r = rows[0]
+    assert r.n_bigrams == tot
+    assert abs(r.dup_bigram_frac - round(dup / tot, 4)) < 1e-9
+    assert abs(r.top_bigram_frac - round(top / tot, 4)) < 1e-9

@@ -1,0 +1,65 @@
+"""Repo-wide driver-materialization audit (companion to
+test_broadcast_guard).
+
+``.collect()`` / ``.toPandas()`` / ``.first()`` pull data onto the
+driver — fine only when the result is bounded by construction (metric
+scalars, k-row centroid seeds, fixed dictionaries, explicit
+"give me a pandas frame" exports), NEVER by corpus size.  The one
+corpus-sized offender (from_markup's collect) was distributed in r4;
+this test keeps new ones from slipping in unaudited.
+"""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "edsnlp_spark"
+
+_CALL_RX = re.compile(r"\.(collect|toPandas|first)\(\)")
+
+# (relative file, substring of the code line) -> boundedness argument.
+ALLOWED = {
+    ("training/scorer.py", 'F.sum(F.size("tokens")).alias("n")).collect()'):
+        "1-row global aggregate (token count scalar)",
+    ("training/scorer.py", '.alias("n")).collect()'):
+        "1-row global aggregate",
+    ("training/scorer.py", "res.collect()"):
+        "per-label metric rows (bounded by label vocabulary)",
+    ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
+        "1-row min/max aggregate for decile binning",
+    ("operators/scores.py", '== "").collect()'):
+        "ADICAP dimension dictionary rows (checked-in resource)",
+    ("sources/io.py", "df.toPandas()"):
+        "to_pandas export — the caller explicitly asked for a local frame",
+    ("sources/io.py", "pl.from_pandas(df.toPandas())"):
+        "to_polars export — explicit local materialization",
+    ("core/facade.py", "self.pipe(df).collect()"):
+        "facade .collect() mirrors the reference API (caller's choice)",
+    ("queries/scaleops.py", '.orderBy("vec_id").collect()'):
+        "k centroid seed rows (k fixed by the index config)",
+}
+
+
+def _code_lines(path):
+    for i, line in enumerate(path.read_text().splitlines(), 1):
+        s = line.strip()
+        if s and not s.startswith("#"):
+            yield i, s
+
+
+def test_every_driver_materialization_is_audited():
+    for p in sorted(PKG.rglob("*.py")):
+        rel = str(p.relative_to(PKG))
+        for i, s in _code_lines(p):
+            if not _CALL_RX.search(s) or "`" in s:  # backticks = prose
+                continue
+            ok = any(rel == f and sub in s for f, sub in ALLOWED)
+            assert ok, (
+                f"unaudited driver materialization at "
+                f"edsnlp_spark/{rel}:{i}: {s!r} — prove the result is "
+                f"bounded and add it to ALLOWED"
+            )
+
+
+def test_from_markup_collect_stays_dead():
+    for i, s in _code_lines(PKG / "sources" / "converters.py"):
+        assert ".collect()" not in s, f"converters.py:{i}"

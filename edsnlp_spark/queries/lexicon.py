@@ -31,6 +31,10 @@ def _lexicon_notes(spark, sf_dir, resource: str):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     lex = load_resource(spark, resource)
     n = lex.count()
+    # Global (partition-less) window: intentionally serial — it numbers
+    # the RESOURCE lexicon (5.8k-200k rows, bounded by the dictionary,
+    # never by corpus size) to give every doc a deterministic form.
+    # Test scaffolding only; the corpus side never passes through it.
     ranked = lex.select("kb_id", "key").withColumn(
         "rn", F.row_number().over(Window.orderBy("kb_id", "key")))
     return (

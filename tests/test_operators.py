@@ -852,3 +852,29 @@ def test_entities_grouped_matches_flat_path(spark):
             for s in r.ms)
     assert {k: sorted(v) for k, v in flat.items()} == grouped
     assert 1 not in grouped and 3 not in grouped  # no-match/null rows absent
+
+
+def test_memo_column_keys_isolate_configs(spark):
+    """r4 memoization soundness: different configs must NOT share a
+    cached expression tree (a stale-key bug would silently reuse the
+    wrong tree).  Exercised through SentenceSegmenter configs and the
+    raw memo API."""
+    from edsnlp_spark.functions.memo import memo_column
+    from pyspark.sql import functions as F
+    c1 = memo_column(("t", 1), lambda: F.lit(1))
+    c2 = memo_column(("t", 2), lambda: F.lit(2))
+    c1_again = memo_column(("t", 1), lambda: F.lit(99))
+    row = spark.range(1).select(c1.alias("a"), c2.alias("b"),
+                                c1_again.alias("c")).collect()[0]
+    assert (row.a, row.b, row.c) == (1, 2, 1)  # cached, not rebuilt
+
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    df = spark.createDataFrame(
+        [(0, "un. deux! trois")], "note_id long, note_text string")
+    toks = Tokenizer().transform(df)
+    dots = SentenceSegmenter(punct_chars=(".",), check_capitalized=False) \
+        .transform(toks).collect()[0].sentences
+    bangs = SentenceSegmenter(punct_chars=("!",), check_capitalized=False) \
+        .transform(toks).collect()[0].sentences
+    assert dots != bangs  # different configs -> different trees

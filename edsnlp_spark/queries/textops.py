@@ -1611,6 +1611,71 @@ FROM m
 """
 
 
+# ---- boilerplate line removal (training-data pipeline, r4) -------------
+
+def boilerplate_line_removal(spark, sf_dir):
+    """CCNet/FineWeb boilerplate scrub: drop every LINE whose exact
+    content recurs in more than 2 distinct documents (nav headers,
+    legal footers), keep document-local lines, and rebuild the text.
+
+    Constructed input: a promo header on every doc + a legal footer on
+    doc_id%2==0 around a unique 60-char body slice — so both hot-line
+    classes actually trigger.
+
+    Plan shape at 100 TB: one line explode -> one groupBy(line) doc-
+    frequency aggregate -> LEFT ANTI join of the lines plane against
+    the hot-line set -> per-doc rebuild (sorted array fold).  The hot
+    set is df-thresholded (small in practice) but carries NO broadcast
+    hint — AQE broadcasts when it fits (see tests/test_broadcast_guard
+    policy).  Text shuffles once (the line explode feeds both sides)."""
+    d = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.lit("offre speciale cliquez ici\n"),
+        F.substring("text", 1, 60),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nmentions legales standard")).otherwise(F.lit("")),
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split(text2, "\n")).alias("ln", "line"))
+    hot = (lines.groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") > 2).select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    arr = F.sort_array(F.collect_list(F.struct("ln", "line")))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+             F.concat_ws(
+                 "\n",
+                 F.transform(arr, lambda x: x["line"])).alias("clean_text"))
+    )
+
+
+BOILERPLATE_LINES_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         'offre speciale cliquez ici' || chr(10) || substr(text, 1, 60)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'mentions legales standard'
+                 ELSE '' END AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(t, chr(10))))) AS ln,
+         unnest(string_split(t, chr(10))) AS line
+  FROM built),
+hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) > 2),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY ln) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
 # ---- endlines rule classifier (r4) -------------------------------------
 
 def endlines_rule(spark, sf_dir):
@@ -1676,6 +1741,8 @@ QUERIES = {
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),
+    "boilerplate_line_removal": (boilerplate_line_removal,
+                                 BOILERPLATE_LINES_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),

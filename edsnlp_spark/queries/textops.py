@@ -1676,6 +1676,89 @@ FROM kept GROUP BY doc_id
 """
 
 
+# ---- Gopher duplicate-line fractions (r4) ------------------------------
+
+def gopher_line_repetition(spark, sf_dir):
+    """Gopher's duplicate-LINE rules per document: fraction of lines
+    that belong to a repeated line group, and the fraction of
+    CHARACTERS inside repeated lines.  Same shuffle-free shape as
+    gopher_repetition: per-doc stats from an in-row sort_array +
+    scalar-accumulator run fold — no (doc, line) groupBy, no Exchange.
+
+    Constructed input: body slices + doc_id%3 copies of a repeated
+    line, so docs exercise 0/1/2 duplicate counts."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    arr = F.concat(
+        F.array(F.substring("text", 1, 40)),
+        F.array_repeat(F.lit("ligne repetee"), (k % 3).cast("int")),
+        F.array(F.substring("text", 45, 30)),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupl"),
+        F.lit(0).cast("long").alias("dupc"),
+    )
+
+    def _close(acc):
+        over = acc["run"] > 1
+        return (
+            acc["dupl"] + F.when(over, acc["run"]).otherwise(F.lit(0)),
+            acc["dupc"] + F.when(
+                over, acc["run"] * F.length(acc["prev"]))
+            .otherwise(F.lit(0)),
+        )
+
+    def _step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        cl, cc = _close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["dupl"]).otherwise(cl).alias("dupl"),
+            F.when(same, acc["dupc"]).otherwise(cc).alias("dupc"),
+        )
+
+    stats = F.aggregate(
+        F.sort_array(arr), init, _step,
+        lambda acc: F.struct(_close(acc)[0].alias("dupl"),
+                             _close(acc)[1].alias("dupc")))
+    total_chars = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_lines"),
+        stats.alias("__s"),
+        total_chars.alias("__tc"),
+    ).select(
+        "doc_id", "n_lines",
+        F.round(F.col("__s.dupl") / F.col("n_lines"), 4)
+        .alias("dup_line_frac"),
+        F.round(F.col("__s.dupc") / F.col("__tc"), 4)
+        .alias("dup_char_frac"),
+    )
+
+
+GOPHER_LINE_REPETITION_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         [substr(text, 1, 40)]
+         || ['ligne repetee' for i in range(doc_id % 3)]
+         || [substr(text, 45, 30)] AS ls
+  FROM documents),
+per AS (
+  SELECT doc_id, l, COUNT(*) AS c, SUM(len(l)) AS ch
+  FROM (SELECT doc_id, unnest(ls) AS l FROM built) GROUP BY doc_id, l)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c), 4)
+         AS dup_line_frac,
+       ROUND(SUM(CASE WHEN c > 1 THEN ch ELSE 0 END) / SUM(ch), 4)
+         AS dup_char_frac
+FROM per GROUP BY doc_id
+"""
+
+
 # ---- endlines rule classifier (r4) -------------------------------------
 
 def endlines_rule(spark, sf_dir):
@@ -1743,6 +1826,8 @@ QUERIES = {
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),
     "boilerplate_line_removal": (boilerplate_line_removal,
                                  BOILERPLATE_LINES_SQL),
+    "gopher_line_repetition": (gopher_line_repetition,
+                               GOPHER_LINE_REPETITION_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),

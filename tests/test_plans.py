@@ -136,3 +136,9 @@ def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
     s = plan_of(spark, sf_dir, "gopher_repetition")
     assert "hashpartitioning" not in s
     assert "HashAggregate" not in s and "SortAggregate" not in s
+
+
+def test_gopher_line_repetition_is_shuffle_free(spark, sf_dir):
+    s = plan_of(spark, sf_dir, "gopher_line_repetition")
+    assert "hashpartitioning" not in s
+    assert "HashAggregate" not in s and "SortAggregate" not in s

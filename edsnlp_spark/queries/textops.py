@@ -1676,6 +1676,60 @@ FROM kept GROUP BY doc_id
 """
 
 
+# ---- URL / domain filtering (training-data pipeline, r4) ---------------
+
+_URL_BLOCKLIST = ("spam7", "adsite13", "tracker21")  # blocked host stems
+
+
+def url_domain_filtering(spark, sf_dir):
+    """FineWeb-style URL filtering: parse each document's source URL,
+    drop blocklisted domains, and report per-domain keep counts.
+
+    Host extraction uses Spark's native ``parse_url`` (JVM-side); the
+    oracle recovers the same host with a regexp — constructed URLs are
+    well-formed so both agree.  The blocklist is a LITERAL config array
+    (bounded by definition, in-row isin — no join at all); the per-
+    domain rollup is the only shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 17 == 3, F.lit("spam7"))
+        .when(k % 17 == 9, F.lit("adsite13"))
+        .otherwise(F.concat(F.lit("site"), (k % 23).cast("string"))),
+        F.lit(".example.org/page/"), k.cast("string"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    stem = F.split_part(host, F.lit("."), F.lit(1))
+    blocked = stem.isin(*_URL_BLOCKLIST)
+    return (
+        d.select("doc_id", host.alias("domain"), blocked.alias("blocked"))
+        .groupBy("domain", "blocked")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+URL_DOMAIN_FILTERING_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 17 = 3 THEN 'spam7'
+              WHEN doc_id % 17 = 9 THEN 'adsite13'
+              ELSE 'site' || (doc_id % 23) END
+         || '.example.org/page/' || doc_id AS url
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+         regexp_extract(url, 'https://([^.]+)\\.', 1) AS stem
+  FROM u)
+SELECT domain,
+       stem IN {tuple(_URL_BLOCKLIST)} AS blocked,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY domain, stem
+"""
+
+
 # ---- Gopher duplicate-line fractions (r4) ------------------------------
 
 def gopher_line_repetition(spark, sf_dir):
@@ -1828,6 +1882,8 @@ QUERIES = {
                                  BOILERPLATE_LINES_SQL),
     "gopher_line_repetition": (gopher_line_repetition,
                                GOPHER_LINE_REPETITION_SQL),
+    "url_domain_filtering": (url_domain_filtering,
+                             URL_DOMAIN_FILTERING_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),

@@ -98,8 +98,10 @@ def parse_markup(markup: str) -> tuple[str, list[dict]]:
 # use an explicit [\p{L}\p{N}_] class — the exact Python-\w set
 # (str.isalnum() categories L*/N* plus underscore; combining marks Mn
 # are in NEITHER engine's \w) — so `<ent clé=v>` parses identically on
-# the driver and distributed paths (VERDICT r4 wrong #3, closed r5;
-# non-ASCII-key fuzz in tests/test_markup_distributed.py).
+# the driver and distributed paths.  _ATTR_KEY_J is used BOTH in the tag
+# regex below AND in the attr-pair extraction inside the fold (step());
+# non-ASCII-key differential coverage: tests/test_sources.py
+# (_MARKUP_CASES) and tests/test_properties.py (markup fuzz alphabet).
 _ATTR_KEY_J = r"[\p{L}\p{N}_]+"
 _MARKUP_RX_J = rf"(?s)<ent((?:\s+{_ATTR_KEY_J}=[^\s>]+)*)\s*>(.*?)</ent>"
 
@@ -155,7 +157,7 @@ def markup_entities_col(markup: "F.Column") -> "F.Column":
             start = mstart - acc["removed"]
             end = (start + F.length(x["t"])).cast("int")
             pairs = F.regexp_extract_all(
-                x["a"], F.lit(r"(\w+)=([^\s>]+)"), F.lit(0))
+                x["a"], F.lit(rf"({_ATTR_KEY_J})=([^\s>]+)"), F.lit(0))
             # value = everything after the FIRST '=' (values may contain
             # '='); substring from key length + 2
             amap = F.map_from_entries(F.transform(

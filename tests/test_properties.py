@@ -506,7 +506,10 @@ def test_extract_quantity_matches_model(spark, combos):
 
 _MK_CHUNK = st.sampled_from(
     ["txt", "a b", "<ent", "</ent>", ">", "x=y", " ", "\n", "<", "ent",
-     "<ent label=a>in</ent>", "<ent k=v1 l=v2>deep</ent>", "<ent>b</ent>"])
+     "<ent label=a>in</ent>", "<ent k=v1 l=v2>deep</ent>", "<ent>b</ent>",
+     # non-ASCII keys/values: driver path uses Python \w (Unicode), the
+     # distributed path must match via [\p{L}\p{N}_] (VERDICT r5 #1)
+     "<ent clé=v>é</ent>", "<ent étage=2 æøå=ö>ü</ent>", "étage=2"])
 
 
 @settings(max_examples=20, deadline=None)

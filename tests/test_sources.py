@@ -212,6 +212,12 @@ _MARKUP_CASES = [
     "multi\nline <ent label=b>ent\ntext</ent> tail",
     "<ent label=a></ent>empty inner",
     "unclosed <ent label=a>foo then <ent label=c>bar</ent>",
+    # non-ASCII attr keys: Python \w is Unicode; the distributed path
+    # must use [\p{L}\p{N}_] in BOTH the tag and attr-pair regexes
+    # (VERDICT r5 wrong #1: '<ent étage=2>' once parsed as {tage: 2})
+    "<ent clé=v étage=2>mot</ent> suite",
+    "<ent label=ä æøå=z __süß_9=ok>töxt</ent>",
+    "mixed <ent αβγ=1 label=grec>ελληνικά</ent> tail",
     "dup <ent label=z>tok</ent> and again <ent label=z>tok</ent>!",
     "",
     "attrs <ent  label=v1   k2=v2 >spaced</ent>.",

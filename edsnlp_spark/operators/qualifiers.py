@@ -49,7 +49,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..core.base import Transformer
-from ..core.caching import tracked_persist
+from ..core.caching import scoped, tracked_persist
 from .matcher import PhraseMatcher, RegexMatcher
 from .. import registry
 
@@ -290,6 +290,7 @@ class QualifierEngine(Transformer):
 
     # -- public API --------------------------------------------------------
 
+    @scoped("qualifier", method=True)
     def qualify(self, notes: DataFrame, entities: DataFrame,
                 sections: DataFrame | None = None) -> DataFrame:
         """entities (flat plane, with tok_start/tok_end) + boolean column

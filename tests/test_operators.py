@@ -664,6 +664,37 @@ def test_connected_components_chain(spark):
                    5: (5, True), 7: (7, True), 8: (7, False)}
 
 
+def test_connected_components_convergence_surfaced(spark):
+    """r6 (VERDICT r5 #5): iteration count is surfaced via the stats
+    dict, and a graph whose diameter exceeds max_iter RAISES (or flags
+    with on_nonconverged='flag') instead of silently mislabeling."""
+    import pytest
+
+    from edsnlp_spark.operators.dedup import connected_components
+
+    # a path graph 0-1-2-...-9: min label needs ~9 rounds to reach 9
+    n = 10
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    stats = {}
+    comps = {r["id"]: r["comp"] for r in
+             connected_components(pairs, stats=stats).collect()}
+    assert set(comps.values()) == {0}
+    assert stats["converged"] and 1 <= stats["iterations"] <= 25
+
+    # cap below the diameter: must raise, not return wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+
+    # 'flag' mode returns partial labels + converged=False in stats
+    stats = {}
+    partial = connected_components(pairs, max_iter=3,
+                                   on_nonconverged="flag", stats=stats)
+    assert stats == {"iterations": 3, "converged": False}
+    got = {r["id"]: r["comp"] for r in partial.collect()}
+    assert got[0] == 0 and got[n - 1] != 0  # over-segmented, not wrong-merged
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize keeps the (doc_id, blob, meta) contract with target dims;
     frame_sample fans one video row out to duration/step frame rows

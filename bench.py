@@ -121,6 +121,12 @@ def main() -> None:
     # notes).  Before recording any regression on a <1s query, re-probe
     # with 6 runs and keep the flag only if the distribution MIN still
     # exceeds the threshold.
+    # bench_best.json must stay best-of-2 for EVERY query — probe minima
+    # (best-of-8) would ratchet sub-second bests toward lucky outliers,
+    # re-creating the phantom-regression bias the probe exists to
+    # correct (ADVICE r5) — so 'improved' is computed from the
+    # pre-probe times.
+    pre_probe_times = dict(times)
     for name in [n for n, r in regressions.items() if r["best"] < 1.0]:
         fn, _ = qs[name]
         samples = []
@@ -132,14 +138,16 @@ def main() -> None:
         probe_min = round(min(samples), 3)
         print(f"# probe6 {name}: min {probe_min}s "
               f"(samples {[round(s, 3) for s in samples]})", file=sys.stderr)
+        times[name] = min(times[name], probe_min)
         if probe_min <= 1.3 * best[name]:
-            times[name] = min(times[name], probe_min)
             del regressions[name]
         else:
-            regressions[name]["warm"] = probe_min
-            regressions[name]["ratio"] = round(probe_min / best[name], 2)
-            times[name] = min(times[name], probe_min)
-    improved = {name: t for name, t in times.items()
+            # report the same value written to times — a probe_min
+            # WORSE than the best-of-2 warm time must not overwrite it
+            # (ADVICE r5: internally inconsistent report)
+            regressions[name]["warm"] = times[name]
+            regressions[name]["ratio"] = round(times[name] / best[name], 2)
+    improved = {name: t for name, t in pre_probe_times.items()
                 if name not in best or t < best[name]}
     if improved and os.environ.get("SPARK_GRAFT_FREEZE_BEST") != "1":
         best.update(improved)

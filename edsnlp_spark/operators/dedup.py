@@ -276,8 +276,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     round instead of a label column.  Near-dup graphs (bounded-radius
     similarity balls around each doc) have small diameters, so
     min-propagation's cheaper per-round shuffle wins there; raise
-    ``max_iter`` or switch algorithms only if the RuntimeError ever
-    fires in practice.
+    ``max_iter`` or switch to :func:`connected_components_star`
+    (implemented below, differential-tested against this function) if
+    the RuntimeError ever fires in practice.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -341,6 +342,94 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             labels.unpersist()
             raise RuntimeError(msg)
     return labels.select(F.col("src").alias("id"), "comp")
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b", max_iter: int = 50,
+                              on_nonconverged: str = "raise",
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) -> (id, component), component id = min member id.
+
+    The diameter-INDEPENDENT alternative to
+    :func:`connected_components`: each round rewrites the parent-edge
+    set instead of propagating a label one hop, converging in
+    O(log^2 n) rounds even for path graphs where min-propagation needs
+    O(diameter).  Per round: two groupBy(node) shuffles over the edge
+    set (large-star over the bidirected neighborhood, small-star over
+    parent pointers) — costlier per round than one label shuffle, which
+    is why min-propagation stays the default for near-dup graphs (small
+    diameters); use this when the RuntimeError cap fires.
+
+    * large-star(u): m = min(N(u) ∪ {u}); every STRICTLY LARGER
+      neighbor re-parents to m — emit (v, m) for v in N(u), v > u.
+    * small-star(u) on parent edges (u > v): m = min(parents ∪ {u});
+      parents and u itself re-parent to m.
+
+    Both steps preserve connectivity and never increase any node's
+    parent, so the fixpoint is the star graph rooted at each
+    component's minimum.  Convergence = the parent-edge set stops
+    changing (checked with a count over an anti-join — distributed, no
+    driver materialization beyond the scalar).  Lineage is cut per
+    round with an eager localCheckpoint like the label variant.
+    """
+    # parent edges oriented large -> small; self-loops dropped
+    u, v = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    edges = (
+        pairs.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    iterations, converged = 0, False
+    for _ in range(max_iter):
+        # large-star over the bidirected neighborhood
+        bidir = edges.union(edges.select(F.col("v").alias("u"),
+                                         F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over parent pointers (u > v by construction)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        new = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct().localCheckpoint(eager=True)
+        )
+        changed = (
+            new.exceptAll(edges).count() + edges.exceptAll(new).count()
+        )
+        edges = new
+        iterations += 1
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
+    _LOG.info("connected_components_star: %d round(s), converged=%s",
+              iterations, converged)
+    if not converged:
+        msg = (f"connected_components_star did not converge within "
+               f"max_iter={max_iter} star rounds (expected O(log^2 n)); "
+               f"labels are NOT component minima.")
+        if on_nonconverged == "flag":
+            _LOG.warning(msg)
+        else:
+            raise RuntimeError(msg)
+    # fixpoint edges are (member, root); roots need their own row
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = edges.select(F.col("v").alias("id")).distinct() \
+        .withColumn("comp", F.col("id"))
+    return members.unionByName(roots).distinct()
 
 
 def dedup_resolve(docs: DataFrame, pairs: DataFrame,

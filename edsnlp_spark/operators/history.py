@@ -175,6 +175,11 @@ class HistoryQualifier:
             and self.sections._matcher.attr == eng.attr
             and eng._rx_matcher is None
             and "pseudo" not in eng.cues
+            # the reserved section prefix must be unambiguous: a cue
+            # class named '__sec__*' would be split out as a section
+            # header after the merged scan (ADVICE r4) — fall back to
+            # two separate scans instead of mislabeling
+            and not any(c.startswith("__sec__") for c in eng.cues)
         )
         hist_secs = None
         if mergeable:

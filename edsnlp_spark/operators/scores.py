@@ -216,11 +216,12 @@ class AdicapDecoder(Transformer):
         dims = load_resource(spark, "adicap").persist()
 
         def dim_lookup(dim: str, out: str):
-            return F.broadcast(
+            adicap_dim = (
                 dims.filter((F.col("dim") == dim) & (F.col("code") != ""))
                 .select(F.col("code").alias(f"{out}_k"),
                         F.col("label").alias(out))
             )
+            return F.broadcast(adicap_dim)
 
         out = (
             ex

@@ -166,6 +166,28 @@ def dedup_components(spark, sf_dir):
         "is_canonical")
 
 
+def dedup_components_star(spark, sf_dir):
+    """Same drop-list semantics as :func:`dedup_components`, resolved
+    with the diameter-independent large-star/small-star contraction
+    (Kiveris et al., SoCC'14) instead of min-label propagation — the
+    documented switch for pathological pair-graph diameters (SCALE.md).
+    Shares the recursive-CTE reachability oracle."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comps = D.connected_components_star(pairs)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("comp", F.col("id")).cast("bigint")
+            .alias("component"),
+            (F.coalesce("comp", F.col("id")) == F.col("id"))
+            .alias("is_canonical"),
+        )
+    )
+
+
 DEDUP_COMPONENTS_SQL = """
 WITH RECURSIVE sh AS (
   SELECT doc_id,
@@ -441,6 +463,7 @@ QUERIES = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),

@@ -320,22 +320,34 @@ _NEG_TARGETS = {"target": ["spark", "merge", "table"]}
 _NEG_CUES = {"preceding": ["slow", "small"], "termination": ["filter"]}
 
 
+def negation_chain(notes):
+    """The flagship qualifier chain over an already-prepared notes
+    plane (tokenized + sentenced): phrase-match targets -> cue scan ->
+    boundary sessionization -> interval join -> grouped EXISTS.
+
+    Factored out of :func:`negation_tokens` so the EXACT same
+    Transformer chain also runs per micro-batch under foreachBatch
+    (streaming parity, SURVEY §2.12 / VERDICT r5 #6 — pinned by
+    tests/test_trainable_llm_streaming.py::test_streaming_negation_chain_restart).
+    """
+    ents = PhraseMatcher(_NEG_TARGETS, attr="TEXT").entities(notes)
+    q = QualifierEngine("negated", _NEG_CUES, attr="TEXT")
+    out = q.qualify(notes, ents)
+    return out.select(
+        F.col("note_id").alias("doc_id"),
+        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
+        F.col("lexical_variant").alias("term"),
+        "negated",
+    )
+
+
 def negation_tokens(spark, sf_dir):
     """Full qualifier engine: cue scan -> boundary sessionization ->
     interval join -> grouped EXISTS.  Oracle re-derives the same
     semantics with a last-marker window (the last cue-or-termination
     before the entity must be a cue)."""
     notes = _pipe_notes(spark, sf_dir).persist()
-    ents = PhraseMatcher(_NEG_TARGETS, attr="TEXT").entities(notes)
-    q = QualifierEngine("negated", _NEG_CUES, attr="TEXT")
-    out = q.qualify(notes, ents)
-    res = out.select(
-        F.col("note_id").alias("doc_id"),
-        (F.col("tok_start") + 1).cast("bigint").alias("pos"),
-        F.col("lexical_variant").alias("term"),
-        "negated",
-    )
-    return res
+    return negation_chain(notes)
 
 
 NEGATION_TOKENS_SQL = f"""

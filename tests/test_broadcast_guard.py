@@ -44,7 +44,7 @@ ALLOWED = {
         "span-linker concept KB (model artifact, not corpus)",
     ("operators/matcher.py", "F.broadcast(terms_df)"):
         "phrase-matcher pattern terms (pipeline config)",
-    ("operators/scores.py", "F.broadcast("):
+    ("operators/scores.py", "F.broadcast(adicap_dim)"):
         "ADICAP dimension dictionary (checked-in resource)",
     ("operators/terminology.py", "F.broadcast(terms)"):
         "gated by broadcast_terms flag; scale tier uses shuffle join",

@@ -629,6 +629,55 @@ def test_history_excludes_birthdate(spark):
     assert out2[1] is True
 
 
+def test_history_sec_prefix_guard(spark):
+    """r6 (ADVICE r4): the merged cue+section scan reserves the
+    '__sec__' label prefix.  (a) QualifierEngine rejects unknown cue
+    classes outright, so a colliding class cannot exist today; (b) if
+    one ever bypasses validation, the merge is SKIPPED (two-scan
+    fallback) and the qualifier output is unchanged — never a cue
+    mislabeled as a section header."""
+    import pytest as _pytest
+
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.history import HistoryQualifier
+    from edsnlp_spark.operators.matcher import PhraseMatcher
+    from edsnlp_spark.operators.qualifiers import QualifierEngine
+    from edsnlp_spark.operators.sections import SectionSegmenter
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.operators.tokenizer import Tokenizer
+
+    with _pytest.raises(ValueError, match="unknown cue classes"):
+        QualifierEngine("negation", {"__sec__preceding": ["pas de"]})
+
+    notes = Pipeline([Tokenizer(), SentenceSegmenter()])(
+        spark.createDataFrame(
+            [(1, "antecedents : asthme connu. actuellement asthme aigu")],
+            "note_id long, note_text string")).persist()
+    ents = PhraseMatcher({"resp": ["asthme"]}, attr="NORM").entities(notes)
+
+    def build():
+        return HistoryQualifier(
+            cues={"preceding": ["atcd"], "termination": ["actuellement"]},
+            use_dates=False,
+            sections=SectionSegmenter({"antecedents": ["antecedents"]}),
+        )
+
+    hq = build()
+    merged = sorted((r["start_char"], r["history"])
+                    for r in hq.qualify(notes, ents).collect())
+    hq2 = build()
+    # simulate a validation bypass: inject a colliding class directly
+    hq2.engine.cues["__sec__fake"] = ["zzz"]
+    fallback = sorted((r["start_char"], r["history"])
+                      for r in hq2.qualify(notes, ents).collect())
+    assert merged == fallback
+    # the antecedents section opens at the start and never closes, so
+    # both mentions are section-flagged history (the 'actuellement'
+    # termination only cuts the CUE scope, not section membership)
+    assert [h for _, h in merged] == [True, True]
+    notes.unpersist()
+
+
 def test_dates_detect_time(spark):
     """Reference test_time (tests/pipelines/misc/test_dates.py:175-201):
     with detect_time, '11/01/2012 à 11h34' norms to
@@ -693,6 +742,42 @@ def test_connected_components_convergence_surfaced(spark):
     assert stats == {"iterations": 3, "converged": False}
     got = {r["id"]: r["comp"] for r in partial.collect()}
     assert got[0] == 0 and got[n - 1] != 0  # over-segmented, not wrong-merged
+
+
+def test_connected_components_star_differential(spark):
+    """r6: the large-star/small-star contraction must agree with
+    min-label propagation on random graphs, and must converge in
+    O(log^2 n) rounds on a long path where label propagation's default
+    cap would fire (the documented pathological-diameter switch)."""
+    import random
+
+    from edsnlp_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    rng = random.Random(1789)
+    for trial in range(4):
+        n = 30
+        m = rng.randint(5, 40)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = {r["id"]: r["comp"] for r in
+                connected_components(pdf, max_iter=60).collect()}
+        stats = {}
+        got = {r["id"]: r["comp"] for r in
+               connected_components_star(pdf, stats=stats).collect()}
+        assert got == want, f"trial {trial}: {pairs}"
+        assert stats["converged"]
+
+    # path graph of 41 nodes: diameter 40 > label default cap of 25,
+    # star converges in a handful of rounds and labels it one component
+    path = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                 "id_a long, id_b long")
+    stats = {}
+    comps = {r["id"]: r["comp"] for r in
+             connected_components_star(path, stats=stats).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 41
+    assert stats["converged"] and stats["iterations"] <= 10
 
 
 def test_multimodal_resize_and_frame_sample(spark):

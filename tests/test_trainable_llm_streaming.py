@@ -130,6 +130,67 @@ def test_streaming_annotate(spark, tmp_path):
     assert sorted(r["lexical_variant"] for r in out.collect()) == ["merge", "spark"]
 
 
+def test_streaming_negation_chain_restart(spark, tmp_path):
+    """r6 (VERDICT r5 #6, SURVEY §2.12): the flagship negation chain
+    (tokenize -> sentences -> phrase match -> qualifier engine) runs
+    UNCHANGED per micro-batch under foreachBatch; the query survives a
+    checkpoint restart (the second query run processes only the new
+    file — no batch-1 duplicates), and the accumulated streaming output
+    equals the batch path on the same data."""
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.queries.textops import negation_chain
+
+    src = tmp_path / "in"
+    src.mkdir()
+    texts1 = ["slow spark pipeline", "filter then merge table",
+              "small merge but fast spark"]
+    texts2 = ["spark alone", "slow merge filter spark again"]
+
+    def write(name, texts, base):
+        with open(src / name, "w") as f:
+            for i, t in enumerate(texts):
+                f.write(json.dumps({
+                    "note_id": base + i, "person_id": 1,
+                    "note_text": t, "note_datetime": None}) + "\n")
+
+    def batch_fn(batch):
+        prepared = Pipeline([Tokenizer(mode="pretokenized"),
+                             SentenceSegmenter()])(batch)
+        return negation_chain(prepared)
+
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    write("batch1.jsonl", texts1, base=0)
+    q = annotate_stream(stream_notes_json(spark, str(src)),
+                        batch_fn, out_path, ckpt)
+    q.awaitTermination(120)
+
+    # restart: new file, NEW query, SAME checkpoint -> only batch 2 runs
+    write("batch2.jsonl", texts2, base=100)
+    q2 = annotate_stream(stream_notes_json(spark, str(src)),
+                         batch_fn, out_path, ckpt)
+    q2.awaitTermination(120)
+
+    got = sorted((r.doc_id, r.pos, r.term, r.negated)
+                 for r in spark.read.parquet(out_path).collect())
+    # batch path: same chain over ALL the data at once
+    all_notes = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts1)]
+        + [(100 + i, t) for i, t in enumerate(texts2)],
+        "note_id long, note_text string")
+    want = sorted((r.doc_id, r.pos, r.term, r.negated)
+                  for r in batch_fn(all_notes).collect())
+    assert got == want and len(got) >= 6
+    # no duplicate rows from the restart (checkpoint held batch 1)
+    assert len(got) == len(set(got))
+    # semantics spot-check: cue 'slow' negates, 'filter' terminates
+    by_key = {(d, t): n for d, p, t, n in got}
+    assert by_key[(0, "spark")] is True       # 'slow spark'
+    assert by_key[(1, "merge")] is False      # after 'filter'
+    assert by_key[(100, "spark")] is False    # no cue
+
+
 def test_shared_embedding_forward_runs_once(spark):
     """Shared-embedding cache analog (torch_component.py:191-208): two
     heads consume ONE materialized forward pass — the accumulator

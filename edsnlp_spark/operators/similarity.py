@@ -266,3 +266,184 @@ def semdedup(emb: DataFrame, centroids: list[list[float]],
         .select(F.col("__id").alias(id_col), "cell",
                 F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
     )
+
+
+# ---- Product quantization (embedding compression for 100 TB ANN) -------
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, summed left-to-right (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              out_col: str = "codes") -> DataFrame:
+    """Product-quantization encoder: compress each d-dim vector into m
+    sub-codes (one byte-sized int per subspace) against per-subspace
+    codebooks -> (id_col, codes array<int>).
+
+    Storage tier for embedding columns at corpus scale: a 64-dim float
+    vector (256 B) becomes m=8 codes (8 B) — 32x smaller, so the whole
+    ANN index fits where the raw vectors never would (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    ``codebooks[j][c]`` is centroid ``c`` of subspace ``j`` (each of
+    length d/m).  Like :func:`ivf_topk`, the codebooks are OFFLINE
+    index metadata (one KMeans-per-subspace batch job) passed in as
+    literals, so encoding is a pure shuffle-free projection and a SQL
+    oracle can reproduce every code (ties broken by lower code id).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(j: int) -> Column:
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        cents = F.array(*[
+            F.struct(
+                l2sq(sub, F.array(*[F.lit(float(x)) for x in cent]))
+                .alias("d"),
+                F.lit(c).cast("int").alias("code"),
+            )
+            for c, cent in enumerate(codebooks[j])
+        ])
+        return F.sort_array(cents)[0]["code"]
+
+    return emb.select(
+        F.col(id_col),
+        F.array(*[code_for(j) for j in range(m)]).alias(out_col),
+    )
+
+
+def pq_adc_topk(emb: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 10,
+                rerank: int | None = None,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: encode the corpus
+    once (pure projection), then rank candidates for each query by
+    sum_j ||q_j - codebook[j][code_j]||^2 — the query side stays exact,
+    only the corpus side is quantized.
+
+    ``rerank=R`` adds the production second stage: shortlist the top R
+    by ADC, fetch RAW vectors for only those R rows per query (an
+    equi-join on the shortlist ids — the corpus-wide scan still touches
+    codes only), and return the exact-L2 top-k of the shortlist.
+    Quantization error then only costs recall when a true neighbor
+    falls outside the R-shortlist, not whenever ADC misorders the
+    top-k (Jegou et al. 2011 §V: "IVFADC with reranking").
+
+    Scale shape: the scan reads CODES (m ints/vector) instead of raw
+    vectors, the query set is broadcast, and the per-pair cost is m
+    table lookups + m small L2s — no shuffle beyond the final per-query
+    top-k window (and, with rerank, one id-equi-join sized Q x R).
+    Combine with :func:`ivf_topk` cells for the classic IVF-PQ layout
+    (cell prune, then ADC within the cell).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias("n_id"), "codes")
+    qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
+
+    def adc_j(j: int) -> Column:
+        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
+        cb = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent])
+            for cent in codebooks[j]
+        ])
+        return l2sq(qsub, F.element_at(cb, F.col("codes")[j] + 1))
+
+    scored = (
+        codes.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id",
+                sum((adc_j(j) for j in range(1, m)), adc_j(0)).alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                    F.round("adc", 4).alias("adc_dist"))
+        )
+    shortlist = ranked.filter(F.col("rank") <= max(rerank, k)) \
+        .select("q_id", "n_id")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
+    exact = (
+        shortlist.join(raw, "n_id")
+        .join(F.broadcast(qs), "q_id")
+        .select("q_id", "n_id", l2sq(F.col("qv"), F.col("v")).alias("d"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("n_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                F.round("d", 4).alias("adc_dist"))
+    )
+
+
+def pq_train_codebooks(emb: DataFrame, m: int = 8, k: int = 8,
+                       n_iter: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       ) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with Lloyd iterations
+    (deterministic init: the k lowest-id vectors' slices), returning
+    plain Python lists — OFFLINE index metadata for
+    :func:`pq_encode` / :func:`pq_adc_topk`.
+
+    Scale shape: each iteration is ONE pass over the corpus — the
+    assignment is a shuffle-free projection against the current literal
+    codebooks, and the update is a groupBy over (subspace, code), i.e.
+    at most m*k groups; only the m*k*dsub centroid floats ever reach
+    the driver.  Train on a SAMPLE at 100 TB (`emb.sample(...)`) — the
+    quantizer needs distribution coverage, not every row.
+    """
+    seeds = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.select(id_col, vec_col)
+                    .orderBy(id_col).limit(k).collect()
+    ]
+    d = len(seeds[0])
+    dsub = d // m
+    books = [[s[j * dsub:(j + 1) * dsub] for s in seeds] for j in range(m)]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(vec.alias("v"))
+    for _ in range(n_iter):
+        # one row per (subspace, nearest-code) with the subvector sums
+        per_sub = F.array(*[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.sort_array(F.array(*[
+                    F.struct(
+                        l2sq(F.slice(F.col("v"), j * dsub + 1, dsub),
+                             F.array(*[F.lit(float(x)) for x in cent]))
+                        .alias("d"),
+                        F.lit(c).cast("int").alias("code"),
+                    )
+                    for c, cent in enumerate(books[j])
+                ]))[0]["code"].alias("code"),
+                F.slice(F.col("v"), j * dsub + 1, dsub).alias("sub"),
+            )
+            for j in range(m)
+        ])
+        rows = (
+            corpus.select(F.explode(per_sub).alias("a"))
+            .groupBy(F.col("a.j").alias("j"), F.col("a.code").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col("a.sub")[i]).alias(f"s{i}")
+                   for i in range(dsub)])
+            .collect()
+        )
+        for r in rows:
+            books[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"]
+                                        for i in range(dsub)]
+        # empty cells keep their previous centroid (classic Lloyd)
+    return books

@@ -314,6 +314,81 @@ def embedding_topk_ivf(spark, sf_dir):
 
 
 
+# ---- PQ: product-quantized ADC top-k (embedding compression tier) -----
+
+def pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): the 64-dim corpus
+    is encoded into 8 sub-codes against per-subspace codebooks (here
+    the deterministic seed vectors vec_id<8 sliced per subspace — same
+    offline-index shape as embedding_topk_ivf), then each query ranks
+    candidates by asymmetric distance (exact query side vs quantized
+    corpus side).  The scan reads 8 ints per vector instead of 64
+    floats — the storage tier that keeps a 100 TB ANN index in memory.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    m, dsub = 8, 8
+    codebooks = [
+        [s[j * dsub:(j + 1) * dsub] for s in seeds]
+        for j in range(m)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.pq_adc_topk(emb, queries, codebooks, k=10)
+
+
+PQ_ADC_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+subs AS (SELECT j::INT AS j FROM range(8) t(j)),
+dists AS (
+  SELECT e.vec_id, s.j, cb.code,
+         list_sum(list_transform(range(8), i ->
+           (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1])
+           * (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1]))) AS d
+  FROM e CROSS JOIN subs s CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d, code) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+pair_j AS (
+  SELECT q.q_id, c.vec_id AS n_id, c.j,
+         list_sum(list_transform(range(8), i ->
+           (q.qv[c.j*8 + i + 1] - cb.cv[c.j*8 + i + 1])
+           * (q.qv[c.j*8 + i + 1] - cb.cv[c.j*8 + i + 1]))) AS dj
+  FROM codes c
+  JOIN cb ON cb.code = c.code
+  CROSS JOIN q
+  WHERE c.vec_id <> q.q_id
+),
+adc AS (
+  SELECT q_id, n_id, list_sum(list(dj ORDER BY j)) AS adc
+  FROM pair_j GROUP BY q_id, n_id
+)
+SELECT q_id, n_id, rank, ROUND(adc, 4) AS adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc, n_id) AS rank
+      FROM adc)
+WHERE rank <= 10
+"""
+
+
 # ---- SemDeDup: semantic dedup for training corpora ---------------------
 
 def semdedup_embeddings(spark, sf_dir):
@@ -467,6 +542,7 @@ QUERIES = {
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
+    "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),
     "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

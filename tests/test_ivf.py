@@ -40,3 +40,92 @@ def test_cosine_neardup_bucketed(spark):
     # lowering the threshold still cannot cross buckets
     loose = cosine_neardup(emb, planes, threshold=-1.0)
     assert {(r["a_id"], r["b_id"]) for r in loose.collect()} == {(1, 2)}
+
+
+def test_pq_encode_and_adc(spark):
+    """r6: PQ encode picks the nearest per-subspace centroid (ties ->
+    lower code), and ADC distances over codes reproduce the exact
+    distances for vectors that ARE centroid concatenations."""
+    from edsnlp_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    codebooks = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 0.0], [2.0, 2.0], [3.0, -1.0]],
+    ]
+    rows = [
+        (1, [1.0, 0.0, 2.0, 2.0]),    # codes [1, 1]
+        (2, [0.0, 1.0, 3.0, -1.0]),   # codes [2, 2]
+        (3, [0.0, 0.0, 0.0, 0.0]),    # codes [0, 0]
+        (4, [0.5, 0.0, 0.0, 0.0]),    # sub0 tie (d=0.25 to codes 0,1) -> 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, codebooks).collect()}
+    assert got == {1: [1, 1], 2: [2, 2], 3: [0, 0], 4: [0, 0]}
+
+    q = spark.createDataFrame([(100, [1.0, 0.0, 2.0, 2.0])],
+                              "q_id long, q_vec array<double>")
+    adc = {r["n_id"]: (r["rank"], r["adc_dist"])
+           for r in pq_adc_topk(emb, q, codebooks, k=4).collect()}
+    # exact ADC: v1 = 0 (same codes), v3 = 1 + 8 = 9,
+    # v4 quantizes to the same codes as v3 -> also 9 (tie -> lower id),
+    # v2 = 2 + 10 = 12
+    assert adc[1] == (1, 0.0)
+    assert adc[3] == (2, 9.0)
+    assert adc[4] == (3, 9.0)
+    assert adc[2] == (4, 12.0)
+
+
+def test_pq_trained_rerank_recall(spark, sf_dir):
+    """r6: Lloyd training must cut quantization error vs the raw seed
+    codebooks, and the production shape (ADC shortlist -> exact rerank)
+    must recover most of the exact-L2 top-10 even on this WORST-CASE
+    corpus (near-uniform unit-sphere vectors, tiny neighbor margins)."""
+    from pyspark.sql import Window
+
+    from edsnlp_spark.operators.similarity import (
+        l2sq, pq_adc_topk, pq_encode, pq_train_codebooks)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    def quant_mse(cbs):
+        m, dsub = len(cbs), len(cbs[0][0])
+        joined = pq_encode(emb, cbs).join(emb, "vec_id")
+        vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        err = None
+        for j in range(m):
+            cb = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                           for c in cbs[j]])
+            e_j = l2sq(F.slice(vec, j * dsub + 1, dsub),
+                       F.element_at(cb, F.col("codes")[j] + 1))
+            err = e_j if err is None else err + e_j
+        return joined.select(F.avg(err)).first()[0]
+
+    seeds = [[float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 8)
+                         .orderBy("vec_id").collect()]
+    seed_cbs = [[s[j * 8:(j + 1) * 8] for s in seeds] for j in range(8)]
+    trained = pq_train_codebooks(emb, m=8, k=8, n_iter=3)
+    assert quant_mse(trained) < 0.85 * quant_mse(seed_cbs)
+
+    # exact-L2 ground truth (ADC approximates L2, not cosine)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    c = emb.select(F.col("vec_id").alias("n_id"), vec.alias("v"))
+    q = queries.select("q_id", qv.alias("qv"))
+    s = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")) \
+         .select("q_id", "n_id", l2sq(F.col("qv"), F.col("v")).alias("d"))
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("n_id"))
+    e = {(r["q_id"], r["n_id"]) for r in
+         s.withColumn("rank", F.row_number().over(w))
+         .filter(F.col("rank") <= 10).collect()}
+
+    approx = pq_adc_topk(emb, queries, trained, k=10, rerank=100)
+    a = {(r["q_id"], r["n_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ+rerank recall too low: {recall}"
+    # rerank distances are EXACT L2, so every hit's rank ordering agrees
+    ranks = {(r["q_id"], r["n_id"]): r["rank"] for r in approx.collect()}
+    assert all(v >= 1 for v in ranks.values())

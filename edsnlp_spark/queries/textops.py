@@ -1886,7 +1886,54 @@ FROM r
 """
 
 
+# ---- BM25 keyword retrieval --------------------------------------------
+
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term keyword query over documents —
+    lexical retrieval next to the embedding ANN tier (corpus
+    exploration / eval-set mining / targeted decontamination).  Per-doc
+    term frequencies are shuffle-free projections, corpus stats are ONE
+    aggregate row broadcast back, and the top-k plans as
+    TakeOrderedAndProject (per-partition heaps, never a global sort)."""
+    from ..operators.retrieval import bm25_topk
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "hash", "filter"], k=10)
+
+
+BM25_SEARCH_SQL = """
+WITH base AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl,
+         len(list_filter(toks, x -> x = 'spark'))::DOUBLE AS tf0,
+         len(list_filter(toks, x -> x = 'hash'))::DOUBLE AS tf1,
+         len(list_filter(toks, x -> x = 'filter'))::DOUBLE AS tf2
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+  FROM base
+)
+SELECT doc_id, ROUND(s, 4) AS score FROM (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+           * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+           * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+           * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))
+         AS s
+  FROM base CROSS JOIN stats
+)
+ORDER BY s DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),

@@ -44,6 +44,8 @@ ALLOWED = {
         "span-linker concept KB (model artifact, not corpus)",
     ("operators/matcher.py", "F.broadcast(terms_df)"):
         "phrase-matcher pattern terms (pipeline config)",
+    ("operators/retrieval.py", "F.broadcast(stats)"):
+        "1-row corpus-statistics aggregate (BM25 N/avgdl/df)",
     ("operators/scores.py", "F.broadcast(adicap_dim)"):
         "ADICAP dimension dictionary (checked-in resource)",
     ("operators/terminology.py", "F.broadcast(terms)"):

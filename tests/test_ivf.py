@@ -129,3 +129,37 @@ def test_pq_trained_rerank_recall(spark, sf_dir):
     # rerank distances are EXACT L2, so every hit's rank ordering agrees
     ranks = {(r["q_id"], r["n_id"]): r["rank"] for r in approx.collect()}
     assert all(v >= 1 for v in ranks.values())
+
+
+def test_bm25_topk_hand_computed(spark):
+    """r6: BM25 scores match a hand-derived model (tf saturation, idf
+    from df, length normalization), ranking is (score desc, id), and
+    docs with no query term score 0."""
+    import math
+
+    from edsnlp_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark other other other"),  # tf=3, dl=6
+        (2, "spark other"),                          # tf=1, dl=2
+        (3, "other other"),                          # tf=0, dl=2
+        (4, "spark"),                                # tf=1, dl=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk(docs, ["spark"], k=4).collect()]
+
+    def score(tf, dl):
+        n, df, sum_dl, k1, b = 4.0, 3.0, 11.0, 1.2, 0.75
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * (tf * (k1 + 1.0)
+                            / (tf + k1 * (1 - b + b * dl * n / sum_dl))), 4)
+
+    want = sorted(
+        [(1, score(3.0, 6.0)), (2, score(1.0, 2.0)),
+         (3, 0.0), (4, score(1.0, 1.0))],
+        key=lambda x: (-x[1], x[0]))
+    assert got == want
+    # the short doc outranks the long one at equal tf (length norm),
+    # and tf=3 saturates above tf=1
+    assert got[0][0] == 4 and got[1][0] == 1 and got[-1] == (3, 0.0)

@@ -455,3 +455,48 @@ def dedup_resolve(docs: DataFrame, pairs: DataFrame,
             .alias("is_canonical"),
         )
     )
+
+
+def duplicated_windows(docs: DataFrame, n: int = 13,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    n-TOKEN window whose text occurs more than once corpus-wide ->
+    (id_col, pos, occurrences), pos = 0-based token offset.
+
+    Doc-level dedup misses partially-copied text (boilerplate headers,
+    quoted passages, licence blocks); this is the span-granular tier
+    that catches them.  The reference paper builds a suffix array; the
+    distributed-friendly equivalent is one pass emitting (window-hash,
+    doc, pos) integer rows and one shuffle counting occurrences per
+    hash (a window-function count, no join-back).
+
+    Windows are extracted with the single-pass lookahead regexp (the
+    shingling pattern measured 4.6x faster than HOF loops, CLAUDE.md
+    r2) and grouped by a 60-bit md5 prefix — identical hashing in the
+    DuckDB oracle, so even a collision reproduces.  Shuffle rows =
+    corpus token count x ~16 bytes; a boilerplate window hot key is
+    bounded by its own duplicate count (the thing being measured) —
+    cap with a df filter like ngram_jaccard's max_df if a corpus has
+    million-fold repeated spans.
+    """
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + (r" " + tok) * (n - 1) + r"))" + tok + " "
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.col(text_col), F.lit(rx), F.lit(1))).alias("pos", "win"),
+    ).select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    )
+    from pyspark.sql import Window
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (
+        wins.withColumn("occurrences", cnt)
+        .filter(F.col("occurrences") >= 2)
+        .select(F.col(id_col), F.col("pos").cast("bigint"),
+                F.col("occurrences").cast("bigint"))
+    )

@@ -1886,6 +1886,44 @@ FROM r
 """
 
 
+# ---- Exact-substring duplication (span-granular dedup tier) -----------
+
+def exact_substring_dedup(spark, sf_dir):
+    """Duplicated 13-token windows corpus-wide (Lee et al. 2022) — the
+    span-granular dedup tier that catches partially-copied text
+    (boilerplate, quoted passages) that doc-level dedup misses.  One
+    lookahead-regexp pass emits (window-hash, doc, pos) integer rows;
+    one window-function count per hash; no join-back."""
+    from ..operators.dedup import duplicated_windows
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_windows(d, n=13)
+
+
+EXACT_SUBSTRING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 12, 0))) AS pos,
+         unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hv
+  FROM w
+),
+c AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY hv) AS occurrences
+  FROM h
+)
+SELECT doc_id, pos::BIGINT AS pos, occurrences::BIGINT AS occurrences
+FROM c WHERE occurrences >= 2
+"""
+
+
 # ---- BM25 keyword retrieval --------------------------------------------
 
 def bm25_search(spark, sf_dir):
@@ -1934,6 +1972,7 @@ LIMIT 10
 
 QUERIES = {
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
+    "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),

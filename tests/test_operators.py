@@ -1120,3 +1120,23 @@ def test_memo_session_token_not_id_reuse(spark):
     # and the real token path hands out distinct tokens per object
     memo._TOKENS[g2] = next(memo._NEXT_TOKEN)
     assert memo._TOKENS[g2] != t1
+
+
+def test_duplicated_windows_planted_span(spark):
+    """r6 (Lee et al. 2022 exact-substring dedup): a 5-token span copied
+    into two otherwise-different docs is flagged at the right positions
+    in BOTH docs; unique text yields nothing; a doc shorter than n has
+    no windows."""
+    from edsnlp_spark.operators.dedup import duplicated_windows
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "x1 y1 " + span + " z1"),          # span at pos 2
+        (2, span + " q2 r2 s2"),               # span at pos 0
+        (3, "all unique tokens here nothing repeated across docs"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["occurrences"]
+           for r in duplicated_windows(docs, n=5).collect()}
+    assert got == {(1, 2): 2, (2, 0): 2}

@@ -1242,6 +1242,98 @@ FROM tok JOIN lm USING (t) GROUP BY doc_id
 """
 
 
+def bigram_logppl(spark, sf_dir):
+    """Interpolated bigram-LM quality filter — the next LM tier above
+    unigram_logppl (CCNet trains 5-gram KenLM; a corpus-trained
+    interpolated bigram is the same shape one order up): score each doc
+    by the mean negative log of
+    0.9 * P(w_i | w_{i-1}) + 0.1 * P(w_i).
+
+    Plan: ONE bigram explode (single-pass lookahead regexp, like the
+    shingle path) feeds both the bigram-count aggregate and the scoring
+    join; unigram counts join twice (history count for the conditional,
+    current-token count for the backoff).  Like unigram_logppl, the LM
+    sides carry NO broadcast hint — real vocabs follow Heaps' law, AQE
+    broadcasts exactly when the built side fits; only the 1-row total
+    keeps its hint."""
+    docs = _notes(spark, sf_dir)
+    rx2 = r"(?=([^ ]+ [^ ]+))[^ ]+ "
+    big = docs.select(
+        "note_id",
+        F.explode(F.regexp_extract_all(
+            F.col("note_text"), F.lit(rx2), F.lit(1))).alias("bg"),
+    ).select(
+        "note_id", "bg",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("prev"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("cur"),
+    )
+    tok = docs.select(F.explode(F.split("note_text", " ")).alias("t"))
+    ug = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    total = ug.agg(F.sum("cu").alias("tot"))
+    bg_lm = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        big.join(bg_lm, "bg")
+        .join(ug.select(F.col("t").alias("prev"),
+                        F.col("cu").alias("cprev")), "prev")
+        .join(ug.select(F.col("t").alias("cur"),
+                        F.col("cu").alias("ccur")), "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "note_id",
+            (-F.log(
+                F.lit(0.9) * (F.col("cb").cast("double")
+                              / F.col("cprev").cast("double"))
+                + F.lit(0.1) * (F.col("ccur").cast("double")
+                                / F.col("tot").cast("double"))
+            )).alias("nll_i"),
+        )
+    )
+    return (
+        scored.groupBy("note_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+             F.round(F.avg("nll_i"), 4).alias("nll"))
+        .select(F.col("note_id").alias("doc_id"), "n_bigrams", "nll")
+    )
+
+
+BIGRAM_LOGPPL_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest([toks[i+1] || ' ' || toks[i+2]
+                 for i in range(len(toks) - 1)]) AS bg
+  FROM t
+),
+sp AS (
+  SELECT doc_id, bg,
+         string_split(bg, ' ')[1] AS prev,
+         string_split(bg, ' ')[2] AS cur
+  FROM big
+),
+ug AS (
+  SELECT t AS tk, COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS t FROM t) GROUP BY t
+),
+tot AS (SELECT SUM(cu) AS tot FROM ug),
+bg_lm AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg),
+scored AS (
+  SELECT doc_id,
+         -ln(0.9 * (cb::DOUBLE / up.cu::DOUBLE)
+             + 0.1 * (uc.cu::DOUBLE / tot::DOUBLE)) AS nll_i
+  FROM sp
+  JOIN bg_lm USING (bg)
+  JOIN ug up ON up.tk = sp.prev
+  JOIN ug uc ON uc.tk = sp.cur
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll_i), 4) AS nll
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---- Gopher-style repetition filters (training-data pipeline) ----------
 
 def gopher_repetition(spark, sf_dir):
@@ -1971,6 +2063,7 @@ LIMIT 10
 
 
 QUERIES = {
+    "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),

@@ -1140,3 +1140,37 @@ def test_duplicated_windows_planted_span(spark):
     got = {(r["doc_id"], r["pos"]): r["occurrences"]
            for r in duplicated_windows(docs, n=5).collect()}
     assert got == {(1, 2): 2, (2, 0): 2}
+
+
+def test_bigram_logppl_hand_computed(spark, tmp_path):
+    """r6: interpolated bigram NLL matches a hand-derived model on a
+    3-doc corpus — the repeated bigram scores lower NLL than unseen-ish
+    transitions, and interpolation keeps every seen token finite."""
+    import math
+
+    from edsnlp_spark.queries.textops import bigram_logppl
+
+    texts = ["a b a b", "a b c", "c a"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    p = tmp_path / "documents.parquet"
+    docs.write.parquet(str(p))
+    out = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+           for r in bigram_logppl(spark, str(tmp_path)).collect()}
+
+    # corpus: unigrams a:4 b:3 c:2 (tot 9);
+    # bigrams: 'a b':3, 'b a':1, 'b c':1, 'c a':1
+    uni = {"a": 4, "b": 3, "c": 2}
+    big = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+    def nll(pairs):
+        vals = [-math.log(0.9 * (big[(p_, c)] / uni[p_])
+                          + 0.1 * (uni[c] / 9.0)) for p_, c in pairs]
+        return round(sum(vals) / len(vals), 4)
+
+    assert out[0] == (3, nll([("a", "b"), ("b", "a"), ("a", "b")]))
+    assert out[1] == (2, nll([("a", "b"), ("b", "c")]))
+    assert out[2] == (1, nll([("c", "a")]))
+    # the frequent transition really is cheaper than the rare one
+    assert out[0][1] < out[1][1]

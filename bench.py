@@ -63,6 +63,11 @@ HEADLINE = R1_SET + [
     # the composed curation pass (quality -> dedup -> PII -> split ->
     # pack in one Catalyst plan)
     "corpus_curation",
+    # round-6 additions: span-granular exact-substring dedup, BM25
+    # lexical retrieval, PQ-compressed ADC ANN
+    "exact_substring_dedup",
+    "bm25_search",
+    "pq_adc_topk",
 ]
 
 

@@ -434,14 +434,14 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, k: int = 8,
             )
             for j in range(m)
         ])
-        rows = (
+        centroid_stats = (
             corpus.select(F.explode(per_sub).alias("a"))
             .groupBy(F.col("a.j").alias("j"), F.col("a.code").alias("code"))
             .agg(F.count(F.lit(1)).alias("n"),
                  *[F.sum(F.col("a.sub")[i]).alias(f"s{i}")
                    for i in range(dsub)])
-            .collect()
         )
+        rows = centroid_stats.collect()  # at most m*k rows by keys
         for r in rows:
             books[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"]
                                         for i in range(dsub)]

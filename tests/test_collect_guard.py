@@ -36,6 +36,11 @@ ALLOWED = {
         "facade .collect() mirrors the reference API (caller's choice)",
     ("queries/scaleops.py", '.orderBy("vec_id").collect()'):
         "k centroid seed rows (k fixed by the index config)",
+    ("operators/similarity.py", ".orderBy(id_col).limit(k).collect()"):
+        "PQ codebook init: k seed rows (k fixed by the index config)",
+    ("operators/similarity.py", "centroid_stats.collect()"):
+        "PQ Lloyd update: groupBy(subspace, code) has at most m*k rows "
+        "(index metadata, never corpus rows)",
 }
 
 

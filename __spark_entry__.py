@@ -46,8 +46,9 @@ _ROTATE_INTO_WINDOW = frozenset({
     "minhash_lsh_dedup", "multimodal_features", "negation_tokens",
     "ner_token_metrics", "ngram_jaccard", "ngram_jaccard_capped",
     "phrase_match_tokens", "pii_redaction", "pricing_summary",
-    # pq_adc_topk is NEW in r6 — new queries stay in the checked window
-    "pq_adc_topk",
+    # NEW in r6 — new queries stay in the checked window; these two
+    # sort outside the first-50 without the prefix
+    "pq_adc_topk", "exact_substring_dedup",
     "props_k_stats", "purchase_asof_signup", "quality_model_scores",
     "quantities_extraction", "quantity_mentions", "quantity_operators",
 })

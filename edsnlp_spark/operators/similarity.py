@@ -297,9 +297,20 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     literals, so encoding is a pure shuffle-free projection and a SQL
     oracle can reproduce every code (ties broken by lower code id).
     """
+    return emb.select(
+        F.col(id_col),
+        pq_codes_col(F.col(vec_col), codebooks).alias(out_col),
+    )
+
+
+def pq_codes_col(raw_vec: Column, codebooks: list[list[list[float]]]
+                 ) -> Column:
+    """PQ code array expression for a raw (float) vector column —
+    reused by :func:`pq_encode` and :func:`ivf_pq_topk` so both plans
+    share one projection shape."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vec = F.transform(raw_vec, lambda x: x.cast("double"))
 
     def code_for(j: int) -> Column:
         sub = F.slice(vec, j * dsub + 1, dsub)
@@ -313,10 +324,25 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
         ])
         return F.sort_array(cents)[0]["code"]
 
-    return emb.select(
-        F.col(id_col),
-        F.array(*[code_for(j) for j in range(m)]).alias(out_col),
-    )
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_adc_col(qv: Column, codes: Column,
+               codebooks: list[list[list[float]]]) -> Column:
+    """ADC distance expression between an exact (double) query vector
+    and a PQ code array: sum_j ||q_j - codebook[j][code_j]||^2."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def adc_j(j: int) -> Column:
+        qsub = F.slice(qv, j * dsub + 1, dsub)
+        cb = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent])
+            for cent in codebooks[j]
+        ])
+        return l2sq(qsub, F.element_at(cb, codes[j] + 1))
+
+    return sum((adc_j(j) for j in range(1, m)), adc_j(0))
 
 
 def pq_adc_topk(emb: DataFrame, queries: DataFrame,
@@ -344,25 +370,15 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
     Combine with :func:`ivf_topk` cells for the classic IVF-PQ layout
     (cell prune, then ADC within the cell).
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).alias("n_id"), "codes")
     qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
-
-    def adc_j(j: int) -> Column:
-        qsub = F.slice(F.col("qv"), j * dsub + 1, dsub)
-        cb = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cent])
-            for cent in codebooks[j]
-        ])
-        return l2sq(qsub, F.element_at(cb, F.col("codes")[j] + 1))
-
     scored = (
         codes.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id",
-                sum((adc_j(j) for j in range(1, m)), adc_j(0)).alias("adc"))
+                pq_adc_col(F.col("qv"), F.col("codes"), codebooks)
+                .alias("adc"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w))
@@ -387,6 +403,69 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.col("rank").cast("bigint"),
                 F.round("d", 4).alias("adc_dist"))
+    )
+
+
+def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
+                centroids: list[list[float]],
+                codebooks: list[list[list[float]]],
+                k: int = 10, n_probe: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """The classic IVF-PQ (IVFADC) layout (Jegou et al. 2011 §V): one
+    shuffle-free projection assigns each corpus vector a coarse cell
+    (cosine argmax over the literal centroids, ties -> lower cell) AND
+    its PQ codes; each query probes its ``n_probe`` nearest cells and
+    ADC-ranks ONLY those cells' codes.
+
+    Per-query work drops to O(N * n_probe / n_cells) pair scores, each
+    over m ints — the compound of the IVF prune and the PQ compression;
+    the index scan never touches raw vectors.  Both index structures
+    are offline metadata literals, so the full pipeline has one
+    broadcast join (probed cells x corpus cells) and one top-k window.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centers = [list(map(float, c)) for c in centroids]
+    carr = _centers_arr(centers)
+    corpus = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.sort_array(F.transform(
+            carr,
+            lambda c: F.struct(
+                (-cosine(vec, c["cv"])).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        ))[0]["cell"].alias("cell"),
+        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+    )
+    qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
+    qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
+    probed = qs.select(
+        "q_id", "qv",
+        F.explode(F.slice(
+            F.sort_array(F.transform(
+                carr,
+                lambda c: F.struct(
+                    (-cosine(F.col("qv"), c["cv"])).alias("negcos"),
+                    c["cell"].alias("cell"),
+                ),
+            )),
+            1, n_probe,
+        )).alias("p"),
+    ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id",
+                pq_adc_col(F.col("qv"), F.col("codes"), codebooks)
+                .alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                F.round("adc", 4).alias("adc_dist"))
     )
 
 

@@ -389,6 +389,108 @@ WHERE rank <= 10
 """
 
 
+# ---- IVF-PQ composed ANN (cell prune + ADC over codes) -----------------
+
+def embedding_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §V): the composed production
+    ANN layout — coarse cells prune the candidate set (n_probe=3 of 8),
+    then asymmetric distance ranks only the probed cells' PQ codes.
+    Both index structures are the deterministic seed vectors (vec_id<8),
+    so DuckDB reproduces cells, codes, and distances exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    m, dsub = 8, 8
+    codebooks = [
+        [s[j * dsub:(j + 1) * dsub] for s in seeds]
+        for j in range(m)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.ivf_pq_topk(emb, queries, seeds, codebooks, k=10, n_probe=3)
+
+
+EMBEDDING_TOPK_IVFPQ_SQL = """
+WITH e AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_id) - 1 AS cell, v AS cv
+  FROM e WHERE n_id < 8
+),
+assigned AS (
+  SELECT n_id, cell FROM (
+    SELECT e.n_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.n_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1
+),
+cb AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+subs AS (SELECT j::INT AS j FROM range(8) t(j)),
+dists AS (
+  SELECT e.n_id AS vec_id, s.j, cb.code,
+         list_sum(list_transform(range(8), i ->
+           (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1])
+           * (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1]))) AS d
+  FROM e CROSS JOIN subs s CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d, code) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+q AS (SELECT n_id AS q_id, v AS qv FROM e WHERE n_id < 5),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.cv) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM q CROSS JOIN c
+  ) WHERE r <= 3
+),
+pair_j AS (
+  SELECT p.q_id, cd.vec_id AS n_id, cd.j,
+         list_sum(list_transform(range(8), i ->
+           (p.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1])
+           * (p.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1]))) AS dj
+  FROM codes cd
+  JOIN assigned a ON a.n_id = cd.vec_id
+  JOIN probed p ON p.cell = a.cell
+  JOIN cb ON cb.code = cd.code
+  WHERE cd.vec_id <> p.q_id
+),
+adc AS (
+  SELECT q_id, n_id, list_sum(list(dj ORDER BY j)) AS adc
+  FROM pair_j GROUP BY q_id, n_id
+)
+SELECT q_id, n_id, rank, ROUND(adc, 4) AS adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc, n_id) AS rank
+      FROM adc)
+WHERE rank <= 10
+"""
+
+
 # ---- SemDeDup: semantic dedup for training corpora ---------------------
 
 def semdedup_embeddings(spark, sf_dir):
@@ -543,6 +645,7 @@ QUERIES = {
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),
+    "embedding_topk_ivfpq": (embedding_topk_ivfpq, EMBEDDING_TOPK_IVFPQ_SQL),
     "semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

@@ -163,3 +163,32 @@ def test_bm25_topk_hand_computed(spark):
     # the short doc outranks the long one at equal tf (length norm),
     # and tf=3 saturates above tf=1
     assert got[0][0] == 4 and got[1][0] == 1 and got[-1] == (3, 0.0)
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """r6: IVF-PQ with n_probe = n_cells degenerates to plain PQ ADC
+    (identical ranks and distances — the cell prune removes nothing);
+    with a real n_probe it returns a subset of the full ADC candidate
+    scores, never an invented distance."""
+    from edsnlp_spark.operators.similarity import ivf_pq_topk, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [[float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 8)
+                         .orderBy("vec_id").collect()]
+    cbs = [[s[j * 8:(j + 1) * 8] for s in seeds] for j in range(8)]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    full = {(r["q_id"], r["n_id"]): (r["rank"], r["adc_dist"])
+            for r in pq_adc_topk(emb, queries, cbs, k=10).collect()}
+    all_probe = {(r["q_id"], r["n_id"]): (r["rank"], r["adc_dist"])
+                 for r in ivf_pq_topk(emb, queries, seeds, cbs,
+                                      k=10, n_probe=8).collect()}
+    assert all_probe == full
+
+    pruned = ivf_pq_topk(emb, queries, seeds, cbs, k=10, n_probe=2).collect()
+    full_d = {(r["q_id"], r["n_id"]): r["adc_dist"]
+              for r in pq_adc_topk(emb, queries, cbs, k=6000).collect()}
+    for r in pruned:
+        assert full_d[(r["q_id"], r["n_id"])] == r["adc_dist"]

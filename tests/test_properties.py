@@ -593,3 +593,77 @@ def test_gopher_fold_matches_python_model(spark, toks):
     assert r.n_bigrams == tot
     assert abs(r.dup_bigram_frac - round(dup / tot, 4)) < 1e-9
     assert abs(r.top_bigram_frac - round(top / tot, 4)) < 1e-9
+
+
+# ---- r6: exact-substring dedup vs Python model --------------------------
+
+_DWORD = st.sampled_from(["a", "b", "c", "dd", "ee"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(_DWORD, min_size=0, max_size=12),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_duplicated_windows_fuzz(spark, docs_tokens, n):
+    """Random small-vocab corpora: duplicated_windows must agree with a
+    brute-force Python model (every n-token window counted corpus-wide,
+    positions reported for every window occurring >= 2 times)."""
+    from collections import Counter
+
+    from edsnlp_spark.operators.dedup import duplicated_windows
+
+    texts = [" ".join(toks) for toks in docs_tokens]
+    model_wins = []
+    for d, toks in enumerate(docs_tokens):
+        if texts[d] == "":
+            continue
+        for p in range(len(toks) - n + 1):
+            model_wins.append((d, p, " ".join(toks[p:p + n])))
+    counts = Counter(w for _, _, w in model_wins)
+    want = {(d, p): counts[w] for d, p, w in model_wins if counts[w] >= 2}
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["occurrences"]
+           for r in duplicated_windows(df, n=n).collect()}
+    assert got == want
+
+
+# ---- r6: BM25 vs Python model -------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["x", "y", "z", "w"]),
+                         min_size=1, max_size=8),
+                min_size=1, max_size=6))
+def test_bm25_fuzz(spark, docs_tokens):
+    """Random corpora: bm25_topk must reproduce a pure-Python BM25
+    (Lucene idf, k1=1.2 b=0.75) on every document, in (score desc, id)
+    order."""
+    import math
+
+    from edsnlp_spark.operators.retrieval import bm25_topk
+
+    terms = ["x", "y"]
+    texts = [" ".join(t) for t in docs_tokens]
+    n = float(len(texts))
+    sum_dl = float(sum(len(t) for t in docs_tokens))
+    df_t = {t: float(sum(1 for d in docs_tokens if t in d)) for t in terms}
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = float(d.count(t))
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * len(d) * n / sum_dl)))
+        return s
+
+    want = sorted(((i, score(d)) for i, d in enumerate(docs_tokens)),
+                  key=lambda x: (-x[1], x[0]))
+    want = [(i, round(s, 4)) for i, s in want]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk(df, terms, k=len(texts)).collect()]
+    assert got == want

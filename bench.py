@@ -64,10 +64,11 @@ HEADLINE = R1_SET + [
     # pack in one Catalyst plan)
     "corpus_curation",
     # round-6 additions: span-granular exact-substring dedup, BM25
-    # lexical retrieval, PQ-compressed ADC ANN
+    # lexical retrieval, PQ-compressed ADC ANN and the composed IVF-PQ
     "exact_substring_dedup",
     "bm25_search",
     "pq_adc_topk",
+    "embedding_topk_ivfpq",
 ]
 
 

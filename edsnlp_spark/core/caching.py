@@ -136,3 +136,44 @@ def release(scope: str | None = None) -> int:
 def tracked_scopes() -> dict[str, int]:
     """scope -> number of tracked planes (for tests/debugging)."""
     return {s: len(refs) for s, refs in _TRACKED.items()}
+
+
+def snapshot() -> dict[str, int]:
+    """Marker for :func:`release_since`: per-scope plane counts NOW."""
+    return {s: len(refs) for s, refs in _TRACKED.items()}
+
+
+def release_since(snap: dict[str, int]) -> int:
+    """Unpersist every plane registered AFTER ``snap`` (from
+    :func:`snapshot`), across all scopes; planes that existed at
+    snapshot time are untouched.
+
+    This is the bounded-lifetime primitive for long-running streaming
+    queries (ADVICE r6 #1): a ``foreachBatch`` body that builds fresh
+    engines each micro-batch registers fresh planes under fresh owners,
+    and ``scope_call``'s per-owner release never fires for them — so
+    the stream wrapper snapshots before the batch and releases the
+    delta after the batch output is WRITTEN (safe: micro-batches are
+    sequential, nothing lazy still references the batch's planes).
+    Returns the number of planes released."""
+    n = 0
+    for s in list(_TRACKED):
+        keep = snap.get(s, 0)
+        new, _TRACKED[s][keep:] = _TRACKED[s][keep:], []
+        if not _TRACKED[s]:
+            del _TRACKED[s]
+        for df in new:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+            for owned in _OWNED.values():
+                try:
+                    owned.remove(df)
+                except ValueError:
+                    pass
+    # drop empty owner buckets so long streams don't grow the dict
+    for key in [k for k, v in _OWNED.items() if not v]:
+        del _OWNED[key]
+    return n

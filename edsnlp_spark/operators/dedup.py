@@ -15,6 +15,8 @@ import logging
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..core.caching import scoped, tracked_persist
+
 _LOG = logging.getLogger(__name__)
 
 
@@ -374,6 +376,25 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
     driver materialization beyond the scalar).  Lineage is cut per
     round with an eager localCheckpoint like the label variant.
     """
+    # Star contraction orders ids with </> — only meaningful for
+    # integral ids.  A silent cast("long") would turn string/hash ids
+    # into NULLs that the u != v filter then DROPS, returning
+    # empty/partial components (ADVICE r6 #2) — unlike
+    # connected_components, which accepts arbitrary id types.  Fail
+    # loudly instead so the documented label->star migration can't
+    # silently corrupt results; map non-integral ids to dense longs
+    # (e.g. xxhash64 or a zipWithIndex dictionary) before calling.
+    integral = ("byte", "short", "int", "bigint", "long", "integer",
+                "smallint", "tinyint")
+    types = dict(pairs.dtypes)
+    for c in (id_a, id_b):
+        if types.get(c) not in integral:
+            raise TypeError(
+                f"connected_components_star requires integral id "
+                f"columns; {c!r} is {types.get(c)!r}. Use "
+                f"connected_components (any id type) or map ids to "
+                f"longs first."
+            )
     # parent edges oriented large -> small; self-loops dropped
     u, v = F.col(id_a).cast("long"), F.col(id_b).cast("long")
     edges = (
@@ -457,9 +478,11 @@ def dedup_resolve(docs: DataFrame, pairs: DataFrame,
     )
 
 
+@scoped("dedup")
 def duplicated_windows(docs: DataFrame, n: int = 13,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       max_df: int | None = None) -> DataFrame:
     """Exact-substring duplication detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
     n-TOKEN window whose text occurs more than once corpus-wide ->
@@ -469,34 +492,74 @@ def duplicated_windows(docs: DataFrame, n: int = 13,
     quoted passages, licence blocks); this is the span-granular tier
     that catches them.  The reference paper builds a suffix array; the
     distributed-friendly equivalent is one pass emitting (window-hash,
-    doc, pos) integer rows and one shuffle counting occurrences per
-    hash (a window-function count, no join-back).
+    doc, pos) integer rows plus one occurrence count per hash.
+
+    Scale shape (VERDICT r6 #2): the count is ``groupBy("h").count()``
+    + join-back, NOT a ``Window.partitionBy("h")`` count.  A window
+    count lands EVERY occurrence of one hot hash (exactly the
+    million-fold boilerplate spans this operator exists to find) on a
+    single task — a straggler/OOM at corpus scale — while groupBy
+    benefits from partial map-side aggregation (each task contributes
+    at most one row per hash) and the join-back is AQE-skew-splittable.
+    ``max_df`` optionally drops hashes with more than max_df
+    occurrences from the OUTPUT (ultra-hot boilerplate is better
+    handled by a dedicated pass over the tiny ``h``-level count table
+    than by materializing one row per occurrence); the count itself is
+    skew-immune either way.
 
     Windows are extracted with the single-pass lookahead regexp (the
     shingling pattern measured 4.6x faster than HOF loops, CLAUDE.md
     r2) and grouped by a 60-bit md5 prefix — identical hashing in the
-    DuckDB oracle, so even a collision reproduces.  Shuffle rows =
-    corpus token count x ~16 bytes; a boilerplate window hot key is
-    bounded by its own duplicate count (the thing being measured) —
-    cap with a df filter like ngram_jaccard's max_df if a corpus has
-    million-fold repeated spans.
+    DuckDB oracle, so even a collision reproduces.
+
+    Tokenization model: SINGLE-space-separated tokens (the corpus
+    convention shared by every textops oracle).  ``pos`` is the match
+    index of the consuming pass, which equals the token offset only
+    under that model — leading/doubled spaces would silently desync it
+    (ADVICE r6 #4), so the single-space assumption is ENFORCED with a
+    per-row ``assert_true`` (one rlike, JVM-side, fused into the same
+    projection).  ``n >= 2`` is required: the consuming pattern is
+    "token + separator", so n=1 would silently miss the final token's
+    window.
     """
+    if n < 2:
+        raise ValueError(
+            f"duplicated_windows requires n >= 2 (got n={n}): the "
+            "consuming pass eats 'token + space', so the final token "
+            "never starts a match and n=1 windows would be undercounted."
+        )
     tok = r"[^ ]+"
     rx = "(?=(" + tok + (r" " + tok) * (n - 1) + r"))" + tok + " "
+    # The guard lives IN the data path (a when/otherwise feeding the
+    # extraction) — a separate assert column would be pruned away by
+    # Catalyst the moment it is dropped from the projection.
+    guarded = F.when(
+        ~F.col(text_col).rlike("^ |  | $"), F.col(text_col)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("duplicated_windows: text is not single-space tokenized "
+              f"(pos would desync) for {id_col}="),
+        F.col(id_col).cast("string"))))
     wins = docs.select(
         F.col(id_col),
         F.posexplode(F.regexp_extract_all(
-            F.col(text_col), F.lit(rx), F.lit(1))).alias("pos", "win"),
+            guarded, F.lit(rx), F.lit(1))).alias("pos", "win"),
     ).select(
         id_col, "pos",
         F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
         .cast("long").alias("h"),
     )
-    from pyspark.sql import Window
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    # wins feeds BOTH the count and the join-back; unpersisted, the
+    # text scan + lookahead regexp would run twice.  The plane is three
+    # ints per token (far smaller than the text it derives from);
+    # tracked under the 'dedup' scope like the other candidate planes.
+    wins = tracked_persist(wins, "dedup")
+    counts = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occurrences"))
+    counts = counts.filter(F.col("occurrences") >= 2)
+    if max_df is not None:
+        counts = counts.filter(F.col("occurrences") <= max_df)
     return (
-        wins.withColumn("occurrences", cnt)
-        .filter(F.col("occurrences") >= 2)
+        wins.join(counts, "h")
         .select(F.col(id_col), F.col("pos").cast("bigint"),
                 F.col("occurrences").cast("bigint"))
     )

@@ -27,7 +27,11 @@ from ..core.caching import scoped, tracked_persist
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.lower(text), r"\s+")
+    # literal single-space split — the corpus tokenization model shared
+    # by every textops oracle (ADVICE r6 #3: a \s+ split diverges from
+    # the DuckDB oracle's string_split(text, ' ') on runs of
+    # whitespace/tabs/newlines, changing dl and token boundaries).
+    return F.split(F.lower(text), " ", -1)
 
 
 @scoped("retrieval")
@@ -46,6 +50,8 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     numeric columns.  Tracked under the 'retrieval' scope; repeated
     calls release the previous call's plane.
     """
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
     toks = _tokens(F.col(text_col))
     tf_cols = [
         F.size(F.filter(toks, _eq(t))).cast("double").alias(f"tf{i}")

@@ -19,6 +19,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..core import caching
 from ..schemas import NOTES_SCHEMA
 
 
@@ -43,8 +44,19 @@ def annotate_stream(stream_df: DataFrame,
     """
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        out = batch_fn(batch)
-        out.write.mode("append").parquet(out_path)
+        # Bounded cache lifetime for long-running streams (ADVICE r6):
+        # a batch_fn that builds fresh engines per micro-batch (e.g. the
+        # negation chain's QualifierEngine) registers fresh persisted
+        # planes under a fresh owner every batch, and nothing would ever
+        # release them.  Snapshot before / release the delta after the
+        # batch output is written — micro-batches run sequentially, so
+        # no still-lazy plan references the batch's planes by then.
+        snap = caching.snapshot()
+        try:
+            out = batch_fn(batch)
+            out.write.mode("append").parquet(out_path)
+        finally:
+            caching.release_since(snap)
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)

@@ -780,6 +780,26 @@ def test_connected_components_star_differential(spark):
     assert stats["converged"] and stats["iterations"] <= 10
 
 
+def test_connected_components_star_rejects_non_integral_ids(spark):
+    """r7 (ADVICE r6 #2): string/hash ids would be silently cast to
+    NULL, dropped by the u != v filter, and return empty/partial
+    components — the star variant must raise instead, so the documented
+    label->star migration cannot silently corrupt results."""
+    import pytest
+
+    from edsnlp_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components_star(spairs)
+    # the label variant still accepts arbitrary id types
+    comps = {r["id"]: r["comp"]
+             for r in connected_components(spairs).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_multimodal_resize_and_frame_sample(spark):
     """Resize keeps the (doc_id, blob, meta) contract with target dims;
     frame_sample fans one video row out to duration/step frame rows
@@ -1140,6 +1160,60 @@ def test_duplicated_windows_planted_span(spark):
     got = {(r["doc_id"], r["pos"]): r["occurrences"]
            for r in duplicated_windows(docs, n=5).collect()}
     assert got == {(1, 2): 2, (2, 0): 2}
+
+
+def test_duplicated_windows_guards(spark):
+    """r7 (ADVICE r6 #4): n=1 raises (the consuming pass would miss the
+    final token's window); leading/doubled-space text fails LOUDLY
+    instead of silently desyncing pos; max_df drops ultra-hot hashes
+    from the output while ordinary duplicates survive."""
+    import pytest
+
+    from edsnlp_spark.operators.dedup import duplicated_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n >= 2"):
+        duplicated_windows(docs, n=1)
+
+    bad = spark.createDataFrame(
+        [(1, "a  b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(Exception, match="single-space"):
+        duplicated_windows(bad, n=2).collect()
+    lead = spark.createDataFrame(
+        [(1, " a b c"), (2, "a b c")], "doc_id long, text string")
+    with pytest.raises(Exception, match="single-space"):
+        duplicated_windows(lead, n=2).collect()
+
+    # hot span in 4 docs, moderate span in 2 — max_df=3 keeps only the
+    # moderate one
+    hot, mod = "h1 h2 h3", "m1 m2 m3"
+    rows = [(i, hot + f" u{i}") for i in range(4)]
+    rows += [(10, mod + " v1"), (11, mod + " v2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["occurrences"]
+           for r in duplicated_windows(df, n=3, max_df=3).collect()}
+    assert got == {(10, 0): 2, (11, 0): 2}
+
+
+def test_duplicated_windows_skew_immune_plan(spark):
+    """r7 (VERDICT r6 #2): the occurrence count must be a groupBy
+    (partial map-side aggregation — a planted million-fold boilerplate
+    hash contributes ONE row per task to the shuffle), never a
+    Window.partitionBy('h') count that lands every occurrence of the
+    hot hash on a single task."""
+    from edsnlp_spark.operators.dedup import duplicated_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    out = duplicated_windows(docs, n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial-then-final hash aggregate over h
+    assert "partial_count" in plan or "HashAggregate" in plan
+    out.count()
+    from edsnlp_spark.core import caching
+    caching.release("dedup")
 
 
 def test_bigram_logppl_hand_computed(spark, tmp_path):

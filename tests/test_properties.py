@@ -667,3 +667,42 @@ def test_bm25_fuzz(spark, docs_tokens):
     got = [(r["doc_id"], r["score"])
            for r in bm25_topk(df, terms, k=len(texts)).collect()]
     assert got == want
+
+
+def test_bm25_whitespace_and_empty_terms(spark):
+    """r7 (ADVICE r6 #3): tokenization is a literal single-space split
+    (the oracle/corpus model) — runs of spaces, tabs and newlines must
+    produce the SAME dl/tf as Python's text.split(' '); an empty term
+    list raises instead of crashing on score=None."""
+    import math
+
+    import pytest
+
+    from edsnlp_spark.operators.retrieval import bm25_topk
+
+    texts = ["x  y\tz x", "x y\nx", "y y "]
+    toks = [t.lower().split(" ") for t in texts]
+    terms = ["x", "y"]
+    n = float(len(texts))
+    sum_dl = float(sum(len(d) for d in toks))
+    df_t = {t: float(sum(1 for d in toks if t in d)) for t in terms}
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = float(d.count(t))
+            idf = math.log(1.0 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+            s += idf * (tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * len(d) * n / sum_dl)))
+        return s
+
+    want = sorted(((i, round(score(d), 4)) for i, d in enumerate(toks)),
+                  key=lambda x: (-x[1], x[0]))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r["doc_id"], r["score"])
+           for r in bm25_topk(df, terms, k=3).collect()]
+    assert got == want
+
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, [], k=3)

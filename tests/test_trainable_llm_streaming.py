@@ -191,6 +191,44 @@ def test_streaming_negation_chain_restart(spark, tmp_path):
     assert by_key[(100, "spark")] is False    # no cue
 
 
+def test_streaming_cache_stays_bounded(spark, tmp_path):
+    """r7 (ADVICE r6 #1): a batch_fn that builds a FRESH QualifierEngine
+    per micro-batch registers fresh persisted planes under a fresh
+    owner each time; scope_call's per-owner release never fires for
+    them.  annotate_stream must release the per-batch delta after each
+    write, so a long-running stream holds a bounded number of tracked
+    planes — after N micro-batches the registry is back to its
+    pre-stream state."""
+    from edsnlp_spark.core import caching
+    from edsnlp_spark.core.base import Pipeline
+    from edsnlp_spark.operators.sentences import SentenceSegmenter
+    from edsnlp_spark.queries.textops import negation_chain
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(3):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(2):
+                f.write(json.dumps({
+                    "note_id": 10 * b + i, "person_id": 1,
+                    "note_text": "slow spark then filter merge table",
+                    "note_datetime": None}) + "\n")
+
+    def batch_fn(batch):
+        prepared = Pipeline([Tokenizer(mode="pretokenized"),
+                             SentenceSegmenter()])(batch)
+        return negation_chain(prepared)
+
+    before = caching.snapshot()
+    q = annotate_stream(
+        stream_notes_json(spark, str(src), max_files_per_trigger=1),
+        batch_fn, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert caching.snapshot() == before
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 6 * 3  # 3 targets x 2 notes x 3 batches
+
+
 def test_shared_embedding_forward_runs_once(spark):
     """Shared-embedding cache analog (torch_component.py:191-208): two
     heads consume ONE materialized forward pass — the accumulator

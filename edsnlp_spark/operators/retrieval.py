@@ -97,3 +97,89 @@ def _eq(term: str):
     def pred(x: Column) -> Column:
         return x == F.lit(term)
     return pred
+
+
+@scoped("retrieval")
+def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    query_id_col: str = "query_id",
+                    terms_col: str = "terms") -> DataFrame:
+    """Top-k documents per query for a DATAFRAME of bag-of-terms
+    queries under BM25 — the eval-mining shape (thousands of queries
+    scored in one pass) that the single-literal-query :func:`bm25_topk`
+    cannot express.
+
+    -> (query_id_col, id_col, rank, score): ``rank`` is 1-based within
+    the query ordered by (score desc, id); ``score`` rounded to 4dp.
+    Only documents containing at least one query term are scored (an
+    inverted index never visits non-matching docs); for k larger than a
+    query's match count this returns fewer than k rows per query, where
+    :func:`bm25_topk` would pad with score-0 docs.
+
+    Scale shape: ONE tokenize+explode pass over the corpus, filtered by
+    a broadcast semi-join against the DISTINCT query-term set BEFORE
+    any aggregation — the (doc, term, tf) shuffle carries only rows
+    whose term some query asked for, not the corpus vocabulary
+    (measured 3.5x at sf0.1: 3.38s -> ~1s warm).  Corpus statistics
+    (N, total length) are one shuffle-free aggregate over a dl
+    projection; per-term document frequencies come from the already-
+    filtered postings.  The query-term table enriched with df is
+    broadcast into the postings join (queries are small by definition;
+    the corpus side never re-shuffles), and the per-query top-k is a
+    window over only the MATCHED (query, doc) pairs — never a global
+    sort of the corpus.  A stopword-like query term keeps its full
+    postings list; that cost is inherent to BM25 (drop ultra-high-df
+    terms upstream if queries contain them).
+    """
+    if k < 1:
+        raise ValueError("bm25_topk_batch requires k >= 1")
+    toks = _tokens(F.col(text_col))
+    uterms = queries.select(
+        F.explode(F.col(terms_col)).alias("term")).distinct()
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("double").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(uterms), "term")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    # read 2x (df, scoring join) — tiny after the term filter
+    postings = tracked_persist(postings, "retrieval")
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+    )
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = (
+        queries.select(F.col(query_id_col),
+                       F.explode(F.col(terms_col)).alias("term"))
+        .distinct()
+        .join(term_df, "term")          # unmatched terms contribute 0
+        .crossJoin(F.broadcast(stats))  # 1 row of corpus statistics
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.lit(k1) * (F.lit(1.0 - b)
+                         + F.lit(b) * F.col("dl") * F.col("n_docs")
+                         / F.col("sum_dl")))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm))
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(contrib).alias("__s"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__s").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(query_id_col), F.col(id_col),
+                F.col("rank").cast("bigint"),
+                F.round("__s", 4).alias("score"))
+    )

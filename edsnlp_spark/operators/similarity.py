@@ -390,6 +390,18 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
         )
     shortlist = ranked.filter(F.col("rank") <= max(rerank, k)) \
         .select("q_id", "n_id")
+    return _exact_rerank(emb, qs, shortlist, k,
+                         id_col=id_col, vec_col=vec_col)
+
+
+def _exact_rerank(emb: DataFrame, qs: DataFrame, shortlist: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """Second stage shared by :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk` (Jegou et al. 2011 §V, "with reranking"): fetch
+    RAW vectors for only the shortlisted (q_id, n_id) pairs — an
+    equi-join sized Q x R, the corpus-wide scan stays codes-only — and
+    return the exact-L2 top-k of the shortlist.  ``qs`` must be
+    (q_id, qv) with qv already cast to array<double>."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     raw = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
     exact = (
@@ -410,6 +422,7 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
                 centroids: list[list[float]],
                 codebooks: list[list[list[float]]],
                 k: int = 10, n_probe: int = 2,
+                rerank: int | None = None,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """The classic IVF-PQ (IVFADC) layout (Jegou et al. 2011 §V): one
@@ -423,6 +436,14 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
     the index scan never touches raw vectors.  Both index structures
     are offline metadata literals, so the full pipeline has one
     broadcast join (probed cells x corpus cells) and one top-k window.
+
+    ``rerank=R`` adds the production second stage (IVFADC "with
+    reranking", r7): exact-L2 re-rank of the per-query top-R ADC
+    shortlist — raw vectors are fetched ONLY for the Q x R shortlist
+    pairs, the probed-cell scan stays codes-only.  This recovers the
+    recall that 8-bit quantization loses on near-uniform embeddings
+    (measured: raw ADC ~0.2 recall@10 on the unit-sphere test data,
+    with rerank >= 0.5 — see test_ivf.py).
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     centers = [list(map(float, c)) for c in centroids]
@@ -461,12 +482,17 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
                 .alias("adc"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", F.col("rank").cast("bigint"),
-                F.round("adc", 4).alias("adc_dist"))
-    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return (
+            ranked.filter(F.col("rank") <= k)
+            .select("q_id", "n_id", F.col("rank").cast("bigint"),
+                    F.round("adc", 4).alias("adc_dist"))
+        )
+    shortlist = ranked.filter(F.col("rank") <= max(rerank, k)) \
+        .select("q_id", "n_id")
+    return _exact_rerank(emb, qs, shortlist, k,
+                         id_col=id_col, vec_col=vec_col)
 
 
 def pq_train_codebooks(emb: DataFrame, m: int = 8, k: int = 8,

@@ -1487,6 +1487,38 @@ FROM assigned GROUP BY lang, split
 
 # ---- end-to-end corpus curation (composed pipeline) --------------------
 
+def curation_quality_gate(docs):
+    """Per-row curation stage 1 (pure projection + filter — streams
+    unchanged): Gopher-ish quality gate, length + lexical diversity.
+    Factored out of :func:`corpus_curation` so the EXACT same stage
+    runs in the streaming curation pipeline
+    (streaming/pipeline_stream.py curation_stream, VERDICT r6 #7)."""
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id", "text", F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("__dr"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    ).filter((F.col("n_tokens") >= 30) & (F.col("__dr") >= 0.3)) \
+     .drop("__dr")
+
+
+def curation_finalize(kept):
+    """Per-row curation stage 3 (pure projection — streams unchanged):
+    deterministic split assignment + PII redaction.  Shared by
+    :func:`corpus_curation` (batch) and curation_stream (streaming);
+    the dedup stage BETWEEN gate and finalize is the only part whose
+    mechanism differs (batch: min-doc_id per content hash; streaming:
+    first-arrival dropDuplicatesWithinWatermark)."""
+    from ..operators.pii import PIIScrubber
+    u = _knuth32(F.col("doc_id"))
+    split = (
+        F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
+        .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
+        .otherwise(F.lit("test")))
+    return PIIScrubber(text_col="text").transform(
+        kept.select("doc_id", "text", "n_tokens", split.alias("split")))
+
+
 def corpus_curation(spark, sf_dir):
     """A full FineWeb-style curation pass as ONE composed DataFrame
     plan: Gopher-ish quality gate (length + lexical diversity) -> exact
@@ -1495,25 +1527,14 @@ def corpus_curation(spark, sf_dir):
     train split.  Every stage is one of this repo's operators; Catalyst
     sees the whole chain and prunes/pushes across stage boundaries —
     the composability argument for an engine living inside Spark."""
-    from ..operators.pii import PIIScrubber
     from ..operators.packing import pack_documents
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    kept = d.select(
-        "doc_id", "text", F.size(toks).alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("__dr"),
-    ).filter((F.col("n_tokens") >= 30) & (F.col("__dr") >= 0.3))
+    kept = curation_quality_gate(d.select("doc_id", "text"))
     # exact dedup: survive iff smallest doc_id for this content hash
     first = kept.groupBy(F.md5("text").alias("__fp")).agg(
         F.min("doc_id").alias("doc_id"))
     kept = kept.join(first, "doc_id")
-    u = _knuth32(F.col("doc_id"))
-    split = (
-        F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
-        .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
-        .otherwise(F.lit("test")))
-    scrubbed = PIIScrubber(text_col="text").transform(
-        kept.select("doc_id", "text", "n_tokens", split.alias("split")))
+    scrubbed = curation_finalize(kept)
     train = scrubbed.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("note_id"),
         F.col("text_redacted").alias("note_text"),
@@ -2062,9 +2083,66 @@ LIMIT 10
 """
 
 
+# ---- BM25 batch retrieval (queries as a DataFrame) ---------------------
+
+def bm25_search_batch(spark, sf_dir):
+    """BM25 top-5 per query for a DATAFRAME of queries — the
+    eval-mining shape (thousands of queries in one pass).  One
+    tokenize+explode pass builds the postings plane; the df-enriched
+    query-term table is broadcast into the postings join; per-query
+    top-k is a window over matched (query, doc) pairs only."""
+    from ..operators.retrieval import bm25_topk_batch
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, ["spark", "hash"]), (1, ["filter", "merge", "vector"]),
+         (2, ["window", "stream"])],
+        "query_id long, terms array<string>")
+    return bm25_topk_batch(d, q, k=5)
+
+
+BM25_SEARCH_BATCH_SQL = """
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'hash'),
+         (1, 'filter'), (1, 'merge'), (1, 'vector'),
+         (2, 'window'), (2, 'stream')
+),
+tokd AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+    FROM tokd)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM p GROUP BY doc_id)
+),
+tdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM p GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))) AS s
+  FROM q JOIN tdf USING (term) JOIN p USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+),
+r AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank, s
+  FROM scored
+)
+SELECT query_id, doc_id, rank::BIGINT AS rank, ROUND(s, 4) AS score
+FROM r WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
+    "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),

@@ -46,6 +46,10 @@ ALLOWED = {
         "phrase-matcher pattern terms (pipeline config)",
     ("operators/retrieval.py", "F.broadcast(stats)"):
         "1-row corpus-statistics aggregate (BM25 N/avgdl/df)",
+    ("operators/retrieval.py", "F.broadcast(uterms)"):
+        "distinct query terms (batch-BM25 contract: queries << corpus)",
+    ("operators/retrieval.py", "F.broadcast(qterms)"):
+        "query terms x df+stats (bounded by the query set, not corpus)",
     ("operators/scores.py", "F.broadcast(adicap_dim)"):
         "ADICAP dimension dictionary (checked-in resource)",
     ("operators/terminology.py", "F.broadcast(terms)"):

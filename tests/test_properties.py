@@ -706,3 +706,28 @@ def test_bm25_whitespace_and_empty_terms(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         bm25_topk(df, [], k=3)
+
+
+def test_bm25_batch_matches_single_query_path(spark):
+    """r7 (VERDICT r6 #5): bm25_topk_batch (inverted-index, queries as
+    a DataFrame) must rank exactly like the single-literal-query
+    bm25_topk for each of 3+ queries on a corpus where every doc
+    matches (so the single path's score-0 padding can't differ)."""
+    from edsnlp_spark.operators.retrieval import bm25_topk, bm25_topk_batch
+
+    texts = ["x y z x", "x x w", "y z z", "w y x", "z w w y"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    queries = [(0, ["x", "y"]), (1, ["z"]), (2, ["w", "x", "z"])]
+    qdf = spark.createDataFrame(queries,
+                                "query_id long, terms array<string>")
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in bm25_topk_batch(docs, qdf, k=len(texts)).collect()}
+    for qid, terms in queries:
+        single = bm25_topk(docs, terms, k=len(texts)).collect()
+        for rank, r in enumerate(single, start=1):
+            if r["score"] > 0:
+                assert got[(qid, rank)] == (r["doc_id"], r["score"]), \
+                    (qid, rank)
+    # batch scores only matching docs: query 1 ('z') misses doc 1
+    assert (1, len(texts)) not in got

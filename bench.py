@@ -70,10 +70,11 @@ HEADLINE = R1_SET + [
     "pq_adc_topk",
     "embedding_topk_ivfpq",
     # round-7 additions: the bigram-LM perplexity filter (driver-green
-    # since r6 but unbenched — VERDICT r6 #4) and batch BM25 (inverted
-    # index, queries as a DataFrame)
+    # since r6 but unbenched — VERDICT r6 #4), batch BM25 (inverted
+    # index, queries as a DataFrame), and exact-substring span removal
     "bigram_logppl",
     "bm25_search_batch",
+    "strip_duplicated_spans",
 ]
 
 

@@ -478,6 +478,43 @@ def dedup_resolve(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def _window_hash_rows(docs: DataFrame, n: int, id_col: str,
+                      text_col: str) -> DataFrame:
+    """Shared extraction for the exact-substring tier
+    (:func:`duplicated_windows` / :func:`strip_duplicated_spans`):
+    (id_col, pos, h) — one 60-bit md5 prefix per n-token window, pos =
+    0-based token offset, via the single-pass lookahead regexp.
+
+    Raises ValueError for n < 2 (the consuming pattern is
+    "token + separator", so n=1 would silently miss the final token's
+    window); non-single-space text fails LOUDLY at execution time (the
+    guard feeds the extraction so Catalyst cannot prune it) because pos
+    would silently desync otherwise (ADVICE r6 #4)."""
+    if n < 2:
+        raise ValueError(
+            f"exact-substring windows require n >= 2 (got n={n}): the "
+            "consuming pass eats 'token + space', so the final token "
+            "never starts a match and n=1 windows would be undercounted."
+        )
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + (r" " + tok) * (n - 1) + r"))" + tok + " "
+    guarded = F.when(
+        ~F.col(text_col).rlike("^ |  | $"), F.col(text_col)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("exact-substring windows: text is not single-space "
+              f"tokenized (pos would desync) for {id_col}="),
+        F.col(id_col).cast("string"))))
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            guarded, F.lit(rx), F.lit(1))).alias("pos", "win"),
+    ).select(
+        id_col, "pos",
+        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
+        .cast("long").alias("h"),
+    )
+
+
 @scoped("dedup")
 def duplicated_windows(docs: DataFrame, n: int = 13,
                        id_col: str = "doc_id",
@@ -522,37 +559,12 @@ def duplicated_windows(docs: DataFrame, n: int = 13,
     "token + separator", so n=1 would silently miss the final token's
     window.
     """
-    if n < 2:
-        raise ValueError(
-            f"duplicated_windows requires n >= 2 (got n={n}): the "
-            "consuming pass eats 'token + space', so the final token "
-            "never starts a match and n=1 windows would be undercounted."
-        )
-    tok = r"[^ ]+"
-    rx = "(?=(" + tok + (r" " + tok) * (n - 1) + r"))" + tok + " "
-    # The guard lives IN the data path (a when/otherwise feeding the
-    # extraction) — a separate assert column would be pruned away by
-    # Catalyst the moment it is dropped from the projection.
-    guarded = F.when(
-        ~F.col(text_col).rlike("^ |  | $"), F.col(text_col)
-    ).otherwise(F.raise_error(F.concat(
-        F.lit("duplicated_windows: text is not single-space tokenized "
-              f"(pos would desync) for {id_col}="),
-        F.col(id_col).cast("string"))))
-    wins = docs.select(
-        F.col(id_col),
-        F.posexplode(F.regexp_extract_all(
-            guarded, F.lit(rx), F.lit(1))).alias("pos", "win"),
-    ).select(
-        id_col, "pos",
-        F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
-        .cast("long").alias("h"),
-    )
     # wins feeds BOTH the count and the join-back; unpersisted, the
     # text scan + lookahead regexp would run twice.  The plane is three
     # ints per token (far smaller than the text it derives from);
     # tracked under the 'dedup' scope like the other candidate planes.
-    wins = tracked_persist(wins, "dedup")
+    wins = tracked_persist(
+        _window_hash_rows(docs, n, id_col, text_col), "dedup")
     counts = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("occurrences"))
     counts = counts.filter(F.col("occurrences") >= 2)
@@ -562,4 +574,68 @@ def duplicated_windows(docs: DataFrame, n: int = 13,
         wins.join(counts, "h")
         .select(F.col(id_col), F.col("pos").cast("bigint"),
                 F.col("occurrences").cast("bigint"))
+    )
+
+
+@scoped("dedup")
+def strip_duplicated_spans(docs: DataFrame, n: int = 13,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022 §3:
+    they delete all-but-one occurrence of every duplicated span):
+    every n-token window occurring >= 2 times corpus-wide keeps its
+    FIRST occurrence (min (doc, pos) lexicographically) and every other
+    occurrence's token range is cut from its document.  Overlapping cut
+    ranges merge naturally (union of covered token indices).
+    -> (id_col, text_clean, n_removed) for EVERY input doc; untouched
+    docs pass through with their original text and n_removed = 0.
+
+    Scale shape: occurrence counting + keeper election is ONE
+    groupBy("h") (partial map-side agg, skew-immune — same shape as
+    :func:`duplicated_windows`); covered indices explode only the
+    REMOVED windows (n rows each, bounded by corpus token count); the
+    per-doc covered set is a collect_set bounded by document length;
+    and reconstruction is an IN-ROW array filter on a left join —
+    documents with nothing to cut take the null branch and are never
+    re-tokenized.  Note the keeper's own span can be partially cut when
+    it overlaps another removed occurrence (e.g. a self-repeating
+    doc) — inherent to span-union semantics and matched by the oracle.
+    """
+    wins = tracked_persist(
+        _window_hash_rows(docs, n, id_col, text_col), "dedup")
+    keep = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(id_col, "pos")).alias("keeper"),
+    ).filter(F.col("cnt") >= 2)
+    removed = (
+        wins.join(keep, "h")
+        .filter(~((F.col(id_col) == F.col(f"keeper.{id_col}"))
+                  & (F.col("pos") == F.col("keeper.pos"))))
+        .select(id_col, "pos")
+    )
+    cov = (
+        removed.select(
+            F.col(id_col),
+            F.explode(F.sequence(
+                F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("idx"))
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("cov"))
+    )
+    toks = F.split(F.col(text_col), " ", -1)
+
+    def _kept(t, i):
+        # two-arg HOF lambda receives (element, index) — the index is
+        # exactly the token offset under single-space tokenization
+        return ~F.array_contains(F.col("cov"), i)
+
+    return (
+        docs.join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("cov").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(" ", F.filter(toks, _kept)))
+            .alias("text_clean"),
+            F.when(F.col("cov").isNull(), F.lit(0))
+            .otherwise(F.size("cov")).cast("bigint").alias("n_removed"),
+        )
     )

@@ -2037,6 +2037,71 @@ FROM c WHERE occurrences >= 2
 """
 
 
+# ---- Exact-substring REMOVAL (Lee et al. 2022 §3) ----------------------
+
+def strip_duplicated_spans_q(spark, sf_dir):
+    """The removal half of exact-substring dedup: every duplicated
+    13-token window keeps its first occurrence (min (doc, pos)) and all
+    other occurrences' token ranges are cut; overlapping cuts merge.
+    Counting + keeper election is ONE skew-immune groupBy(hash);
+    reconstruction is an in-row array filter on a left join — untouched
+    docs never re-tokenize."""
+    from ..operators.dedup import strip_duplicated_spans
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicated_spans(d, n=13)
+
+
+STRIP_DUPLICATED_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 12, 0))) AS pos,
+         unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hv
+  FROM w
+),
+r AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY hv) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY hv
+                            ORDER BY doc_id, pos) AS rn
+  FROM h
+),
+rem AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT doc_id, unnest(range(pos, pos + 13)) AS idx FROM rem)
+),
+tokrows AS (
+  SELECT doc_id, unnest(range(len(toks))) AS idx, unnest(toks) AS tokv
+  FROM t
+),
+kept AS (
+  SELECT k.doc_id, k.idx, k.tokv
+  FROM tokrows k ANTI JOIN cov c
+    ON k.doc_id = c.doc_id AND k.idx = c.idx
+),
+agg AS (
+  SELECT doc_id, string_agg(tokv, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+nrem AS (SELECT doc_id, COUNT(*)::BIGINT AS n_removed FROM cov
+         GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN n.n_removed IS NULL THEN t.text
+            ELSE COALESCE(a.text_clean, '') END AS text_clean,
+       COALESCE(n.n_removed, 0) AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN nrem n USING (doc_id)
+"""
+
+
 # ---- BM25 keyword retrieval --------------------------------------------
 
 def bm25_search(spark, sf_dir):
@@ -2144,6 +2209,8 @@ QUERIES = {
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
+    "strip_duplicated_spans": (strip_duplicated_spans_q,
+                               STRIP_DUPLICATED_SPANS_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),

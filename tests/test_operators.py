@@ -1196,6 +1196,32 @@ def test_duplicated_windows_guards(spark):
     assert got == {(10, 0): 2, (11, 0): 2}
 
 
+def test_strip_duplicated_spans_semantics(spark):
+    """r7 (Lee et al. 2022 §3, the removal half): the first occurrence
+    (min (doc, pos)) of a duplicated window survives, every other
+    occurrence's token range is cut, overlapping cuts merge, untouched
+    docs pass through verbatim, and a self-repeating doc collapses to
+    its first window remnant."""
+    from edsnlp_spark.operators.dedup import strip_duplicated_spans
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "x1 y1 " + span + " z1"),    # keeper at (1, 2)
+        (2, span + " q2 r2 s2"),         # removed at pos 0..4
+        (3, "all unique tokens here nothing repeated"),
+        (4, "a a a a a a"),              # n=5: windows at 0 and 1 equal
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in strip_duplicated_spans(docs, n=5).collect()}
+    assert got == {
+        1: ("x1 y1 " + span + " z1", 0),
+        2: ("q2 r2 s2", 5),
+        3: ("all unique tokens here nothing repeated", 0),
+        4: ("a", 5),   # covered idx 1..5 (window at pos 1)
+    }
+
+
 def test_duplicated_windows_skew_immune_plan(spark):
     """r7 (VERDICT r6 #2): the occurrence count must be a groupBy
     (partial map-side aggregation — a planted million-fold boilerplate

@@ -629,6 +629,45 @@ def test_duplicated_windows_fuzz(spark, docs_tokens, n):
     assert got == want
 
 
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(_DWORD, min_size=0, max_size=12),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=4))
+def test_strip_duplicated_spans_fuzz(spark, docs_tokens, n):
+    """r7: strip_duplicated_spans must agree with a brute-force Python
+    model — group all n-token windows by text, keep the (doc, pos)-min
+    occurrence per duplicated group, union the other occurrences'
+    [pos, pos+n) ranges per doc, drop covered tokens."""
+    from collections import defaultdict
+
+    from edsnlp_spark.operators.dedup import strip_duplicated_spans
+
+    texts = [" ".join(toks) for toks in docs_tokens]
+    occ = defaultdict(list)
+    for d, toks in enumerate(docs_tokens):
+        if texts[d] == "":
+            continue
+        for p in range(len(toks) - n + 1):
+            occ[" ".join(toks[p:p + n])].append((d, p))
+    covered = defaultdict(set)
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for d, p in sorted(places)[1:]:
+            covered[d].update(range(p, p + n))
+    want = {}
+    for d, toks in enumerate(docs_tokens):
+        kept = [t for i, t in enumerate(toks) if i not in covered[d]]
+        want[d] = (" ".join(kept) if covered[d] else texts[d],
+                   len(covered[d]))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"])
+           for r in strip_duplicated_spans(df, n=n).collect()}
+    assert got == want
+
+
 # ---- r6: BM25 vs Python model -------------------------------------------
 
 @settings(max_examples=15, deadline=None)

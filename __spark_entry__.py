@@ -50,7 +50,7 @@ _ROTATE_INTO_WINDOW = frozenset({
     "source_mixture_sample", "split_assignment", "tnm_mentions",
     "umls_scale_match", "unigram_logppl", "url_domain_filtering",
     # NEW in r7 — new queries stay in the checked window
-    "bm25_search_batch", "strip_duplicated_spans",
+    "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
 })
 
 

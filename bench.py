@@ -75,6 +75,7 @@ HEADLINE = R1_SET + [
     "bigram_logppl",
     "bm25_search_batch",
     "strip_duplicated_spans",
+    "dsir_selection",
 ]
 
 

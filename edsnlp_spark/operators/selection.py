@@ -1,0 +1,143 @@
+"""Data selection via importance resampling (DSIR; Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+The published recipe for picking pretraining data that LOOKS LIKE a
+target distribution: fit two bag-of-hashed-ngrams unigram models — one
+on a (small) target sample, one on the raw pool — weight every raw
+document by its log likelihood ratio, and resample with the Gumbel
+top-k trick.  This is the data-SELECTION tier of the pipeline, next to
+the quality filters (absolute "is it good") and dedup ("is it novel"):
+DSIR answers "is it like my target".
+
+Scale shape:
+- feature extraction is one projection + explode per doc (unigrams +
+  bigrams hashed into ``b`` buckets with the same md5 hashing the dedup
+  family uses, so a DuckDB oracle reproduces bit-for-bit);
+- both language models are ONE groupBy("bkt") each — at most ``b``
+  rows survive (config-bounded), with partial map-side aggregation;
+- the log-ratio table (<= b rows) is broadcast into the per-doc
+  feature join; per-doc weights are one groupBy(doc);
+- Gumbel noise is derived from md5(doc_id) (deterministic — no RNG on
+  executors, reproducible across retries and in the oracle);
+- the top-k selection is ``orderBy(...).limit(k)`` which Spark plans
+  as TakeOrderedAndProject (per-partition heaps, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.caching import scoped, tracked_persist
+
+_TWO60 = float(1 << 60)
+
+
+def _bucket(col: Column, b: int) -> Column:
+    """Hashed-ngram bucket in [0, b): md5-based so the oracle agrees."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") \
+        % F.lit(b)
+
+
+def hashed_ngram_features(docs: DataFrame, b: int = 4096,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(id_col, bkt) — one row per unigram and bigram OCCURRENCE
+    (counts matter for the LM, so no distinct), hashed into ``b``
+    buckets.  Bigrams reuse the single-pass lookahead regexp from the
+    dedup family (4.6x faster than HOF shingling, CLAUDE.md r2)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    rx2 = r"(?=([^ ]+ [^ ]+))[^ ]+ "
+    uni = docs.select(F.col(id_col), F.explode(toks).alias("f"))
+    bi = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(rx2), F.lit(1))).alias("f"),
+    )
+    return uni.unionByName(bi).select(
+        F.col(id_col), _bucket(F.col("f"), b).alias("bkt"))
+
+
+def _ratio_from_counts(tf: DataFrame, rf: DataFrame, b: int) -> DataFrame:
+    """(bkt, lr): add-1-smoothed log p_target(bkt) - log p_raw(bkt)
+    from the two bucket-count tables.  Totals are 1-row aggregates
+    cross-joined back; the result has at most ``b`` rows — bounded by
+    configuration, never by corpus size."""
+    joined = tf.join(rf, "bkt", "full").select(
+        "bkt",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    totals = joined.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = (F.log((F.col("ct") + 1.0) / (F.col("tt") + F.lit(float(b))))
+          - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.lit(float(b)))))
+    return joined.crossJoin(F.broadcast(totals)).select("bkt", lr.alias("lr"))
+
+
+def dsir_log_ratio_table(raw: DataFrame, target: DataFrame,
+                         b: int = 4096, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(bkt, lr): both hashed-ngram LMs as one groupBy each over the
+    exploded features, combined by :func:`_ratio_from_counts`."""
+    tf = hashed_ngram_features(target, b, id_col, text_col) \
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    rf = hashed_ngram_features(raw, b, id_col, text_col) \
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    return _ratio_from_counts(tf, rf, b)
+
+
+@scoped("selection")
+def dsir_weights(raw: DataFrame, target: DataFrame, b: int = 4096,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id_col, logw) for every raw doc: sum over its hashed-ngram
+    occurrences of the smoothed log likelihood ratio (target vs raw).
+
+    The raw corpus is featurized ONCE: the per-doc bucket counts plane
+    (doc, bkt, n — three ints) is persisted and feeds BOTH the raw LM
+    (one more groupBy over it) and the scoring join; re-deriving it
+    would re-scan the full text column twice (measured ~1.4x whole-
+    query).  The ratio table (<= b rows) is broadcast; the per-doc sum
+    is one groupBy(doc) with partial aggregation."""
+    per_doc = tracked_persist(
+        hashed_ngram_features(raw, b, id_col, text_col)
+        .groupBy(id_col, "bkt").agg(F.count(F.lit(1)).alias("n")),
+        "selection")
+    rf = per_doc.groupBy("bkt").agg(F.sum("n").alias("cr"))
+    tf = hashed_ngram_features(target, b, id_col, text_col) \
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    ratio = _ratio_from_counts(tf, rf, b)
+    return (
+        per_doc.join(F.broadcast(ratio), "bkt")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.col("lr")).alias("logw"))
+    )
+
+
+def gumbel_key(id_col: Column) -> Column:
+    """Deterministic Gumbel(0,1) noise from md5(doc_id): u = (h60 +
+    0.5) / 2^60 in (0,1), g = -ln(-ln(u)).  No executor RNG — stable
+    under task retries and reproducible in the DuckDB oracle."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10) \
+        .cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_TWO60)
+    return -F.log(-F.log(u))
+
+
+def dsir_sample_topk(raw: DataFrame, target: DataFrame, k: int = 200,
+                     b: int = 4096, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Importance-resample ``k`` raw docs toward the target
+    distribution: Gumbel top-k over logw (equivalent to sampling
+    without replacement proportional to the importance weights) ->
+    (id_col, logw, score) ordered by (score desc, id), both floats
+    rounded to 4dp.  ``orderBy.limit`` plans as TakeOrderedAndProject —
+    per-partition heaps, never a corpus-wide sort."""
+    w = dsir_weights(raw, target, b, id_col, text_col)
+    score = F.col("logw") + gumbel_key(F.col(id_col))
+    return (
+        w.select(F.col(id_col), F.col("logw"), score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("logw", 4).alias("logw"),
+                F.round("__s", 4).alias("score"))
+    )

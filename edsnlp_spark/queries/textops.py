@@ -2148,6 +2148,71 @@ LIMIT 10
 """
 
 
+# ---- DSIR importance resampling (data selection) ------------------------
+
+def dsir_selection(spark, sf_dir):
+    """DSIR (Xie et al. 2023): resample 200 raw docs toward a target
+    distribution (here: the doc_id % 17 == 0 subset) via hashed-ngram
+    bag models + Gumbel top-k over the log likelihood ratio.  Both LMs
+    are one groupBy (<= b rows); the ratio table broadcasts; the top-k
+    plans as TakeOrderedAndProject."""
+    from ..operators.selection import dsir_sample_topk
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    raw = d.filter(F.col("doc_id") % 17 != 0)
+    return dsir_sample_topk(raw, target, k=200, b=4096)
+
+
+DSIR_SELECTION_SQL = """
+WITH rawd AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+tgtd AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+rawf AS (
+  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bkt
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS f FROM rawd
+    UNION ALL
+    SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2]
+                           for i in range(greatest(len(toks) - 1, 0))]) AS f
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM rawd))
+),
+tgtf AS (
+  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bkt
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS f FROM tgtd
+    UNION ALL
+    SELECT doc_id, unnest([toks[i+1] || ' ' || toks[i+2]
+                           for i in range(greatest(len(toks) - 1, 0))]) AS f
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tgtd))
+),
+tcnt AS (SELECT bkt, COUNT(*) AS ct FROM tgtf GROUP BY bkt),
+rcnt AS (SELECT bkt, COUNT(*) AS cr FROM rawf GROUP BY bkt),
+j AS (
+  SELECT bkt, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+  FROM tcnt FULL JOIN rcnt USING (bkt)
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM j),
+lr AS (
+  SELECT bkt, ln((ct + 1.0) / (tt + 4096.0))
+              - ln((cr + 1.0) / (tr + 4096.0)) AS lr
+  FROM j CROSS JOIN tot
+),
+pd AS (SELECT doc_id, bkt, COUNT(*) AS n FROM rawf GROUP BY doc_id, bkt),
+w AS (
+  SELECT doc_id, SUM(n * lr) AS logw
+  FROM pd JOIN lr USING (bkt) GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, logw,
+         logw + (-ln(-ln(
+           ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0)))) AS s
+  FROM w
+)
+SELECT doc_id, ROUND(logw, 4) AS logw, ROUND(s, 4) AS score
+FROM g ORDER BY s DESC, doc_id LIMIT 200
+"""
+
+
 # ---- BM25 batch retrieval (queries as a DataFrame) ---------------------
 
 def bm25_search_batch(spark, sf_dir):
@@ -2208,6 +2273,7 @@ QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "strip_duplicated_spans": (strip_duplicated_spans_q,
                                STRIP_DUPLICATED_SPANS_SQL),

@@ -747,6 +747,53 @@ def test_bm25_whitespace_and_empty_terms(spark):
         bm25_topk(df, [], k=3)
 
 
+def test_dsir_weights_match_python_model(spark):
+    """r7 (DSIR, Xie et al. 2023): hashed-ngram importance weights must
+    reproduce a pure-Python model (md5-bucketed unigram+bigram counts,
+    add-1 smoothing) on a small corpus, and docs drawn from the target
+    vocabulary must outweigh docs from a disjoint vocabulary."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from edsnlp_spark.operators.selection import dsir_weights
+
+    B = 64
+    target_texts = ["apple pear plum apple", "pear plum cherry apple pear"]
+    raw_like = ["apple pear plum", "plum apple pear cherry"]
+    raw_unlike = ["dog cat mouse", "mouse dog cat dog"]
+    raw_texts = raw_like + raw_unlike
+
+    def feats(text):
+        toks = text.split(" ")
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+                for g in grams]
+
+    tc = Counter(f for t in target_texts for f in feats(t))
+    rc = Counter(f for t in raw_texts for f in feats(t))
+    tt, tr = sum(tc.values()), sum(rc.values())
+
+    def logw(text):
+        return sum(
+            math.log((tc[f] + 1.0) / (tt + B))
+            - math.log((rc[f] + 1.0) / (tr + B))
+            for f in feats(text))
+
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw_texts)],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(target_texts)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_weights(raw, target, b=B).collect()}
+    for i, t in enumerate(raw_texts):
+        assert abs(got[i] - logw(t)) < 1e-9, (i, got[i], logw(t))
+    # target-like docs outweigh disjoint-vocab docs
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
 def test_bm25_batch_matches_single_query_path(spark):
     """r7 (VERDICT r6 #5): bm25_topk_batch (inverted-index, queries as
     a DataFrame) must rank exactly like the single-literal-query

@@ -1,0 +1,89 @@
+"""Mergeable cardinality sketches: deterministic HyperLogLog.
+
+Counting distinct elements (vocabulary size, distinct n-gram windows,
+distinct URLs) with an exact ``groupBy().distinct().count()`` shuffles
+the full key set; a HyperLogLog sketch (Flajolet et al. 2007) gets the
+same answer to ~1.04/sqrt(m) relative error with m registers — a
+fixed-size, MERGEABLE state (per-partition partial aggregation; at
+1000 executors every task contributes at most m rows to one tiny
+shuffle).
+
+Spark ships ``approx_count_distinct`` (its own HLL++); this
+implementation exists because the sketch must be DETERMINISTIC AND
+ENGINE-PORTABLE: hashing is the repo-standard md5 60-bit prefix and
+every floating step is either exact integer math or an identical
+IEEE expression, so a DuckDB oracle running the same algorithm
+reproduces the estimate bit-for-bit — the property the driver's
+value-hash gate needs and no builtin sketch provides.
+
+Parity design notes:
+- register index = top ``p`` bits, suffix = low ``60 - p`` bits (pure
+  integer ops);
+- rho (first-1-bit position) uses floor(log2(suffix)) CORRECTED by an
+  exact power-of-two comparison, so a 1-ulp libm difference between
+  engines cannot change it;
+- the harmonic sum Z = sum(2^-rho) is accumulated as the INTEGER
+  sum(2^(R - rho)) with R = 60 - p + 1 (fits a long: m * 2^R < 2^63
+  for p >= 7) — no float summation-order sensitivity;
+- the final estimate is one identical float expression over those
+  exact integers (plus the standard linear-counting small-range
+  correction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hll_register_rows(col: Column, p: int = 9) -> tuple[Column, Column]:
+    """(idx, rho) register coordinates for one value: idx = top p bits
+    of the md5 60-bit prefix, rho = first-1-bit position in the
+    remaining w = 60 - p bits (w + 1 if the suffix is all zeros)."""
+    w = 60 - p
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    # pure integer ops: a float division would round h above 2^53
+    idx = F.shiftright(h, w)
+    suffix = h % F.lit(1 << w)                      # h & (2^w - 1)
+    # greatest(.,1) guards log2(0) = -Inf (the suffix=0 branch below
+    # never reads l, but ANSI mode would fail the cast regardless)
+    l0 = F.floor(F.log2(F.greatest(suffix, F.lit(1)))).cast("long")
+    p2 = F.pow(F.lit(2.0), l0.cast("double"))       # exact for l0 <= 51
+    l = (F.when(p2 > suffix, l0 - 1)
+         .when(p2 * 2 <= suffix, l0 + 1)
+         .otherwise(l0))                            # exact floor(log2)
+    rho = F.when(suffix == 0, F.lit(w + 1)).otherwise(F.lit(w) - l)
+    return idx, rho.cast("long")
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """One-row DataFrame (m, v_empty, approx_distinct): the HLL
+    cardinality estimate for ``df[col]`` with m = 2^p registers,
+    standard error ~1.04/sqrt(m) (~4.6% at p=9), linear-counting
+    correction below 2.5m.  ``approx_distinct`` rounded to 4dp."""
+    if not 7 <= p <= 14:
+        raise ValueError(f"hll_distinct requires 7 <= p <= 14 (got {p})")
+    m, w = 1 << p, 60 - p
+    r_scale = w + 1                                  # max rho
+    idx, rho = hll_register_rows(F.col(col), p)
+    regs = (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx").agg(F.max("rho").alias("mr"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("npresent"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(r_scale) - F.col("mr"))
+                    .cast("double")).cast("long")).alias("s"),
+    )
+    v = F.lit(m) - F.col("npresent")
+    z_scaled = v * F.lit(1 << r_scale) + F.col("s")  # exact integer Z
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    e = (alpha * F.lit(float(m)) * F.lit(float(m))
+         * F.lit(float(1 << r_scale)) / z_scaled)
+    est = F.when((e <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(e)
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        v.cast("bigint").alias("v_empty"),
+        F.round(est, 4).alias("approx_distinct"),
+    )

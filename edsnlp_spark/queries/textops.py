@@ -2148,6 +2148,72 @@ LIMIT 10
 """
 
 
+# ---- HyperLogLog distinct sketch ----------------------------------------
+
+def hll_distinct_windows(spark, sf_dir):
+    """Deterministic HyperLogLog (p=9, ~4.6% error) estimating the
+    number of DISTINCT 13-token windows corpus-wide — the sketch-tier
+    answer to "how much unique text is in here" that needs no global
+    distinct shuffle: per-partition partial max per register, one
+    <=512-row exchange, engine-portable md5 hashing so the DuckDB
+    oracle reproduces the estimate bit-for-bit."""
+    from ..operators.dedup import _window_hash_rows
+    from ..operators.sketches import hll_distinct
+    d = _t(spark, sf_dir, "documents")
+    wins = _window_hash_rows(d, 13, "doc_id", "text")
+    return hll_distinct(
+        wins.select(F.col("h").cast("string").alias("hs")), "hs", p=9)
+
+
+HLL_DISTINCT_WINDOWS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+s AS (
+  SELECT ('0x' || substr(md5(
+           (('0x' || substr(md5(win), 1, 15))::BIGINT)::VARCHAR
+         ), 1, 15))::BIGINT AS hh
+  FROM w
+),
+rr AS (SELECT hh >> 51 AS idx, hh % 2251799813685248 AS suffix FROM s),
+lc AS (
+  SELECT idx, suffix,
+         CASE WHEN POWER(2.0, l0) > suffix THEN l0 - 1
+              WHEN POWER(2.0, l0) * 2 <= suffix THEN l0 + 1
+              ELSE l0 END AS lx
+  FROM (SELECT idx, suffix,
+               FLOOR(log2(GREATEST(suffix, 1)))::BIGINT AS l0 FROM rr)
+),
+rho AS (
+  SELECT idx, CASE WHEN suffix = 0 THEN 52 ELSE 51 - lx END AS rho
+  FROM lc
+),
+regs AS (SELECT idx, MAX(rho) AS mr FROM rho GROUP BY idx),
+agg AS (
+  SELECT COUNT(*) AS npresent,
+         SUM(POWER(2.0, 52 - mr)::BIGINT) AS sm
+  FROM regs
+),
+fin AS (
+  SELECT (512 - npresent) AS v,
+         (512 - npresent) * 4503599627370496 + sm AS z
+  FROM agg
+)
+SELECT 512::BIGINT AS m, v::BIGINT AS v_empty,
+       ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                       * 4503599627370496.0 / z <= 1280.0 AND v > 0
+                  THEN 512.0 * ln(512.0 / v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                       * 4503599627370496.0 / z END, 4) AS approx_distinct
+FROM fin
+"""
+
+
 # ---- DSIR importance resampling (data selection) ------------------------
 
 def dsir_selection(spark, sf_dir):
@@ -2274,6 +2340,8 @@ QUERIES = {
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
+    "hll_distinct_windows": (hll_distinct_windows,
+                             HLL_DISTINCT_WINDOWS_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "strip_duplicated_spans": (strip_duplicated_spans_q,
                                STRIP_DUPLICATED_SPANS_SQL),

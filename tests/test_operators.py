@@ -1196,6 +1196,32 @@ def test_duplicated_windows_guards(spark):
     assert got == {(10, 0): 2, (11, 0): 2}
 
 
+def test_hll_distinct_accuracy_and_partition_invariance(spark):
+    """r7 (Flajolet et al. 2007): the deterministic HLL estimate stays
+    within 3 standard errors (3 * 1.04/sqrt(512) ~ 14%) of the exact
+    cardinality across the linear-counting and HLL regimes, ignores
+    duplicates entirely, is invariant to partitioning (mergeable
+    partial max), and rejects out-of-range precision."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.sketches import hll_distinct
+
+    for n in (50, 700, 20000):
+        df = spark.range(n).select(
+            SF.concat(SF.lit("k-"), SF.col("id")).alias("v"))
+        # duplicate every value 3x — cardinality must not move
+        dup = df.unionAll(df).unionAll(df)
+        got = hll_distinct(dup, "v", p=9).first()["approx_distinct"]
+        assert abs(got - n) / n < 0.14, (n, got)
+        repart = hll_distinct(dup.repartition(17), "v", p=9) \
+            .first()["approx_distinct"]
+        assert repart == got  # register max is merge-order-free
+    with pytest.raises(ValueError, match="7 <= p <= 14"):
+        hll_distinct(spark.range(1).select(
+            SF.col("id").cast("string").alias("v")), "v", p=4)
+
+
 def test_strip_duplicated_spans_semantics(spark):
     """r7 (Lee et al. 2022 §3, the removal half): the first occurrence
     (min (doc, pos)) of a duplicated window survives, every other

@@ -639,3 +639,57 @@ def strip_duplicated_spans(docs: DataFrame, n: int = 13,
             .otherwise(F.size("cov")).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-hash window, keep each window's MINIMUM hash -> the distinct
+    (id_col, fp) fingerprint set per document.
+
+    The selection GUARANTEE (their Theorem): any shared token run of
+    length >= w + k - 1 between two documents yields at least one
+    shared fingerprint, while only ~2/(w+1) of all k-gram hashes are
+    kept — a principled sparse alternative to emitting every window
+    (duplicated_windows) when the downstream join must stay small.
+    Docs with fewer than w k-grams keep their single global minimum
+    (so any doc with >= k tokens has >= 1 fingerprint); shorter docs
+    have none.
+
+    Scale shape: everything up to the final distinct is an IN-ROW
+    projection — one lookahead-regexp pass for the k-grams (the
+    measured-4.6x shingling pattern), one md5 per gram, and a
+    w-element slice-min per window (w is small and fixed; CLAUDE.md r6:
+    small-arity HOF folds stay cheap — do NOT unroll).  Candidate
+    pairs are then an equi-join on fp, bounded by the winnowing
+    density, with the same df-cap option as the other candidate joins.
+    """
+    if k < 2 or w < 2:
+        raise ValueError(
+            f"winnowing_fingerprints requires k >= 2 and w >= 2 "
+            f"(got k={k}, w={w})")
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + (r" " + tok) * (k - 1) + r"))" + tok + " "
+    grams = F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(1))
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+        .cast("long"),
+    )
+    nwin = F.size(hs) - F.lit(w - 1)
+
+    def win_min(j):
+        return F.array_min(F.slice(hs, j + 1, w))
+
+    fps = (
+        F.when(F.size(hs) == 0, F.array().cast("array<bigint>"))
+        .when(nwin <= 0, F.array(F.array_min(hs)))
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), nwin - 1), win_min)))
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
+    )

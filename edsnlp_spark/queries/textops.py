@@ -2148,6 +2148,44 @@ LIMIT 10
 """
 
 
+# ---- Winnowing fingerprints (Schleimer et al. 2003) ---------------------
+
+def winnowing_fp(spark, sf_dir):
+    """MOSS winnowing: distinct per-doc fingerprints = the minimum
+    5-gram hash of each sliding 4-hash window — any shared token run of
+    >= w + k - 1 = 8 tokens between two docs guarantees a shared
+    fingerprint at ~2/(w+1) the density of emitting every window."""
+    from ..operators.dedup import winnowing_fingerprints
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=5, w=4)
+
+
+WINNOWING_FP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           [array_to_string(toks[i+1:i+5], ' ')
+            for i in range(greatest(len(toks) - 4, 0))],
+           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) < 4 THEN [list_min(hs)]
+              ELSE list_distinct([list_min(hs[j+1:j+4])
+                                  for j in range(len(hs) - 3)])
+         END AS fps
+  FROM h
+)
+SELECT DISTINCT doc_id, fp
+FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+"""
+
+
 # ---- HyperLogLog distinct sketch ----------------------------------------
 
 def hll_distinct_windows(spark, sf_dir):
@@ -2342,6 +2380,7 @@ QUERIES = {
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "hll_distinct_windows": (hll_distinct_windows,
                              HLL_DISTINCT_WINDOWS_SQL),
+    "winnowing_fp": (winnowing_fp, WINNOWING_FP_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
     "strip_duplicated_spans": (strip_duplicated_spans_q,
                                STRIP_DUPLICATED_SPANS_SQL),

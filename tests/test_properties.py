@@ -747,6 +747,50 @@ def test_bm25_whitespace_and_empty_terms(spark):
         bm25_topk(df, [], k=3)
 
 
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(_DWORD, min_size=0, max_size=14),
+                min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=3),
+       st.integers(min_value=2, max_value=3))
+def test_winnowing_fingerprints_fuzz(spark, docs_tokens, k, w):
+    """r7 (Schleimer et al. 2003): winnowing must agree with a
+    brute-force Python model (min k-gram hash per sliding w-window,
+    global min for short docs), and the selection guarantee must hold —
+    docs sharing a token run of >= w + k - 1 share a fingerprint."""
+    import hashlib
+
+    from edsnlp_spark.operators.dedup import winnowing_fingerprints
+
+    def model(toks):
+        hs = [int(hashlib.md5(
+            " ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = [" ".join(t) for t in docs_tokens]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, toks in enumerate(docs_tokens):
+        assert got.get(i, set()) == model(toks), (i, k, w)
+
+    # guarantee check on a planted shared run
+    run = ["r1", "r2", "r3", "r4", "r5", "r6"][:w + k - 1]
+    pair = spark.createDataFrame(
+        [(0, " ".join(["x"] + run)), (1, " ".join(run + ["y"]))],
+        "doc_id long, text string")
+    fps: dict[int, set] = {0: set(), 1: set()}
+    for r in winnowing_fingerprints(pair, k=k, w=w).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[0] & fps[1], (k, w)
+
+
 def test_dsir_weights_match_python_model(spark):
     """r7 (DSIR, Xie et al. 2023): hashed-ngram importance weights must
     reproduce a pure-Python model (md5-bucketed unigram+bigram counts,

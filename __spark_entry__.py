@@ -51,7 +51,7 @@ _ROTATE_INTO_WINDOW = frozenset({
     "umls_scale_match", "unigram_logppl", "url_domain_filtering",
     # NEW in r7 — new queries stay in the checked window
     "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
-    "hll_distinct_windows", "winnowing_fp",
+    "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
 })
 
 

@@ -693,3 +693,65 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         docs.select(F.col(id_col), F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+@scoped("dedup")
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
+                          bands: int = 4, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming search (Manku,
+    Jain & Das Sarma, WWW'07 — Google's web-crawl dedup): split the
+    64-bit fingerprint into ``bands`` equal blocks; by pigeonhole, any
+    pair within Hamming distance ``max_hamming`` < bands agrees on at
+    least one whole block, so candidates = an equi-join on (block
+    index, block value) and only candidates pay the exact Hamming
+    verification -> (id_a, id_b, hamming), hamming <= max_hamming.
+
+    Scale shape: fingerprints are the per-row :func:`simhash64`
+    projection (the expensive part — 64 vote folds), persisted once as
+    (id, 4 longs) and reused by candidate generation AND both verify
+    legs; the candidate join shuffles (block, value) keys; exact
+    verification is 4 xor+bit_count ops per candidate pair, never per
+    corpus pair.  Exact-duplicate clusters make a block key hot
+    (quadratic in cluster size) — run exact dedup first, which is the
+    standard pipeline order.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"simhash_neardup_pairs needs 0 <= max_hamming < bands for "
+            f"the pigeonhole guarantee (got max_hamming={max_hamming}, "
+            f"bands={bands})")
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    base = docs.select(F.col(id_col).alias("id"),
+                       simhash64(F.col(text_col)).alias("s"))
+    base = base.select("id", F.array(*[
+        F.conv(F.substring(F.col("s"), b * width + 1, width), 2, 10)
+        .cast("long")
+        for b in range(bands)
+    ]).alias("bv"))
+    base = tracked_persist(base, "dedup")
+    banded = base.select("id", F.posexplode("bv").alias("bi", "v"))
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "bi", "v")
+        .join(banded.select(F.col("id").alias("id_b"), "bi", "v"),
+              ["bi", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    joined = (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("bv").alias("bva")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("bv").alias("bvb")), "id_b")
+    )
+    hamming = None
+    for b in range(bands):
+        h_b = F.bit_count(F.element_at("bva", b + 1)
+                          .bitwiseXOR(F.element_at("bvb", b + 1)))
+        hamming = h_b if hamming is None else hamming + h_b
+    return (
+        joined.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -256,6 +256,66 @@ FROM tokh
 """
 
 
+# ---- SimHash near-dup pairs (Manku et al., WWW'07) ----------------------
+
+def simhash_neardup(spark, sf_dir):
+    """Banded Hamming search over 64-bit SimHash fingerprints: pairs
+    within Hamming distance 7 agree on >= 1 of 8 blocks (pigeonhole),
+    so candidates are an equi-join on (block, value) and only
+    candidates pay the exact 4-xor Hamming verification."""
+    docs = _docs(spark, sf_dir)
+    return D.simhash_neardup_pairs(docs, max_hamming=7, bands=8)
+
+
+SIMHASH_NEARDUP_SQL = """
+WITH tokh AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+            t -> {'hi': ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                  'lo': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hs
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string([
+           CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN
+                         ((CASE WHEN b < 32 THEN h.lo ELSE h.hi END
+                           >> (b % 32)) & 1) = 1
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END
+           for b in range(0, 64)
+         ], '') AS s
+  FROM tokh
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(8)) AS b,
+         unnest([list_sum([CASE WHEN s[8*b+i+1] = '1'
+                           THEN (2^(7-i))::BIGINT ELSE 0 END
+                           for i in range(8)])
+                 for b in range(8)]) AS v
+  FROM fp
+),
+cand AS (
+  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM bands a JOIN bands bb
+    ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id
+  GROUP BY ALL
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(range(64),
+             i -> fa.s[i+1] <> fb.s[i+1])) AS hamming
+  FROM cand c
+  JOIN fp fa ON fa.doc_id = c.id_a
+  JOIN fp fb ON fb.doc_id = c.id_b
+)
+SELECT id_a, id_b, hamming::BIGINT AS hamming
+FROM ham WHERE hamming <= 7
+"""
+
+
 # ---- brute-force + LSH cosine top-k -----------------------------------
 
 def embedding_topk(spark, sf_dir):
@@ -642,6 +702,7 @@ QUERIES = {
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
+    "simhash_neardup": (simhash_neardup, SIMHASH_NEARDUP_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),

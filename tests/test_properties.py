@@ -791,6 +791,52 @@ def test_winnowing_fingerprints_fuzz(spark, docs_tokens, k, w):
     assert fps[0] & fps[1], (k, w)
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(_DWORD, min_size=1, max_size=10),
+                min_size=2, max_size=6))
+def test_simhash_neardup_fuzz(spark, docs_tokens):
+    """r7 (Manku et al. WWW'07): banded Hamming search must return
+    EXACTLY the pairs within max_hamming of a Python SimHash model —
+    the pigeonhole guarantee means no candidate within threshold is
+    ever missed, and verification drops everything beyond it."""
+    import hashlib
+    import itertools
+
+    import pytest
+
+    from edsnlp_spark.operators.dedup import simhash_neardup_pairs
+
+    def simhash(toks):
+        votes = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(64):
+                word = lo if b < 32 else hi
+                votes[b] += 1 if (word >> (b % 32)) & 1 else -1
+        return [1 if v > 0 else 0 for v in votes]
+
+    fps = {i: simhash(t) for i, t in enumerate(docs_tokens)}
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = sum(x != y for x, y in zip(fps[a], fps[b]))
+        if d <= 7:
+            want[(a, b)] = d
+
+    texts = [" ".join(t) for t in docs_tokens]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(df, max_hamming=7,
+                                          bands=8).collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_neardup_pairs(df, max_hamming=2, bands=7)
+
+
 def test_dsir_weights_match_python_model(spark):
     """r7 (DSIR, Xie et al. 2023): hashed-ngram importance weights must
     reproduce a pure-Python model (md5-bucketed unigram+bigram counts,

@@ -76,6 +76,9 @@ HEADLINE = R1_SET + [
     "bm25_search_batch",
     "strip_duplicated_spans",
     "dsir_selection",
+    "hll_distinct_windows",
+    "winnowing_fp",
+    "simhash_neardup",
 ]
 
 

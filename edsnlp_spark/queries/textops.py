@@ -2156,7 +2156,10 @@ def winnowing_fp(spark, sf_dir):
     >= w + k - 1 = 8 tokens between two docs guarantees a shared
     fingerprint at ~2/(w+1) the density of emitting every window."""
     from ..operators.dedup import winnowing_fingerprints
-    d = _t(spark, sf_dir, "documents")
+    # single small parquet -> 1 split; the per-window slice-min HOF is
+    # compute-bound, so spread rows across cores (see _notes)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return winnowing_fingerprints(d, k=5, w=4)
 
 

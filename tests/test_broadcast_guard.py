@@ -46,6 +46,10 @@ ALLOWED = {
         "phrase-matcher pattern terms (pipeline config)",
     ("operators/retrieval.py", "F.broadcast(stats)"):
         "1-row corpus-statistics aggregate (BM25 N/avgdl/df)",
+    ("operators/selection.py", "F.broadcast(totals)"):
+        "1-row LM totals aggregate (DSIR tt/tr)",
+    ("operators/selection.py", "F.broadcast(ratio)"):
+        "DSIR log-ratio table, <= b rows (config-bounded, never corpus)",
     ("operators/retrieval.py", "F.broadcast(uterms)"):
         "distinct query terms (batch-BM25 contract: queries << corpus)",
     ("operators/retrieval.py", "F.broadcast(qterms)"):

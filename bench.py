@@ -79,6 +79,7 @@ HEADLINE = R1_SET + [
     "hll_distinct_windows",
     "winnowing_fp",
     "simhash_neardup",
+    "ccnet_buckets",
 ]
 
 

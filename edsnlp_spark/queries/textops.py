@@ -1242,6 +1242,69 @@ FROM tok JOIN lm USING (t) GROUP BY doc_id
 """
 
 
+def ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (Wenzek et al. 2020):
+    per-LANGUAGE unigram LM, per-doc mean NLL, then per-language NLL
+    tertiles — 'head' is the most in-distribution third, the slice
+    CCNet ships as the highest-quality tier.
+
+    Plan: one token explode feeds the per-lang LM aggregation and the
+    scoring join (LM side un-hinted — AQE broadcasts when it fits,
+    Heaps' law says don't promise it); the tertile is an exact
+    ntile(3) per language, deterministic via (nll, doc_id) ordering so
+    the DuckDB oracle reproduces bucket boundaries bit-for-bit.  At
+    corpus scale swap the exact ntile for approx-percentile CUTOFFS
+    computed on the nll plane (one pass, no per-language sort) and a
+    threshold projection — same output contract, sort-free; the exact
+    variant is kept here because the driver gate hashes values.
+    """
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split("text", " ")).alias("t"))
+    counts = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("tot"))
+    lm = counts.join(totals, "lang").select(
+        "lang", "t",
+        F.log(F.col("c").cast("double") / F.col("tot").cast("double"))
+        .alias("logp"))
+    nll = (
+        tok.join(lm, ["lang", "t"])
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(-F.col("logp")), 4).alias("nll"))
+    )
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    nt = F.ntile(3).over(w)
+    return nll.select(
+        "doc_id", "lang", "nll",
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+cnt AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang),
+lm AS (SELECT cnt.lang, t, ln(c::DOUBLE / tot::DOUBLE) AS logp
+       FROM cnt JOIN tot USING (lang)),
+nll AS (
+  SELECT doc_id, lang, ROUND(AVG(-logp), 4) AS nll
+  FROM tok JOIN lm USING (lang, t) GROUP BY doc_id, lang),
+b AS (
+  SELECT doc_id, lang, nll,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS nt
+  FROM nll)
+SELECT doc_id, lang, nll,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM b
+"""
+
+
 def bigram_logppl(spark, sf_dir):
     """Interpolated bigram-LM quality filter — the next LM tier above
     unigram_logppl (CCNet trains 5-gram KenLM; a corpus-trained
@@ -2378,6 +2441,7 @@ FROM r WHERE rank <= 5
 
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
+    "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),

@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches: deterministic HyperLogLog.
+"""Mergeable sketches: deterministic HyperLogLog + count-min.
 
 Counting distinct elements (vocabulary size, distinct n-gram windows,
 distinct URLs) with an exact ``groupBy().distinct().count()`` shuffles
@@ -86,4 +86,56 @@ def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
         F.lit(m).cast("bigint").alias("m"),
         v.cast("bigint").alias("v_empty"),
         F.round(est, 4).alias("approx_distinct"),
+    )
+
+
+def cms_cells(col: Column, d: int, w: int) -> Column:
+    """array<struct<r,cell>>: the d salted-md5 cell coordinates of one
+    value in a d x w count-min sketch (Cormode & Muthukrishnan 2005).
+    Salting by row index keeps the d hash functions independent while
+    staying engine-portable (the oracle rebuilds md5(i || ':' || x))."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("r"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 8), 16, 10)
+             .cast("long") % F.lit(w)).alias("cell"),
+        )
+        for i in range(d)
+    ])
+
+
+def cms_point_estimates(df: DataFrame, col: str, probes: list[str],
+                        d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min point estimates for ``probes`` over ``df[col]``:
+    (key, est) with est = min over the d rows of the sketch cell the
+    key hashes to — an OVERestimate within eps*N (eps ~ e/w) with
+    probability 1 - (1/2)^d, never an underestimate.
+
+    Scale shape: the sketch is ONE groupBy over (row, cell) — at most
+    d*w cells survive (config-bounded, partial map-side aggregation at
+    1000 executors), the classic bounded-memory answer to "how hot are
+    these keys" that an exact per-key groupBy of a 100 TB corpus
+    would pay a full vocabulary shuffle for.  Probes join the tiny
+    cell table and take a min — no second corpus pass.
+    """
+    if not probes:
+        raise ValueError("cms_point_estimates requires at least one probe")
+    if d < 1 or w < 2:
+        raise ValueError(f"cms_point_estimates needs d >= 1, w >= 2 "
+                         f"(got d={d}, w={w})")
+    sketch = (
+        df.select(F.explode(cms_cells(F.col(col), d, w)).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_df = df.sparkSession.createDataFrame(
+        [(p,) for p in probes], "key string")
+    probe_cells = probe_df.select(
+        "key", F.explode(cms_cells(F.col("key"), d, w)).alias("rc")
+    ).select("key", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+    return (
+        probe_cells.join(sketch, ["r", "cell"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
     )

@@ -2211,6 +2211,45 @@ LIMIT 10
 """
 
 
+# ---- Count-min sketch point estimates ------------------------------------
+
+def cms_token_counts(spark, sf_dir):
+    """Count-min (Cormode & Muthukrishnan 2005) frequency estimates for
+    a probe token list over the corpus token stream: the sketch is one
+    groupBy over (row, cell) — at most d*w = 4096 cells survive, the
+    bounded-memory alternative to an exact full-vocabulary groupBy."""
+    from ..operators.sketches import cms_point_estimates
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t"))
+    return cms_point_estimates(
+        tok, "t", ["join", "hash", "spark", "filter", "nosuchtoken"],
+        d=4, w=1024)
+
+
+CMS_TOKEN_COUNTS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+cells AS (
+  SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || t), 1, 8))::BIGINT
+             % 1024 AS cell
+  FROM tok, unnest([0, 1, 2, 3]) AS u(r)
+),
+sketch AS (SELECT r, cell, COUNT(*) AS c FROM cells GROUP BY r, cell),
+probes AS (
+  SELECT key, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || key), 1, 8))::BIGINT
+           % 1024 AS cell
+  FROM (VALUES ('join'), ('hash'), ('spark'), ('filter'),
+               ('nosuchtoken')) AS p(key),
+       unnest([0, 1, 2, 3]) AS u(r)
+)
+SELECT key, MIN(COALESCE(c, 0))::BIGINT AS est
+FROM probes LEFT JOIN sketch USING (r, cell)
+GROUP BY key
+"""
+
+
 # ---- Winnowing fingerprints (Schleimer et al. 2003) ---------------------
 
 def winnowing_fp(spark, sf_dir):
@@ -2442,6 +2481,7 @@ FROM r WHERE rank <= 5
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
+    "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),

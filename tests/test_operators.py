@@ -1196,6 +1196,40 @@ def test_duplicated_windows_guards(spark):
     assert got == {(10, 0): 2, (11, 0): 2}
 
 
+def test_cms_point_estimates_bounds(spark):
+    """r7 (Cormode & Muthukrishnan 2005): count-min never
+    underestimates, overestimates by at most eps*N (eps = e/w) here
+    checked deterministically, returns 0 for absent keys when no
+    collision lands in all d rows, and rejects empty probes."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.sketches import cms_point_estimates
+
+    vals = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5
+            + [f"noise{i}" for i in range(200)])
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    probes = ["alpha", "beta", "gamma", "absent"]
+    exact = {"alpha": 50, "beta": 20, "gamma": 5, "absent": 0}
+    got = {r["key"]: r["est"]
+           for r in cms_point_estimates(df, "t", probes,
+                                        d=4, w=256).collect()}
+    n = len(vals)
+    bound = math.ceil(math.e / 256 * n) + 1
+    for k in probes:
+        assert got[k] >= exact[k], (k, got[k])
+        assert got[k] <= exact[k] + bound, (k, got[k])
+    with pytest.raises(ValueError, match="at least one"):
+        cms_point_estimates(df, "t", [])
+    # duplicates across partitions merge additively
+    repart = {r["key"]: r["est"]
+              for r in cms_point_estimates(df.repartition(13), "t",
+                                           probes, d=4, w=256).collect()}
+    assert repart == got
+
+
 def test_hll_distinct_accuracy_and_partition_invariance(spark):
     """r7 (Flajolet et al. 2007): the deterministic HLL estimate stays
     within 3 standard errors (3 * 1.04/sqrt(512) ~ 14%) of the exact

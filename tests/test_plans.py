@@ -142,3 +142,50 @@ def test_gopher_line_repetition_is_shuffle_free(spark, sf_dir):
     s = plan_of(spark, sf_dir, "gopher_line_repetition")
     assert "hashpartitioning" not in s
     assert "HashAggregate" not in s and "SortAggregate" not in s
+
+
+def test_bm25_batch_plan_shape(spark, sf_dir):
+    """r7: the inverted-index batch BM25 must (a) broadcast the query
+    side into the postings join (never shuffle the corpus by term for
+    a small query set), (b) plan the per-query top-k as a bounded
+    window, and (c) have no cartesian product."""
+    s = plan_of(spark, sf_dir, "bm25_search_batch")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    from edsnlp_spark.core import caching
+    caching.release("retrieval")
+
+
+def test_strip_duplicated_spans_plan_shape(spark, sf_dir):
+    """r7: keeper election must be a (partial) hash aggregate on the
+    window hash, never a Window.partitionBy(h) — the hot-boilerplate
+    skew rule from VERDICT r6 #2 applies to the removal half too; and
+    reconstruction joins LEFT so untouched docs pass through."""
+    s = plan_of(spark, sf_dir, "strip_duplicated_spans")
+    assert "partial_count" in s or "HashAggregate" in s
+    # the only Window ops allowed are none — ranges merge via
+    # collect_set, not a per-hash window
+    assert "Window" not in s
+    from edsnlp_spark.core import caching
+    caching.release("dedup")
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    """r7: DSIR's top-k must plan as TakeOrderedAndProject (per-
+    partition heaps), the ratio table must broadcast, and the corpus
+    must never cross-join anything its own size."""
+    s = plan_of(spark, sf_dir, "dsir_selection")
+    assert "TakeOrderedAndProject" in s
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    from edsnlp_spark.core import caching
+    caching.release("selection")
+
+
+def test_hll_plan_is_one_small_exchange(spark, sf_dir):
+    """r7: the HLL register aggregation exchanges at most 2^p rows —
+    the plan is scan -> partial agg -> exchange -> final agg with no
+    join and no window."""
+    s = plan_of(spark, sf_dir, "hll_distinct_windows")
+    assert "Join" not in s and "Window" not in s
+    assert "HashAggregate" in s

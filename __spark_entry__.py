@@ -52,7 +52,7 @@ _ROTATE_INTO_WINDOW = frozenset({
     # NEW in r7 — new queries stay in the checked window
     "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
     "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
-    "ccnet_buckets", "cms_token_counts",
+    "ccnet_buckets", "cms_token_counts", "diversity_sample",
 })
 
 

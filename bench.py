@@ -80,6 +80,8 @@ HEADLINE = R1_SET + [
     "winnowing_fp",
     "simhash_neardup",
     "ccnet_buckets",
+    "cms_token_counts",
+    "diversity_sample",
 ]
 
 

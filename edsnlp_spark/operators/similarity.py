@@ -552,3 +552,47 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, k: int = 8,
                                         for i in range(dsub)]
         # empty cells keep their previous centroid (classic Lloyd)
     return books
+
+
+def cluster_diverse_sample(emb: DataFrame, centroids: list[list[float]],
+                           n_per_cell: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced diversity sampling (the D4 / cluster-coverage
+    curation stage, Tirumala et al. 2023: sample ACROSS semantic
+    clusters instead of wherever the corpus is densest): assign each
+    vector to its nearest centroid (cosine argmax, ties -> lower cell —
+    the same projection the IVF index and SemDeDup use), then keep each
+    cell's ``n_per_cell`` most CENTRAL members -> (id_col, cell,
+    cos_sim, rank), rank 1-based by (cos_sim desc, id).
+
+    Scale shape: assignment is a shuffle-free projection over the
+    broadcast centroid literal; the per-cell top-n is a window over
+    cells (ordering by the 4dp-rounded cosine so engine float noise
+    cannot flip ranks).  At extreme cell sizes replace the window with
+    a per-cell ``max_by`` array aggregate (TakeOrdered semantics); the
+    window form is kept here because the driver gate hashes exact rows.
+    """
+    if n_per_cell < 1:
+        raise ValueError("cluster_diverse_sample requires n_per_cell >= 1")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    carr = _centers_arr([list(map(float, c)) for c in centroids])
+    best = F.sort_array(F.transform(
+        carr,
+        lambda c: F.struct(
+            (-cosine(vec, c["cv"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    ))[0]
+    assigned = emb.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        F.round(-best["negcos"], 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_cell)
+        .select(id_col, "cell", "cos_sim", F.col("rank").cast("bigint"))
+    )

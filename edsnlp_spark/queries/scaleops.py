@@ -573,6 +573,53 @@ def semdedup_embeddings(spark, sf_dir):
     return S.semdedup(allv, centroids=cents, threshold=0.95)
 
 
+def diversity_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling (D4-style): assign every
+    embedding to its nearest of 8 deterministic centroids, keep each
+    cell's 5 most central members — coverage ACROSS semantic clusters
+    instead of wherever the corpus is densest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    return S.cluster_diverse_sample(emb, cents, n_per_cell=5)
+
+
+DIVERSITY_SAMPLE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, cell,
+         ROUND(cos, 4) AS cos_sim FROM (
+    SELECT e.vec_id, c.cell,
+           list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) *
+            sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1),
+ranked AS (
+  SELECT vec_id, cell, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM assigned)
+SELECT vec_id, cell, cos_sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 SEMDEDUP_SQL = """
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -703,6 +750,7 @@ QUERIES = {
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     "simhash_neardup": (simhash_neardup, SIMHASH_NEARDUP_SQL),
+    "diversity_sample": (diversity_sample, DIVERSITY_SAMPLE_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),

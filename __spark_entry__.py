@@ -53,6 +53,7 @@ _ROTATE_INTO_WINDOW = frozenset({
     "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
     "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
     "ccnet_buckets", "cms_token_counts", "diversity_sample",
+    "cross_corpus_dedup",
 })
 
 

@@ -765,3 +765,34 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
         joined.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+@scoped("dedup")
+def cross_duplicated_windows(new_docs: DataFrame, ref_docs: DataFrame,
+                             n: int = 13, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """INCREMENTAL exact-substring dedup: which n-token windows of a
+    NEW batch already occur in an existing REFERENCE corpus ->
+    (id_col, pos, ref_occurrences).  The shape every growing training
+    set needs — dedup the day's crawl against what is already in the
+    corpus WITHOUT re-pairing the old corpus with itself.
+
+    Scale shape: the reference side collapses to its distinct window
+    hashes + counts FIRST (one skew-immune groupBy, partial map-side
+    agg — the hash table is far smaller than the corpus and is the
+    thing you would persist between ingest batches as the "seen
+    spans" index); the new batch's windows then semi-join it, so
+    shuffle volume is new-batch tokens + the hash index, never
+    old-corpus positions.  Same md5 window hashing as
+    :func:`duplicated_windows`, so indexes are shareable across both.
+    """
+    new_wins = _window_hash_rows(new_docs, n, id_col, text_col)
+    ref_index = (
+        _window_hash_rows(ref_docs, n, id_col, text_col)
+        .groupBy("h").agg(F.count(F.lit(1)).alias("ref_occurrences"))
+    )
+    return (
+        new_wins.join(ref_index, "h")
+        .select(F.col(id_col), F.col("pos").cast("bigint"),
+                F.col("ref_occurrences").cast("bigint"))
+    )

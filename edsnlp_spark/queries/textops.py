@@ -2100,6 +2100,49 @@ FROM c WHERE occurrences >= 2
 """
 
 
+# ---- Incremental cross-corpus exact-substring dedup ----------------------
+
+def cross_corpus_dedup(spark, sf_dir):
+    """Incremental dedup: which 13-token windows of a NEW batch (here
+    doc_id % 10 == 0) already occur in the existing reference corpus
+    (the rest) — the daily-ingest shape that dedups new data against
+    the training set WITHOUT re-pairing the old corpus with itself.
+    The reference side collapses to a (hash, count) index first; the
+    new batch semi-joins it."""
+    from ..operators.dedup import cross_duplicated_windows
+    d = _t(spark, sf_dir, "documents")
+    new_docs = d.filter(F.col("doc_id") % 10 == 0)
+    ref_docs = d.filter(F.col("doc_id") % 10 != 0)
+    return cross_duplicated_windows(new_docs, ref_docs, n=13)
+
+
+CROSS_CORPUS_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 12, 0))) AS pos,
+         unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hv
+  FROM w
+),
+refidx AS (
+  SELECT hv, COUNT(*) AS ref_occurrences
+  FROM h WHERE doc_id % 10 <> 0 GROUP BY hv
+)
+SELECT n.doc_id, n.pos::BIGINT AS pos,
+       ref_occurrences::BIGINT AS ref_occurrences
+FROM h n JOIN refidx USING (hv)
+WHERE n.doc_id % 10 = 0
+"""
+
+
 # ---- Exact-substring REMOVAL (Lee et al. 2022 §3) ----------------------
 
 def strip_duplicated_spans_q(spark, sf_dir):
@@ -2482,6 +2525,7 @@ QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
+    "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),

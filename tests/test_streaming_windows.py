@@ -177,6 +177,41 @@ def test_streaming_decontamination(spark, tmp_path):
     assert out == {2}
 
 
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """r7: the HLL sketch is a mergeable max-per-register aggregate, so
+    it runs UNCHANGED under Structured Streaming (complete mode) — the
+    register table accumulated over 2 micro-batches equals the batch
+    registers over the union of the data, hence the same estimate."""
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.sketches import hll_register_rows
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    for b in range(2):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(400):
+                f.write(json.dumps({"v": f"key-{b * 400 + i}"}) + "\n")
+
+    stream = spark.readStream.schema("v string").json(str(src))
+    idx, rho = hll_register_rows(SF.col("v"), p=9)
+    regs = stream.select(idx.alias("idx"), rho.alias("rho")) \
+        .groupBy("idx").agg(SF.max("rho").alias("mr"))
+    q = (regs.writeStream.format("memory").queryName("hll_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["idx"]: r["mr"]
+           for r in spark.sql("select * from hll_stream").collect()}
+
+    batch = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(800)], "v string")
+    bidx, brho = hll_register_rows(SF.col("v"), p=9)
+    want = {r["idx"]: r["mr"] for r in
+            batch.select(bidx.alias("idx"), brho.alias("rho"))
+            .groupBy("idx").agg(SF.max("rho").alias("mr")).collect()}
+    assert got == want and len(got) > 256
+
+
 def test_streaming_curation_parity_and_restart(spark, tmp_path):
     """r7 (VERDICT r6 #7): the curation pipeline (quality gate -> exact
     dedup -> PII + split) runs NATIVELY under Structured Streaming with

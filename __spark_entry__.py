@@ -54,6 +54,11 @@ _ROTATE_INTO_WINDOW = frozenset({
     "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
     "ccnet_buckets", "cms_token_counts", "diversity_sample",
     "cross_corpus_dedup",
+    # CHANGED in r7 (ADVICE r5: changed queries stay in the window):
+    # simhash64 rewritten as a single vote-array fold (bit-identical,
+    # still re-proven by the driver); pq_adc_topk's rerank stage moved
+    # into the shared _exact_rerank helper
+    "simhash_fingerprints", "pq_adc_topk",
 })
 
 

@@ -82,6 +82,7 @@ HEADLINE = R1_SET + [
     "ccnet_buckets",
     "cms_token_counts",
     "diversity_sample",
+    "cross_corpus_dedup",
 ]
 
 

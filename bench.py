@@ -83,6 +83,7 @@ HEADLINE = R1_SET + [
     "cms_token_counts",
     "diversity_sample",
     "cross_corpus_dedup",
+    "bpe_encoding",
 ]
 
 

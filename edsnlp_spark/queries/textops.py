@@ -2254,6 +2254,69 @@ LIMIT 10
 """
 
 
+# ---- BPE tokenizer: distributed training + encode -------------------------
+
+# Learned OFFLINE from the corpus by operators/bpe.py bpe_train (the
+# realistic production shape: the merge table is pipeline config, like
+# the IVF centroids).  Re-derive with:
+#   bpe_train(spark.read.parquet(f"{sf_dir}/documents.parquet"), 16)
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"),
+    ("a", "t"), ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"),
+    ("y", "</w>"), ("a", "r"),
+]
+
+
+def bpe_encoding(spark, sf_dir):
+    """Encode every document with a learned 16-merge BPE table
+    (operators/bpe.py): chars + </w> per word, merges replayed in
+    order — a pure per-row projection.  The oracle replays the SAME
+    greedy left-to-right merge semantics via the wrapped-symbol string
+    rewrite ('|l| |r|' -> '|lr|'), which is provably equivalent to the
+    array fold (non-overlapping left-to-right)."""
+    from ..operators.bpe import bpe_encode
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    enc = bpe_encode(d, _BPE_MERGES)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("encoded"),
+    )
+
+
+def _bpe_encoding_sql() -> str:
+    expr = "sym"
+    for left, right in _BPE_MERGES:
+        expr = f"replace({expr}, '|{left}| |{right}|', '|{left}{right}|')"
+    return f"""
+WITH w AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           list_transform(string_split(wd, ''), c -> '|' || c || '|'),
+           ' ') || ' |</w>|' AS sym
+  FROM (
+    SELECT doc_id,
+           unnest(range(len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS wd
+    FROM documents)
+),
+m AS (SELECT doc_id, pos, replace({expr}, '|', '') AS toks FROM w),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS encoded
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id,
+       len(string_split(encoded, ' '))::BIGINT AS n_tokens,
+       encoded
+FROM agg
+"""
+
+
+BPE_ENCODING_SQL = _bpe_encoding_sql()
+
+
 # ---- Count-min sketch point estimates ------------------------------------
 
 def cms_token_counts(spark, sf_dir):
@@ -2523,6 +2586,7 @@ FROM r WHERE rank <= 5
 
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
+    "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),

@@ -1196,6 +1196,71 @@ def test_duplicated_windows_guards(spark):
     assert got == {(10, 0): 2, (11, 0): 2}
 
 
+def test_bpe_train_matches_reference_algorithm(spark):
+    """r7 (Sennrich et al. 2016): the distributed BPE trainer must
+    produce the EXACT merge sequence of the paper's algorithm (pure
+    Python on the word-frequency table; ties -> lexicographic smallest
+    pair), stop early when no pair repeats, and bpe_encode must replay
+    the merges so that stripping </w> and joining reconstructs the
+    original text."""
+    from collections import Counter
+
+    import pytest
+
+    from edsnlp_spark.operators.bpe import bpe_encode, bpe_train
+
+    def py_bpe(texts, n):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    vocab[tuple(list(w) + ["</w>"])] += 1
+        merges = []
+        for _ in range(n):
+            pairs = Counter()
+            for sym, f in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += f
+            if not pairs or max(pairs.values()) < 2:
+                break
+            mc = max(pairs.values())
+            best = min(p for p, c in pairs.items() if c == mc)
+            merges.append(best)
+            nv = Counter()
+            for sym, f in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                        out.append(sym[i] + sym[i + 1])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                nv[tuple(out)] += f
+            vocab = nv
+        return merges
+
+    texts = ["low lower lowest low low", "newer newest new wider wide",
+             "low new wide wider lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe_train(docs, n_merges=12)
+    assert got == py_bpe(texts, 12)
+
+    # early stop: every pair unique -> no merges at all
+    uniq = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    assert bpe_train(uniq, n_merges=5) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, n_merges=0)
+
+    # encode roundtrip: strip </w>, drop spaces inside words -> original
+    enc = {r["doc_id"]: r["tokens"]
+           for r in bpe_encode(docs, got).collect()}
+    for i, t in enumerate(texts):
+        rebuilt = "".join(enc[i]).replace("</w>", " ").rstrip()
+        assert rebuilt == t, (i, enc[i])
+
+
 def test_cms_point_estimates_bounds(spark):
     """r7 (Cormode & Muthukrishnan 2005): count-min never
     underestimates, overestimates by at most eps*N (eps = e/w) here

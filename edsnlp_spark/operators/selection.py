@@ -141,3 +141,36 @@ def dsir_sample_topk(raw: DataFrame, target: DataFrame, k: int = 200,
         .select(F.col(id_col), F.round("logw", 4).alias("logw"),
                 F.round("__s", 4).alias("score"))
     )
+
+
+def approx_quality_buckets(scores: DataFrame, group_col: str = "lang",
+                           score_col: str = "nll",
+                           id_col: str = "doc_id",
+                           accuracy: int = 10000) -> DataFrame:
+    """The CORPUS-SCALE variant of CCNet head/middle/tail bucketing
+    (the swap documented in queries/textops.py ccnet_buckets): instead
+    of an exact per-language ntile(3) — a full per-group sort — compute
+    the two tertile CUTOFFS per group with percentile_approx (one
+    aggregation pass, mergeable sketch state) and assign buckets with a
+    threshold projection.  No per-group sort anywhere; the only
+    exchange is the groupBy for the cutoffs (one row per group).
+
+    -> (id_col, group_col, score_col, bucket).  Boundary semantics:
+    score <= t1 -> head, <= t2 -> middle, else tail; ties at a cutoff
+    all land in the lower bucket (ntile splits them by position, so the
+    two variants can differ on cutoff-tied and sketch-error rows only —
+    the parity test bounds the disagreement).
+    """
+    cuts = scores.groupBy(group_col).agg(
+        F.percentile_approx(score_col, [1.0 / 3.0, 2.0 / 3.0],
+                            accuracy).alias("qs"))
+    t1, t2 = F.col("qs")[0], F.col("qs")[1]
+    return (
+        scores.join(F.broadcast(cuts), group_col)
+        .select(
+            F.col(id_col), F.col(group_col), F.col(score_col),
+            F.when(F.col(score_col) <= t1, F.lit("head"))
+            .when(F.col(score_col) <= t2, F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )

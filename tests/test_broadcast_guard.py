@@ -46,6 +46,8 @@ ALLOWED = {
         "phrase-matcher pattern terms (pipeline config)",
     ("operators/retrieval.py", "F.broadcast(stats)"):
         "1-row corpus-statistics aggregate (BM25 N/avgdl/df)",
+    ("operators/selection.py", "F.broadcast(cuts)"):
+        "one row per group; groups = language inventory (config-scale)",
     ("operators/selection.py", "F.broadcast(totals)"):
         "1-row LM totals aggregate (DSIR tt/tr)",
     ("operators/selection.py", "F.broadcast(ratio)"):

@@ -1196,6 +1196,28 @@ def test_duplicated_windows_guards(spark):
     assert got == {(10, 0): 2, (11, 0): 2}
 
 
+def test_approx_quality_buckets_match_exact_tertiles(spark, sf_dir):
+    """r7: the documented corpus-scale swap for ccnet_buckets (approx-
+    percentile cutoffs + threshold projection, no per-group sort) must
+    agree with the exact ntile(3) on >= 95% of docs at
+    accuracy=10000 — disagreement is confined to cutoff-tied /
+    sketch-error rows."""
+    from edsnlp_spark.operators.selection import approx_quality_buckets
+    from edsnlp_spark.queries.textops import ccnet_buckets
+
+    exact = ccnet_buckets(spark, sf_dir)
+    nll = exact.select("doc_id", "lang", "nll")
+    approx = approx_quality_buckets(nll, accuracy=10000)
+    joined = exact.select("doc_id", F.col("bucket").alias("e")).join(
+        approx.select("doc_id", F.col("bucket").alias("a")), "doc_id")
+    total = joined.count()
+    agree = joined.filter(F.col("e") == F.col("a")).count()
+    assert total > 0 and agree / total >= 0.95, (agree, total)
+    # the plan has no per-group sort window
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_bpe_train_matches_reference_algorithm(spark):
     """r7 (Sennrich et al. 2016): the distributed BPE trainer must
     produce the EXACT merge sequence of the paper's algorithm (pure

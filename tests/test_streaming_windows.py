@@ -212,6 +212,44 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     assert got == want and len(got) > 256
 
 
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """r7: count-min cells are ADDITIVE, so the sketch accumulates
+    under streaming (complete-mode groupBy-sum) to exactly the batch
+    sketch over the unioned micro-batches — the ingest-time frequency
+    monitor shape."""
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.sketches import cms_cells
+
+    src = tmp_path / "cmsvals"
+    src.mkdir()
+    for b in range(2):
+        with open(src / f"b{b}.jsonl", "w") as f:
+            for i in range(300):
+                f.write(json.dumps({"v": f"k-{i % 40}"}) + "\n")
+
+    stream = spark.readStream.schema("v string").json(str(src))
+    cells = stream.select(SF.explode(
+        cms_cells(SF.col("v"), 4, 256)).alias("rc")) \
+        .groupBy(SF.col("rc.r").alias("r"), SF.col("rc.cell").alias("cell")) \
+        .agg(SF.count(SF.lit(1)).alias("c"))
+    q = (cells.writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["r"], r["cell"]): r["c"]
+           for r in spark.sql("select * from cms_stream").collect()}
+
+    batch = spark.createDataFrame(
+        [(f"k-{i % 40}",) for i in range(300)] * 2, "v string")
+    want = {(r["r"], r["cell"]): r["c"] for r in
+            batch.select(SF.explode(
+                cms_cells(SF.col("v"), 4, 256)).alias("rc"))
+            .groupBy(SF.col("rc.r").alias("r"),
+                     SF.col("rc.cell").alias("cell"))
+            .agg(SF.count(SF.lit(1)).alias("c")).collect()}
+    assert got == want
+
+
 def test_streaming_curation_parity_and_restart(spark, tmp_path):
     """r7 (VERDICT r6 #7): the curation pipeline (quality gate -> exact
     dedup -> PII + split) runs NATIVELY under Structured Streaming with

@@ -137,21 +137,22 @@ def main() -> None:
         for name, t in times.items()
         if name in best and best[name] > 0.05 and t > 1.3 * best[name]
     }
-    # Short queries carry lucky-sample bias: a 0.165s "best" vs a
-    # ~0.30s steady-state floor flags a phantom 1.8x regression (r4
-    # notes), and r6/r7 showed the same shape at 1-2s
-    # (embedding_neardup: best 1.137 on a quiet host, 6-run
-    # distribution min 1.315 / median 1.53 here — 1.16x at min, pure
-    # host load, plan untouched).  Before recording any regression on a
-    # <2s query, re-probe with 6 runs and keep the flag only if the
-    # distribution MIN still exceeds the threshold.
+    # Single samples carry lucky/unlucky bias at EVERY magnitude: a
+    # 0.165s "best" vs a ~0.30s steady-state floor flags a phantom
+    # 1.8x (r4), embedding_neardup repro'd it at 1-2s (r6/r7), and a
+    # host spike during one r7 run inflated simhash_neardup's
+    # best-of-2 to 2.6x (6-run probe immediately showed the 2.05s
+    # steady state).  So: EVERY flagged regression gets a 6-run
+    # re-probe; the flag survives only if the distribution MIN still
+    # exceeds the threshold.  Probe cost is bounded — it only runs for
+    # flagged queries.
     # bench_best.json must stay best-of-2 for EVERY query — probe minima
     # (best-of-8) would ratchet sub-second bests toward lucky outliers,
     # re-creating the phantom-regression bias the probe exists to
     # correct (ADVICE r5) — so 'improved' is computed from the
     # pre-probe times.
     pre_probe_times = dict(times)
-    for name in [n for n, r in regressions.items() if r["best"] < 2.0]:
+    for name in list(regressions):
         fn, _ = qs[name]
         samples = []
         for _ in range(6):

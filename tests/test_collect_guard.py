@@ -24,6 +24,8 @@ ALLOWED = {
         "1-row global aggregate",
     ("training/scorer.py", "res.collect()"):
         "per-label metric rows (bounded by label vocabulary)",
+    ("operators/bpe.py", '.limit(1).collect()'):
+        "BPE merge argmax: exactly one row per training iteration",
     ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
         "1-row min/max aggregate for decile binning",
     ("operators/scores.py", '== "").collect()'):

@@ -75,7 +75,9 @@ def hll_distinct(df: DataFrame, col: str, p: int = 9) -> DataFrame:
                     .cast("double")).cast("long")).alias("s"),
     )
     v = F.lit(m) - F.col("npresent")
-    z_scaled = v * F.lit(1 << r_scale) + F.col("s")  # exact integer Z
+    # coalesce: SUM over zero rows is NULL (empty input -> all registers
+    # empty -> pure linear counting, estimate 0, not NULL)
+    z_scaled = v * F.lit(1 << r_scale) + F.coalesce(F.col("s"), F.lit(0))
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     e = (alpha * F.lit(float(m)) * F.lit(float(m))
          * F.lit(float(1 << r_scale)) / z_scaled)

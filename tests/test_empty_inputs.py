@@ -67,3 +67,48 @@ def test_pii_and_dedup_empty(spark):
     rows = one.select(token_shingles(F.col("note_text"), 3).alias("sh")) \
         .collect()
     assert rows[0].sh == []
+
+
+def test_round7_operators_on_empty_docs(spark):
+    """r7 operators on an empty docs frame: empty typed output, no
+    throw (the daily-ingest pipeline regularly sees empty splits)."""
+    from edsnlp_spark.operators.bpe import bpe_encode, bpe_train
+    from edsnlp_spark.operators.dedup import (
+        cross_duplicated_windows, duplicated_windows, simhash_neardup_pairs,
+        strip_duplicated_spans, winnowing_fingerprints)
+    from edsnlp_spark.operators.retrieval import bm25_topk_batch
+    from edsnlp_spark.operators.selection import dsir_weights
+    from edsnlp_spark.operators.sketches import cms_point_estimates
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+
+    assert duplicated_windows(empty, n=3).count() == 0
+    out = strip_duplicated_spans(empty, n=3)
+    assert out.count() == 0 and out.columns == ["doc_id", "text_clean",
+                                                "n_removed"]
+    assert winnowing_fingerprints(empty, k=2, w=2).count() == 0
+    assert simhash_neardup_pairs(empty).count() == 0
+    # cross dedup: empty on either side -> empty
+    assert cross_duplicated_windows(empty, some, n=3).count() == 0
+    assert cross_duplicated_windows(some, empty, n=3).count() == 0
+    # batch BM25 with no matching docs -> zero rows, typed
+    q = spark.createDataFrame([(0, ["zz"])],
+                              "query_id long, terms array<string>")
+    assert bm25_topk_batch(empty, q).count() == 0
+    assert bm25_topk_batch(some, q).count() == 0  # term absent
+    # DSIR over an empty raw pool
+    assert dsir_weights(empty, some, b=64).count() == 0
+    # CMS probes over an empty stream estimate 0
+    est = {r["key"]: r["est"]
+           for r in cms_point_estimates(empty.select(
+               F.col("text").alias("t")), "t", ["a"], d=2, w=32).collect()}
+    assert est == {"a": 0}
+    # BPE: nothing to merge -> empty merge list; encode of empty -> empty
+    assert bpe_train(empty, n_merges=3) == []
+    assert bpe_encode(empty, [("a", "b")]).count() == 0
+    # HLL: all registers empty -> linear counting gives estimate 0
+    from edsnlp_spark.operators.sketches import hll_distinct
+    row = hll_distinct(empty.select(F.col("text").alias("v")), "v").first()
+    assert row["v_empty"] == 512 and row["approx_distinct"] == 0.0

@@ -53,7 +53,7 @@ _ROTATE_INTO_WINDOW = frozenset({
     "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
     "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
     "ccnet_buckets", "cms_token_counts", "diversity_sample",
-    "cross_corpus_dedup",
+    "cross_corpus_dedup", "source_divergence",
     # CHANGED in r7 (ADVICE r5: changed queries stay in the window):
     # simhash64 rewritten as a single vote-array fold (bit-identical,
     # still re-proven by the driver); pq_adc_topk's rerank stage moved

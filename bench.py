@@ -84,6 +84,7 @@ HEADLINE = R1_SET + [
     "diversity_sample",
     "cross_corpus_dedup",
     "bpe_encoding",
+    "source_divergence",
 ]
 
 

@@ -174,3 +174,86 @@ def approx_quality_buckets(scores: DataFrame, group_col: str = "lang",
             .otherwise(F.lit("tail")).alias("bucket"),
         )
     )
+
+
+@scoped("selection")
+def source_divergence(docs: DataFrame, b: int = 4096,
+                      source_col: str = "source",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the hashed-ngram
+    unigram distributions of each corpus SOURCE -> (source_a, source_b,
+    js_divergence), source_a < source_b, 4dp — the drift/mixture
+    monitor that tells a growing corpus "this new source does not look
+    like the others" before any model sees it.
+
+    JS (symmetric, bounded by ln 2) over add-1-smoothed bucket
+    distributions: JS(P,Q) = (KL(P||M) + KL(Q||M)) / 2, M = (P+Q)/2.
+
+    Scale shape: ONE feature pass + ONE groupBy(source, bkt) — at most
+    |sources| * b rows survive (config-bounded); everything pairwise
+    happens on that tiny table.  Smoothing puts mass on every bucket,
+    but the JS sum only materializes buckets where EITHER side has
+    counts; the (b - n_touched) all-floor buckets contribute one
+    CLOSED-FORM term per pair (p0 = 1/(ta+b), q0 = 1/(tb+b) are
+    constants), so absent buckets never become rows.
+    """
+    feats = hashed_ngram_features(docs.select(
+        F.col(source_col).alias("__src"), F.col(text_col)),
+        b, "__src", text_col)
+    # counts feeds totals, the bucket-union build (x2) and both verify
+    # joins — 5 references; unpersisted, the corpus feature pass would
+    # re-execute each time.  <= |sources| * b rows (tiny).
+    counts = tracked_persist(
+        feats.groupBy(F.col("__src").alias("src"), "bkt").agg(
+            F.count(F.lit(1)).alias("c")),
+        "selection")
+    totals = counts.groupBy("src").agg(F.sum("c").alias("tot"))
+    spairs = (
+        totals.select(F.col("src").alias("sa"), F.col("tot").alias("ta"))
+        .crossJoin(totals.select(F.col("src").alias("sb"),
+                                 F.col("tot").alias("tb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    ca = counts.select(F.col("src").alias("sa"), "bkt",
+                       F.col("c").alias("ca"))
+    cb = counts.select(F.col("src").alias("sb"), "bkt",
+                       F.col("c").alias("cb"))
+    # per pair, the union of buckets either source touches
+    u = counts.select("src", "bkt")
+    union_bkts = (
+        spairs.join(u.select(F.col("src").alias("sa"), "bkt"), "sa")
+        .select("sa", "sb", "ta", "tb", "bkt")
+        .unionByName(
+            spairs.join(u.select(F.col("src").alias("sb"), "bkt"), "sb")
+            .select("sa", "sb", "ta", "tb", "bkt"))
+        .distinct()
+    )
+    joined = (
+        union_bkts
+        .join(ca, ["sa", "bkt"], "left")
+        .join(cb, ["sb", "bkt"], "left")
+        .select(
+            "sa", "sb", "ta", "tb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    bf = F.lit(float(b))
+    p = (F.col("ca") + 1.0) / (F.col("ta") + bf)
+    q = (F.col("cb") + 1.0) / (F.col("tb") + bf)
+    m = (p + q) / 2.0
+    contrib = (p * F.log(p / m) + q * F.log(q / m)) / 2.0
+    touched_sum = joined.groupBy("sa", "sb", "ta", "tb").agg(
+        F.sum(contrib).alias("js_touched"),
+        F.count(F.lit(1)).alias("n_touched"),
+    )
+    p0 = 1.0 / (F.col("ta") + bf)
+    q0 = 1.0 / (F.col("tb") + bf)
+    m0 = (p0 + q0) / 2.0
+    zero_term = (F.lit(b) - F.col("n_touched")) * (
+        (p0 * F.log(p0 / m0) + q0 * F.log(q0 / m0)) / 2.0)
+    return touched_sum.select(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+        F.round(F.col("js_touched") + zero_term, 4).alias("js_divergence"),
+    )

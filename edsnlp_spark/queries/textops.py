@@ -2397,6 +2397,81 @@ FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
 """
 
 
+# ---- Source distribution divergence (drift monitor) ----------------------
+
+def source_divergence_q(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between each source's
+    hashed-ngram distribution — the drift monitor that flags a new
+    source that doesn't look like the rest of the corpus.  One feature
+    pass + one groupBy(source, bucket); all pairwise math happens on
+    the <= |sources| * b row count table, with a closed-form term for
+    untouched buckets."""
+    from ..operators.selection import source_divergence
+    d = _t(spark, sf_dir, "documents")
+    return source_divergence(d, b=4096)
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH feats AS (
+  SELECT src, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS bkt
+  FROM (
+    SELECT source AS src, unnest(string_split(text, ' ')) AS f
+    FROM documents
+    UNION ALL
+    SELECT source, unnest([toks[i+1] || ' ' || toks[i+2]
+                           for i in range(greatest(len(toks) - 1, 0))])
+    FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+),
+counts AS (SELECT src, bkt, COUNT(*) AS c FROM feats GROUP BY src, bkt),
+totals AS (SELECT src, SUM(c) AS tot FROM counts GROUP BY src),
+spairs AS (
+  SELECT a.src AS sa, a.tot AS ta, b.src AS sb, b.tot AS tb
+  FROM totals a CROSS JOIN totals b WHERE a.src < b.src
+),
+ub AS (
+  SELECT DISTINCT sa, sb, ta, tb, bkt FROM (
+    SELECT p.sa, p.sb, p.ta, p.tb, c.bkt
+    FROM spairs p JOIN counts c ON c.src = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, p.ta, p.tb, c.bkt
+    FROM spairs p JOIN counts c ON c.src = p.sb)
+),
+j AS (
+  SELECT ub.sa, ub.sb, ub.ta, ub.tb,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM ub
+  LEFT JOIN counts ca ON ca.src = ub.sa AND ca.bkt = ub.bkt
+  LEFT JOIN counts cb ON cb.src = ub.sb AND cb.bkt = ub.bkt
+),
+t AS (
+  SELECT sa, sb, ta, tb,
+         SUM((((ca + 1.0) / (ta + 4096.0))
+              * ln(((ca + 1.0) / (ta + 4096.0))
+                   / ((((ca + 1.0) / (ta + 4096.0))
+                       + ((cb + 1.0) / (tb + 4096.0))) / 2.0))
+              + ((cb + 1.0) / (tb + 4096.0))
+              * ln(((cb + 1.0) / (tb + 4096.0))
+                   / ((((ca + 1.0) / (ta + 4096.0))
+                       + ((cb + 1.0) / (tb + 4096.0))) / 2.0))) / 2.0)
+           AS js_touched,
+         COUNT(*) AS n_touched
+  FROM j GROUP BY sa, sb, ta, tb
+)
+SELECT sa AS source_a, sb AS source_b,
+       ROUND(js_touched + (4096 - n_touched) *
+             (((1.0 / (ta + 4096.0))
+               * ln((1.0 / (ta + 4096.0))
+                    / (((1.0 / (ta + 4096.0))
+                        + (1.0 / (tb + 4096.0))) / 2.0))
+               + (1.0 / (tb + 4096.0))
+               * ln((1.0 / (tb + 4096.0))
+                    / (((1.0 / (ta + 4096.0))
+                        + (1.0 / (tb + 4096.0))) / 2.0))) / 2.0),
+             4) AS js_divergence
+FROM t
+"""
+
+
 # ---- HyperLogLog distinct sketch ----------------------------------------
 
 def hll_distinct_windows(spark, sf_dir):
@@ -2590,6 +2665,7 @@ QUERIES = {
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),
+    "source_divergence": (source_divergence_q, SOURCE_DIVERGENCE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),

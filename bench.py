@@ -257,9 +257,18 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
     spark.stop()
     # The summary must be the LAST stdout line, must parse, and must fit
-    # the driver's tail capture.  Self-validate both, flush stderr first,
-    # then emit.
+    # the driver's tail capture (last 2000 chars; r4's ~4KB line left
+    # BENCH_r04.parsed null).  Self-validate both, flush stderr first,
+    # then emit.  If the per-query map pushes the line over budget,
+    # keep only the slowest queries in the line (the full map is always
+    # in BENCH_DETAIL.json) rather than failing or overflowing.
     line = json.dumps(summary)
+    while len(line) >= 1500 and len(summary["queries"]) > 10:
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])
+                       [:max(10, len(summary["queries"]) - 5)])
+        summary["queries"] = slowest
+        summary["queries_truncated_to_slowest"] = len(slowest)
+        line = json.dumps(summary)
     json.loads(line)
     assert len(line) < 1500, f"bench summary line too long: {len(line)}"
     print(f"# detail -> {detail_path} ({len(json.dumps(detail))} bytes); "

@@ -85,6 +85,7 @@ HEADLINE = R1_SET + [
     "cross_corpus_dedup",
     "bpe_encoding",
     "source_divergence",
+    "bm25_eval_metrics",
 ]
 
 

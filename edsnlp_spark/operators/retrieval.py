@@ -183,3 +183,67 @@ def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
                 F.col("rank").cast("bigint"),
                 F.round("__s", 4).alias("score"))
     )
+
+
+def ranking_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10,
+                    query_id_col: str = "query_id",
+                    id_col: str = "doc_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Standard retrieval-eval metrics per query over a ranking table
+    and a relevance-judgment table -> (query_id, n_rel, recall_at_k,
+    mrr, ndcg), all 4dp:
+
+    - recall@k = |relevant in top-k| / |relevant|
+    - MRR      = 1 / rank of the first relevant hit (0 if none)
+    - nDCG@k   = DCG / IDCG with binary gains 1/log2(rank+1)
+      (Jarvelin & Kekalainen 2002); IDCG assumes the min(k, n_rel)
+      ideal prefix.
+
+    Every aggregate folds a SORTED rank array (sort_array + sequential
+    fold), so the floating sums are order-deterministic and reproduce
+    in the DuckDB oracle.  Scale shape: one equi-join of the top-k
+    table with qrels, one groupBy(query) — both bounded by queries * k,
+    never corpus-sized.
+    """
+    if k < 1:
+        raise ValueError("ranking_metrics requires k >= 1")
+    ln2 = F.lit(0.6931471805599453)  # ln(2), same literal in the oracle
+
+    topk = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("qid"), F.col(id_col).alias("did"),
+        F.col(rank_col).alias("r"))
+    rel = qrels.select(F.col(query_id_col).alias("qid"),
+                       F.col(id_col).alias("did"))
+    nrel = rel.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        topk.join(rel, ["qid", "did"])
+        .groupBy("qid")
+        .agg(F.sort_array(F.collect_list("r")).alias("rs"))
+    )
+
+    def dcg_fold(acc, r):
+        return acc + ln2 / F.log(r.cast("double") + F.lit(1.0))
+
+    dcg = F.aggregate(F.col("rs"), F.lit(0.0), dcg_fold)
+    ideal_n = F.least(F.lit(k), F.col("n_rel"))
+    idcg = F.aggregate(F.sequence(F.lit(1), ideal_n), F.lit(0.0),
+                       dcg_fold)
+    out = (
+        nrel.join(hits, "qid", "left")
+        .select(
+            "qid", "n_rel",
+            F.coalesce(F.size("rs"), F.lit(0)).alias("n_hits"),
+            F.coalesce(dcg, F.lit(0.0)).alias("dcg"),
+            idcg.alias("idcg"),
+            F.element_at("rs", 1).alias("first_rel"),
+        )
+    )
+    return out.select(
+        F.col("qid").alias(query_id_col),
+        F.col("n_rel").cast("bigint"),
+        F.round(F.col("n_hits") / F.col("n_rel"), 4).alias("recall_at_k"),
+        F.round(F.when(F.col("first_rel").isNull(), F.lit(0.0))
+                .otherwise(F.lit(1.0) / F.col("first_rel")), 4)
+        .alias("mrr"),
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )

@@ -2538,6 +2538,99 @@ FROM fin
 """
 
 
+# ---- Retrieval evaluation metrics ----------------------------------------
+
+def bm25_eval_metrics(spark, sf_dir):
+    """recall@10 / MRR / nDCG@10 for the batch-BM25 rankings against
+    deterministic relevance judgments (a doc is relevant to a query iff
+    it contains ALL the query's terms) — the eval harness a retrieval
+    pipeline runs after every index change.  Metrics fold SORTED rank
+    arrays, so the floating sums are order-deterministic."""
+    from ..operators.retrieval import bm25_topk_batch, ranking_metrics
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, ["spark", "hash"]), (1, ["filter", "merge", "vector"]),
+         (2, ["window", "stream"])],
+        "query_id long, terms array<string>")
+    ranked = bm25_topk_batch(d, q, k=10)
+    toks = F.split(F.lower("text"), " ", -1)
+    qrels = (
+        d.select("doc_id", toks.alias("tk"))
+        .crossJoin(q)
+        .filter(F.size(F.array_except(F.col("terms"), F.col("tk"))) == 0)
+        .select("query_id", "doc_id")
+    )
+    return ranking_metrics(ranked, qrels, k=10)
+
+
+BM25_EVAL_METRICS_SQL = """
+WITH q(query_id, term) AS (
+  VALUES (0, 'spark'), (0, 'hash'),
+         (1, 'filter'), (1, 'merge'), (1, 'vector'),
+         (2, 'window'), (2, 'stream')
+),
+qsets AS (SELECT query_id, list(term) AS terms FROM q GROUP BY query_id),
+tokd AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+    FROM tokd)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM p GROUP BY doc_id)
+),
+tdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM p GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))) AS s
+  FROM q JOIN tdf USING (term) JOIN p USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+),
+qrels AS (
+  SELECT s.query_id, t.doc_id
+  FROM tokd t CROSS JOIN qsets s
+  WHERE len(list_filter(s.terms,
+                        x -> NOT list_contains(t.toks, x))) = 0
+),
+nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, list_sort(list(r.rank)) AS rs
+  FROM ranked r JOIN qrels USING (query_id, doc_id)
+  WHERE r.rank <= 10
+  GROUP BY r.query_id
+),
+m AS (
+  SELECT n.query_id, n.n_rel,
+         COALESCE(len(h.rs), 0) AS n_hits,
+         COALESCE(list_sum(list_transform(
+           h.rs, r -> 0.6931471805599453 / ln(r + 1.0))), 0.0) AS dcg,
+         list_sum(list_transform(
+           range(1, least(10, n.n_rel) + 1),
+           r -> 0.6931471805599453 / ln(r + 1.0))) AS idcg,
+         h.rs[1] AS first_rel
+  FROM nrel n LEFT JOIN hits h USING (query_id)
+)
+SELECT query_id, n_rel::BIGINT AS n_rel,
+       ROUND(n_hits / n_rel, 4) AS recall_at_k,
+       ROUND(CASE WHEN first_rel IS NULL THEN 0.0
+                  ELSE 1.0 / first_rel END, 4) AS mrr,
+       ROUND(dcg / idcg, 4) AS ndcg
+FROM m
+"""
+
+
 # ---- DSIR importance resampling (data selection) ------------------------
 
 def dsir_selection(spark, sf_dir):
@@ -2668,6 +2761,7 @@ QUERIES = {
     "source_divergence": (source_divergence_q, SOURCE_DIVERGENCE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "hll_distinct_windows": (hll_distinct_windows,
                              HLL_DISTINCT_WINDOWS_SQL),

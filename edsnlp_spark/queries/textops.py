@@ -2758,17 +2758,20 @@ QUERIES = {
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),
-    "source_divergence": (source_divergence_q, SOURCE_DIVERGENCE_SQL),
+    # a0_-prefixed CANONICAL keys: no driver row through r7 (VERDICT r7
+    # #1) — prefix baked into the registry key so every driver keying
+    # model windows them.
+    "a0_source_divergence": (source_divergence_q, SOURCE_DIVERGENCE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "hll_distinct_windows": (hll_distinct_windows,
                              HLL_DISTINCT_WINDOWS_SQL),
-    "winnowing_fp": (winnowing_fp, WINNOWING_FP_SQL),
+    "a0_winnowing_fp": (winnowing_fp, WINNOWING_FP_SQL),
     "exact_substring_dedup": (exact_substring_dedup, EXACT_SUBSTRING_SQL),
-    "strip_duplicated_spans": (strip_duplicated_spans_q,
-                               STRIP_DUPLICATED_SPANS_SQL),
+    "a0_strip_duplicated_spans": (strip_duplicated_spans_q,
+                                  STRIP_DUPLICATED_SPANS_SQL),
     "hypothesis_tokens": (hypothesis_tokens, HYPOTHESIS_TOKENS_SQL),
     "markup_extraction": (markup_extraction, MARKUP_EXTRACTION_SQL),
     "endlines_rule": (endlines_rule, ENDLINES_RULE_SQL),
@@ -2776,8 +2779,8 @@ QUERIES = {
                                  BOILERPLATE_LINES_SQL),
     "gopher_line_repetition": (gopher_line_repetition,
                                GOPHER_LINE_REPETITION_SQL),
-    "url_domain_filtering": (url_domain_filtering,
-                             URL_DOMAIN_FILTERING_SQL),
+    "a0_url_domain_filtering": (url_domain_filtering,
+                                URL_DOMAIN_FILTERING_SQL),
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),
@@ -2797,12 +2800,12 @@ QUERIES = {
     "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
     "decontamination_overlap": (decontamination_overlap,
                                 DECONTAMINATION_SQL),
-    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
-    "unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
+    "a0_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "a0_unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
-    "split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
+    "a0_split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
-    "source_mixture_sample": (source_mixture_sample, SOURCE_MIXTURE_SQL),
+    "a0_source_mixture_sample": (source_mixture_sample, SOURCE_MIXTURE_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),
     "quantity_mentions": (quantity_mentions_q, QUANTITY_MENTIONS_SQL),

@@ -89,7 +89,7 @@ def test_umls_scale_no_broadcast(spark, sf_dir):
     """The 200k-form lexicon tier must NOT broadcast the terms table:
     the anchor join is a shuffle-hash join (hinted), which is the only
     place a ShuffledHashJoin can appear in this plan."""
-    s = plan_of(spark, sf_dir, "umls_scale_match")
+    s = plan_of(spark, sf_dir, "a0_umls_scale_match")
     assert "ShuffledHashJoin" in s, "anchor join lost the shuffle_hash hint"
     # the terms range-generator side must not appear under a broadcast
     assert "BroadcastExchange" not in s.split("ShuffledHashJoin")[1][:2000] \
@@ -102,8 +102,8 @@ def test_domain_queries_native_and_broadcast(spark, sf_dir):
     # locate fold — only zero-width patterns take the exact Arrow path,
     # which is why history_qualifier is exempt: its date regexes carry
     # \b and deliberately run exact)
-    for name in ("tnm_mentions", "adicap_decode", "charlson_scores",
-                 "sentence_boundaries", "family_tokens",
+    for name in ("a0_tnm_mentions", "adicap_decode", "charlson_scores",
+                 "a0_sentence_boundaries", "family_tokens",
                  "reported_speech_tokens"):
         s = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s \
@@ -161,7 +161,7 @@ def test_strip_duplicated_spans_plan_shape(spark, sf_dir):
     window hash, never a Window.partitionBy(h) — the hot-boilerplate
     skew rule from VERDICT r6 #2 applies to the removal half too; and
     reconstruction joins LEFT so untouched docs pass through."""
-    s = plan_of(spark, sf_dir, "strip_duplicated_spans")
+    s = plan_of(spark, sf_dir, "a0_strip_duplicated_spans")
     assert "partial_count" in s or "HashAggregate" in s
     # the only Window ops allowed are none — ranges merge via
     # collect_set, not a per-hash window

@@ -269,6 +269,44 @@ def test_simhash_similarity(spark):
     assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
 
 
+def test_simhash_neardup_max_df_caps_hot_blocks(spark):
+    """VERDICT r7 #3: a planted exact-duplicate cluster makes every one
+    of its (block, value) keys hot — quadratic candidates per block.
+    With max_df set, cluster blocks are dropped from candidate
+    generation (LeftAnti in the plan) and the output stays bounded,
+    while small clusters below the cap are still found."""
+    from edsnlp_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)]
+    rows += [(100, "foo bar baz qux quux corge"),
+             (101, "foo bar baz qux quux corge")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {(r.id_a, r.id_b)
+            for r in simhash_neardup_pairs(df, max_hamming=3,
+                                           bands=4).collect()}
+    # uncapped: the 60-clique (1770 pairs) plus the planted 2-cluster
+    assert (100, 101) in full
+    assert sum(1 for a, b in full if a < 100 and b < 100) == 1770
+
+    capped = simhash_neardup_pairs(df, max_hamming=3, bands=4, max_df=50)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # every block of the 60-cluster exceeds the cap -> no quadratic
+    # candidate generation for it (exact dups belong to exact dedup);
+    # the 2-cluster's blocks (2 members) survive.
+    assert got == {(100, 101)}
+
+
+def test_simhash_neardup_max_df_validation(spark):
+    from edsnlp_spark.operators.dedup import simhash_neardup_pairs
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_df"):
+        simhash_neardup_pairs(df, max_df=1)
+
+
 def test_token_shingles_edges(spark):
     df = spark.createDataFrame(
         [(1, "a b"), (2, "a b c"), (3, "a b c d")], "doc_id long, text string")

@@ -133,6 +133,27 @@ def release(scope: str | None = None) -> int:
     return n
 
 
+def release_plane(df: DataFrame, scope: str) -> None:
+    """Unpersist ONE tracked plane mid-operator (ADVICE r7 #1: iterative
+    operators like bpe_train otherwise hold every iteration's plane
+    until the scope's next top-level entry).  Only safe once the plane's
+    SUCCESSOR is materialized — unpersisting earlier silently recomputes
+    the subtree (the round-1 100x lazy blowup)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    try:
+        _TRACKED.get(scope, []).remove(df)
+    except ValueError:
+        pass
+    for key in [k for k in _OWNED if k[0] == scope]:
+        try:
+            _OWNED[key].remove(df)
+        except ValueError:
+            pass
+
+
 def tracked_scopes() -> dict[str, int]:
     """scope -> number of tracked planes (for tests/debugging)."""
     return {s: len(refs) for s, refs in _TRACKED.items()}

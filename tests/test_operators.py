@@ -1321,6 +1321,81 @@ def test_bpe_train_matches_reference_algorithm(spark):
         assert rebuilt == t, (i, enc[i])
 
 
+def test_bpe_encode_arrow_matches_expr(spark):
+    """r8 (VERDICT r7 #4): the Arrow encode path (merge table as data,
+    per-word memoized sequential replay) must be row-identical to the
+    expression path — including multi-space / empty-word / trailing-
+    space edges and merges whose output symbol re-pairs under a later
+    merge."""
+    from edsnlp_spark.operators.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new wider wide",
+        "aaa aaaa aa a",                 # (a,a) self-overlap greediness
+        "low  lower", "  padded", "trail ",  # empty words
+        "élevé élève élégant élevé",     # non-ASCII chars
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=20)
+    assert len(merges) >= 10
+    expr = {r["doc_id"]: r["tokens"]
+            for r in bpe_encode(docs, merges, engine="expr").collect()}
+    arrow = {r["doc_id"]: r["tokens"]
+             for r in bpe_encode(docs, merges, engine="arrow").collect()}
+    assert expr == arrow
+
+    import pytest
+    with pytest.raises(ValueError, match="engine"):
+        bpe_encode(docs, merges, engine="nope")
+
+
+def test_bpe_encode_arrow_scales_past_expression_cliff(spark):
+    """A 1200-merge table (well past the ~few-hundred-merge expression
+    cliff) encodes via auto-selected Arrow in one pass; sanity via an
+    independently computed reference encoding of one doc."""
+    from edsnlp_spark.operators.bpe import (
+        EXPR_PATH_MAX_MERGES, _encode_word, bpe_encode)
+
+    # synthetic but REPLAY-meaningful merge table: chains that build up
+    # long runs, plus pairs over the doc alphabet
+    merges = [("a", "a")]
+    for i in range(599):
+        merges.append((merges[-1][0] + merges[-1][1], "a")
+                      if i % 3 == 0 else ("a", "b"))
+    merges += [("b", "c"), ("c", "d"), ("bc", "d"), ("a", "bcd")] * 150
+    merges = merges[:1200]
+    assert len(merges) > EXPR_PATH_MAX_MERGES
+
+    texts = ["aaaa ab abcd bcd xyz", "aaaaaaa abcdabcd b c d"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"]
+           for r in bpe_encode(docs, merges).collect()}  # auto -> arrow
+    for i, t in enumerate(texts):
+        want = []
+        for w in t.split(" "):
+            want.extend(_encode_word(w, merges, "</w>"))
+        assert got[i] == want
+
+
+def test_bpe_train_holds_bounded_planes(spark):
+    """ADVICE r7 #1: bpe_train must retire each iteration's vocab plane
+    once its successor is materialized — at most ~2 cached planes at
+    any time, not one per merge."""
+    from edsnlp_spark.core import caching
+    from edsnlp_spark.operators.bpe import bpe_train
+
+    texts = ["low lower lowest low low", "newer newest new wider wide"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=12)
+    assert len(merges) == 12
+    assert caching.tracked_scopes().get("bpe", 0) <= 2, \
+        caching.tracked_scopes()
+
+
 def test_cms_point_estimates_bounds(spark):
     """r7 (Cormode & Muthukrishnan 2005): count-min never
     underestimates, overestimates by at most eps*N (eps = e/w) here

@@ -53,10 +53,10 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 # stays <= 3 rounds old.
 _ROTATE_INTO_WINDOW = frozenset({
     # CHANGED in r8 (changed queries stay in the checked window):
-    # bm25_topk_batch ranks by the ROUNDED score (ADVICE r7 #4);
-    # simhash64 let-binds the per-token md5 halves (VERDICT r7 #2 —
-    # bit-identical, re-proven by the driver)
-    "bm25_search_batch", "simhash_fingerprints",
+    # bm25_topk_batch ranks by the ROUNDED score (ADVICE r7 #4, also
+    # feeds bm25_eval_metrics); simhash64 pre-hashes the token array
+    # (VERDICT r7 #2 — bit-identical, re-proven by the driver)
+    "bm25_search_batch", "bm25_eval_metrics", "simhash_fingerprints",
     # README rotation-#4 bookkeeping set (last windowed r7)
     "family_tokens", "filter_spans_greedy", "gopher_repetition",
     "gopher_line_repetition", "hf_ner_spans", "history_qualifier",

@@ -159,15 +159,23 @@ def tracked_scopes() -> dict[str, int]:
     return {s: len(refs) for s, refs in _TRACKED.items()}
 
 
-def snapshot() -> dict[str, int]:
-    """Marker for :func:`release_since`: per-scope plane counts NOW."""
-    return {s: len(refs) for s, refs in _TRACKED.items()}
+def snapshot() -> dict[str, list[DataFrame]]:
+    """Marker for :func:`release_since`: the IDENTITY of every tracked
+    plane right now (strong refs — the same wrappers ``_TRACKED``
+    already holds, so no extra JVM state is pinned).
+
+    Identities, not per-scope COUNTS (ADVICE r7 #2): with counts, a
+    pre-snapshot plane removed mid-batch (e.g. a same-owner
+    ``scope_call`` re-entry inside the batch shrinking the list) slid
+    newly registered planes below the saved index and silently kept
+    them — leaking cache across micro-batches."""
+    return {s: list(refs) for s, refs in _TRACKED.items()}
 
 
-def release_since(snap: dict[str, int]) -> int:
-    """Unpersist every plane registered AFTER ``snap`` (from
-    :func:`snapshot`), across all scopes; planes that existed at
-    snapshot time are untouched.
+def release_since(snap: dict[str, list[DataFrame]]) -> int:
+    """Unpersist every tracked plane NOT present in ``snap`` (from
+    :func:`snapshot`); planes that existed at snapshot time are
+    untouched wherever they now sit in the registry.
 
     This is the bounded-lifetime primitive for long-running streaming
     queries (ADVICE r6 #1): a ``foreachBatch`` body that builds fresh
@@ -179,9 +187,14 @@ def release_since(snap: dict[str, int]) -> int:
     Returns the number of planes released."""
     n = 0
     for s in list(_TRACKED):
-        keep = snap.get(s, 0)
-        new, _TRACKED[s][keep:] = _TRACKED[s][keep:], []
-        if not _TRACKED[s]:
+        keep_ids = {id(df) for df in snap.get(s, [])}
+        kept: list[DataFrame] = []
+        new: list[DataFrame] = []
+        for df in _TRACKED[s]:
+            (kept if id(df) in keep_ids else new).append(df)
+        if kept:
+            _TRACKED[s] = kept
+        else:
             del _TRACKED[s]
         for df in new:
             try:

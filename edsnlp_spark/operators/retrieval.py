@@ -174,8 +174,15 @@ def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
         .agg(F.sum(contrib).alias("__s"))
     )
     from pyspark.sql import Window
+    # rank by the ROUNDED aggregate (ADVICE r7 #4): __s is a groupBy
+    # float sum whose partial-merge order is nondeterministic, so
+    # near-tied docs could rank-flip between runs (and vs the oracle);
+    # ordering by round(.,4) with the id tie-break makes the ranking
+    # engine-portable — the repo's diversity/ccnet convention.  The
+    # single-query path needs no rounding: its score is a fixed
+    # left-to-right per-row expression, not a merged aggregate.
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("__s").desc(), F.col(id_col))
+        F.round("__s", 4).desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -44,14 +44,29 @@ def hashed_ngram_features(docs: DataFrame, b: int = 4096,
     """(id_col, bkt) — one row per unigram and bigram OCCURRENCE
     (counts matter for the LM, so no distinct), hashed into ``b``
     buckets.  Bigrams reuse the single-pass lookahead regexp from the
-    dedup family (4.6x faster than HOF shingling, CLAUDE.md r2)."""
-    toks = F.split(F.col(text_col), " ", -1)
+    dedup family (4.6x faster than HOF shingling, CLAUDE.md r2).
+
+    Tokenization model: SINGLE-space-separated tokens (the corpus
+    convention shared by every textops oracle).  On runs of spaces the
+    bigram lookahead regexp skips empty tokens while a token-slice
+    model (the DuckDB oracles) includes them, so the feature streams
+    would silently diverge — non-conforming text fails LOUDLY instead
+    (ADVICE r7 #3; the guard feeds the extraction so Catalyst cannot
+    prune it, same pattern as dedup._window_hash_rows)."""
+    guarded = F.when(
+        ~F.col(text_col).rlike("^ |  | $"), F.col(text_col)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("hashed_ngram_features: text is not single-space "
+              "tokenized (unigram/bigram streams would diverge from "
+              f"the oracle model) for {id_col}="),
+        F.col(id_col).cast("string"))))
     rx2 = r"(?=([^ ]+ [^ ]+))[^ ]+ "
-    uni = docs.select(F.col(id_col), F.explode(toks).alias("f"))
+    uni = docs.select(F.col(id_col),
+                      F.explode(F.split(guarded, " ", -1)).alias("f"))
     bi = docs.select(
         F.col(id_col),
         F.explode(F.regexp_extract_all(
-            F.col(text_col), F.lit(rx2), F.lit(1))).alias("f"),
+            guarded, F.lit(rx2), F.lit(1))).alias("f"),
     )
     return uni.unionByName(bi).select(
         F.col(id_col), _bucket(F.col("f"), b).alias("bkt"))

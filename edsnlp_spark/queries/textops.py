@@ -2595,7 +2595,7 @@ scored AS (
 ranked AS (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY s DESC, doc_id) AS rank
+                            ORDER BY ROUND(s, 4) DESC, doc_id) AS rank
   FROM scored
 ),
 qrels AS (
@@ -2744,7 +2744,7 @@ scored AS (
 r AS (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY s DESC, doc_id) AS rank, s
+                            ORDER BY ROUND(s, 4) DESC, doc_id) AS rank, s
   FROM scored
 )
 SELECT query_id, doc_id, rank::BIGINT AS rank, ROUND(s, 4) AS score

@@ -1022,6 +1022,31 @@ def test_repeated_qualify_calls_stay_bounded(spark):
     ndf.unpersist()
 
 
+def test_release_since_identity_not_count(spark):
+    """r8 (ADVICE r7 #2): release_since must track plane IDENTITIES.
+    With per-scope counts, a pre-snapshot plane removed mid-batch slid
+    the post-snapshot planes below the saved index and silently KEPT
+    them — the streaming leak this pins."""
+    from edsnlp_spark.core import caching
+    caching.release()
+    a = caching.tracked_persist(spark.range(3).toDF("a"), "x")
+    snap = caching.snapshot()
+    b = caching.tracked_persist(spark.range(4).toDF("b"), "x")
+    # a same-owner scope re-entry inside the batch removes the
+    # PRE-snapshot plane
+    caching.release_plane(a, "x")
+    released = caching.release_since(snap)
+    assert released == 1  # b released despite the list shrinking
+    assert caching.tracked_scopes().get("x", 0) == 0
+    assert b.storageLevel.useMemory is False  # actually unpersisted
+    # planes present at snapshot time stay untouched wherever they sit
+    c = caching.tracked_persist(spark.range(5).toDF("c"), "y")
+    snap2 = caching.snapshot()
+    assert caching.release_since(snap2) == 0
+    assert caching.tracked_scopes().get("y", 0) == 1
+    caching.release()
+
+
 def test_different_owners_do_not_release_each_other(spark):
     """r6: two engines sharing the 'qualifier' scope (facade chains
     several before materializing) must keep BOTH calls' planes — only

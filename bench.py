@@ -86,6 +86,9 @@ HEADLINE = R1_SET + [
     "bpe_encoding",
     "a0_source_divergence",
     "bm25_eval_metrics",
+    # round-8 additions: curation with span-granular dedup, CMS-
+    # prefiltered exact-substring dedup
+    "a0_corpus_curation_strip",
 ]
 
 
@@ -196,7 +199,12 @@ def main() -> None:
                  # r7 (VERDICT r6 #3): the round-6 heavies get timed 10x
                  # ratios, not just SCALE_SWEEP correctness
                  "embedding_topk_ivfpq", "pq_adc_topk",
-                 "exact_substring_dedup", "bm25_search", "bigram_logppl"]
+                 "exact_substring_dedup", "bm25_search", "bigram_logppl",
+                 # r8 (VERDICT r7 #6): timed 10x ratios for the r7
+                 # heavies too
+                 "a0_simhash_neardup", "dsir_selection",
+                 "a0_source_divergence", "a0_winnowing_fp",
+                 "bm25_search_batch"]
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1565,13 +1565,18 @@ def curation_quality_gate(docs):
      .drop("__dr")
 
 
-def curation_finalize(kept):
+def curation_finalize(kept, extra_cols=()):
     """Per-row curation stage 3 (pure projection — streams unchanged):
     deterministic split assignment + PII redaction.  Shared by
-    :func:`corpus_curation` (batch) and curation_stream (streaming);
-    the dedup stage BETWEEN gate and finalize is the only part whose
-    mechanism differs (batch: min-doc_id per content hash; streaming:
-    first-arrival dropDuplicatesWithinWatermark)."""
+    :func:`corpus_curation` (batch), :func:`corpus_curation_strip`
+    (batch, span-granular dedup) and curation_stream (streaming); the
+    dedup stage BETWEEN gate and finalize is the only part whose
+    mechanism differs (batch: min-doc_id per content hash OR Lee et al.
+    span removal; streaming: first-arrival
+    dropDuplicatesWithinWatermark).  ``extra_cols`` pass through
+    untouched (e.g. the strip variant's n_removed — carrying it here
+    keeps the upstream plan referenced ONCE instead of re-executing its
+    subtree for a metadata join)."""
     from ..operators.pii import PIIScrubber
     u = _knuth32(F.col("doc_id"))
     split = (
@@ -1579,7 +1584,8 @@ def curation_finalize(kept):
         .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
         .otherwise(F.lit("test")))
     return PIIScrubber(text_col="text").transform(
-        kept.select("doc_id", "text", "n_tokens", split.alias("split")))
+        kept.select("doc_id", "text", "n_tokens", split.alias("split"),
+                    *extra_cols))
 
 
 def corpus_curation(spark, sf_dir):
@@ -1648,6 +1654,142 @@ packed AS (
          CASE WHEN p.used + t.n_tokens > 512 THEN p.pack + 1 ELSE p.pack END
   FROM train t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
 SELECT s.doc_id, s.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       p.shard, CAST(p.pack AS INT) AS pack_id
+FROM surv s LEFT JOIN packed p USING (doc_id)
+"""
+
+
+def corpus_curation_strip(spark, sf_dir):
+    """Curation with SPAN-GRANULAR dedup (VERDICT r7 #7): the same
+    composed pass as :func:`corpus_curation` but the doc-level exact
+    dedup stage is replaced by Lee et al. 2022 exact-substring span
+    REMOVAL — quality gate -> strip_duplicated_spans (every duplicated
+    13-token window keeps its first occurrence, the rest are cut
+    in-place) -> PII redaction -> deterministic split -> greedy packing
+    of the train split over the POST-strip token counts.  This is the
+    production shape: doc-level dedup drops whole documents, span
+    removal reclaims the unique remainder of partially-copied ones.
+
+    Streaming note: the batch pipeline can swap this stage in because
+    keeper election (min (doc, pos) per window hash) needs the WHOLE
+    corpus's occurrences; under Structured Streaming that would be
+    unbounded cross-document state (every window hash ever seen, with
+    its first occurrence), so curation_stream keeps doc-level
+    first-arrival dedup and span removal stays a batch-boundary
+    compaction pass (see streaming/pipeline_stream.py).
+    """
+    from ..operators.dedup import strip_duplicated_spans
+    from ..operators.packing import pack_documents
+    d = _t(spark, sf_dir, "documents")
+    kept = curation_quality_gate(d.select("doc_id", "text"))
+    stripped = strip_duplicated_spans(
+        kept.select("doc_id", "text"), n=13)
+    n_tok = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
+        F.size(F.split("text_clean", " ", -1)))
+    scrubbed = curation_finalize(
+        stripped.select("doc_id", F.col("text_clean").alias("text"),
+                        n_tok.alias("n_tokens"), "n_removed"),
+        extra_cols=("n_removed",))
+    train = scrubbed.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("note_id"),
+        F.col("text_redacted").alias("note_text"),
+        "n_tokens")
+    packed = pack_documents(train, budget=512, n_shards=4,
+                            count_col="n_tokens")
+    return (
+        scrubbed.select("doc_id", "split", "n_tokens", "n_removed")
+        .join(packed.select(F.col("note_id").alias("doc_id"),
+                            "shard", "pack_id"), "doc_id", "left")
+        .select("doc_id", "split",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("n_removed").cast("bigint").alias("n_removed"),
+                "shard", "pack_id")
+    )
+
+
+CORPUS_CURATION_STRIP_SQL = f"""
+WITH RECURSIVE feat AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS dr
+  FROM documents),
+gated AS (
+  SELECT doc_id, text FROM feat
+  WHERE n_tokens >= 30 AND dr >= 0.3),
+t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM gated
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 12, 0))) AS pos,
+         unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hv
+  FROM w
+),
+r AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY hv) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY hv
+                            ORDER BY doc_id, pos) AS rn
+  FROM h
+),
+rem AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT doc_id, unnest(range(pos, pos + 13)) AS idx FROM rem)
+),
+tokrows AS (
+  SELECT doc_id, unnest(range(len(toks))) AS idx, unnest(toks) AS tokv
+  FROM t
+),
+keptrows AS (
+  SELECT k.doc_id, k.idx, k.tokv
+  FROM tokrows k ANTI JOIN cov c
+    ON k.doc_id = c.doc_id AND k.idx = c.idx
+),
+agg AS (
+  SELECT doc_id, string_agg(tokv, ' ' ORDER BY idx) AS text_clean
+  FROM keptrows GROUP BY doc_id
+),
+nrem AS (SELECT doc_id, COUNT(*)::BIGINT AS n_removed FROM cov
+         GROUP BY doc_id),
+stripped AS (
+  SELECT t.doc_id,
+         CASE WHEN n.n_removed IS NULL THEN t.text
+              ELSE COALESCE(a.text_clean, '') END AS text_clean,
+         COALESCE(n.n_removed, 0) AS n_removed
+  FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN nrem n USING (doc_id)),
+surv AS (
+  SELECT doc_id, n_removed,
+         CASE WHEN text_clean = '' THEN 0
+              ELSE len(string_split(text_clean, ' ')) END AS n_tokens,
+         CASE WHEN {_knuth32_sql('doc_id')}
+                   < {int(0.95 * _SPLIT_MOD)} THEN 'train'
+              WHEN {_knuth32_sql('doc_id')}
+                   < {int(0.975 * _SPLIT_MOD)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM stripped),
+train AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+         CAST(n_tokens AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM surv WHERE split = 'train'),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS used, 0 AS pack
+  FROM train WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.used + t.n_tokens > 512
+              THEN t.n_tokens ELSE p.used + t.n_tokens END,
+         CASE WHEN p.used + t.n_tokens > 512 THEN p.pack + 1 ELSE p.pack END
+  FROM train t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
+SELECT s.doc_id, s.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_removed AS BIGINT) AS n_removed,
        p.shard, CAST(p.pack AS INT) AS pack_id
 FROM surv s LEFT JOIN packed p USING (doc_id)
 """
@@ -2805,6 +2947,10 @@ QUERIES = {
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "a0_split_assignment": (split_assignment, SPLIT_ASSIGNMENT_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    # NEW r8 (VERDICT r7 #7): span-granular dedup inside the composed
+    # curation pass (a0_ canonical key: new queries enter the window)
+    "a0_corpus_curation_strip": (corpus_curation_strip,
+                                 CORPUS_CURATION_STRIP_SQL),
     "a0_source_mixture_sample": (source_mixture_sample, SOURCE_MIXTURE_SQL),
     "composed_units": (composed_units, COMPOSED_UNITS_SQL),
     "hf_ner_spans": (hf_ner_spans, HF_NER_SPANS_SQL),

@@ -87,6 +87,19 @@ def curation_stream(stream_docs: DataFrame, out_path: str, checkpoint: str,
     order (the parity test pins this).  Packing is deliberately absent:
     pack ids depend on a corpus-global order, a batch compaction job
     over the curated stream output.
+
+    Span-granular dedup (the batch
+    :func:`~edsnlp_spark.queries.textops.corpus_curation_strip`
+    variant) is ALSO deliberately absent here: Lee et al. span removal
+    elects a keeper per duplicated window hash as min (doc, pos) over
+    the WHOLE corpus, so a streaming version would have to hold every
+    window hash ever seen (with its first occurrence) as unbounded
+    cross-document state, and a late duplicate could retroactively
+    change an already-emitted document's text.  The production shape
+    is doc-level first-arrival dedup in the stream + span removal as a
+    periodic batch compaction over the accumulated output (where
+    ``cross_duplicated_windows``' persistable hash index makes the
+    increments cheap).
     """
     from ..queries.textops import curation_finalize, curation_quality_gate
     from .windows import streaming_dedup

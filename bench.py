@@ -86,9 +86,10 @@ HEADLINE = R1_SET + [
     "bpe_encoding",
     "a0_source_divergence",
     "bm25_eval_metrics",
-    # round-8 additions: curation with span-granular dedup, CMS-
-    # prefiltered exact-substring dedup
+    # round-8 additions: curation with span-granular dedup, the
+    # HLL-composed source vocabulary monitor
     "a0_corpus_curation_strip",
+    "a0_source_vocab_saturation",
 ]
 
 

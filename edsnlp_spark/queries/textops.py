@@ -2541,6 +2541,67 @@ FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
 
 # ---- Source distribution divergence (drift monitor) ----------------------
 
+def source_vocab_saturation_q(spark, sf_dir):
+    """Per-source vocabulary saturation (HLL distinct tokens / total
+    occurrences) — the sketch tier composed INTO the source-monitoring
+    pipeline (VERDICT r7 #8): the register groupBy carries a count per
+    register, so the cardinality estimate AND the totals come out of
+    one corpus scan and one sources x 512-row exchange."""
+    from ..operators.selection import source_vocab_saturation
+    d = _t(spark, sf_dir, "documents")
+    return source_vocab_saturation(d, p=9)
+
+
+SOURCE_VOCAB_SATURATION_SQL = """
+WITH tok AS (
+  SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+s AS (
+  SELECT src, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hh FROM tok
+),
+rr AS (SELECT src, hh >> 51 AS idx, hh % 2251799813685248 AS suffix
+       FROM s),
+lc AS (
+  SELECT src, idx, suffix,
+         CASE WHEN POWER(2.0, l0) > suffix THEN l0 - 1
+              WHEN POWER(2.0, l0) * 2 <= suffix THEN l0 + 1
+              ELSE l0 END AS lx
+  FROM (SELECT src, idx, suffix,
+               FLOOR(log2(GREATEST(suffix, 1)))::BIGINT AS l0 FROM rr)
+),
+rho AS (
+  SELECT src, idx, CASE WHEN suffix = 0 THEN 52 ELSE 51 - lx END AS rho
+  FROM lc
+),
+regs AS (SELECT src, idx, MAX(rho) AS mr, COUNT(*) AS cnt
+         FROM rho GROUP BY src, idx),
+agg AS (
+  SELECT src, COUNT(*) AS npresent,
+         SUM(POWER(2.0, 52 - mr)::BIGINT) AS sm,
+         SUM(cnt) AS total
+  FROM regs GROUP BY src
+),
+fin AS (
+  SELECT src, total, (512 - npresent) AS v,
+         (512 - npresent) * 4503599627370496 + sm AS z
+  FROM agg
+),
+est AS (
+  SELECT src, total,
+         ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                         * 4503599627370496.0 / z <= 1280.0 AND v > 0
+                    THEN 512.0 * ln(512.0 / v)
+                    ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                         * 4503599627370496.0 / z END, 4) AS approx_distinct
+  FROM fin
+)
+SELECT src AS source, total::BIGINT AS n_tokens, approx_distinct,
+       ROUND(approx_distinct / total, 4) AS saturation
+FROM est
+"""
+
+
 def source_divergence_q(spark, sf_dir):
     """Pairwise Jensen-Shannon divergence between each source's
     hashed-ngram distribution — the drift monitor that flags a new
@@ -2904,6 +2965,9 @@ QUERIES = {
     # #1) — prefix baked into the registry key so every driver keying
     # model windows them.
     "a0_source_divergence": (source_divergence_q, SOURCE_DIVERGENCE_SQL),
+    # NEW r8 (VERDICT r7 #8): sketch composed into the source monitor
+    "a0_source_vocab_saturation": (source_vocab_saturation_q,
+                                   SOURCE_VOCAB_SATURATION_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),

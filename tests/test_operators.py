@@ -1481,6 +1481,48 @@ def test_hll_distinct_accuracy_and_partition_invariance(spark):
             SF.col("id").cast("string").alias("v")), "v", p=4)
 
 
+def test_hll_distinct_by_groups_and_saturation(spark):
+    """r8 (VERDICT r7 #8): the grouped HLL must estimate each group
+    independently (identical to running the global sketch on each
+    group's subset), and source_vocab_saturation must agree with the
+    exact distinct/total ratio within HLL error."""
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.selection import source_vocab_saturation
+    from edsnlp_spark.operators.sketches import hll_distinct, hll_distinct_by
+
+    df = spark.range(3000).select(
+        SF.concat(SF.lit("g"), (SF.col("id") % 3)).alias("g"),
+        SF.concat(SF.lit("v-"), SF.col("id") % (SF.col("id") % 3 * 200 + 100))
+        .alias("v"))
+    by = {r["g"]: r["approx_distinct"]
+          for r in hll_distinct_by(df, ["g"], "v", p=9).collect()}
+    for g in ("g0", "g1", "g2"):
+        solo = hll_distinct(df.filter(SF.col("g") == g), "v", p=9) \
+            .first()["approx_distinct"]
+        assert by[g] == solo  # grouped == per-subset global sketch
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", " ".join(f"w{(i * 13 + j) % (40 + 60 * (i % 2))}"
+                                   for j in range(50)))
+         for i in range(60)],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in source_vocab_saturation(docs).collect()}
+    import collections
+    exact = collections.defaultdict(set)
+    totals = collections.defaultdict(int)
+    for r in docs.collect():
+        toks = r["text"].split(" ")
+        exact[r["source"]].update(toks)
+        totals[r["source"]] += len(toks)
+    for s_name, row in out.items():
+        n_ex = len(exact[s_name])
+        assert row["n_tokens"] == totals[s_name]
+        assert abs(row["approx_distinct"] - n_ex) / n_ex < 0.14
+        assert abs(row["saturation"]
+                   - row["approx_distinct"] / row["n_tokens"]) < 1e-3
+
+
 def test_strip_duplicated_spans_semantics(spark):
     """r7 (Lee et al. 2022 §3, the removal half): the first occurrence
     (min (doc, pos)) of a duplicated window survives, every other

@@ -189,3 +189,17 @@ def test_hll_plan_is_one_small_exchange(spark, sf_dir):
     s = plan_of(spark, sf_dir, "hll_distinct_windows")
     assert "Join" not in s and "Window" not in s
     assert "HashAggregate" in s
+
+
+def test_source_vocab_saturation_plan_shape(spark, sf_dir):
+    """r8 (VERDICT r7 #8): the composed sketch stage must keep the HLL
+    scale shape inside the pipeline — register state partially
+    aggregated map-side (HashAggregate on (src, idx), bounded by
+    sources x 2^p rows per task), totals carried IN the register rows
+    (no second corpus scan, no join), no window, no cartesian."""
+    s = plan_of(spark, sf_dir, "a0_source_vocab_saturation")
+    assert "Join" not in s and "Window" not in s
+    assert "CartesianProduct" not in s
+    assert "HashAggregate" in s
+    # one scan of documents only — totals ride the register aggregate
+    assert s.count("Scan parquet") == 1

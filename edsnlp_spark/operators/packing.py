@@ -108,8 +108,65 @@ def pack_documents(docs: DataFrame, budget: int, n_shards: int = 32,
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_size: int = 128,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding token-window chunking — split long documents into
+    fixed-size overlapping chunks (the long-document shaping step for
+    pretraining context windows and RAG indexing) ->
+    (id_col, chunk_id, start_tok, n_tok, chunk_text).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk is the (possibly
+    shorter) tail, and a doc with <= chunk_size tokens yields exactly
+    one chunk.  n_chunks = ceil((n - chunk_size) / stride) + 1,
+    written as floor((n - cs + stride - 1) / stride) + 1: quotient
+    fractional parts are multiples of 1/stride, far above double
+    rounding error, so the floor agrees with an SQL oracle's integer
+    division for any document length.
+
+    Scale shape: a pure per-row projection + explode (no shuffle, no
+    window); each input row fans out to its own chunks only.  The
+    token array is built once per row and sliced per chunk; slices are
+    bounded by chunk_size so the generated rows stay small regardless
+    of document length.  Tokenization model: single-space tokens (the
+    corpus convention); chunk_text rejoins with single spaces, so
+    concatenating chunks at stride offsets reconstructs the doc.
+    """
+    if overlap < 0 or chunk_size <= overlap:
+        raise ValueError(
+            f"chunk_documents requires 0 <= overlap < chunk_size "
+            f"(got chunk_size={chunk_size}, overlap={overlap})")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ", -1)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + (stride - 1)) / stride) + 1).cast("int")
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("cid"),
+    )
+    start = F.col("cid") * stride
+    n_tok = F.least(F.lit(chunk_size), F.col("__n") - start)
+    return base.select(
+        F.col(id_col),
+        F.col("cid").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        n_tok.cast("bigint").alias("n_tok"),
+        F.concat_ws(" ", F.slice("__toks", start + 1, n_tok))
+        .alias("chunk_text"),
+    )
+
+
 @registry.register("eds.pack_documents")
 def _make_packing(**kw):
     def run(docs, **more):
         return pack_documents(docs, **{**kw, **more})
+    return run
+
+
+@registry.register("eds.chunk_documents")
+def _make_chunking(**kw):
+    def run(docs, **more):
+        return chunk_documents(docs, **{**kw, **more})
     return run

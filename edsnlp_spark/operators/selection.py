@@ -191,6 +191,84 @@ def approx_quality_buckets(scores: DataFrame, group_col: str = "lang",
     )
 
 
+def blocklist_filter(docs: DataFrame, words: list[str],
+                     max_ratio: float = 0.0, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4-style word-blocklist filter (Raffel et al. 2020 dropped any
+    page containing a word from a public blocklist; later pipelines
+    soften that to a ratio threshold) -> (id_col, n_tokens, n_flagged,
+    flag_ratio, keep) for EVERY doc — keep both the verdict and the
+    evidence so threshold changes re-filter the stats table without
+    re-scanning text.
+
+    ``keep`` = flag_ratio <= max_ratio (the default 0.0 reproduces
+    C4's any-hit drop).  Matching is lowercase whole-token equality
+    against the config list — a pure per-row projection
+    (size(filter(tokens, in-list))), no join, no shuffle; the
+    blocklist is a literal array in the plan (config-sized, like the
+    PII patterns).  flag_ratio is rounded to 4dp for oracle parity.
+    """
+    if not words:
+        raise ValueError("blocklist_filter requires at least one word")
+    wl = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+
+    def hit(x: Column) -> Column:
+        return F.array_contains(wl, x)
+
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    n = F.size(toks)
+    n_flag = F.size(F.filter(toks, hit))
+    ratio = F.round(n_flag / n, 4)
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        n_flag.cast("bigint").alias("n_flagged"),
+        ratio.alias("flag_ratio"),
+        (ratio <= F.lit(max_ratio)).alias("keep"),
+    )
+
+
+def weighted_reservoir_sample(df: DataFrame, weight_col: str,
+                              k: int, id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, A-ES (Efraimidis &
+    Spirakis 2006): each row gets key u^(1/w) with u ~ U(0,1); the k
+    largest keys are a weighted sample without replacement.  Ordering
+    by ln(u)/w is equivalent (exp is monotone) and numerically tamer,
+    so the returned ``key`` is ln(u)/w rounded to 4dp, ordered desc
+    with the id tie-break (the repo's rounded-float ranking convention
+    — raw libm ln can differ in the last ulp across engines).
+
+    u derives from md5(id) (same recipe as the DSIR Gumbel keys): no
+    executor RNG, stable under task retries, reproducible in a SQL
+    oracle.  Weights must be > 0 — enforced IN the data path (a
+    Catalyst-prune-proof raise, CLAUDE.md r7).  The top-k plans as
+    TakeOrderedAndProject: per-partition heaps, never a global sort.
+
+    Distinct from :func:`dsir_sample_topk`: DSIR resamples toward a
+    TARGET distribution (Gumbel-max over learned log-ratios); this is
+    the generic "sample 10k docs proportional to length/score" pass.
+    """
+    if k < 1:
+        raise ValueError("weighted_reservoir_sample requires k >= 1")
+    w = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("weighted_reservoir_sample: weight must be > 0 for "
+              f"{id_col}="), F.col(id_col).cast("string"))))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_TWO60)
+    # + 0.0 canonicalizes IEEE -0.0 (a tiny negative key rounding to
+    # zero) so both engines emit the same sign
+    key = F.round(F.log(u) / w, 4) + F.lit(0.0)
+    return (
+        df.select(F.col(id_col), F.col(weight_col).alias("weight"),
+                  key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def source_vocab_saturation(docs: DataFrame, p: int = 9,
                             source_col: str = "source",
                             text_col: str = "text") -> DataFrame:

@@ -2459,6 +2459,130 @@ FROM agg
 BPE_ENCODING_SQL = _bpe_encoding_sql()
 
 
+# ---- tokenizer fertility (per-source BPE efficiency monitor) ------------
+
+def tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer-fertility stats over the real BPE encode
+    path (another composed consumer — the merge table is pipeline
+    config, the encode is the corpus pass): tokens-per-word and
+    bytes-per-token tell a training pipeline which sources tokenize
+    poorly (high fertility = wasted context window).  All ratios are
+    exact-integer sums divided once, so the oracle agrees
+    bit-for-bit."""
+    from ..operators.bpe import bpe_encode
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    enc = bpe_encode(d, _BPE_MERGES)
+    stats = d.select(
+        "doc_id", "source",
+        F.octet_length("text").alias("nb"),
+        F.size(F.split("text", " ", -1)).alias("nw"))
+    j = enc.select("doc_id", F.size("tokens").alias("nt")) \
+        .join(stats, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum("nt") / F.sum("nw"), 4).alias("tokens_per_word"),
+        F.round(F.sum("nb") / F.sum("nt"), 4).alias("bytes_per_token"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return f"""
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(b.n_tokens)::BIGINT AS bpe_tokens,
+       ROUND(SUM(b.n_tokens)
+             / SUM(len(string_split(d.text, ' '))), 4) AS tokens_per_word,
+       ROUND(SUM(strlen(d.text)) / SUM(b.n_tokens), 4) AS bytes_per_token
+FROM ( {_bpe_encoding_sql()} ) b JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+# ---- Blocklist (badwords) filtering --------------------------------------
+
+def badwords_filter(spark, sf_dir):
+    """C4-style word-blocklist filter as a stats-plus-verdict table:
+    whole-token lowercase matches against a config list, keep iff the
+    flagged ratio stays under threshold.  Pure per-row projection — no
+    join, no shuffle (the blocklist is plan-literal config)."""
+    from ..operators.selection import blocklist_filter
+    d = _t(spark, sf_dir, "documents")
+    return blocklist_filter(d, ["slow", "dup"], max_ratio=0.03)
+
+
+BADWORDS_FILTER_SQL = """
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> x IN ('dup', 'slow')))::BIGINT
+         AS n_flagged,
+       ROUND(len(list_filter(toks, x -> x IN ('dup', 'slow')))
+             / len(toks), 4) AS flag_ratio,
+       ROUND(len(list_filter(toks, x -> x IN ('dup', 'slow')))
+             / len(toks), 4) <= 0.03 AS keep
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents)
+"""
+
+
+# ---- Weighted reservoir sampling (A-ES) -----------------------------------
+
+def weighted_doc_sample(spark, sf_dir):
+    """Sample 100 docs WITHOUT replacement proportional to token count
+    (Efraimidis-Spirakis A-ES keys from md5(doc_id) — deterministic,
+    no executor RNG): the generic weighted subsampling pass next to
+    DSIR's target-directed resampling.  Top-k plans as
+    TakeOrderedAndProject."""
+    from ..operators.selection import weighted_reservoir_sample
+    d = _t(spark, sf_dir, "documents")
+    dd = d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"))
+    return weighted_reservoir_sample(dd, "n_tokens", k=100)
+
+
+WEIGHTED_DOC_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS weight,
+         ROUND(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   + 0.5) / 1152921504606846976.0)
+               / len(string_split(text, ' ')), 4) + 0.0 AS key
+  FROM documents)
+SELECT doc_id, weight, key FROM w
+ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
+# ---- Sliding-window document chunking -------------------------------------
+
+def document_chunking(spark, sf_dir):
+    """Fixed-size overlapping token chunks (64 tokens, 16 overlap) —
+    the long-document shaping step for pretraining context windows and
+    RAG indexing.  Pure projection + explode; each row fans out to its
+    own chunks only (no shuffle, no window)."""
+    from ..operators.packing import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, overlap=16)
+
+
+DOCUMENT_CHUNKING_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM t),
+e AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS cid FROM c)
+SELECT doc_id, cid::BIGINT AS chunk_id,
+       (cid * 48)::BIGINT AS start_tok,
+       least(64, n - cid * 48)::BIGINT AS n_tok,
+       array_to_string(toks[cid * 48 + 1 : cid * 48 + least(64, n - cid * 48)],
+                       ' ') AS chunk_text
+FROM e
+"""
+
+
 # ---- Count-min sketch point estimates ------------------------------------
 
 def cms_token_counts(spark, sf_dir):
@@ -2968,6 +3092,14 @@ QUERIES = {
     # NEW r8 (VERDICT r7 #8): sketch composed into the source monitor
     "a0_source_vocab_saturation": (source_vocab_saturation_q,
                                    SOURCE_VOCAB_SATURATION_SQL),
+    # NEW r8 breadth: blocklist filter, A-ES weighted sampling,
+    # sliding-window chunking, per-source tokenizer fertility
+    "a0_badwords_filter": (badwords_filter, BADWORDS_FILTER_SQL),
+    "a0_weighted_doc_sample": (weighted_doc_sample,
+                               WEIGHTED_DOC_SAMPLE_SQL),
+    "a0_document_chunking": (document_chunking, DOCUMENT_CHUNKING_SQL),
+    "a0_tokenizer_fertility": (tokenizer_fertility,
+                               _tokenizer_fertility_sql()),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),

@@ -1523,6 +1523,99 @@ def test_hll_distinct_by_groups_and_saturation(spark):
                    - row["approx_distinct"] / row["n_tokens"]) < 1e-3
 
 
+def test_chunk_documents_semantics(spark):
+    """r8: sliding-window chunking — full coverage, stride overlap,
+    short-doc single chunk, tail chunk shorter, reassembly property
+    (dropping each chunk's first `overlap` tokens after chunk 0
+    reconstructs the doc), and config validation."""
+    import pytest
+
+    from edsnlp_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(23)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=10, overlap=4)
+    rows = sorted(((r.doc_id, r.chunk_id, r.start_tok, r.n_tok,
+                    r.chunk_text) for r in out.collect()))
+    # doc 1: n=23, stride=6 -> ceil((23-10)/6)+1 = 4 chunks
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[2], r[3]) for r in d1] == [(0, 10), (6, 10), (12, 10),
+                                          (18, 5)]
+    assert d1[0][4] == " ".join(toks[0:10])
+    assert d1[3][4] == " ".join(toks[18:23])
+    # reassembly: chunk 0 + later chunks minus their overlap prefix
+    rebuilt = d1[0][4].split(" ")
+    for r in d1[1:]:
+        rebuilt.extend(r[4].split(" ")[4:])
+    assert rebuilt == toks
+    # short doc: one chunk, verbatim
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, 0, 3, "a b c")]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_blocklist_filter_semantics(spark):
+    """r8 (C4 badwords): whole-token lowercase matching, ratio
+    threshold inclusive, default any-hit drop, empty-list raise."""
+    import pytest
+
+    from edsnlp_spark.operators.selection import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "Bad word here"), (2, "all clean text here"),
+         (3, "bad bad bad good"), (4, "badge is not bad-word")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           blocklist_filter(docs, ["bad"], max_ratio=0.5).collect()}
+    assert (out[1].n_flagged, out[1].keep) == (1, True)   # 1/3 <= 0.5
+    assert (out[2].n_flagged, out[2].keep) == (0, True)
+    assert (out[3].n_flagged, out[3].keep) == (3, False)  # 0.75 > 0.5
+    # whole-token: 'badge' and 'bad-word' never match 'bad'
+    assert (out[4].n_flagged, out[4].keep) == (0, True)
+    strict = {r.doc_id: r.keep
+              for r in blocklist_filter(docs, ["bad"]).collect()}
+    assert strict == {1: False, 2: True, 3: False, 4: True}
+    with pytest.raises(ValueError, match="at least one word"):
+        blocklist_filter(docs, [])
+
+
+def test_weighted_reservoir_sample_matches_python_model(spark):
+    """r8 (Efraimidis-Spirakis): the Spark A-ES top-k must equal a
+    pure-Python computation of the same md5-derived keys, and weighted
+    selection must favor heavy rows; non-positive weights raise."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from edsnlp_spark.operators.selection import weighted_reservoir_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.doc_id, r.weight, r.key)
+           for r in weighted_reservoir_sample(df, "w", k=25).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(math.log(u) / w, 4) + 0.0
+
+    want = sorted(((i, w, key(i, w)) for i, w in rows),
+                  key=lambda t: (-t[2], t[0]))[:25]
+    assert got == want
+    # heavier rows are sampled more often than light ones
+    heavy = sum(1 for _, w, _ in got if w >= 6)
+    light = sum(1 for _, w, _ in got if w <= 2)
+    assert heavy > light
+    with pytest.raises(ValueError, match="k >= 1"):
+        weighted_reservoir_sample(df, "w", k=0)
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="weight must be > 0"):
+        weighted_reservoir_sample(bad, "w", k=1).collect()
+
+
 def test_strip_duplicated_spans_semantics(spark):
     """r7 (Lee et al. 2022 §3, the removal half): the first occurrence
     (min (doc, pos)) of a duplicated window survives, every other

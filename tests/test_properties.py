@@ -938,3 +938,41 @@ def test_bm25_batch_matches_single_query_path(spark):
                     (qid, rank)
     # batch scores only matching docs: query 1 ('z') misses doc 1
     assert (1, len(texts)) not in got
+
+
+# ---- r8: sliding-window chunking vs Python model -------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd"]),
+                         min_size=1, max_size=40),
+                min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=9),
+       st.integers(min_value=0, max_value=4))
+def test_chunk_documents_fuzz(spark, docs_tokens, chunk_size, overlap):
+    """r8: chunk_documents must agree with a brute-force Python model
+    (stride offsets, bounded slices, short docs -> one chunk) for any
+    (chunk_size, overlap) config."""
+    from edsnlp_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk_size:
+        overlap = chunk_size - 1
+    stride = chunk_size - overlap
+    want = {}
+    for d, toks in enumerate(docs_tokens):
+        n = len(toks)
+        if n <= chunk_size:
+            n_chunks = 1
+        else:
+            n_chunks = (n - chunk_size + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            s = c * stride
+            ln = min(chunk_size, n - s)
+            want[(d, c)] = (s, ln, " ".join(toks[s:s + ln]))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_tokens)],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["start_tok"], r["n_tok"], r["chunk_text"])
+           for r in chunk_documents(df, chunk_size, overlap).collect()}
+    assert got == want

@@ -87,9 +87,10 @@ HEADLINE = R1_SET + [
     "a0_source_divergence",
     "bm25_eval_metrics",
     # round-8 additions: curation with span-granular dedup, the
-    # HLL-composed source vocabulary monitor
+    # HLL-composed source vocabulary monitor, TF-IDF keywords
     "a0_corpus_curation_strip",
     "a0_source_vocab_saturation",
+    "a0_tfidf_keywords",
 ]
 
 

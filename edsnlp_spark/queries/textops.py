@@ -2583,6 +2583,76 @@ FROM e
 """
 
 
+# ---- Corpus statistics: PMI collocations + TF-IDF keywords ---------------
+
+def bigram_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information (Church &
+    Hanks 1990) over exact corpus counts — collocation mining /
+    tokenizer-merge-candidate analysis.  Two vocabulary-bounded
+    groupBys, un-hinted type-table joins (AQE decides), 1-row totals
+    broadcast, TakeOrderedAndProject top-k."""
+    from ..operators.textstats import bigram_pmi_topk
+    d = _t(spark, sf_dir, "documents")
+    return bigram_pmi_topk(d, k=20, min_count=5)
+
+
+BIGRAM_PMI_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT t, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+bi AS (
+  SELECT bg, COUNT(*) AS c12 FROM (
+    SELECT unnest([toks[i+1] || ' ' || toks[i+2]
+                   for i in range(greatest(len(toks) - 1, 0))]) AS bg
+    FROM tok)
+  GROUP BY bg HAVING COUNT(*) >= 5
+),
+tot AS (SELECT (SELECT SUM(c1) FROM uni) AS n_uni,
+               (SELECT SUM(c1) FROM uni)
+                 - (SELECT COUNT(*) FROM documents) AS n_bi),
+scored AS (
+  SELECT string_split(bg, ' ')[1] AS lft,
+         string_split(bg, ' ')[2] AS rgt, c12,
+         ln((c12 / n_bi)
+            / ((ul.c1 / n_uni) * (ur.c1 / n_uni))) AS pmi
+  FROM bi CROSS JOIN tot
+  JOIN uni ul ON ul.t = string_split(bg, ' ')[1]
+  JOIN uni ur ON ur.t = string_split(bg, ' ')[2]
+)
+SELECT lft AS "left", rgt AS "right", c12::BIGINT AS pair_count,
+       ROUND(pmi, 4) AS pmi
+FROM scored ORDER BY ROUND(pmi, 4) DESC, lft, rgt LIMIT 20
+"""
+
+
+def tfidf_keyword_extraction(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — cheap document labels for
+    corpus browsing / cluster naming.  One postings plane (persisted,
+    feeds df + scoring), per-doc window over that doc's distinct terms
+    only."""
+    from ..operators.textstats import tfidf_keywords
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_keywords(d, k=3)
+
+
+TFIDF_KEYWORDS_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, ROUND(tf * ln(n_docs / df), 4) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+r AS (SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, rank::BIGINT AS rank, score FROM r WHERE rank <= 3
+"""
+
+
 # ---- Count-min sketch point estimates ------------------------------------
 
 def cms_token_counts(spark, sf_dir):
@@ -3100,6 +3170,8 @@ QUERIES = {
     "a0_document_chunking": (document_chunking, DOCUMENT_CHUNKING_SQL),
     "a0_tokenizer_fertility": (tokenizer_fertility,
                                _tokenizer_fertility_sql()),
+    "a0_bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
+    "a0_tfidf_keywords": (tfidf_keyword_extraction, TFIDF_KEYWORDS_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),

@@ -1616,6 +1616,39 @@ def test_weighted_reservoir_sample_matches_python_model(spark):
         weighted_reservoir_sample(bad, "w", k=1).collect()
 
 
+def test_bigram_pmi_and_tfidf_keywords_hand_computed(spark):
+    """r8: PMI and TF-IDF against hand-computed values on a tiny
+    corpus, plus config validation."""
+    import math
+
+    import pytest
+
+    from edsnlp_spark.operators.textstats import (
+        bigram_pmi_topk, tfidf_keywords)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b d"), (3, "c d d")],
+        "doc_id long, text string")
+    # unigrams: a=3 b=3 c=2 d=3, n_uni=11; bigrams total = 11-3 = 8
+    # 'a b' occurs 3x
+    top = bigram_pmi_topk(docs, k=5, min_count=3).collect()
+    assert len(top) == 1 and (top[0]["left"], top[0]["right"]) == ("a", "b")
+    want = round(math.log((3 / 8) / ((3 / 11) * (3 / 11))), 4)
+    assert top[0]["pmi"] == want and top[0]["pair_count"] == 3
+
+    kw = {(r["doc_id"], r["rank"]): (r["term"], r["score"])
+          for r in tfidf_keywords(docs, k=2).collect()}
+    # doc 1: c has tf=1, df=2 -> ln(3/2); a/b have df>=2 too (a: df=2,
+    # tf=2 -> 2*ln(3/2) wins)
+    assert kw[(1, 1)][0] in ("a", "b")  # tf=2 * ln(3/2), tie -> 'a'
+    assert kw[(1, 1)] == ("a", round(2 * math.log(3 / 2), 4))
+    assert kw[(1, 2)] == ("b", round(2 * math.log(3 / 2), 4))
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_pmi_topk(docs, min_count=0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        tfidf_keywords(docs, k=0)
+
+
 def test_strip_duplicated_spans_semantics(spark):
     """r7 (Lee et al. 2022 §3, the removal half): the first occurrence
     (min (doc, pos)) of a duplicated window survives, every other

@@ -596,3 +596,83 @@ def cluster_diverse_sample(emb: DataFrame, centroids: list[list[float]],
         .filter(F.col("rank") <= n_per_cell)
         .select(id_col, "cell", "cos_sim", F.col("rank").cast("bigint"))
     )
+
+
+def knn_label_propagation(emb: DataFrame, seeds: DataFrame,
+                          centroids: list[list[float]], k: int = 5,
+                          n_probe: int = 3, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Pseudo-label every UNLABELED vector by majority vote of its k
+    nearest LABELED neighbors, confined to IVF-probed cells ->
+    (id_col, label, n_votes, top_cos) — the semi-supervised labeling
+    pass (classify a 100 TB corpus from a hand-labeled seed set) that
+    composes the ANN index machinery instead of training anything.
+
+    ``seeds`` carries (id_col, label_col) for the labeled subset; its
+    vectors are taken from ``emb`` by id.  Unlabeled = emb anti-join
+    seeds.
+
+    Scale shape — the JOIN DIRECTION is the point: :func:`ivf_topk`
+    broadcasts its (small) query set into the corpus, but here the
+    corpus IS the query side, so instead the LABELED index (seed
+    vectors + their cell, small by definition — labels are expensive)
+    is broadcast and the unlabeled corpus streams through it: cell
+    probing is a shuffle-free projection over the centroid literal,
+    candidates = corpus x (seeds in its n_probe cells), the per-vector
+    top-k window partitions by the vector (each partition holds only
+    its own candidates), and the vote is a bounded groupBy (<= k rows
+    per vector).  The corpus is never shuffled by anything
+    corpus-sized.  Rankings order by the 4dp-rounded cosine with the
+    seed-id tie-break; vote ties break by (votes desc, label asc) —
+    all engine-portable.
+    """
+    if k < 1 or n_probe < 1:
+        raise ValueError(
+            f"knn_label_propagation requires k >= 1 and n_probe >= 1 "
+            f"(got k={k}, n_probe={n_probe})")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = emb.select(F.col(id_col).alias("n_id"), vec.alias("v"))
+    seed_ids = seeds.select(F.col(id_col).alias("s_id"),
+                            F.col(label_col).alias("label"))
+    carr = _centers_arr([list(map(float, c)) for c in centroids])
+    best = F.sort_array(F.transform(
+        carr,
+        lambda c: F.struct(
+            (-cosine(F.col("v"), c["cv"])).alias("negcos"),
+            c["cell"].alias("cell"),
+        ),
+    ))
+    sassign = (
+        corpus.join(seed_ids, corpus["n_id"] == seed_ids["s_id"])
+        .select("s_id", "label", F.col("v").alias("sv"),
+                best[0]["cell"].alias("cell"))
+    )
+    unlabeled = corpus.join(seed_ids,
+                            corpus["n_id"] == seed_ids["s_id"],
+                            "left_anti")
+    probed = unlabeled.select(
+        "n_id", "v",
+        F.explode(F.transform(
+            F.slice(best, 1, n_probe), lambda s: s["cell"])).alias("cell"),
+    )
+    cand = (
+        probed.join(F.broadcast(sassign), "cell")
+        .select("n_id", "s_id", "label",
+                F.round(cosine(F.col("v"), F.col("sv")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("n_id").orderBy(F.col("cos").desc(),
+                                           F.col("s_id"))
+    topk = cand.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k)
+    votes = topk.groupBy("n_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cos").alias("top_cos"))
+    wv = Window.partitionBy("n_id").orderBy(
+        F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(F.col("n_id").alias(id_col), "label",
+                F.col("n_votes").cast("bigint"), "top_cos")
+    )

@@ -551,6 +551,81 @@ WHERE rank <= 10
 """
 
 
+# ---- kNN label propagation (semi-supervised corpus labeling) -----------
+
+def knn_label_propagation_q(spark, sf_dir):
+    """Pseudo-label the unlabeled embeddings (vec_id >= 40) by majority
+    vote of their 5 nearest labeled seeds (vec_id < 40, label = 'l' ||
+    vec_id % 4), confined to 3 IVF-probed cells of the 8 deterministic
+    centroids.  The labeled index broadcasts; the corpus never
+    shuffles."""
+    from ..operators.similarity import knn_label_propagation
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    seeds = emb.filter(F.col("vec_id") < 40).select(
+        "vec_id",
+        F.concat(F.lit("l"), (F.col("vec_id") % 4).cast("string"))
+        .alias("label"))
+    return knn_label_propagation(emb, seeds, cents, k=5, n_probe=3)
+
+
+KNN_LABEL_PROPAGATION_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e WHERE vec_id < 8
+),
+dist AS (
+  SELECT e.vec_id, e.v, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv) /
+                    (sqrt(list_dot_product(e.v, e.v)) *
+                     sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cell
+         ) AS r
+  FROM e CROSS JOIN c
+),
+sassign AS (
+  SELECT d.vec_id AS s_id, 'l' || (d.vec_id % 4) AS label,
+         d.v AS sv, d.cell
+  FROM dist d WHERE d.r = 1 AND d.vec_id < 40
+),
+probed AS (
+  SELECT vec_id AS n_id, v, cell FROM dist
+  WHERE r <= 3 AND vec_id >= 40
+),
+cand AS (
+  SELECT p.n_id, s.s_id, s.label,
+         ROUND(list_dot_product(p.v, s.sv) /
+               (sqrt(list_dot_product(p.v, p.v)) *
+                sqrt(list_dot_product(s.sv, s.sv))), 4) AS cos
+  FROM probed p JOIN sassign s USING (cell)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id
+                               ORDER BY cos DESC, s_id) AS r
+  FROM cand
+),
+votes AS (
+  SELECT n_id, label, COUNT(*) AS n_votes, MAX(cos) AS top_cos
+  FROM ranked WHERE r <= 5 GROUP BY n_id, label
+),
+winner AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id
+                               ORDER BY n_votes DESC, label) AS rv
+  FROM votes
+)
+SELECT n_id AS vec_id, label, n_votes::BIGINT AS n_votes, top_cos
+FROM winner WHERE rv = 1
+"""
+
+
 # ---- SemDeDup: semantic dedup for training corpora ---------------------
 
 def semdedup_embeddings(spark, sf_dir):
@@ -762,5 +837,8 @@ QUERIES = {
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),
     "embedding_topk_ivfpq": (embedding_topk_ivfpq, EMBEDDING_TOPK_IVFPQ_SQL),
     "a0_semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
+    # NEW r8: semi-supervised labeling composed from the ANN machinery
+    "a0_knn_label_propagation": (knn_label_propagation_q,
+                                 KNN_LABEL_PROPAGATION_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

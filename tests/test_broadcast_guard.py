@@ -40,6 +40,9 @@ ALLOWED = {
         "caller-provided query set (ANN contract: queries << corpus)",
     ("operators/similarity.py", "F.broadcast(probed)"):
         "nprobe cell ids per query (bounded by query set)",
+    ("operators/similarity.py", "F.broadcast(sassign)"):
+        "labeled-seed index (label propagation contract: labels are "
+        "hand-made, seeds << corpus; the corpus side streams)",
     ("operators/trainable.py", "F.broadcast(c)"):
         "span-linker concept KB (model artifact, not corpus)",
     ("operators/matcher.py", "F.broadcast(terms_df)"):
@@ -48,6 +51,10 @@ ALLOWED = {
         "1-row corpus-statistics aggregate (BM25 N/avgdl/df)",
     ("operators/selection.py", "F.broadcast(cuts)"):
         "one row per group; groups = language inventory (config-scale)",
+    ("operators/textstats.py", "F.broadcast(n_docs)"):
+        "1-row corpus-count aggregate (PMI totals / TF-IDF idf)",
+    ("operators/textstats.py", "F.broadcast(totals)"):
+        "1-row unigram/bigram totals aggregate",
     ("operators/selection.py", "F.broadcast(totals)"):
         "1-row LM totals aggregate (DSIR tt/tr)",
     ("operators/selection.py", "F.broadcast(ratio)"):

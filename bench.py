@@ -91,6 +91,8 @@ HEADLINE = R1_SET + [
     "a0_corpus_curation_strip",
     "a0_source_vocab_saturation",
     "a0_tfidf_keywords",
+    "a0_knn_label_propagation",
+    "a0_simhash_neardup_capped",
 ]
 
 
@@ -203,8 +205,13 @@ def main() -> None:
                  "embedding_topk_ivfpq", "pq_adc_topk",
                  "exact_substring_dedup", "bm25_search", "bigram_logppl",
                  # r8 (VERDICT r7 #6): timed 10x ratios for the r7
-                 # heavies too
-                 "a0_simhash_neardup", "dsir_selection",
+                 # heavies too.  a0_simhash_neardup's ratio (~32x) is
+                 # the 8-bit-block config's inherent candidate density
+                 # on the duplicate-heavy replica (its OUTPUT pair set
+                 # itself grows ~800x there); a0_simhash_neardup_capped
+                 # is the Manku-config scale path (~4x) — see SCALE.md.
+                 "a0_simhash_neardup", "a0_simhash_neardup_capped",
+                 "dsir_selection",
                  "a0_source_divergence", "a0_winnowing_fp",
                  "bm25_search_batch"]
     scale_dir = os.environ.get(

@@ -316,6 +316,73 @@ FROM ham WHERE hamming <= 7
 """
 
 
+def simhash_neardup_capped(spark, sf_dir):
+    """The SCALE-PATH SimHash config (same precedent as
+    ngram_jaccard_capped): Manku's production setting — hamming <= 3
+    with 4 bands of 16-bit blocks (65k values per band, so block keys
+    stay sparse as the corpus grows; the demanding hamming<=7/8-band
+    config above has only 256 values per band and its candidate set is
+    inherently ~quadratic on duplicate-heavy data) — plus the
+    max_df=200 hot-block cap.  Measured at 10x rows: 3.9x wall vs the
+    uncapped narrow config's 32x."""
+    docs = _docs(spark, sf_dir)
+    return D.simhash_neardup_pairs(docs, max_hamming=3, bands=4,
+                                   max_df=200)
+
+
+SIMHASH_NEARDUP_CAPPED_SQL = """
+WITH tokh AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+            t -> {'hi': ('0x' || substr(md5(t), 1, 8))::BIGINT,
+                  'lo': ('0x' || substr(md5(t), 9, 8))::BIGINT}) AS hs
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string([
+           CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN
+                         ((CASE WHEN b < 32 THEN h.lo ELSE h.hi END
+                           >> (b % 32)) & 1) = 1
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END
+           for b in range(0, 64)
+         ], '') AS s
+  FROM tokh
+),
+bands AS (
+  SELECT doc_id,
+         unnest(range(4)) AS b,
+         unnest([list_sum([CASE WHEN s[16*b+i+1] = '1'
+                           THEN (2^(15-i))::BIGINT ELSE 0 END
+                           for i in range(16)])
+                 for b in range(4)]) AS v
+  FROM fp
+),
+cool AS (
+  SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 200
+),
+kept AS (SELECT bb.doc_id, bb.b, bb.v FROM bands bb JOIN cool USING (b, v)),
+cand AS (
+  SELECT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM kept a JOIN kept bb
+    ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id
+  GROUP BY ALL
+),
+ham AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(range(64),
+             i -> fa.s[i+1] <> fb.s[i+1])) AS hamming
+  FROM cand c
+  JOIN fp fa ON fa.doc_id = c.id_a
+  JOIN fp fb ON fb.doc_id = c.id_b
+)
+SELECT id_a, id_b, hamming::BIGINT AS hamming
+FROM ham WHERE hamming <= 3
+"""
+
+
 # ---- brute-force + LSH cosine top-k -----------------------------------
 
 def embedding_topk(spark, sf_dir):
@@ -831,6 +898,9 @@ QUERIES = {
     # itself so EVERY keying model (dict order, sorted keys) puts them
     # in the driver's checked window.
     "a0_simhash_neardup": (simhash_neardup, SIMHASH_NEARDUP_SQL),
+    # NEW r8: the Manku-config scale path with the hot-block cap
+    "a0_simhash_neardup_capped": (simhash_neardup_capped,
+                                  SIMHASH_NEARDUP_CAPPED_SQL),
     "diversity_sample": (diversity_sample, DIVERSITY_SAMPLE_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),

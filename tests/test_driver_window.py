@@ -48,6 +48,17 @@ def test_window_contains_required_names_in_iteration_order():
         f"window = {keys[:50]}")
 
 
+def test_every_a0_key_fits_the_window():
+    """Every a0_-prefixed key (canonical or rotated) must actually fit
+    the 50-slot window — if the a0_ population ever exceeds 50, some
+    prefixed query silently falls out and the prefix lies."""
+    keys = list(_entry.queries())
+    a0 = [k for k in keys if k.startswith("a0_")]
+    assert len(a0) <= 50, f"{len(a0)} a0_ keys exceed the 50-slot window"
+    window = set(keys[:50])
+    assert set(a0) <= window
+
+
 def test_window_same_under_sorted_keys_model():
     keys = list(_entry.queries())
     assert keys == sorted(keys), (

@@ -93,6 +93,11 @@ HEADLINE = R1_SET + [
     "a0_tfidf_keywords",
     "a0_knn_label_propagation",
     "a0_simhash_neardup_capped",
+    "a0_badwords_filter",
+    "a0_weighted_doc_sample",
+    "a0_document_chunking",
+    "a0_tokenizer_fertility",
+    "a0_bigram_pmi",
 ]
 
 

@@ -1595,7 +1595,16 @@ def corpus_curation(spark, sf_dir):
     deterministic split assignment -> greedy sequence packing of the
     train split.  Every stage is one of this repo's operators; Catalyst
     sees the whole chain and prunes/pushes across stage boundaries —
-    the composability argument for an engine living inside Spark."""
+    the composability argument for an engine living inside Spark.
+
+    NOTE (r8): the ``scrubbed`` plane is deliberately NOT persisted
+    despite being referenced twice — A/B'd both ways in one session at
+    sf0.1: unpersisted 1.03-1.44s vs persisted 1.46-1.53s warm.  The
+    gate+dedup subtree is one scan + a small groupBy, cheaper to run
+    twice than to pay the persist's materialization barrier (the r3
+    "persist is also a pruning barrier — measure both ways" lesson).
+    The STRIP variant below makes the opposite call for the opposite
+    reason."""
     from ..operators.packing import pack_documents
     d = _t(spark, sf_dir, "documents")
     kept = curation_quality_gate(d.select("doc_id", "text"))
@@ -1678,33 +1687,41 @@ def corpus_curation_strip(spark, sf_dir):
     first-arrival dedup and span removal stays a batch-boundary
     compaction pass (see streaming/pipeline_stream.py).
     """
+    from ..core.caching import scope_call, tracked_persist
     from ..operators.dedup import strip_duplicated_spans
     from ..operators.packing import pack_documents
     d = _t(spark, sf_dir, "documents")
-    kept = curation_quality_gate(d.select("doc_id", "text"))
-    stripped = strip_duplicated_spans(
-        kept.select("doc_id", "text"), n=13)
-    n_tok = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
-        F.size(F.split("text_clean", " ", -1)))
-    scrubbed = curation_finalize(
-        stripped.select("doc_id", F.col("text_clean").alias("text"),
-                        n_tok.alias("n_tokens"), "n_removed"),
-        extra_cols=("n_removed",))
-    train = scrubbed.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("note_id"),
-        F.col("text_redacted").alias("note_text"),
-        "n_tokens")
-    packed = pack_documents(train, budget=512, n_shards=4,
-                            count_col="n_tokens")
-    return (
-        scrubbed.select("doc_id", "split", "n_tokens", "n_removed")
-        .join(packed.select(F.col("note_id").alias("doc_id"),
-                            "shard", "pack_id"), "doc_id", "left")
-        .select("doc_id", "split",
-                F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                F.col("n_removed").cast("bigint").alias("n_removed"),
-                "shard", "pack_id")
-    )
+    with scope_call("curation"):
+        kept = curation_quality_gate(d.select("doc_id", "text"))
+        stripped = strip_duplicated_spans(
+            kept.select("doc_id", "text"), n=13)
+        n_tok = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
+            F.size(F.split("text_clean", " ", -1)))
+        scrubbed = curation_finalize(
+            stripped.select("doc_id", F.col("text_clean").alias("text"),
+                            n_tok.alias("n_tokens"), "n_removed"),
+            extra_cols=("n_removed",))
+        # the compact plane feeds BOTH the packing leg and the final
+        # metadata join; unpersisted, the whole gate+strip subtree
+        # executed twice (measured 2.43 -> 1.41s warm at sf0.1).
+        # text_redacted is Catalyst-pruned either way (packing only
+        # reads n_tokens) — the persist holds metadata columns only.
+        compact = tracked_persist(
+            scrubbed.select("doc_id", "split", "n_tokens", "n_removed"),
+            "curation")
+        train = compact.filter(F.col("split") == "train").select(
+            F.col("doc_id").alias("note_id"), "n_tokens")
+        packed = pack_documents(train, budget=512, n_shards=4,
+                                count_col="n_tokens")
+        return (
+            compact
+            .join(packed.select(F.col("note_id").alias("doc_id"),
+                                "shard", "pack_id"), "doc_id", "left")
+            .select("doc_id", "split",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_removed").cast("bigint").alias("n_removed"),
+                    "shard", "pack_id")
+        )
 
 
 CORPUS_CURATION_STRIP_SQL = f"""

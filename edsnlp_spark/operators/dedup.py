@@ -807,6 +807,11 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("__df") > max_df)
             .select("bi", "v")
         )
+        # both candidate legs re-derive the capped plane from the
+        # persisted base (count + anti-join runs twice).  Persisting
+        # the capped plane instead was A/B'd and is NOT better — sf0.1
+        # 2.4-2.5s -> 2.7-3.5s, 10x a wash (9.8-11.9 -> 9.3-13.4):
+        # the recount is cheap next to caching a corpus x bands plane.
         banded = banded.join(hot, ["bi", "v"], "left_anti")
     cand = (
         banded.select(F.col("id").alias("id_a"), "bi", "v")

@@ -98,6 +98,8 @@ HEADLINE = R1_SET + [
     "a0_document_chunking",
     "a0_tokenizer_fertility",
     "a0_bigram_pmi",
+    "a0_corpus_length_profile",
+    "a0_dedup_recall_eval",
 ]
 
 

@@ -97,6 +97,35 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 5,
     )
 
 
+def length_profile(docs: DataFrame, source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Per-source document-length histogram on log2 buckets ->
+    (source, len_bucket, n_docs, total_tokens) — the corpus-profiling
+    rollup behind every "what does this source look like" dashboard
+    (length distributions drive packing budgets, chunk sizes, and
+    truncation-loss estimates).
+
+    len_bucket = floor(log2(n_tokens)) computed with the
+    power-of-two-CORRECTED floor (the sketches.py recipe): a bare
+    floor(log2(x)) differs between engines by 1 ulp of libm exactly at
+    powers of two, which would shift histogram boundaries.  One
+    projection + one groupBy bounded by sources x ~40 buckets.
+    """
+    n = F.size(F.split(F.col(text_col), " ", -1))
+    l0 = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("long")
+    p2 = F.pow(F.lit(2.0), l0.cast("double"))
+    bucket = (F.when(p2 > n, l0 - 1)
+              .when(p2 * 2 <= n, l0 + 1)
+              .otherwise(l0))
+    return (
+        docs.select(F.col(source_col), n.alias("__n"),
+                    bucket.alias("len_bucket"))
+        .groupBy(source_col, "len_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("__n").cast("bigint").alias("total_tokens"))
+    )
+
+
 @scoped("textstats")
 def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

@@ -618,6 +618,83 @@ WHERE rank <= 10
 """
 
 
+# ---- dedup-tier recall evaluation (planted clones) ---------------------
+
+def dedup_recall_eval(spark, sf_dir):
+    """Evaluation harness for the dedup tier: plant exact clones
+    (doc_id % 37 == 1 duplicated at id + 100000 — the semdedup planting
+    pattern), run MinHash-LSH candidate generation, and score it ->
+    ONE row (n_planted, n_found, recall, n_extra).  Exact clones share
+    every shingle, so their signatures agree on every band — recall
+    must be 1.0; n_extra counts the corpus's organic near-dup pairs.
+    The ops-tooling shape: every index/config change reruns this
+    before it ships."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 37 == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.unionByName(clones)
+    pairs = D.minhash_lsh_pairs(corpus, n=3, num_hashes=12, bands=6)
+    # a planted pair is (id, id + 100000); eligible = clone sources
+    # with >= 3 tokens (shorter docs have no shingles/signature)
+    planted = (
+        d.filter((F.col("doc_id") % 37 == 1)
+                 & (F.size(F.split("text", " ", -1)) >= 3))
+        .select(F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 100000).alias("id_b"))
+    )
+    hits = pairs.join(planted, ["id_a", "id_b"], "left_semi")
+    n_planted = planted.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_planted.crossJoin(
+            hits.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .select(
+            F.col("n").cast("bigint").alias("n_planted"),
+            F.col("n_found").cast("bigint").alias("n_found"),
+            F.round(F.col("n_found") / F.col("n"), 4).alias("recall"),
+            (F.col("n_pairs") - F.col("n_found")).cast("bigint")
+            .alias("n_extra"),
+        )
+    )
+
+
+DEDUP_RECALL_EVAL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 37 = 1
+),
+{_MINHASH_SIG_SQL.replace("FROM documents", "FROM docs")},
+banded AS (
+  SELECT doc_id, sig,
+         unnest([
+           '0|' || sig[1] || '|' || sig[2],
+           '1|' || sig[3] || '|' || sig[4],
+           '2|' || sig[5] || '|' || sig[6],
+           '3|' || sig[7] || '|' || sig[8],
+           '4|' || sig[9] || '|' || sig[10],
+           '5|' || sig[11] || '|' || sig[12]
+         ]) AS bk
+  FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+planted AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+  WHERE doc_id % 37 = 1 AND len(string_split(text, ' ')) >= 3
+),
+hits AS (SELECT p.* FROM pairs p SEMI JOIN planted USING (id_a, id_b))
+SELECT (SELECT COUNT(*) FROM planted)::BIGINT AS n_planted,
+       (SELECT COUNT(*) FROM hits)::BIGINT AS n_found,
+       ROUND((SELECT COUNT(*) FROM hits)
+             / (SELECT COUNT(*) FROM planted), 4) AS recall,
+       ((SELECT COUNT(*) FROM pairs)
+        - (SELECT COUNT(*) FROM hits))::BIGINT AS n_extra
+"""
+
+
 # ---- kNN label propagation (semi-supervised corpus labeling) -----------
 
 def knn_label_propagation_q(spark, sf_dir):
@@ -910,5 +987,7 @@ QUERIES = {
     # NEW r8: semi-supervised labeling composed from the ANN machinery
     "a0_knn_label_propagation": (knn_label_propagation_q,
                                  KNN_LABEL_PROPAGATION_SQL),
+    # NEW r8: dedup-tier evaluation harness (planted-clone recall)
+    "a0_dedup_recall_eval": (dedup_recall_eval, DEDUP_RECALL_EVAL_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
 }

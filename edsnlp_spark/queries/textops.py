@@ -2642,6 +2642,36 @@ FROM scored ORDER BY ROUND(pmi, 4) DESC, lft, rgt LIMIT 20
 """
 
 
+def corpus_length_profile(spark, sf_dir):
+    """Per-source log2-bucketed document-length histogram — the corpus
+    profiling rollup (length distributions drive packing budgets and
+    chunk sizes).  Bucket = power-of-two-CORRECTED floor(log2) so a
+    1-ulp libm difference can't shift a histogram boundary between
+    engines; one projection + one bounded groupBy."""
+    from ..operators.textstats import length_profile
+    d = _t(spark, sf_dir, "documents")
+    return length_profile(d)
+
+
+CORPUS_LENGTH_PROFILE_SQL = """
+WITH n AS (
+  SELECT source, len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT source, n,
+         CASE WHEN POWER(2.0, l0) > n THEN l0 - 1
+              WHEN POWER(2.0, l0) * 2 <= n THEN l0 + 1
+              ELSE l0 END AS len_bucket
+  FROM (SELECT source, n,
+               FLOOR(log2(GREATEST(n, 1)))::BIGINT AS l0 FROM n)
+)
+SELECT source, len_bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n)::BIGINT AS total_tokens
+FROM b GROUP BY source, len_bucket
+"""
+
+
 def tfidf_keyword_extraction(spark, sf_dir):
     """Top-3 TF-IDF keywords per document — cheap document labels for
     corpus browsing / cluster naming.  One postings plane (persisted,
@@ -3189,6 +3219,8 @@ QUERIES = {
                                _tokenizer_fertility_sql()),
     "a0_bigram_pmi": (bigram_pmi, BIGRAM_PMI_SQL),
     "a0_tfidf_keywords": (tfidf_keyword_extraction, TFIDF_KEYWORDS_SQL),
+    "a0_corpus_length_profile": (corpus_length_profile,
+                                 CORPUS_LENGTH_PROFILE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),

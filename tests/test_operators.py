@@ -1649,6 +1649,29 @@ def test_knn_label_propagation_hand_case(spark):
         knn_label_propagation(emb, seeds, cents, k=0)
 
 
+def test_length_profile_power_of_two_buckets(spark):
+    """r8: the corrected floor(log2) bucket must place exact powers of
+    two in their own bucket (a bare libm floor(log2) is 1-ulp fragile
+    exactly there) and aggregate per source."""
+    from edsnlp_spark.operators.textstats import length_profile
+
+    rows = [(f"s{i % 2}", " ".join(["w"] * n))
+            for i, n in enumerate([1, 2, 3, 4, 7, 8, 9, 16, 31, 32])]
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string")
+    got = {(r.source, r.len_bucket): (r.n_docs, r.total_tokens)
+           for r in length_profile(docs).collect()}
+    import math
+    want = {}
+    for s, t in rows:
+        n = len(t.split(" "))
+        b = int(math.floor(math.log2(n)))
+        d, tt = want.get((s, b), (0, 0))
+        want[(s, b)] = (d + 1, tt + n)
+    assert got == want
+
+
 def test_bigram_pmi_and_tfidf_keywords_hand_computed(spark):
     """r8: PMI and TF-IDF against hand-computed values on a tiny
     corpus, plus config validation."""

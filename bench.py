@@ -127,8 +127,22 @@ def main() -> None:
             "sum(id * 3 % 7) as s").collect()
         calib_samples.append(time.perf_counter() - t0)
     calib_sec = round(min(calib_samples), 3)
-    print(f"# host calibration probe: {calib_sec}s "
-          f"(samples {[round(s, 3) for s in calib_samples]})",
+    # Second probe, SHUFFLE/memory-bound: the arithmetic probe misses
+    # memory-bandwidth contention (observed r8: calib_ratio 1.0 while
+    # two runs 90 min apart differed 15% across the board and flags
+    # came and went on untouched plans) — a hash-aggregate exchange
+    # feels exactly that kind of neighbor.
+    shuffle_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("id % 1000000 as k") \
+            .groupBy("k").count().count()
+        shuffle_samples.append(time.perf_counter() - t0)
+    calib_shuffle_sec = round(min(shuffle_samples), 3)
+    print(f"# host calibration: cpu {calib_sec}s "
+          f"(samples {[round(s, 3) for s in calib_samples]}), "
+          f"shuffle {calib_shuffle_sec}s "
+          f"(samples {[round(s, 3) for s in shuffle_samples]})",
           file=sys.stderr)
 
     times: dict[str, float] = {}
@@ -171,7 +185,11 @@ def main() -> None:
     # not code.
     calib_best = best.get("__calib__", calib_sec)
     calib_ratio = round(calib_sec / calib_best, 2) if calib_best else None
-    print(f"# calib ratio vs best host: {calib_ratio}x", file=sys.stderr)
+    shuffle_best = best.get("__calib_shuffle__", calib_shuffle_sec)
+    calib_shuffle_ratio = round(calib_shuffle_sec / shuffle_best, 2) \
+        if shuffle_best else None
+    print(f"# calib ratio vs best host: cpu {calib_ratio}x, "
+          f"shuffle {calib_shuffle_ratio}x", file=sys.stderr)
     regressions = {
         name: {"warm": t, "best": best[name],
                "ratio": round(t / best[name], 2)}
@@ -217,6 +235,8 @@ def main() -> None:
                 if name not in best or t < best[name]}
     if calib_sec < best.get("__calib__", float("inf")):
         improved["__calib__"] = calib_sec
+    if calib_shuffle_sec < best.get("__calib_shuffle__", float("inf")):
+        improved["__calib_shuffle__"] = calib_shuffle_sec
     if improved and os.environ.get("SPARK_GRAFT_FREEZE_BEST") != "1":
         best.update(improved)
         with open(best_path, "w") as f:
@@ -296,6 +316,8 @@ def main() -> None:
         "n_queries": len(times),
         "calib_sec": calib_sec,
         "calib_ratio": calib_ratio,
+        "calib_shuffle_sec": calib_shuffle_sec,
+        "calib_shuffle_ratio": calib_shuffle_ratio,
         "n_regressions": len(regressions),
         "worst_regression": worst_regression,
         "scale_10x_max_ratio": max(

@@ -47,24 +47,59 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 #      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
 #      — robust under ANY driver keying model.
 #
-# Rotation #4 (set at r8 START; the driver grades the round-END
-# keying — rotate once, early, never re-rotate mid-round): queries
-# CHANGED in r8 plus the README bookkeeping set, so every driver row
-# stays <= 3 rounds old.
+# Rotation #5 (set at r9 START; the driver grades the round-END
+# keying — rotate once, early, never re-rotate mid-round): the 26
+# queries whose newest driver-green row is r2–r6 (VERDICT r8 item #1;
+# verified against CORRECTNESS_r0*.json — negation_tokens is r6-era
+# despite the verdict's aside, so it rotates in too).  Slots are freed
+# by DROPPING the a0_ prefix from the driver key of r8-verified
+# canonical a0_ names (_ROTATE_OUT_OF_WINDOW) — canonical registry
+# keys stay stable so bench_best / COVERAGE / tests don't churn.
 _ROTATE_INTO_WINDOW = frozenset({
-    # CHANGED in r8 (changed queries stay in the checked window):
-    # bm25_topk_batch ranks by the ROUNDED score (ADVICE r7 #4, also
-    # feeds bm25_eval_metrics); simhash64 pre-hashes the token array
-    # (VERDICT r7 #2 — bit-identical, re-proven by the driver)
-    "bm25_search_batch", "bm25_eval_metrics", "simhash_fingerprints",
-    # README rotation-#4 bookkeeping set (last windowed r7)
-    "family_tokens", "filter_spans_greedy", "gopher_repetition",
-    "gopher_line_repetition", "hf_ner_spans", "history_qualifier",
+    # newest driver row r2–r3:
+    "section_spans", "simstring_fuzzy", "split_windows",
+    "suppliers_with_recent_shipments", "token_offsets",
+    "token_stats_by_lang", "top_orders_per_customer",
+    "reported_speech_tokens", "revenue_by_nation", "sales_rollup",
+    "salted_event_totals",
+    # newest driver row r5–r6:
+    "pricing_summary", "pii_redaction", "pq_adc_topk", "props_k_stats",
+    "purchase_asof_signup", "quality_model_scores",
+    "quantities_extraction", "quantity_mentions", "quantity_operators",
+    "multimodal_features", "ner_token_metrics", "ngram_jaccard",
+    "ngram_jaccard_capped", "phrase_match_tokens", "negation_tokens",
+    # CHANGED in r9 (changed queries stay in the checked window):
+    # bpe_encoding — arrow path now mirrors the expr path on NULL text
+    # (ADVICE r8 #2)
+    "bpe_encoding",
+})
+
+# r8-verified canonical a0_ names whose code is UNCHANGED in r9: the
+# driver key drops the prefix so they leave the window and free slots.
+# The 4 canonical a0_ names NOT listed here are changed this round
+# (a0_bigram_pmi, a0_badwords_filter, a0_corpus_curation_strip — the
+# three ADVICE r8 fixes — and a0_tokenizer_fertility, which composes
+# the changed BPE arrow encode) and stay windowed.
+_ROTATE_OUT_OF_WINDOW = frozenset({
+    "a0_corpus_length_profile", "a0_dedup_recall_eval",
+    "a0_document_chunking", "a0_knn_label_propagation",
+    "a0_semdedup_embeddings", "a0_sentence_boundaries",
+    "a0_sequence_packing", "a0_simhash_neardup",
+    "a0_simhash_neardup_capped", "a0_source_divergence",
+    "a0_source_mixture_sample", "a0_source_vocab_saturation",
+    "a0_split_assignment", "a0_strip_duplicated_spans",
+    "a0_tfidf_keywords", "a0_tnm_mentions", "a0_umls_scale_match",
+    "a0_unigram_logppl", "a0_url_domain_filtering",
+    "a0_weighted_doc_sample", "a0_winnowing_fp",
 })
 
 
 def _driver_key(name: str) -> str:
-    return f"a0_{name}" if name in _ROTATE_INTO_WINDOW else name
+    if name in _ROTATE_INTO_WINDOW:
+        return f"a0_{name}"
+    if name in _ROTATE_OUT_OF_WINDOW:
+        return name[len("a0_"):]
+    return name
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -70,8 +70,9 @@ _ROTATE_INTO_WINDOW = frozenset({
     "ngram_jaccard_capped", "phrase_match_tokens", "negation_tokens",
     # CHANGED in r9 (changed queries stay in the checked window):
     # bpe_encoding — arrow path now mirrors the expr path on NULL text
-    # (ADVICE r8 #2)
-    "bpe_encoding",
+    # (ADVICE r8 #2); corpus_curation — carries n_redactions so the
+    # PII stage is exercised, new output column (ADVICE r8 #3)
+    "bpe_encoding", "corpus_curation",
 })
 
 # r8-verified canonical a0_ names whose code is UNCHANGED in r9: the

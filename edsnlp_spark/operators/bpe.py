@@ -242,6 +242,12 @@ def _bpe_encode_arrow(docs: DataFrame, merges: list[tuple[str, str]],
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
+                if text is None:
+                    # mirror the expr path: F.split(NULL) propagates a
+                    # null tokens row instead of crashing the task
+                    # (ADVICE r8 #2)
+                    toks.append(None)
+                    continue
                 row: list[str] = []
                 for w in text.split(" "):
                     enc = cache.get(w)

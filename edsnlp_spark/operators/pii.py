@@ -68,6 +68,20 @@ class PIIScrubber(Transformer):
             out = F.regexp_replace(out, rx, f"[{label.upper()}]")
         return out
 
+    def match_count(self, col: Column) -> Column:
+        """Total PII matches in ``col`` (sum of per-pattern counts on
+        the pre-redaction text — the same counting model as the
+        pii_redaction oracle; the shipped patterns are mutually
+        disjoint by construction: iban needs 'FR', email needs '@',
+        nir/phone differ in the leading digit).  Downstream queries
+        carry this so Catalyst cannot prune the PII scan out of a
+        composed pipeline whose final projection is metadata-only
+        (ADVICE r8 #3)."""
+        n: Column = F.lit(0)
+        for rx in self.patterns.values():
+            n = n + F.regexp_count(col, F.lit(rx))
+        return n
+
     def transform(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             self.text_col + "_redacted",

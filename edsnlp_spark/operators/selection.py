@@ -201,12 +201,16 @@ def blocklist_filter(docs: DataFrame, words: list[str],
     evidence so threshold changes re-filter the stats table without
     re-scanning text.
 
-    ``keep`` = flag_ratio <= max_ratio (the default 0.0 reproduces
-    C4's any-hit drop).  Matching is lowercase whole-token equality
-    against the config list — a pure per-row projection
-    (size(filter(tokens, in-list))), no join, no shuffle; the
-    blocklist is a literal array in the plan (config-sized, like the
-    PII patterns).  flag_ratio is rounded to 4dp for oracle parity.
+    ``keep`` = true flag ratio <= max_ratio, decided on the UNROUNDED
+    counts (n_flagged <= max_ratio * n_tokens — the identical
+    int-times-double arithmetic on both engines; ADVICE r8 #4: a doc
+    whose true ratio is 0.03004 must NOT slip under a 0.03 threshold
+    via 4dp rounding).  The default 0.0 reproduces C4's any-hit drop.
+    Matching is lowercase whole-token equality against the config list
+    — a pure per-row projection (size(filter(tokens, in-list))), no
+    join, no shuffle; the blocklist is a literal array in the plan
+    (config-sized, like the PII patterns).  Only the REPORTED
+    flag_ratio is rounded (4dp, oracle float policy).
     """
     if not words:
         raise ValueError("blocklist_filter requires at least one word")
@@ -218,13 +222,12 @@ def blocklist_filter(docs: DataFrame, words: list[str],
     toks = F.split(F.lower(F.col(text_col)), " ", -1)
     n = F.size(toks)
     n_flag = F.size(F.filter(toks, hit))
-    ratio = F.round(n_flag / n, 4)
     return docs.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
         n_flag.cast("bigint").alias("n_flagged"),
-        ratio.alias("flag_ratio"),
-        (ratio <= F.lit(max_ratio)).alias("keep"),
+        F.round(n_flag / n, 4).alias("flag_ratio"),
+        (n_flag <= F.lit(float(max_ratio)) * n).alias("keep"),
     )
 
 

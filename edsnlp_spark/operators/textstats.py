@@ -44,12 +44,28 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 5,
     NOT broadcast-hinted (the r4 lesson: a web-corpus vocabulary is
     millions of types; AQE picks broadcast when it actually fits);
     only the 1-row totals are broadcast.  No window, no per-doc state.
+
+    Tokenization model: SINGLE-space-separated tokens.  The bigram
+    lookahead regexp skips empty tokens while the total
+    (n_bi = n_uni - n_docs) and the token-slice oracle count them, so
+    on runs of spaces pair counts and PMI would silently diverge —
+    non-conforming text fails LOUDLY instead (ADVICE r8 #1, same
+    Catalyst-prune-proof in-data-path guard as
+    selection.hashed_ngram_features).
     """
     if k < 1:
         raise ValueError("bigram_pmi_topk requires k >= 1")
     if min_count < 1:
         raise ValueError("bigram_pmi_topk requires min_count >= 1")
-    toks = F.split(F.col(text_col), " ", -1)
+    conforming = F.col(text_col).isNull() \
+        | ~F.col(text_col).rlike("^ |  | $")
+    guarded = F.when(conforming, F.col(text_col)).otherwise(
+        F.raise_error(F.concat(
+            F.lit("bigram_pmi_topk: text is not single-space tokenized "
+                  "(pair counts would diverge from the token-slice "
+                  "bigram total); text starts with: "),
+            F.substring(F.col(text_col), 1, 40))))
+    toks = F.split(guarded, " ", -1)
     uni = (
         docs.select(F.explode(toks).alias("t"))
         .groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
@@ -57,7 +73,7 @@ def bigram_pmi_topk(docs: DataFrame, k: int = 20, min_count: int = 5,
     uni = tracked_persist(uni, "textstats")
     pairs = (
         docs.select(F.explode(F.regexp_extract_all(
-            F.col(text_col), F.lit(_BIGRAM_RX), F.lit(1))).alias("bg"))
+            guarded, F.lit(_BIGRAM_RX), F.lit(1))).alias("bg"))
         .groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= min_count)
         .select(

@@ -1129,6 +1129,16 @@ FROM built
 PII_REDACTION_SQL = _pii_sql()
 
 
+def _pii_count_sql(col: str) -> str:
+    """DuckDB expression for PIIScrubber.match_count(col): sum of
+    per-pattern match counts on the pre-redaction text."""
+    from ..operators.pii import PII_PATTERNS
+    terms = " + ".join(
+        f"len(regexp_extract_all({col}, '{rx}'))"
+        for rx in PII_PATTERNS.values())
+    return f"({terms})"
+
+
 # ---- test-set decontamination (training-data pipeline) -----------------
 
 _DECON_CANARY = ("the quick spark benchmark canary passage "
@@ -1576,15 +1586,23 @@ def curation_finalize(kept, extra_cols=()):
     dropDuplicatesWithinWatermark).  ``extra_cols`` pass through
     untouched (e.g. the strip variant's n_removed — carrying it here
     keeps the upstream plan referenced ONCE instead of re-executing its
-    subtree for a metadata join)."""
+    subtree for a metadata join).
+
+    Emits ``n_redactions`` alongside ``text_redacted`` so a consumer
+    whose final projection is metadata-only still EXECUTES the PII
+    scan (ADVICE r8 #3: with text_redacted alone, Catalyst pruned the
+    scrubber out of both curation queries' plans and bench timings)."""
     from ..operators.pii import PIIScrubber
+    scrub = PIIScrubber(text_col="text")
     u = _knuth32(F.col("doc_id"))
     split = (
         F.when(u < F.lit(int(0.95 * _SPLIT_MOD)), F.lit("train"))
         .when(u < F.lit(int(0.975 * _SPLIT_MOD)), F.lit("val"))
         .otherwise(F.lit("test")))
-    return PIIScrubber(text_col="text").transform(
+    return scrub.transform(
         kept.select("doc_id", "text", "n_tokens", split.alias("split"),
+                    scrub.match_count(F.col("text"))
+                    .cast("bigint").alias("n_redactions"),
                     *extra_cols))
 
 
@@ -1620,11 +1638,13 @@ def corpus_curation(spark, sf_dir):
     packed = pack_documents(train, budget=512, n_shards=4,
                             count_col="n_tokens")
     return (
-        scrubbed.select("doc_id", "split", "n_tokens")
+        scrubbed.select("doc_id", "split", "n_tokens", "n_redactions")
         .join(packed.select(F.col("note_id").alias("doc_id"),
                             "shard", "pack_id"), "doc_id", "left")
         .select("doc_id", "split",
                 F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("n_redactions").cast("bigint")
+                .alias("n_redactions"),
                 "shard", "pack_id")
     )
 
@@ -1642,6 +1662,7 @@ first AS (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM kept
           GROUP BY md5(text)),
 surv AS (
   SELECT k.doc_id, k.n_tokens,
+         {_pii_count_sql('k.text')} AS n_redactions,
          CASE WHEN {_knuth32_sql('k.doc_id')}
                    < {int(0.95 * _SPLIT_MOD)} THEN 'train'
               WHEN {_knuth32_sql('k.doc_id')}
@@ -1663,6 +1684,7 @@ packed AS (
          CASE WHEN p.used + t.n_tokens > 512 THEN p.pack + 1 ELSE p.pack END
   FROM train t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
 SELECT s.doc_id, s.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.n_redactions AS BIGINT) AS n_redactions,
        p.shard, CAST(p.pack AS INT) AS pack_id
 FROM surv s LEFT JOIN packed p USING (doc_id)
 """
@@ -1704,10 +1726,12 @@ def corpus_curation_strip(spark, sf_dir):
         # the compact plane feeds BOTH the packing leg and the final
         # metadata join; unpersisted, the whole gate+strip subtree
         # executed twice (measured 2.43 -> 1.41s warm at sf0.1).
-        # text_redacted is Catalyst-pruned either way (packing only
-        # reads n_tokens) — the persist holds metadata columns only.
+        # text_redacted is Catalyst-pruned (packing only reads
+        # n_tokens) but n_redactions keeps the PII SCAN in the plan
+        # (ADVICE r8 #3) — the persist holds metadata columns only.
         compact = tracked_persist(
-            scrubbed.select("doc_id", "split", "n_tokens", "n_removed"),
+            scrubbed.select("doc_id", "split", "n_tokens", "n_removed",
+                            "n_redactions"),
             "curation")
         train = compact.filter(F.col("split") == "train").select(
             F.col("doc_id").alias("note_id"), "n_tokens")
@@ -1720,6 +1744,8 @@ def corpus_curation_strip(spark, sf_dir):
             .select("doc_id", "split",
                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
                     F.col("n_removed").cast("bigint").alias("n_removed"),
+                    F.col("n_redactions").cast("bigint")
+                    .alias("n_redactions"),
                     "shard", "pack_id")
         )
 
@@ -1785,6 +1811,7 @@ surv AS (
   SELECT doc_id, n_removed,
          CASE WHEN text_clean = '' THEN 0
               ELSE len(string_split(text_clean, ' ')) END AS n_tokens,
+         {_pii_count_sql('text_clean')} AS n_redactions,
          CASE WHEN {_knuth32_sql('doc_id')}
                    < {int(0.95 * _SPLIT_MOD)} THEN 'train'
               WHEN {_knuth32_sql('doc_id')}
@@ -1807,6 +1834,7 @@ packed AS (
   FROM train t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1)
 SELECT s.doc_id, s.split, CAST(s.n_tokens AS BIGINT) AS n_tokens,
        CAST(s.n_removed AS BIGINT) AS n_removed,
+       CAST(s.n_redactions AS BIGINT) AS n_redactions,
        p.shard, CAST(p.pack AS INT) AS pack_id
 FROM surv s LEFT JOIN packed p USING (doc_id)
 """
@@ -2536,8 +2564,8 @@ SELECT doc_id,
          AS n_flagged,
        ROUND(len(list_filter(toks, x -> x IN ('dup', 'slow')))
              / len(toks), 4) AS flag_ratio,
-       ROUND(len(list_filter(toks, x -> x IN ('dup', 'slow')))
-             / len(toks), 4) <= 0.03 AS keep
+       len(list_filter(toks, x -> x IN ('dup', 'slow')))
+         <= 0.03 * len(toks) AS keep
 FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
       FROM documents)
 """

@@ -1376,6 +1376,24 @@ def test_bpe_encode_arrow_matches_expr(spark):
         bpe_encode(docs, merges, engine="nope")
 
 
+def test_bpe_encode_arrow_null_text_mirrors_expr(spark):
+    """ADVICE r8 #2: a NULL text must propagate a null tokens row on
+    BOTH engines (the arrow path used to crash the task with
+    AttributeError on .split)."""
+    from edsnlp_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "low lower"), (1, None), (2, "")],
+        "doc_id long, text string")
+    merges = [("l", "o"), ("lo", "w")]
+    expr = {r["doc_id"]: r["tokens"]
+            for r in bpe_encode(docs, merges, engine="expr").collect()}
+    arrow = {r["doc_id"]: r["tokens"]
+             for r in bpe_encode(docs, merges, engine="arrow").collect()}
+    assert expr == arrow
+    assert expr[1] is None
+
+
 def test_bpe_encode_arrow_scales_past_expression_cliff(spark):
     """A 1200-merge table (well past the ~few-hundred-merge expression
     cliff) encodes via auto-selected Arrow in one pass; sanity via an
@@ -1581,6 +1599,26 @@ def test_blocklist_filter_semantics(spark):
         blocklist_filter(docs, [])
 
 
+def test_blocklist_filter_threshold_uses_unrounded_ratio(spark):
+    """ADVICE r8 #4: keep must be decided on the UNROUNDED counts — a
+    true ratio of 300/9987 = 0.030039 rounds to 0.0300 at 4dp, and the
+    old round-then-compare let it slip under max_ratio=0.03."""
+    from edsnlp_spark.operators.selection import blocklist_filter
+
+    text = " ".join(["bad"] * 300 + ["ok"] * 9687)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = blocklist_filter(docs, ["bad"], max_ratio=0.03).collect()[0]
+    assert (row.n_tokens, row.n_flagged) == (9987, 300)
+    assert row.flag_ratio == 0.03          # reported ratio IS rounded
+    assert row.keep is False               # verdict is not
+    # boundary stays inclusive: exactly 3% keeps
+    text_eq = " ".join(["bad"] * 3 + ["ok"] * 97)
+    docs_eq = spark.createDataFrame(
+        [(1, text_eq)], "doc_id long, text string")
+    assert blocklist_filter(
+        docs_eq, ["bad"], max_ratio=0.03).collect()[0].keep is True
+
+
 def test_weighted_reservoir_sample_matches_python_model(spark):
     """r8 (Efraimidis-Spirakis): the Spark A-ES top-k must equal a
     pure-Python computation of the same md5-derived keys, and weighted
@@ -1703,6 +1741,20 @@ def test_bigram_pmi_and_tfidf_keywords_hand_computed(spark):
         bigram_pmi_topk(docs, min_count=0)
     with pytest.raises(ValueError, match="k >= 1"):
         tfidf_keywords(docs, k=0)
+
+
+def test_bigram_pmi_rejects_non_single_space_text(spark):
+    """ADVICE r8 #1: on runs of spaces the bigram lookahead regexp
+    skips empty tokens while the n_uni - n_docs total counts them —
+    non-conforming text must fail LOUDLY, not silently skew PMI."""
+    import pytest
+
+    from edsnlp_spark.operators.textstats import bigram_pmi_topk
+
+    bad = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a  b d")], "doc_id long, text string")
+    with pytest.raises(Exception, match="single-space"):
+        bigram_pmi_topk(bad, k=5, min_count=1).collect()
 
 
 def test_strip_duplicated_spans_semantics(spark):

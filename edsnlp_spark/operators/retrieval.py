@@ -21,7 +21,7 @@ scores bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..core.caching import scoped, tracked_persist
 
@@ -253,4 +253,60 @@ def ranking_metrics(ranked: DataFrame, qrels: DataFrame, k: int = 10,
                 .otherwise(F.lit(1.0) / F.col("first_rel")), 4)
         .alias("mrr"),
         F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )
+
+
+def rrf_fuse(tiers: list[DataFrame], k: int = 10, c: int = 60,
+             query_id_col: str = "query_id", id_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N per-query rankings -> (query_id_col, id_col, n_tiers, rank,
+    rrf_score): rrf(d) = sum over tiers of 1 / (c + rank_tier(d)),
+    re-ranked per query by (rounded score desc, id).  The standard
+    production hybrid-retrieval shape: fuse a lexical tier (BM25) with
+    a dense tier (IVF-PQ) without score calibration — RRF only reads
+    RANK POSITIONS, so wildly different score scales (BM25 sums vs ADC
+    distances) fuse cleanly.
+
+    Input contract: each tier is a per-query top-k table (e.g.
+    :func:`bm25_topk_batch`, ``similarity.ivf_pq_topk``) whose
+    ``rank_col`` holds the tier's OWN 1-based rank; rank gaps (e.g.
+    from a post-ranking self-exclusion filter) are honored as-is.
+
+    Scale shape: the inputs are already bounded at queries x k rows per
+    tier, so fusion is one unionByName + one groupBy + one per-query
+    window over <= Q * sum(k_tier) rows — retrieval cost lives entirely
+    in the tiers.  Determinism: each (query, doc) sums at most n_tiers
+    reciprocal terms (addition of 2 doubles is order-exact) and the
+    final ordering uses the ROUNDED score with the id tie-break (the
+    repo's engine-portable ranking convention).
+    """
+    if not tiers:
+        raise ValueError("rrf_fuse requires at least one ranked tier")
+    if k < 1 or c < 0:
+        raise ValueError("rrf_fuse requires k >= 1 and c >= 0")
+    parts = [
+        t.select(F.col(query_id_col).alias("__q"),
+                 F.col(id_col).alias("__d"),
+                 (F.lit(1.0) / (F.lit(float(c))
+                                + F.col(rank_col).cast("double")))
+                 .alias("__rr"))
+        for t in tiers
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__q", "__d").agg(
+        F.sum("__rr").alias("__s"),
+        F.count(F.lit(1)).alias("n_tiers"))
+    w = Window.partitionBy("__q").orderBy(
+        F.round("__s", 6).desc(), F.col("__d"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__q").alias(query_id_col),
+                F.col("__d").alias(id_col),
+                F.col("n_tiers").cast("bigint").alias("n_tiers"),
+                F.col("rank").cast("bigint").alias("rank"),
+                F.round("__s", 6).alias("rrf_score"))
     )

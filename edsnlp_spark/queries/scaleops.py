@@ -961,6 +961,182 @@ FROM documents
 """
 
 
+# ---- Hybrid retrieval: RRF fusion of BM25 + IVF-PQ (VERDICT r8 #6) -----
+
+def hybrid_retrieval(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the repo's two
+    retrieval tiers in ONE plan — the standard production RAG
+    retrieval shape.  Queries are the first 3 corpus items: their
+    text's first 6 tokens feed the lexical tier (batch BM25, top-20),
+    their embedding feeds the dense tier (IVF-PQ over the
+    deterministic seed index, top-20); RRF (c=60) fuses rank positions
+    into a final top-10.  The query item itself is excluded on both
+    sides (the dense tier excludes self natively; the sparse tier
+    filters AFTER ranking, keeping rank gaps — RRF honors tier ranks
+    as-is).
+
+    Scale shape: retrieval cost lives in the tiers (postings semi-join
+    / probed-cell codes scan); fusion touches only Q x 40 rank rows —
+    one union + one groupBy + one per-query window.
+    """
+    from ..operators.retrieval import bm25_topk_batch, rrf_fuse
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    m, dsub = 8, 8
+    codebooks = [
+        [s[j * dsub:(j + 1) * dsub] for s in seeds]
+        for j in range(m)
+    ]
+    q_terms = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), " ", -1), 1, 6).alias("terms"))
+    sparse = (
+        bm25_topk_batch(d, q_terms, k=20)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "rank")
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    dense = S.ivf_pq_topk(emb, qv, seeds, codebooks, k=20, n_probe=3) \
+        .select(F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], k=10, c=60)
+
+
+HYBRID_RETRIEVAL_SQL = """
+WITH q AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest((string_split(lower(text), ' '))[1:6]) AS term
+  FROM documents WHERE doc_id < 3
+),
+tokd AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+    FROM tokd)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(len(toks))::DOUBLE AS sum_dl
+  FROM tokd
+),
+tdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM p GROUP BY term),
+bm25s AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))) AS s
+  FROM q JOIN tdf USING (term) JOIN p USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+),
+sparse AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(s, 4) DESC, doc_id) AS rank
+    FROM bm25s)
+  WHERE rank <= 20 AND doc_id <> query_id
+),
+e AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_id) - 1 AS cell, v AS cv
+  FROM e WHERE n_id < 8
+),
+assigned AS (
+  SELECT n_id, cell FROM (
+    SELECT e.n_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.n_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1
+),
+cb AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+subs AS (SELECT j::INT AS j FROM range(8) t(j)),
+dists AS (
+  SELECT e.n_id AS vec_id, s.j, cb.code,
+         list_sum(list_transform(range(8), i ->
+           (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1])
+           * (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1]))) AS d
+  FROM e CROSS JOIN subs s CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d, code) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+dq AS (SELECT n_id AS q_id, v AS qv FROM e WHERE n_id < 3),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT dq.q_id, dq.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY dq.q_id
+             ORDER BY list_dot_product(dq.qv, c.cv) /
+                      (sqrt(list_dot_product(dq.qv, dq.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM dq CROSS JOIN c
+  ) WHERE r <= 3
+),
+pair_j AS (
+  SELECT pr.q_id, cd.vec_id AS n_id, cd.j,
+         list_sum(list_transform(range(8), i ->
+           (pr.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1])
+           * (pr.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1]))) AS dj
+  FROM codes cd
+  JOIN assigned a ON a.n_id = cd.vec_id
+  JOIN probed pr ON pr.cell = a.cell
+  JOIN cb ON cb.code = cd.code
+  WHERE cd.vec_id <> pr.q_id
+),
+adc AS (
+  SELECT q_id, n_id, list_sum(list(dj ORDER BY j)) AS adc
+  FROM pair_j GROUP BY q_id, n_id
+),
+dense AS (
+  SELECT q_id AS query_id, n_id AS doc_id, rank FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc, n_id) AS rank
+    FROM adc)
+  WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, SUM(1.0 / (60.0 + rank)) AS s,
+         COUNT(*) AS n_tiers
+  FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_tiers::BIGINT AS n_tiers,
+       rank::BIGINT AS rank, ROUND(s, 6) AS rrf_score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ROUND(s, 6) DESC, doc_id)
+               AS rank
+      FROM fused)
+WHERE rank <= 10
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -990,4 +1166,6 @@ QUERIES = {
     # NEW r8: dedup-tier evaluation harness (planted-clone recall)
     "a0_dedup_recall_eval": (dedup_recall_eval, DEDUP_RECALL_EVAL_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    # NEW r9: RRF hybrid retrieval composing both index tiers
+    "a0_hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
 }

@@ -251,3 +251,104 @@ def test_ivf_pq_composition(spark, sf_dir):
               for r in pq_adc_topk(emb, queries, cbs, k=6000).collect()}
     for r in pruned:
         assert full_d[(r["q_id"], r["n_id"])] == r["adc_dist"]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """r9 (VERDICT r8 #6): RRF scores on fixed ranked lists match the
+    Cormack et al. formula, rank gaps are honored as-is, and config
+    validation raises."""
+    import pytest
+
+    from edsnlp_spark.operators.retrieval import rrf_fuse
+
+    t1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 4)],   # gap rank (post-filter)
+        "query_id long, doc_id long, rank long")
+    t2 = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank long")
+    got = {r.doc_id: (r.n_tiers, r.rank, r.rrf_score)
+           for r in rrf_fuse([t1, t2], k=10, c=60).collect()}
+    want_scores = {
+        10: round(1 / 61, 6),
+        11: round(1 / 62 + 1 / 61, 6),
+        12: round(1 / 64, 6),
+        13: round(1 / 62, 6),
+    }
+    assert {d: s for d, (_, _, s) in got.items()} == want_scores
+    assert {d: n for d, (n, _, _) in got.items()} == {10: 1, 11: 2,
+                                                      12: 1, 13: 1}
+    # 11 fuses two tiers -> top; then 10 (1/61) > 13 (1/62) > 12 (1/64)
+    assert [d for d, (_, rk, _) in sorted(got.items(),
+                                          key=lambda kv: kv[1][1])] \
+        == [11, 10, 13, 12]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="k >= 1"):
+        rrf_fuse([t1], k=0)
+
+
+def test_rrf_recall_beats_single_tiers_on_planted_set(spark):
+    """r9 (VERDICT r8 #6): on a planted eval set where half of each
+    query's relevant docs are only lexically findable (rare shared
+    tokens, noise embeddings) and half only dense-findable (clone
+    embeddings, unrelated text), fused recall@k must be >= each
+    single tier's recall@k (here strictly: each tier gets 1/2, fusion
+    gets 1.0).  Reuses the bm25_eval_metrics harness
+    (ranking_metrics)."""
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.retrieval import (
+        bm25_topk_batch, ranking_metrics, rrf_fuse)
+    from edsnlp_spark.operators.similarity import brute_force_topk
+
+    def vec(seed, flip):
+        # deterministic 8-dim vectors; doc i gets base pattern +- flip
+        base = [1.0 if (seed >> j) & 1 else -1.0 for j in range(8)]
+        base[flip % 8] += 0.01 * (flip + 1)
+        return [float(x) for x in base]
+
+    rows = []
+    # queries 0/1: text 'qZ tok' + embedding pattern Z
+    # relevant lexical docs 10+q: share the rare token, noise vector
+    # relevant dense docs 20+q: clone embedding, unrelated text
+    for q in (0, 1):
+        rows.append((q, f"rare{q} query text", vec(5 + q, 0)))
+        rows.append((10 + q, f"rare{q} shared token here", vec(200 + q, q)))
+        rows.append((20 + q, "nothing lexical in common", vec(5 + q, 7)))
+    # 30 background docs: no rare tokens, far-away embeddings
+    for i in range(30):
+        rows.append((100 + i, f"filler text number {i}", vec(60 + i, i)))
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>")
+
+    k = 2
+    q_terms = corpus.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.slice(F.split(F.lower("text"), " ", -1), 1, 1).alias("terms"))
+    sparse = (
+        bm25_topk_batch(corpus, q_terms, k=k)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "rank"))
+    qv = corpus.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    dense = brute_force_topk(
+        corpus, qv, k=k, id_col="doc_id", vec_col="embedding") \
+        .select(F.col("q_id").alias("query_id"),
+                F.col("n_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([sparse, dense], k=k, c=60)
+
+    qrels = spark.createDataFrame(
+        [(q, d) for q in (0, 1) for d in (10 + q, 20 + q)],
+        "query_id long, doc_id long")
+
+    def recall(ranked):
+        rows = ranking_metrics(ranked, qrels, k=k).collect()
+        return {r.query_id: r.recall_at_k for r in rows}
+
+    r_sparse, r_dense, r_fused = (recall(t)
+                                  for t in (sparse, dense, fused))
+    for q in (0, 1):
+        assert r_fused[q] >= max(r_sparse[q], r_dense[q])
+        assert r_sparse[q] <= 0.5 and r_dense[q] <= 0.5
+        assert r_fused[q] == 1.0

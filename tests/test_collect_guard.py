@@ -26,6 +26,8 @@ ALLOWED = {
         "per-label metric rows (bounded by label vocabulary)",
     ("operators/bpe.py", '.limit(1).collect()'):
         "BPE merge argmax: exactly one row per training iteration",
+    ("operators/bpe.py", '.limit(4 * want + 8).collect()'):
+        "batched BPE top-M pair collect: M bounded by the batch config",
     ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
         "1-row min/max aggregate for decile binning",
     ("operators/scores.py", '== "").collect()'):

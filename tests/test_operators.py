@@ -1835,3 +1835,63 @@ def test_bigram_logppl_hand_computed(spark, tmp_path):
     assert out[2] == (1, nll([("c", "a")]))
     # the frequent transition really is cheaper than the rare one
     assert out[0][1] < out[1][1]
+
+
+def test_bpe_train_batched_differential(spark):
+    """r9 (VERDICT r8 #4): the batched trainer must (a) equal the
+    exact sequential trainer when rounds' top pairs don't interact,
+    (b) degenerate to the exact algorithm at batch=1, (c) within every
+    round adopt only pairwise-disjoint symbol sets, and (d) yield an
+    encoding-equivalent tokenizer even on an adversarial corpus where
+    batching resequences a created pair."""
+    import pytest
+
+    from edsnlp_spark.operators.bpe import (
+        bpe_encode, bpe_train, bpe_train_batched)
+
+    # (a) genuinely non-interacting corpus: single-char words (every
+    # pair is (x, </w>) — merging one creates NO new pair), distinct
+    # frequencies.  All pairs share </w>, so disjointness forces one
+    # adoption per round and batched == sequential exactly.
+    flat = " ".join(
+        " ".join([ch] * freq)
+        for ch, freq in [("a", 9), ("b", 8), ("c", 7), ("d", 6),
+                         ("e", 5), ("f", 4), ("g", 3), ("h", 2)])
+    ni = spark.createDataFrame([(0, flat)], "doc_id long, text string")
+    assert bpe_train_batched(ni, n_merges=8, batch=4) \
+        == bpe_train(ni, n_merges=8) \
+        == [(ch, "</w>") for ch in "abcdefgh"]
+
+    # (b) batch=1 is the exact algorithm on a chain-heavy corpus too
+    texts = ["low lower lowest low low", "newer newest new wider wide",
+             "low new wide wider lowest", "ab ab ab cd cd ef"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    seq = bpe_train(docs, n_merges=12)
+    assert bpe_train_batched(docs, n_merges=8, batch=1) == seq[:8]
+    bat = bpe_train_batched(docs, n_merges=12, batch=4)
+
+    # (c) per-round disjointness: replay rounds of 4 and check symbol
+    # sets within each round never intersect
+    for r in range(0, len(bat), 4):
+        used: set[str] = set()
+        for left, right in bat[r:r + 4]:
+            assert left not in used and right not in used, bat[r:r + 4]
+            used.update((left, right, left + right))
+
+    # (d) adversarial: 'aaab...' makes ('aa','a') / ('a','b') style
+    # created pairs outrank round tails — sequences may differ, but
+    # the learned tokenizer must still reconstruct the corpus
+    adv = spark.createDataFrame(
+        [(0, "aaaa aaab aab ab b aaaa aaab"), (1, "aaaa ab aab aaab")],
+        "doc_id long, text string")
+    bat_adv = bpe_train_batched(adv, n_merges=10, batch=4)
+    enc = {r["doc_id"]: r["tokens"]
+           for r in bpe_encode(adv, bat_adv).collect()}
+    for i, t in (0, "aaaa aaab aab ab b aaaa aaab"), (1, "aaaa ab aab aaab"):
+        assert "".join(enc[i]).replace("</w>", " ").rstrip() == t
+
+    with pytest.raises(ValueError, match="batch >= 1"):
+        bpe_train_batched(docs, n_merges=4, batch=0)
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_batched(docs, n_merges=0)

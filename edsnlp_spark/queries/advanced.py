@@ -188,8 +188,128 @@ FROM tok t JOIN matches m ON t.token = m.token
 """
 
 
+# ---- Numerically real trainable head: linear + CRF Viterbi -------------
+
+def ner_crf_viterbi(spark, sf_dir):
+    """Real numeric NER forward with NO torch (VERDICT r8 #5): integer
+    linear logits over md5-byte token features + exact Viterbi decode
+    under a CRF transition matrix (fixed "trained" weights as plan
+    literals), spans landing in the rule-matcher entities schema.  One
+    mapInPandas projection (numpy dp per note) — no shuffle; the
+    repartition spreads the per-note dp across cores (small parquet =
+    1 split)."""
+    from ..operators.trainable import ner_linear_crf
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    notes = d.select(F.col("doc_id").alias("note_id"),
+                     F.col("text").alias("note_text"))
+    return ner_linear_crf(notes)
+
+
+def _ner_crf_sql() -> str:
+    """Oracle for ner_crf_viterbi: same integer logits, Viterbi as a
+    recursive CTE carrying per-state scores + argmax paths (ties ->
+    lowest prev state via list_position first occurrence, matching
+    numpy argmax), BIO span decode."""
+    from ..operators.trainable import (
+        NER_CRF_B, NER_CRF_START, NER_CRF_T, NER_CRF_W)
+
+    # integer logit expressions: W @ md5_bytes(t) + b, expanded
+    def byte(k: int) -> str:
+        return f"('0x' || substr(md5(t), {2 * k + 1}, 2))::BIGINT"
+
+    def logit(s: int) -> str:
+        terms = [str(NER_CRF_B[s])]
+        terms += [f"{w} * {byte(k)}"
+                  for k, w in enumerate(NER_CRF_W[s]) if w != 0]
+        return " + ".join(terms)
+
+    def cand(s: int) -> str:
+        return "[" + ", ".join(
+            f"v.scv[{p + 1}] + ({NER_CRF_T[p][s]})" for p in range(3)
+        ) + "]"
+
+    init_scv = "[" + ", ".join(
+        f"ls[{s + 1}] + ({NER_CRF_START[s]})" for s in range(3)) + "]"
+    next_scv = "[" + ", ".join(
+        f"list_aggregate({cand(s)}, 'max') + l.ls[{s + 1}]"
+        for s in range(3)) + "]"
+    next_pth = "[" + ", ".join(
+        f"list_append(v.pth[list_position({cand(s)}, "
+        f"list_aggregate({cand(s)}, 'max'))], {s})"
+        for s in range(3)) + "]"
+    logits = "[" + ", ".join(
+        f"({logit(s)})::BIGINT" for s in range(3)) + "]"
+
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS note_id, string_split(text, ' ') AS toks FROM documents
+),
+trows AS (
+  SELECT note_id, unnest(range(len(toks)))::BIGINT AS i, unnest(toks) AS t
+  FROM tok
+),
+off AS (
+  SELECT note_id, i, t,
+         COALESCE(SUM(length(t) + 1) OVER (
+           PARTITION BY note_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sc
+  FROM trows
+),
+lg AS (SELECT note_id, i, t, sc, {logits} AS ls FROM off),
+vit AS (
+  SELECT note_id, i, {init_scv} AS scv, [[0], [1], [2]] AS pth
+  FROM lg WHERE i = 0
+  UNION ALL
+  SELECT v.note_id, l.i, {next_scv} AS scv, {next_pth} AS pth
+  FROM vit v JOIN lg l ON l.note_id = v.note_id AND l.i = v.i + 1
+),
+fin AS (
+  SELECT note_id, scv, pth FROM (
+    SELECT v.*, ROW_NUMBER() OVER (PARTITION BY note_id
+                                   ORDER BY i DESC) AS rn
+    FROM vit v) WHERE rn = 1
+),
+best AS (
+  SELECT note_id,
+         pth[list_position(scv, list_aggregate(scv, 'max'))] AS path
+  FROM fin
+),
+st AS (
+  SELECT note_id, unnest(range(len(path)))::BIGINT AS i,
+         unnest(path) AS s
+  FROM best
+),
+flag AS (
+  SELECT note_id, i, s,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY note_id ORDER BY i) AS eid
+  FROM st
+),
+ent AS (
+  SELECT f.note_id, f.eid,
+         MIN(o.sc)::INT AS start_char,
+         MAX(o.sc + length(o.t))::INT AS end_char,
+         string_agg(o.t, ' ' ORDER BY f.i) AS lexical_variant,
+         MIN(f.i)::INT AS tok_start,
+         (MAX(f.i) + 1)::INT AS tok_end
+  FROM flag f JOIN off o ON o.note_id = f.note_id AND o.i = f.i
+  WHERE f.s <> 0
+  GROUP BY f.note_id, f.eid
+)
+SELECT note_id, start_char, end_char, 'ENT' AS label,
+       lexical_variant, 'ml' AS span_type, tok_start, tok_end
+FROM ent
+"""
+
+
+NER_CRF_VITERBI_SQL = _ner_crf_sql()
+
+
 QUERIES = {
     "contextual_match": (contextual_match, CONTEXTUAL_MATCH_SQL),
     "filter_spans_greedy": (filter_spans_greedy, FILTER_SPANS_GREEDY_SQL),
     "simstring_fuzzy": (simstring_fuzzy, SIMSTRING_FUZZY_SQL),
+    # NEW r9: real numeric trainable head (no torch)
+    "a0_ner_crf_viterbi": (ner_crf_viterbi, NER_CRF_VITERBI_SQL),
 }

@@ -120,3 +120,83 @@ def curation_stream(stream_docs: DataFrame, out_path: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def curation_stream_strip(stream_docs: DataFrame, out_path: str,
+                          checkpoint: str, index_path: str,
+                          n: int = 13,
+                          available_now: bool = True) -> StreamingQuery:
+    """Span-granular streaming curation (VERDICT r8 #7): quality gate
+    -> INCREMENTAL Lee et al. span removal against a persistent
+    window-hash index -> PII redaction + split assignment, via
+    ``foreachBatch``.  Each micro-batch semi-joins the index
+    accumulated from PRIOR batches (``strip_spans_incremental``:
+    corpus-hit windows lose every batch occurrence, within-batch
+    duplicates keep min (doc, pos) — together, first-arrival keeper
+    election over corpus ∪ batch), then appends its OWN pre-strip
+    window hashes as the next increment.  This is the real ingest-path
+    shape: state is the config-bounded (hash, count) index — the
+    artifact :func:`~edsnlp_spark.operators.dedup.cross_duplicated_windows`
+    documents — not per-document text.
+
+    Durability & the exactly-once caveat: ``foreachBatch`` re-executes
+    a failed batch on restart (at-least-once), so BOTH sinks write to
+    a ``batch=<id>`` partition directory with mode("overwrite") —
+    replays overwrite their own partition and the pipeline is
+    effectively-once at rest.  The index read filters
+    ``batch < current batch_id``, so a replayed batch never self-hits
+    the half-written index part of its failed attempt.  Two caveats
+    remain: (1) a reader scanning ``out_path`` DURING a replay can
+    observe the partition mid-overwrite (transactional sinks — Delta
+    et al. — close this; the plain parquet sink cannot); (2) unlike
+    :func:`curation_stream`'s watermarked state, the index grows with
+    corpus VOCABULARY of 13-token windows — unbounded by design, the
+    Lee et al. trade (it is the dedup index a batch pipeline would
+    persist anyway; compact it offline if hash skew accumulates).
+    """
+    from ..operators.dedup import strip_spans_incremental
+    from ..operators.dedup import _window_hash_rows
+    from ..queries.textops import curation_finalize, curation_quality_gate
+    from pyspark.errors import AnalysisException
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        snap = caching.snapshot()
+        try:
+            spark = batch.sparkSession
+            kept = curation_quality_gate(
+                batch.select("doc_id", "text")).select("doc_id", "text")
+            try:
+                ref = (spark.read.parquet(index_path)
+                       .filter(F.col("batch") < F.lit(batch_id)))
+            except AnalysisException:
+                ref = None  # cold start: no index yet
+            stripped = strip_spans_incremental(kept, ref, n=n)
+            n_tok = F.when(F.col("text_clean") == "", F.lit(0)).otherwise(
+                F.size(F.split("text_clean", " ", -1)))
+            out = curation_finalize(
+                stripped.select("doc_id",
+                                F.col("text_clean").alias("text"),
+                                n_tok.alias("n_tokens"), "n_removed"),
+                extra_cols=("n_removed",),
+            ).select("doc_id", "split",
+                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                     F.col("n_removed").cast("bigint").alias("n_removed"),
+                     "text_redacted")
+            out.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}")
+            # the batch's own PRE-strip windows become the next
+            # increment (first-arrival: later batches defer to these)
+            (_window_hash_rows(kept, n, "doc_id", "text")
+             .groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+             .write.mode("overwrite")
+             .parquet(f"{index_path}/batch={batch_id}"))
+        finally:
+            caching.release_since(snap)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -313,3 +313,76 @@ def test_streaming_curation_parity_and_restart(spark, tmp_path):
     assert got == want
     assert [d for d, *_ in got] == [0, 1, 11]   # 2 gated, 10 deduped
     assert all("[EMAIL]" in t for *_, t in got)  # PII stage ran
+
+
+def test_streaming_incremental_span_strip_with_restart(spark, tmp_path):
+    """r9 (VERDICT r8 #7): curation_stream_strip semi-joins each
+    micro-batch against the window-hash index accumulated from PRIOR
+    batches and appends its own hashes.  Batch 2 (after a checkpoint
+    RESTART) must strip a span duplicated from batch 1 (the index
+    survives — it lives in parquet, not in-memory state), strip the
+    non-keeper of a within-batch duplicate, and leave unique text and
+    batch 1's already-emitted output untouched."""
+    from edsnlp_spark.streaming.pipeline_stream import curation_stream_strip
+
+    passage = " ".join(f"p{i}" for i in range(13))       # shared span
+    passage_q = " ".join(f"q{i}" for i in range(13))     # batch-2-local
+    def uniq(seed, n=25):
+        return " ".join(f"{seed}{i}" for i in range(n))
+
+    text_a = passage + " " + uniq("a")        # batch 1, owns the span
+    text_b = uniq("b", 32)                    # batch 1, unique
+    text_dup = uniq("c", 12) + " " + passage + " " + uniq("d", 12)
+    text_e = uniq("e", 32)                    # batch 2, unique
+    text_f = uniq("f") + " " + passage_q      # batch 2 keeper (doc 12)
+    text_g = passage_q + " " + uniq("g")      # batch 2 non-keeper
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ts = "2024-01-01 10:00:00"
+    write_events_jsonl(src / "batch1.jsonl", [
+        {"doc_id": 0, "ts": ts, "text": text_a},
+        {"doc_id": 1, "ts": ts, "text": text_b},
+    ])
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "seen_windows")
+
+    def stream():
+        docs = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string").json(str(src))
+        return curation_stream_strip(docs, out_path, ckpt, index_path)
+
+    stream().awaitTermination(120)
+    first = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert first[0]["n_removed"] == 0 and "p0" in first[0]["text_redacted"]
+
+    # restart with batch 2: cross-batch dup (10), unique (11),
+    # within-batch dup pair (12 keeper, 13 stripped)
+    write_events_jsonl(src / "batch2.jsonl", [
+        {"doc_id": 10, "ts": ts, "text": text_dup},
+        {"doc_id": 11, "ts": ts, "text": text_e},
+        {"doc_id": 12, "ts": ts, "text": text_f},
+        {"doc_id": 13, "ts": ts, "text": text_g},
+    ])
+    stream().awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {0, 1, 10, 11, 12, 13}
+    # batch 1 rows unchanged (no reprocessing on restart)
+    assert got[0]["n_removed"] == 0 and "p0" in got[0]["text_redacted"]
+    assert got[1]["n_removed"] == 0
+    # cross-batch duplicate span stripped via the RESTORED index
+    assert got[10]["n_removed"] == 13
+    assert "p0" not in got[10]["text_redacted"]
+    assert "c0" in got[10]["text_redacted"]      # unique remainder kept
+    assert got[10]["n_tokens"] == 24             # c0..c11 + d0..d11
+    # within-batch pair: keeper (12) intact, non-keeper (13) stripped
+    assert got[12]["n_removed"] == 0 and "q0" in got[12]["text_redacted"]
+    assert got[13]["n_removed"] == 13
+    assert "q0" not in got[13]["text_redacted"]
+    assert got[11]["n_removed"] == 0
+    # the index accumulated one partition per batch
+    idx = spark.read.parquet(index_path)
+    assert set(r["batch"] for r in idx.select("batch").distinct()
+               .collect()) == {0, 1}

@@ -78,7 +78,6 @@ HEADLINE = R1_SET + [
     "dsir_selection",
     "hll_distinct_windows",
     "a0_winnowing_fp",
-    "a0_simhash_neardup",
     "ccnet_buckets",
     "cms_token_counts",
     "diversity_sample",
@@ -100,6 +99,21 @@ HEADLINE = R1_SET + [
     "a0_bigram_pmi",
     "a0_corpus_length_profile",
     "a0_dedup_recall_eval",
+    # round-9 additions: RRF hybrid retrieval (both index tiers in one
+    # plan) and the real linear+CRF Viterbi NER head
+    "a0_hybrid_retrieval",
+    "a0_ner_crf_viterbi",
+]
+
+# Timed and reported, but OUTSIDE the headline total / regression gate
+# (VERDICT r8 #3): the narrow (7,8)-simhash config is known-superlinear
+# BY MATH on clone-heavy data (2^8 values/band; its 10x OUTPUT itself
+# grows ~112x) — it exists as a stress/eval configuration; the
+# production scale path is a0_simhash_neardup_capped (Manku config,
+# headline).  Keeping it in the headline set unannotated would let one
+# eval-config query dominate the longitudinal total.
+EVAL_ONLY = [
+    "a0_simhash_neardup",
 ]
 
 
@@ -167,6 +181,23 @@ def main() -> None:
             warm.append(time.perf_counter() - t0)
         times[name] = round(min(warm), 3)
         print(f"# {name}: warm {times[name]}s / cold {cold[name]}s ({n} rows)",
+              file=sys.stderr)
+
+    # eval-only configs: timed identically, reported separately, never
+    # in the total or the regression gate (see EVAL_ONLY above)
+    eval_times: dict[str, float] = {}
+    for name in EVAL_ONLY:
+        fn, _ = qs[name]
+        spark.catalog.clearCache()
+        fn(spark, sf_dir).count()  # codegen warm-up
+        warm = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warm.append(time.perf_counter() - t0)
+        eval_times[name] = round(min(warm), 3)
+        print(f"# eval-only {name}: warm {eval_times[name]}s",
               file=sys.stderr)
 
     # Regression guard: compare each warm time against the best recorded
@@ -286,10 +317,10 @@ def main() -> None:
                 n = fn(spark, scale_dir).count()
                 samples.append(time.perf_counter() - t0)
             secs = round(min(samples), 3)
+            base = times.get(name) or eval_times.get(name)
             scale_10x[name] = {
                 "sec": secs,
-                "ratio_vs_sf01": round(secs / times[name], 2)
-                if times.get(name) else None,
+                "ratio_vs_sf01": round(secs / base, 2) if base else None,
                 "rows": n,
             }
             print(f"# scale10x {name}: {secs}s "
@@ -320,9 +351,18 @@ def main() -> None:
         "calib_shuffle_ratio": calib_shuffle_ratio,
         "n_regressions": len(regressions),
         "worst_regression": worst_regression,
+        "eval_only": eval_times,
         "scale_10x_max_ratio": max(
-            (r["ratio_vs_sf01"] for r in scale_10x.values()
-             if r["ratio_vs_sf01"]), default=None),
+            (r["ratio_vs_sf01"] for name, r in scale_10x.items()
+             if r["ratio_vs_sf01"] and name not in EVAL_ONLY),
+            default=None),
+        # the eval-only configs' ratios, kept visible but separate —
+        # the narrow simhash's superlinearity is documented, not a
+        # regression (SCALE.md)
+        "scale_10x_max_ratio_eval_only": max(
+            (r["ratio_vs_sf01"] for name, r in scale_10x.items()
+             if r["ratio_vs_sf01"] and name in EVAL_ONLY),
+            default=None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = dict(summary, queries_cold=cold, regressions=regressions,

@@ -676,3 +676,73 @@ def knn_label_propagation(emb: DataFrame, seeds: DataFrame,
         .select(F.col("n_id").alias(id_col), "label",
                 F.col("n_votes").cast("bigint"), "top_cos")
     )
+
+
+def hard_negative_triplets(emb: DataFrame, centroids: list[list[float]],
+                           anchors: DataFrame | None = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Contrastive training-pair mining -> (anchor_id, pos_id, neg_id,
+    pos_cos, neg_cos): for each anchor, the positive is its most-cosine
+    similar SAME-CELL neighbor and the negative its least-similar
+    same-cell neighbor — the classic "hard negative" shape (negatives
+    that share the coarse cell are near the decision boundary; random
+    negatives are too easy).  Anchors with fewer than 2 distinct
+    same-cell neighbors are dropped (pos and neg must differ).
+
+    Composes the ANN machinery: cell assignment is the same shuffle-free
+    cosine-argmax projection as ``ivf_topk`` (centroids are literal
+    index metadata); candidate pairs are CELL-CONFINED (the
+    semdedup/cosine_neardup bound — per-cell quadratic, never corpus
+    quadratic); election is one groupBy with min/max over
+    ROUNDED-cosine structs (engine-portable ranking: ties break to the
+    smaller neighbor id on both engines).  ``anchors`` (an id DataFrame)
+    bounds the left side — the mining-batch shape; None mines every
+    vector.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    centers = [list(map(float, c)) for c in centroids]
+    carr = _centers_arr(centers)
+    assigned = emb.select(
+        F.col(id_col),
+        vec.alias("__v"),
+        F.sort_array(F.transform(
+            carr,
+            lambda c: F.struct(
+                (-cosine(vec, c["cv"])).alias("negcos"),
+                c["cell"].alias("cell"),
+            ),
+        ))[0]["cell"].alias("cell"),
+    )
+    left = assigned.select(
+        F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), "cell")
+    if anchors is not None:
+        left = left.join(
+            anchors.select(F.col(id_col).alias("a_id")), "a_id")
+    pairs = (
+        left.join(assigned.select(F.col(id_col).alias("n_id"),
+                                  F.col("__v").alias("n_v"), "cell"),
+                  "cell")
+        .filter(F.col("a_id") != F.col("n_id"))
+        .select("a_id", "n_id",
+                F.round(cosine(F.col("a_v"), F.col("n_v")), 4)
+                .alias("cos"))
+    )
+    elect = pairs.groupBy("a_id").agg(
+        F.max_by(F.struct(F.col("n_id").alias("n_id"),
+                          F.col("cos").alias("cos")),
+                 F.struct(F.col("cos").alias("c"),
+                          (-F.col("n_id")).alias("t"))).alias("p"),
+        F.min_by(F.struct(F.col("n_id").alias("n_id"),
+                          F.col("cos").alias("cos")),
+                 F.struct(F.col("cos").alias("c"),
+                          F.col("n_id").alias("t"))).alias("q"),
+    )
+    return (
+        elect.filter(F.col("p.n_id") != F.col("q.n_id"))
+        .select(F.col("a_id").alias("anchor_id"),
+                F.col("p.n_id").alias("pos_id"),
+                F.col("q.n_id").alias("neg_id"),
+                F.col("p.cos").alias("pos_cos"),
+                F.col("q.cos").alias("neg_cos"))
+    )

@@ -159,3 +159,74 @@ def cms_point_estimates(df: DataFrame, col: str, probes: list[str],
         .groupBy("key")
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+# ---- Bloom filter: mergeable set-membership (r9) ------------------------
+#
+# The third classic sketch next to HLL (distinct counts) and CMS (heavy
+# hitters): APPROXIMATE SET MEMBERSHIP with zero false negatives and a
+# tunable false-positive rate (Bloom 1970) — the production shape for
+# decontamination and cross-corpus "seen before?" probes where the
+# reference set is huge but the QUESTION is boolean.  The filter is a
+# set of bit positions: config-bounded (<= m rows), MERGEABLE by plain
+# union-distinct, persistable between ingest batches, and — unlike the
+# exact hash index — its size is capped by m regardless of corpus
+# growth (the FP rate, (1 - e^(-kn/m))^k, is what degrades instead).
+#
+# Engine-portable determinism: position_j(v) = md5(j ":" v) 60-bit
+# prefix mod m — the repo-standard salted-md5 recipe (same as CMS
+# rows), so a DuckDB oracle reproduces every bit.
+
+
+def bloom_positions(col: Column, k: int = 4, m: int = 1 << 18) -> Column:
+    """The k bit positions of value ``col`` (array<long>, DISTINCT —
+    two hash functions may collide on one bit, and membership must
+    then require only the distinct set)."""
+    if k < 1 or m < 2:
+        raise ValueError("bloom requires k >= 1 and m >= 2")
+    return F.array_distinct(F.array(*[
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 15), 16, 10)
+        .cast("long") % F.lit(m)
+        for j in range(k)
+    ]))
+
+
+def bloom_build(df: DataFrame, col: str, k: int = 4,
+                m: int = 1 << 18) -> DataFrame:
+    """Build the filter over ``df[col]`` -> (bit) distinct positions.
+
+    Scale shape: one explode + one distinct bounded by m rows TOTAL
+    (partial map-side dedup); the result is the artifact you persist /
+    broadcast / union with the next batch's filter."""
+    return df.select(F.explode(
+        bloom_positions(F.col(col), k, m)).alias("bit")).distinct()
+
+
+def bloom_probe(values: DataFrame, col: str, bits: DataFrame,
+                k: int = 4, m: int = 1 << 18) -> DataFrame:
+    """Membership probe -> (col, maybe_member): true iff EVERY distinct
+    bit position of the value is set in the filter (no false negatives;
+    false positives at the standard Bloom rate).
+
+    Scale shape: probe DISTINCT values only (Zipf: occurrences >>
+    types), explode their positions, ONE equi-join against the bit set
+    (deliberately un-hinted — AQE broadcasts the filter when m is
+    small), and a per-value count compared to its own distinct-position
+    count.  Join volume is k x distinct probes, never corpus
+    occurrences."""
+    vals = values.select(F.col(col).alias("__v")).distinct().select(
+        "__v", bloom_positions(F.col("__v"), k, m).alias("__ps"))
+    exploded = vals.select("__v", F.size("__ps").alias("__np"),
+                           F.explode("__ps").alias("bit"))
+    hits = (
+        exploded.join(bits, "bit")
+        .groupBy("__v", "__np")
+        .agg(F.count(F.lit(1)).alias("__nhit"))
+        .select("__v", (F.col("__nhit") == F.col("__np")).alias("__mm"))
+    )
+    return (
+        values.join(hits, values[col] == hits["__v"], "left")
+        .select(*[values[c] for c in values.columns],
+                F.coalesce("__mm", F.lit(False)).alias("maybe_member"))
+    )

@@ -1137,6 +1137,75 @@ WHERE rank <= 10
 """
 
 
+# ---- Contrastive training-pair mining (hard negatives) -----------------
+
+def contrastive_pairs(spark, sf_dir):
+    """Hard-negative triplet mining for embedding-model training (r9):
+    for each anchor (vec_id % 7 == 0), the positive is its most-similar
+    SAME-CELL neighbor and the negative its least-similar same-cell
+    neighbor — boundary-adjacent negatives, the standard contrastive
+    batch-construction pass.  Composes the IVF cell assignment
+    (deterministic seed centroids, shuffle-free projection); candidate
+    pairs are cell-confined; election is one groupBy with
+    rounded-cosine min/max structs (id tie-breaks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    anchors = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    return S.hard_negative_triplets(emb, seeds, anchors)
+
+
+CONTRASTIVE_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_id) - 1 AS cell, v AS cv
+  FROM e WHERE n_id < 8
+),
+assigned AS (
+  SELECT n_id, v, cell FROM (
+    SELECT e.n_id, e.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.n_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT a.n_id AS a_id, b.n_id AS n_id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+  FROM assigned a JOIN assigned b USING (cell)
+  WHERE a.n_id % 7 = 0 AND a.n_id <> b.n_id
+),
+pos AS (
+  SELECT a_id, n_id AS pos_id, cos AS pos_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                 ORDER BY cos DESC, n_id) AS rn
+    FROM pairs) WHERE rn = 1
+),
+neg AS (
+  SELECT a_id, n_id AS neg_id, cos AS neg_cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                 ORDER BY cos ASC, n_id) AS rn
+    FROM pairs) WHERE rn = 1
+)
+SELECT p.a_id AS anchor_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos
+FROM pos p JOIN neg n USING (a_id)
+WHERE p.pos_id <> n.neg_id
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
@@ -1168,4 +1237,6 @@ QUERIES = {
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     # NEW r9: RRF hybrid retrieval composing both index tiers
     "a0_hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
+    # NEW r9: contrastive hard-negative mining over the IVF cells
+    "a0_contrastive_pairs": (contrastive_pairs, CONTRASTIVE_PAIRS_SQL),
 }

@@ -1139,6 +1139,84 @@ def _pii_count_sql(col: str) -> str:
     return f"({terms})"
 
 
+# ---- Bloom-filter decontamination (approximate membership) --------------
+
+def bloom_decontamination(spark, sf_dir):
+    """Decontamination via a Bloom membership filter (r9): build the
+    filter over the eval split's (doc_id %% 97 == 0) distinct 8-token
+    shingles, probe every corpus doc's shingles, flag docs with any
+    maybe-hit.  Zero false negatives (nothing contaminated slips
+    through); false positives at the configured (1-e^(-kn/m))^k rate —
+    the trade that keeps the reference-set state at <= m bits no matter
+    how the eval corpus grows (vs the exact hash index of
+    decontamination_overlap / cross_corpus_dedup).  One bounded
+    distinct builds the filter; the probe joins k x distinct shingles
+    against it (un-hinted — AQE broadcasts when m is small)."""
+    from ..operators.sketches import bloom_build, bloom_probe
+    d = _t(spark, sf_dir, "documents")
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + (r" " + tok) * 7 + r"))" + tok + " "
+    sh = F.array_distinct(
+        F.regexp_extract_all("text", F.lit(rx), F.lit(1)))
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.explode(sh).alias("s"))
+    bits = bloom_build(ev, "s", k=4, m=1 << 18)
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(sh).alias("s"))
+    probed = bloom_probe(corpus, "s", bits, k=4, m=1 << 18)
+    return (
+        probed.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+             F.sum(F.col("maybe_member").cast("int")).cast("bigint")
+             .alias("n_hits"))
+        .select("doc_id", "n_shingles", "n_hits",
+                (F.col("n_hits") > 0).alias("flagged"))
+    )
+
+
+def _bloom_pos_sql(col: str, k: int = 4, m: int = 1 << 18) -> str:
+    terms = ", ".join(
+        f"('0x' || substr(md5('{j}:' || {col}), 1, 15))::BIGINT % {m}"
+        for j in range(k))
+    return f"list_distinct([{terms}])"
+
+
+BLOOM_DECONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i+1:i+8], ' ')
+                        for i in range(greatest(len(toks) - 7, 0))])
+           AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0
+),
+bits AS (
+  SELECT DISTINCT unnest({_bloom_pos_sql('s')}) AS bit FROM ev
+),
+probe AS (
+  SELECT doc_id, s, {_bloom_pos_sql('s')} AS ps
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE doc_id % 97 <> 0)
+),
+pr AS (
+  SELECT doc_id, s, len(ps) AS np, unnest(ps) AS bit FROM probe
+),
+hit AS (
+  SELECT p.doc_id, p.s,
+         CASE WHEN COUNT(b.bit) = ANY_VALUE(p.np)
+              THEN 1 ELSE 0 END AS mm
+  FROM pr p
+  LEFT JOIN bits b USING (bit)
+  GROUP BY p.doc_id, p.s
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_shingles,
+       SUM(mm)::BIGINT AS n_hits, SUM(mm) > 0 AS flagged
+FROM hit GROUP BY doc_id
+"""
+
+
 # ---- test-set decontamination (training-data pipeline) -----------------
 
 _DECON_CANARY = ("the quick spark benchmark canary passage "
@@ -3287,6 +3365,7 @@ QUERIES = {
     "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
     "decontamination_overlap": (decontamination_overlap,
                                 DECONTAMINATION_SQL),
+    "a0_bloom_decontamination": (bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
     "a0_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "a0_unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),

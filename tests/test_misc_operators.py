@@ -401,3 +401,69 @@ def test_regex_ignore_space_tokens(spark):
     assert len(out) == 1
     assert out[0]["lexical_variant"] == text
     assert out[0]["clean_variant"] == "pneumopathie à coronavirus"
+
+
+def test_bloom_filter_membership(spark):
+    """r9: Bloom membership has ZERO false negatives, a low empirical
+    false-positive rate at the configured k/m, a bit-set bounded by m,
+    and the filter merges by plain union-distinct (build(a ∪ b) ==
+    build(a) ∪ build(b))."""
+    from edsnlp_spark.operators.sketches import (
+        bloom_build, bloom_positions, bloom_probe)
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(300)], "s string")
+    bits = bloom_build(members, "s", k=4, m=1 << 16)
+    n_bits = bits.count()
+    assert n_bits <= 4 * 300           # <= k * n distinct positions
+
+    got = {r["s"]: r["maybe_member"]
+           for r in bloom_probe(members, "s", bits, k=4, m=1 << 16)
+           .collect()}
+    assert all(got.values())           # no false negatives, ever
+
+    absent = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(400)], "s string")
+    fp = [r["maybe_member"] for r in
+          bloom_probe(absent, "s", bits, k=4, m=1 << 16).collect()]
+    # theory: (1 - e^(-kn/m))^4 with k=4, n=300, m=65536 is ~1e-7;
+    # allow generous slack — the point is "approximate, not broken"
+    assert sum(fp) <= 4
+
+    # mergeable: union-distinct of two builds == build of the union
+    a = spark.createDataFrame([("x1",), ("x2",)], "s string")
+    b = spark.createDataFrame([("x2",), ("x3",)], "s string")
+    merged = bloom_build(a, "s").unionByName(bloom_build(b, "s")) \
+        .distinct()
+    both = bloom_build(a.unionByName(b), "s")
+    assert sorted(r["bit"] for r in merged.collect()) \
+        == sorted(r["bit"] for r in both.collect())
+
+    import pytest
+    with pytest.raises(ValueError, match="k >= 1"):
+        spark.range(1).select(bloom_positions(F.lit("x"), k=0))
+
+
+def test_hard_negative_triplets_hand_computed(spark):
+    """r9: on a 2-cell embedding set with hand-computable cosines, each
+    anchor's positive is its nearest same-cell neighbor and its
+    negative the farthest; anchors with < 2 distinct neighbors drop."""
+    from edsnlp_spark.operators.similarity import hard_negative_triplets
+
+    # cell 0 ~ x-axis, cell 1 ~ y-axis
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.1, 0.0]),    # anchor, cell 0
+        (1, [1.0, 0.12, 0.0]),   # very close to 0 -> positive
+        (2, [1.0, 0.9, 0.0]),    # same cell 0? cos vs c0=0.743 vs c1=0.669 -> cell 0, far -> negative
+        (3, [0.0, 1.0, 0.1]),    # cell 1 anchor
+        (4, [0.1, 1.0, 0.0]),    # cell 1 — anchor 3's only neighbor
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = spark.createDataFrame([(0,), (3,)], "vec_id long")
+    got = {r["anchor_id"]: (r["pos_id"], r["neg_id"])
+           for r in hard_negative_triplets(emb, cents, anchors).collect()}
+    # anchor 0: neighbors {1, 2}; 1 is nearest, 2 farthest
+    assert got[0] == (1, 2)
+    # anchor 3 has ONE same-cell neighbor -> pos == neg -> dropped
+    assert 3 not in got

@@ -298,7 +298,9 @@ def main() -> None:
                  "a0_simhash_neardup", "a0_simhash_neardup_capped",
                  "dsir_selection",
                  "a0_source_divergence", "a0_winnowing_fp",
-                 "bm25_search_batch"]
+                 "bm25_search_batch",
+                 # r9: timed 10x ratios for the round's two heavies
+                 "a0_hybrid_retrieval", "a0_ner_crf_viterbi"]
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1986,6 +1986,149 @@ FROM quota q LEFT JOIN kept k USING (source)
 """
 
 
+# ---- corpus duplication profile (Lee et al. reporting metric) -----------
+
+def duplication_profile(spark, sf_dir):
+    """Per-source duplication profile (r9): the reporting rollup Lee et
+    al. 2022 publish — what fraction of each source's TOKENS sits in
+    duplicated 13-token spans, and how many docs are affected ->
+    (source, n_docs, n_docs_with_dups, total_tokens, dup_tokens,
+    dup_fraction).  Removal semantics match strip_duplicated_spans
+    (keeper = min (doc, pos) survives; covered-index union), but only
+    the COUNTS are computed — no text reconstruction, so the plan is
+    the skew-immune groupBy(h) + removed-window explode + one bounded
+    per-source rollup."""
+    from ..operators.dedup import strip_duplicated_spans
+    d = _t(spark, sf_dir, "documents")
+    s = strip_duplicated_spans(d.select("doc_id", "text"), n=13)
+    j = s.join(d.select("doc_id", "source",
+                        F.size(F.split("text", " ", -1))
+                        .cast("bigint").alias("n_tokens")), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum((F.col("n_removed") > 0).cast("int")).cast("bigint")
+             .alias("n_docs_with_dups"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+             F.sum("n_removed").cast("bigint").alias("dup_tokens"))
+        .select("source", "n_docs", "n_docs_with_dups", "total_tokens",
+                "dup_tokens",
+                F.round(F.col("dup_tokens") / F.col("total_tokens"), 4)
+                .alias("dup_fraction"))
+    )
+
+
+DUPLICATION_PROFILE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 12, 0))) AS pos,
+         unnest([array_to_string(toks[i+1:i+13], ' ')
+                 for i in range(greatest(len(toks) - 12, 0))]) AS win
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(win), 1, 15))::BIGINT AS hv
+  FROM w
+),
+r AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY hv) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY hv
+                            ORDER BY doc_id, pos) AS rn
+  FROM h
+),
+rem AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+cov AS (
+  SELECT doc_id, COUNT(DISTINCT idx) AS n_removed FROM (
+    SELECT doc_id, unnest(range(pos, pos + 13)) AS idx FROM rem)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT t.source, len(t.toks)::BIGINT AS n_tokens,
+         COALESCE(c.n_removed, 0)::BIGINT AS n_removed
+  FROM t LEFT JOIN cov c USING (doc_id)
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_docs_with_dups,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       SUM(n_removed)::BIGINT AS dup_tokens,
+       ROUND(SUM(n_removed) / SUM(n_tokens), 4) AS dup_fraction
+FROM j GROUP BY source
+"""
+
+
+# ---- temperature-based source mixing (XLM-R style) ----------------------
+
+_TEMP_BUDGET_FRAC = 0.5
+
+
+def temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (r9; Conneau et al. 2020
+    §3.1 with alpha = 0.5): per-source sampling shares proportional to
+    n_s^alpha flatten the source distribution — heads are downsampled,
+    tails upweighted — before pretraining.  alpha = 0.5 makes the
+    weight sqrt(n_s), which IEEE evaluates exactly-rounded on BOTH
+    engines; the weight is then micro-scaled to an INTEGER
+    (floor(sqrt(n_s) * 1e6)) so the share normalization and the keep
+    threshold (knuth_hash(doc_id) * n_s < quota_s * 2^32) are
+    all-integer — the HLL integer-harmonic-sum recipe applied to
+    mixing.  Same two-pass shape as source_mixture_sample: one tiny
+    per-source count broadcast back, one pure-projection filter."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000.0)).cast("bigint")
+    counts = counts.select("source", "n_docs", w.alias("w"))
+    tot = counts.agg(F.sum("w").alias("wsum"),
+                     F.sum("n_docs").alias("n_total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.floor(F.col("w") * F.floor(F.lit(_TEMP_BUDGET_FRAC)
+                                     * F.col("n_total"))
+                / F.col("wsum")).cast("bigint").alias("quota"))
+    u = _knuth32(F.col("doc_id"))
+    kept = (
+        d.join(F.broadcast(quota), "source")
+        .filter(u * F.col("n_docs") < F.col("quota") * F.lit(_SPLIT_MOD))
+    )
+    return (
+        kept.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .join(quota, "source", "right")
+        .select("source",
+                F.col("n_docs").cast("bigint").alias("n_docs"), "quota",
+                F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                .alias("n_kept"))
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS w
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(w) AS wsum, SUM(n_docs) AS n_total FROM counts),
+quota AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(w * FLOOR({_TEMP_BUDGET_FRAC} * n_total) / wsum)
+              AS BIGINT) AS quota
+  FROM counts, tot),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN quota q USING (source)
+  WHERE ({_knuth32_sql('d.doc_id')}) * q.n_docs
+        < q.quota * {_SPLIT_MOD}
+  GROUP BY d.source)
+SELECT q.source, CAST(q.n_docs AS BIGINT) AS n_docs, q.quota,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM quota q LEFT JOIN kept k USING (source)
+"""
+
+
 # ---- sequence packing (training-data pipeline) -------------------------
 
 def sequence_packing(spark, sf_dir):
@@ -3366,6 +3509,8 @@ QUERIES = {
     "decontamination_overlap": (decontamination_overlap,
                                 DECONTAMINATION_SQL),
     "a0_bloom_decontamination": (bloom_decontamination, BLOOM_DECONTAMINATION_SQL),
+    "a0_duplication_profile": (duplication_profile, DUPLICATION_PROFILE_SQL),
+    "a0_temperature_mixture": (temperature_mixture, TEMPERATURE_MIXTURE_SQL),
     "a0_sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "a0_unigram_logppl": (unigram_logppl, UNIGRAM_LOGPPL_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),

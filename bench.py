@@ -100,9 +100,15 @@ HEADLINE = R1_SET + [
     "a0_corpus_length_profile",
     "a0_dedup_recall_eval",
     # round-9 additions: RRF hybrid retrieval (both index tiers in one
-    # plan) and the real linear+CRF Viterbi NER head
+    # plan), the real linear+CRF Viterbi NER head, Bloom-filter
+    # decontamination, contrastive hard-negative mining, the
+    # duplication-profile rollup and temperature mixture sampling
     "a0_hybrid_retrieval",
     "a0_ner_crf_viterbi",
+    "a0_bloom_decontamination",
+    "a0_contrastive_pairs",
+    "a0_duplication_profile",
+    "a0_temperature_mixture",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

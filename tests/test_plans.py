@@ -203,3 +203,39 @@ def test_source_vocab_saturation_plan_shape(spark, sf_dir):
     assert "HashAggregate" in s
     # one scan of documents only — totals ride the register aggregate
     assert s.count("Scan parquet") == 1
+
+
+def test_r9_candidate_joins_are_equi_joins(spark, sf_dir):
+    """r9 plan pins: the Bloom probe, the contrastive cell join and the
+    RRF fusion must all plan as EQUI-joins — a CartesianProduct or
+    BroadcastNestedLoopJoin anywhere means a candidate generator lost
+    its key and went corpus-quadratic."""
+    for name in ("a0_bloom_decontamination", "a0_contrastive_pairs",
+                 "a0_hybrid_retrieval", "a0_duplication_profile"):
+        s = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in s, name
+        if name == "a0_hybrid_retrieval":
+            # the BM25 tier deliberately crossJoins two 1-ROW broadcast
+            # stat tables (n_docs/sum_dl, then the df-enriched totals);
+            # those plan as BroadcastNestedLoopJoin and are bounded by
+            # construction — anything beyond them is a real bug
+            assert s.count("BroadcastNestedLoopJoin") <= 2, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in s, name
+
+
+def test_temperature_mixture_is_two_pass(spark, sf_dir):
+    """The mixture filter must be a projection over a broadcast quota
+    table — no corpus-sized shuffle (the per-source count aggregate is
+    the only exchange of corpus rows)."""
+    s = plan_of(spark, sf_dir, "a0_temperature_mixture")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_ner_crf_is_single_python_stage(spark, sf_dir):
+    """The CRF head is ONE Arrow-batched python stage (the numpy
+    forward+decode), never row-at-a-time BatchEvalPython."""
+    s = plan_of(spark, sf_dir, "a0_ner_crf_viterbi")
+    assert s.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in s

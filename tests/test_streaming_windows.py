@@ -386,3 +386,55 @@ def test_streaming_incremental_span_strip_with_restart(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     assert set(r["batch"] for r in idx.select("batch").distinct()
                .collect()) == {0, 1}
+
+
+def test_streaming_bloom_decontamination(spark, tmp_path):
+    """r9: the Bloom filter is the BOUNDED-state streaming membership
+    shape (vs curation_stream_strip's unbounded hash index): build the
+    bits once from the static eval set, persist as parquet, and probe
+    every micro-batch against it through annotate_stream's batch_fn —
+    zero false negatives across batches, state size capped at m."""
+    from pyspark.sql import functions as SF
+
+    from edsnlp_spark.operators.sketches import bloom_build, bloom_probe
+    from edsnlp_spark.streaming.pipeline_stream import annotate_stream
+
+    canary = "alpha beta gamma delta epsilon zeta eta theta"
+    ev = spark.createDataFrame(
+        [(0, f"eval doc with {canary} inside")], "doc_id long, text string")
+    tok = r"[^ ]+"
+    rx = "(?=(" + tok + (r" " + tok) * 7 + r"))" + tok + " "
+    sh = SF.explode(SF.array_distinct(
+        SF.regexp_extract_all("text", SF.lit(rx), SF.lit(1)))).alias("s")
+    bits_path = str(tmp_path / "bloom_bits")
+    bloom_build(ev.select(sh), "s", k=4, m=1 << 16) \
+        .write.parquet(bits_path)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    write_events_jsonl(src / "b1.jsonl", [
+        {"doc_id": 1, "ts": "2024-01-01 10:00:00",
+         "text": f"contaminated {canary} page"},
+        {"doc_id": 2, "ts": "2024-01-01 10:00:00",
+         "text": "one two three four five six seven eight nine ten"},
+    ])
+
+    def probe_batch(batch):
+        bits = batch.sparkSession.read.parquet(bits_path)
+        shingled = batch.select(
+            "doc_id",
+            SF.explode(SF.array_distinct(SF.regexp_extract_all(
+                "text", SF.lit(rx), SF.lit(1)))).alias("s"))
+        return (
+            bloom_probe(shingled, "s", bits, k=4, m=1 << 16)
+            .groupBy("doc_id")
+            .agg(SF.max(SF.col("maybe_member")).alias("flagged"))
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    docs = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string").json(str(src))
+    annotate_stream(docs, probe_batch, out, ckpt).awaitTermination(120)
+    got = {r["doc_id"]: r["flagged"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 2: False}

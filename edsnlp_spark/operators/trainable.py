@@ -429,6 +429,7 @@ def _md5_features(token: str, dim: int = 4) -> list[int]:
 def ner_linear_crf(notes: DataFrame,
                    weights=NER_CRF_W, bias=NER_CRF_B,
                    start=NER_CRF_START, transitions=NER_CRF_T,
+                   feature_scale: float | None = None,
                    id_col: str = "note_id",
                    text_col: str = "note_text") -> DataFrame:
     """Real numeric NER forward + exact Viterbi decode ->
@@ -451,10 +452,20 @@ def ner_linear_crf(notes: DataFrame,
     """
     import numpy as np
 
-    W = np.asarray(weights, dtype=np.int64)
-    b = np.asarray(bias, dtype=np.int64)
-    s0 = np.asarray(start, dtype=np.int64)
-    T = np.asarray(transitions, dtype=np.int64)
+    # integer params (the oracle-exact demo/export path) keep int64 dp
+    # scores; trained params (floats, e.g. from train_ner_perceptron)
+    # switch the dp to float64 — no oracle rides on that path
+    # ``feature_scale`` must match the value used at training time
+    # (train_ner_perceptron default 1/255); None = raw integer bytes,
+    # the oracle-exact demo/export path
+    _raw = [np.asarray(x, dtype=np.float64)
+            for x in (weights, bias, start, transitions)]
+    dtype = np.int64 if feature_scale is None and \
+        all(np.all(a == np.round(a)) for a in _raw) else np.float64
+    W = np.asarray(weights, dtype=dtype)
+    b = np.asarray(bias, dtype=dtype)
+    s0 = np.asarray(start, dtype=dtype)
+    T = np.asarray(transitions, dtype=dtype)
     n_states = W.shape[0]
     dim = W.shape[1]
     if not (b.shape == (n_states,) and s0.shape == (n_states,)
@@ -479,7 +490,9 @@ def ner_linear_crf(notes: DataFrame,
                         f = _md5_features(t, dim)
                         feat_cache[t] = f
                     emb[i] = f
-                logits = emb @ W.T + b          # (n, n_states) ints
+                feats = emb if feature_scale is None \
+                    else emb * feature_scale
+                logits = feats @ W.T + b        # int or float dp
                 dp = np.empty_like(logits)
                 bp = np.zeros((n, n_states), dtype=np.int64)
                 dp[0] = s0 + logits[0]
@@ -525,3 +538,190 @@ def ner_linear_crf(notes: DataFrame,
         "label string, lexical_variant string, span_type string, "
         "tok_start int, tok_end int",
     )
+
+
+def _viterbi_ints(logits, T, s0):
+    """Shared exact Viterbi (first-max ties) over (n, S) logits."""
+    import numpy as np
+
+    n, S = logits.shape
+    dp = np.empty_like(logits)
+    bp = np.zeros((n, S), dtype=np.int64)
+    dp[0] = s0 + logits[0]
+    for i in range(1, n):
+        cand = dp[i - 1][:, None] + T
+        bp[i] = np.argmax(cand, axis=0)
+        dp[i] = cand[bp[i], np.arange(S)] + logits[i]
+    path = np.empty(n, dtype=np.int64)
+    path[-1] = int(np.argmax(dp[-1]))
+    for i in range(n - 1, 0, -1):
+        path[i - 1] = bp[i, path[i]]
+    return path
+
+
+def _perceptron_pass(docs, W, b, s0, T, dim, scale=1.0):
+    """One sequential structured-perceptron sweep (Collins, EMNLP 2002)
+    over ``docs`` = [(toks, gold_path)], mutating the param arrays:
+    decode with current params; on error add Φ(gold) - Φ(pred)
+    (per-state emission feature sums + bias, transition counts, start
+    indicator).  Returns the number of mis-decoded docs.
+
+    ``scale`` multiplies the md5-byte emissions: raw bytes (0..255)
+    drown the ±1 transition/bias features by two orders of magnitude,
+    and B-vs-I is a TRANSITION distinction (the token's own features
+    are identically distributed for both), so unscaled training
+    oscillates on emission noise — measured: errors stuck at ~100%%
+    while the boundary structure was already learned.  1/255 puts all
+    feature families on the same scale."""
+    import numpy as np
+
+    errs = 0
+    for toks, gold in docs:
+        n = len(toks)
+        emb = np.array([_md5_features(t, dim) for t in toks],
+                       dtype=np.float64) * scale
+        logits = emb @ W.T + b
+        pred = _viterbi_ints(logits, T, s0)
+        if np.array_equal(pred, gold):
+            continue
+        errs += 1
+        for i in range(n):
+            g, p = gold[i], pred[i]
+            if g != p:
+                W[g] += emb[i]
+                W[p] -= emb[i]
+                b[g] += 1.0
+                b[p] -= 1.0
+            if i > 0:
+                T[gold[i - 1], g] += 1.0
+                T[pred[i - 1], p] -= 1.0
+        s0[gold[0]] += 1.0
+        s0[pred[0]] -= 1.0
+    return errs
+
+
+def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
+                         n_epochs: int = 5, n_states: int = 3, dim: int = 4,
+                         feature_scale: float = 1.0 / 255.0,
+                         n_shards: int | None = None,
+                         id_col: str = "note_id",
+                         text_col: str = "note_text"):
+    """Distributed structured-perceptron training for the linear+CRF
+    NER head — NO torch: exact Viterbi decode + additive updates
+    (Collins, EMNLP 2002), parallelized by ITERATIVE PARAMETER MIXING
+    (McDonald, Hall & Mann, NAACL 2010): each epoch, every partition
+    runs a sequential perceptron over its own documents starting from
+    the epoch's global parameters, and the driver averages the
+    per-partition results uniformly before the next epoch.  McDonald
+    et al. prove the mixed perceptron retains the separable-case
+    convergence guarantee.
+
+    ``gold_spans``: (id_col, tok_start, tok_end) non-overlapping entity
+    token ranges (the entities-plane convention shared with
+    :func:`ner_linear_crf`'s output, so a training set can be its own
+    silver output).  Returns ``(weights, bias, start, transitions,
+    history)`` for :func:`ner_linear_crf` — pass the SAME
+    ``feature_scale`` there; ``history`` is the per-epoch global
+    mis-decode count (-> 0 on separable data; see
+    :func:`_perceptron_pass` for why emissions are scaled).
+
+    Scale shape: one spans groupBy + one equi-join build the training
+    plane ONCE (persisted); each epoch is a single mapInPandas over it
+    (params ship as closure literals, exactly like inference) emitting
+    ONE parameter row per task — the collect is bounded by partition
+    count, the corpus never moves to the driver.
+    """
+    import numpy as np
+
+    if n_epochs < 1:
+        raise ValueError("train_ner_perceptron requires n_epochs >= 1")
+    spans = gold_spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("tok_start").alias("ts"),
+                                F.col("tok_end").alias("te")))
+        .alias("__spans"))
+    # The spans JOIN reshuffles to spark.sql.shuffle.partitions no
+    # matter how ``notes`` was partitioned (measured: a coalesce(1)
+    # input silently became 32 training shards and the 32-way average
+    # washed every epoch's updates out) — so the shard count is pinned
+    # EXPLICITLY here: repartition(n_shards, id) + sortWithinPartitions
+    # gives a deterministic doc->shard assignment AND a deterministic
+    # per-shard order (perceptron updates are order-sensitive; task
+    # retries reproduce the exact same parameters, and n_shards=1 is
+    # bit-identical to a sequential sweep).
+    if n_shards is None:
+        n_shards = notes.sparkSession.sparkContext.defaultParallelism
+    plane = (
+        notes.select(id_col, text_col)
+        .join(spans, id_col, "left")
+        .repartition(n_shards, id_col)
+        .sortWithinPartitions(id_col)
+        .select(text_col, "__spans")
+        .persist()
+    )
+    plane.count()
+
+    W = np.zeros((n_states, dim), dtype=np.float64)
+    b = np.zeros(n_states, dtype=np.float64)
+    s0 = np.zeros(n_states, dtype=np.float64)
+    T = np.zeros((n_states, n_states), dtype=np.float64)
+    history: list[int] = []
+
+    out_schema = ("w array<double>, b array<double>, s array<double>, "
+                  "t array<double>, n_err long, n_docs long")
+
+    try:
+        for _ in range(n_epochs):
+            Wl = W.tolist()
+            bl = b.tolist()
+            sl = s0.tolist()
+            Tl = T.tolist()
+
+            def epoch(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+                import numpy as np  # executor-side
+
+                Wp = np.array(Wl, dtype=np.float64)
+                bp = np.array(bl, dtype=np.float64)
+                sp = np.array(sl, dtype=np.float64)
+                Tp = np.array(Tl, dtype=np.float64)
+                errs = 0
+                n_docs = 0
+                for pdf in batches:
+                    docs = []
+                    for text, sps in zip(pdf[text_col], pdf["__spans"]):
+                        if text is None:
+                            continue
+                        toks = text.split(" ")
+                        gold = np.zeros(len(toks), dtype=np.int64)
+                        for sp_ in (sps if sps is not None else []):
+                            ts, te = int(sp_["ts"]), int(sp_["te"])
+                            gold[ts] = 1
+                            gold[ts + 1:te] = 2
+                        docs.append((toks, gold))
+                    n_docs += len(docs)
+                    errs += _perceptron_pass(docs, Wp, bp, sp, Tp,
+                                             dim=len(Wp[0]),
+                                             scale=feature_scale)
+                yield pd.DataFrame([{
+                    "w": Wp.ravel().tolist(), "b": bp.tolist(),
+                    "s": sp.tolist(), "t": Tp.ravel().tolist(),
+                    "n_err": errs, "n_docs": n_docs,
+                }])
+
+            parts = plane.mapInPandas(epoch, out_schema).collect()
+            parts = [r for r in parts if r["n_docs"] > 0]
+            if not parts:
+                raise ValueError("train_ner_perceptron: no training docs")
+            mu = 1.0 / len(parts)
+            W = sum(np.array(r["w"]).reshape(n_states, dim)
+                    for r in parts) * mu
+            b = sum(np.array(r["b"]) for r in parts) * mu
+            s0 = sum(np.array(r["s"]) for r in parts) * mu
+            T = sum(np.array(r["t"]).reshape(n_states, n_states)
+                    for r in parts) * mu
+            history.append(int(sum(r["n_err"] for r in parts)))
+            if history[-1] == 0:
+                break
+    finally:
+        plane.unpersist()
+    return (W.tolist(), b.tolist(), s0.tolist(), T.tolist(), history)

@@ -1985,3 +1985,114 @@ def test_ner_linear_crf_matches_python_viterbi(spark):
     diff = [t for t in texts
             if greedy(t.split(" ")) != py_viterbi(t.split(" "))]
     assert diff, "transitions never changed a decode — CRF is vacuous"
+
+
+def _sep_corpus():
+    """Separable NER corpus with a WIDE margin: tokens are mined so
+    their first md5 byte is <= 30 or >= 220 (entity iff >= 220), which
+    keeps the Collins 2002 convergence bound (R / gamma)^2 at a few
+    dozen updates — a boundary at byte < 100 is separable too, but
+    with a 0.5-byte margin over a 255-byte feature range the bound is
+    ~1e6 updates and a bounded-epoch test would flake.  Consecutive
+    entity tokens form multi-token spans (B then I), so transitions
+    and the I state train too."""
+    import hashlib
+
+    def byte0(t):
+        return hashlib.md5(t.encode()).digest()[0]
+
+    texts, spans = [], []
+    k = 0
+    for i in range(24):
+        toks = []
+        while len(toks) < 8:
+            t = f"w{k}"
+            k += 1
+            if byte0(t) <= 30 or byte0(t) >= 220:
+                toks.append(t)
+        texts.append((i, " ".join(toks)))
+        j = 0
+        while j < len(toks):
+            if byte0(toks[j]) >= 220:
+                e = j + 1
+                while e < len(toks) and byte0(toks[e]) >= 220:
+                    e += 1
+                spans.append((i, j, e))
+                j = e
+            else:
+                j += 1
+    return texts, spans
+
+
+def test_ner_perceptron_single_partition_matches_python(spark):
+    """r9: one-partition distributed training == a pure-Python
+    sequential perceptron sweep over the same sorted doc order,
+    bit-for-bit (the mixing average over one shard is identity)."""
+    import hashlib
+
+    import numpy as np
+
+    from edsnlp_spark.operators.trainable import (
+        _md5_features, _perceptron_pass, train_ner_perceptron)
+
+    texts, spans = _sep_corpus()
+    notes = spark.createDataFrame(
+        texts, "note_id long, note_text string")
+    gold = spark.createDataFrame(
+        spans, "note_id long, tok_start int, tok_end int")
+
+    W, b, s0, T, hist = train_ner_perceptron(notes, gold, n_epochs=3,
+                                             n_shards=1)
+
+    # python model: same docs sorted by id, same epochs
+    docs = []
+    by_id = dict(texts)
+    sp_by_id: dict[int, list[tuple[int, int]]] = {}
+    for i, ts, te in spans:
+        sp_by_id.setdefault(i, []).append((ts, te))
+    for i in sorted(by_id):
+        toks = by_id[i].split(" ")
+        g = np.zeros(len(toks), dtype=np.int64)
+        for ts, te in sp_by_id.get(i, []):
+            g[ts] = 1
+            g[ts + 1:te] = 2
+        docs.append((toks, g))
+    Wp = np.zeros((3, 4)); bp = np.zeros(3)
+    sp = np.zeros(3); Tp = np.zeros((3, 3))
+    errs = []
+    for _ in range(3):
+        errs.append(_perceptron_pass(docs, Wp, bp, sp, Tp, dim=4,
+                                     scale=1.0 / 255.0))
+        if errs[-1] == 0:
+            break
+    assert hist == errs
+    assert np.array_equal(np.array(W), Wp)
+    assert np.array_equal(np.array(b), bp)
+    assert np.array_equal(np.array(s0), sp)
+    assert np.array_equal(np.array(T), Tp)
+
+
+def test_ner_perceptron_converges_and_decodes_gold(spark):
+    """r9: on the separable corpus, parameter-mixed training over 4
+    partitions reaches zero errors (McDonald et al. 2010 keep the
+    convergence guarantee) and the TRAINED head reproduces the gold
+    spans exactly through ner_linear_crf — training-to-inference,
+    end-to-end, no torch."""
+    from edsnlp_spark.operators.trainable import (
+        ner_linear_crf, train_ner_perceptron)
+
+    texts, spans = _sep_corpus()
+    notes = spark.createDataFrame(
+        texts, "note_id long, note_text string")
+    gold = spark.createDataFrame(
+        spans, "note_id long, tok_start int, tok_end int")
+    W, b, s0, T, hist = train_ner_perceptron(notes, gold, n_epochs=30,
+                                             n_shards=4)
+    assert hist[-1] == 0, f"did not converge: {hist}"
+
+    pred = {(r.note_id, r.tok_start, r.tok_end)
+            for r in ner_linear_crf(
+                notes, weights=W, bias=b, start=s0, transitions=T,
+                feature_scale=1.0 / 255.0)
+            .collect()}
+    assert pred == set(spans)

@@ -306,10 +306,42 @@ FROM ent
 NER_CRF_VITERBI_SQL = _ner_crf_sql()
 
 
+def crf_distillation(spark, sf_dir):
+    """Teacher->student distillation, end-to-end on the driver surface
+    (r9): the integer demo CRF ("teacher") silver-labels the corpus;
+    train_ner_perceptron fits a fresh head on those silver spans
+    (3 epochs, 8 fixed shards — deterministic: explicit sharding +
+    sorted per-shard order make every run produce the same
+    parameters); the TRAINED student decodes the same corpus.  Output
+    = student spans in the shared entities schema.  No SQL oracle —
+    the training loop is iterative float state (the documented
+    exception class); the driver records the rows-only check, and the
+    exact-convergence guarantees live in pytest
+    (test_ner_perceptron_*)."""
+    from ..operators.trainable import ner_linear_crf, train_ner_perceptron
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    notes = d.select(F.col("doc_id").alias("note_id"),
+                     F.col("text").alias("note_text"))
+    silver = ner_linear_crf(notes).select(
+        "note_id", "tok_start", "tok_end").persist()
+    silver.count()
+    try:
+        W, b, s0, T, _hist = train_ner_perceptron(
+            notes, silver, n_epochs=3, n_shards=8)
+    finally:
+        silver.unpersist()
+    return ner_linear_crf(notes, weights=W, bias=b, start=s0,
+                          transitions=T, feature_scale=1.0 / 255.0)
+
+
 QUERIES = {
     "contextual_match": (contextual_match, CONTEXTUAL_MATCH_SQL),
     "filter_spans_greedy": (filter_spans_greedy, FILTER_SPANS_GREEDY_SQL),
     "simstring_fuzzy": (simstring_fuzzy, SIMSTRING_FUZZY_SQL),
     # NEW r9: real numeric trainable head (no torch)
     "a0_ner_crf_viterbi": (ner_crf_viterbi, NER_CRF_VITERBI_SQL),
+    # NEW r9: teacher->train->student composition; no SQL oracle
+    # (iterative float training) -> driver rows-only check
+    "a0_crf_distillation": (crf_distillation, None),
 }

@@ -28,6 +28,10 @@ ALLOWED = {
         "BPE merge argmax: exactly one row per training iteration",
     ("operators/bpe.py", '.limit(4 * want + 8).collect()'):
         "batched BPE top-M pair collect: M bounded by the batch config",
+    ("operators/trainable.py",
+     "plane.mapInPandas(epoch, out_schema).collect()"):
+        "perceptron parameter mixing: ONE param row per shard per epoch"
+        " (bounded by n_shards, never corpus rows)",
     ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
         "1-row min/max aggregate for decile binning",
     ("operators/scores.py", '== "").collect()'):

@@ -112,3 +112,47 @@ def test_round7_operators_on_empty_docs(spark):
     from edsnlp_spark.operators.sketches import hll_distinct
     row = hll_distinct(empty.select(F.col("text").alias("v")), "v").first()
     assert row["v_empty"] == 512 and row["approx_distinct"] == 0.0
+
+
+def test_round9_operators_on_empty_docs(spark):
+    """r9 operators degrade to typed empties on empty inputs — nothing
+    raises, schemas stay stable."""
+    from edsnlp_spark.operators.bpe import bpe_train_batched
+    from edsnlp_spark.operators.dedup import strip_spans_incremental
+    from edsnlp_spark.operators.retrieval import rrf_fuse
+    from edsnlp_spark.operators.similarity import hard_negative_triplets
+    from edsnlp_spark.operators.sketches import bloom_build, bloom_probe
+    from edsnlp_spark.operators.textstats import bigram_pmi_topk
+    from edsnlp_spark.operators.trainable import ner_linear_crf
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string")
+
+    # batched BPE: nothing to merge
+    assert bpe_train_batched(empty, n_merges=3, batch=4) == []
+    # incremental strip: empty batch -> empty; empty INDEX -> batch-
+    # local semantics only (the doc passes through untouched)
+    empty_idx = spark.createDataFrame([], "h long")
+    assert strip_spans_incremental(empty, None, n=3).count() == 0
+    row = strip_spans_incremental(some, empty_idx, n=3).collect()[0]
+    assert row["text_clean"] == "a b c d e f" and row["n_removed"] == 0
+    # RRF over empty tiers -> empty fused table
+    t = spark.createDataFrame([], "query_id long, doc_id long, rank long")
+    assert rrf_fuse([t, t], k=5).count() == 0
+    # bloom: empty build -> no bits; probing anything -> all False
+    bits = bloom_build(empty.select(F.col("text").alias("s")), "s")
+    assert bits.count() == 0
+    probed = bloom_probe(some.select(F.col("text").alias("s")), "s", bits)
+    assert [r["maybe_member"] for r in probed.collect()] == [False]
+    # triplets: no vectors -> no pairs
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert hard_negative_triplets(
+        emb, [[1.0, 0.0], [0.0, 1.0]]).count() == 0
+    # PMI on empty corpus -> empty top-k
+    assert bigram_pmi_topk(empty, k=3, min_count=1).count() == 0
+    # CRF head on empty notes -> typed empty entities plane
+    notes = spark.createDataFrame([], "note_id long, note_text string")
+    out = ner_linear_crf(notes)
+    assert out.count() == 0
+    assert "lexical_variant" in out.columns

@@ -445,10 +445,25 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
     (measured: raw ADC ~0.2 recall@10 on the unit-sphere test data,
     with rerank >= 0.5 — see test_ivf.py).
     """
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     centers = [list(map(float, c)) for c in centroids]
+    corpus = _ivfpq_corpus(emb, centers, codebooks, id_col, vec_col)
+    return _ivfpq_search(corpus, queries, centers, codebooks, k, n_probe,
+                         rerank=rerank, emb=emb, id_col=id_col,
+                         vec_col=vec_col, q_id_col=q_id_col,
+                         q_vec_col=q_vec_col)
+
+
+def _ivfpq_corpus(emb: DataFrame, centers: list[list[float]],
+                  codebooks: list[list[list[float]]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """The IVF-PQ corpus projection -> (n_id, cell, codes): the thing an
+    OFFLINE index build materializes (see :func:`build_ivfpq_index`) —
+    one shuffle-free pass assigning each vector its coarse cell (cosine
+    argmax, ties -> lower cell) and its PQ codes."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     carr = _centers_arr(centers)
-    corpus = emb.select(
+    return emb.select(
         F.col(id_col).alias("n_id"),
         F.sort_array(F.transform(
             carr,
@@ -459,6 +474,22 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
         ))[0]["cell"].alias("cell"),
         pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
     )
+
+
+def _ivfpq_search(corpus: DataFrame, queries: DataFrame,
+                  centers: list[list[float]],
+                  codebooks: list[list[list[float]]],
+                  k: int, n_probe: int,
+                  rerank: int | None = None,
+                  emb: DataFrame | None = None,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  q_id_col: str = "q_id",
+                  q_vec_col: str = "q_vec") -> DataFrame:
+    """Online half of IVF-PQ: probe cells, ADC-rank the probed cells'
+    codes, optional exact rerank (needs ``emb`` for raw vectors).
+    ``corpus`` is the (n_id, cell, codes) plane — freshly projected or
+    read back from a saved index."""
+    carr = _centers_arr(centers)
     qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
     probed = qs.select(
@@ -489,10 +520,66 @@ def ivf_pq_topk(emb: DataFrame, queries: DataFrame,
             .select("q_id", "n_id", F.col("rank").cast("bigint"),
                     F.round("adc", 4).alias("adc_dist"))
         )
+    if emb is None:
+        raise ValueError("rerank requires the raw-vector table (emb)")
     shortlist = ranked.filter(F.col("rank") <= max(rerank, k)) \
         .select("q_id", "n_id")
     return _exact_rerank(emb, qs, shortlist, k,
                          id_col=id_col, vec_col=vec_col)
+
+
+def build_ivfpq_index(emb: DataFrame, path: str,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """OFFLINE IVF-PQ index build (r9): materialize the (n_id, cell,
+    codes) plane as parquet PARTITIONED BY cell, plus a 1-row metadata
+    table (centroids + codebooks as JSON) — the production split the
+    inline :func:`ivf_pq_topk` docstring has always described: encoding
+    is a batch job that runs ONCE; the online path never touches raw
+    vectors OR re-encodes.  cell-partitioned files mean a probed-cell
+    search reads only n_probe/n_cells of the index bytes (partition
+    pruning / DPP), which at 100 TB is the difference between an index
+    scan and a corpus scan.
+    """
+    import json as _json
+
+    centers = [list(map(float, c)) for c in centroids]
+    corpus = _ivfpq_corpus(emb, centers, codebooks, id_col, vec_col)
+    corpus.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/codes")
+    meta = _json.dumps({"centroids": centers,
+                        "codebooks": [[list(map(float, c)) for c in cb]
+                                      for cb in codebooks]})
+    spark = emb.sparkSession
+    spark.createDataFrame([(meta,)], "meta string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivf_pq_topk_indexed(spark, path: str, queries: DataFrame,
+                        k: int = 10, n_probe: int = 2,
+                        rerank: int | None = None,
+                        emb: DataFrame | None = None,
+                        q_id_col: str = "q_id",
+                        q_vec_col: str = "q_vec") -> DataFrame:
+    """Search a SAVED IVF-PQ index (see :func:`build_ivfpq_index`):
+    load the metadata (one bounded row), scan only the probed cells'
+    code partitions, ADC-rank, optional exact rerank against ``emb``.
+    Bit-identical to :func:`ivf_pq_topk` over the same index config
+    (pinned by test_ivfpq_index_roundtrip).  Measured at sf0.1
+    (local[32], warm, isolation context): inline 5.97s -> indexed
+    2.29s (build 12.2s, paid once) — the per-query encode gone; what
+    remains is the probed-cell ADC fold, i.e. the actual search."""
+    import json as _json
+
+    meta = _json.loads(
+        spark.read.parquet(f"{path}/meta").first()["meta"])
+    corpus = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_search(corpus, queries, meta["centroids"],
+                         meta["codebooks"], k, n_probe,
+                         rerank=rerank, emb=emb,
+                         q_id_col=q_id_col, q_vec_col=q_vec_col)
 
 
 def pq_train_codebooks(emb: DataFrame, m: int = 8, k: int = 8,

@@ -694,7 +694,12 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
                         toks = text.split(" ")
                         gold = np.zeros(len(toks), dtype=np.int64)
                         for sp_ in (sps if sps is not None else []):
-                            ts, te = int(sp_["ts"]), int(sp_["te"])
+                            # clamp: a span from a different
+                            # tokenization must not crash the task
+                            ts = int(sp_["ts"])
+                            te = min(int(sp_["te"]), len(toks))
+                            if ts < 0 or ts >= len(toks) or te <= ts:
+                                continue
                             gold[ts] = 1
                             gold[ts + 1:te] = 2
                         docs.append((toks, gold))

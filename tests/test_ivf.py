@@ -352,3 +352,55 @@ def test_rrf_recall_beats_single_tiers_on_planted_set(spark):
         assert r_fused[q] >= max(r_sparse[q], r_dense[q])
         assert r_sparse[q] <= 0.5 and r_dense[q] <= 0.5
         assert r_fused[q] == 1.0
+
+
+def test_ivfpq_index_roundtrip(spark, sf_dir, tmp_path):
+    """r9: the SAVED index (offline build -> cell-partitioned codes +
+    metadata) must return bit-identical results to the inline
+    ivf_pq_topk over the same config — with and without the exact
+    rerank stage — and the codes parquet must be laid out one
+    directory per cell (the partition-pruning contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.similarity import (
+        build_ivfpq_index, ivf_pq_topk, ivf_pq_topk_indexed)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    codebooks = [[s[j * 8:(j + 1) * 8] for s in seeds] for j in range(8)]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, seeds, codebooks)
+    cell_dirs = [d for d in os.listdir(f"{path}/codes")
+                 if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2          # partitioned by cell
+
+    def rows(df):
+        return sorted((r["q_id"], r["n_id"], r["rank"], r["adc_dist"])
+                      for r in df.collect())
+
+    inline = rows(ivf_pq_topk(emb, queries, seeds, codebooks,
+                              k=10, n_probe=3))
+    saved = rows(ivf_pq_topk_indexed(spark, path, queries,
+                                     k=10, n_probe=3))
+    assert inline == saved
+
+    inline_rr = rows(ivf_pq_topk(emb, queries, seeds, codebooks,
+                                 k=10, n_probe=3, rerank=50))
+    saved_rr = rows(ivf_pq_topk_indexed(spark, path, queries,
+                                        k=10, n_probe=3, rerank=50,
+                                        emb=emb))
+    assert inline_rr == saved_rr
+
+    import pytest
+    with pytest.raises(ValueError, match="rerank requires"):
+        ivf_pq_topk_indexed(spark, path, queries, rerank=5)

@@ -32,6 +32,10 @@ ALLOWED = {
      "plane.mapInPandas(epoch, out_schema).collect()"):
         "perceptron parameter mixing: ONE param row per shard per epoch"
         " (bounded by n_shards, never corpus rows)",
+    ("operators/similarity.py",
+     'spark.read.parquet(f"{path}/meta").first()'):
+        "saved IVF-PQ index metadata: exactly one row by construction"
+        " (build_ivfpq_index coalesce(1) writes a single meta record)",
     ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
         "1-row min/max aggregate for decile binning",
     ("operators/scores.py", '== "").collect()'):

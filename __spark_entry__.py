@@ -47,40 +47,35 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 #      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
 #      — robust under ANY driver keying model.
 #
-# Rotation #5 (set at r9 START; the driver grades the round-END
+# Rotation #6 (set at r10 START; the driver grades the round-END
 # keying — rotate once, early, never re-rotate mid-round): the 26
-# queries whose newest driver-green row is r2–r6 (VERDICT r8 item #1;
-# verified against CORRECTNESS_r0*.json — negation_tokens is r6-era
-# despite the verdict's aside, so it rotates in too).  Slots are freed
-# by DROPPING the a0_ prefix from the driver key of r8-verified
-# canonical a0_ names (_ROTATE_OUT_OF_WINDOW) — canonical registry
-# keys stay stable so bench_best / COVERAGE / tests don't churn.
+# queries whose newest driver-green row is r7 (they would hit the
+# 3-round staleness cap at r11; the 33 r8-era names rotate at r11).
+# Slots are freed by DROPPING the a0_ prefix from the driver key of
+# r9-verified canonical a0_ names (_ROTATE_OUT_OF_WINDOW) — canonical
+# registry keys stay stable so bench_best / COVERAGE / tests don't
+# churn.
 _ROTATE_INTO_WINDOW = frozenset({
-    # newest driver row r2–r3:
-    "section_spans", "simstring_fuzzy", "split_windows",
-    "suppliers_with_recent_shipments", "token_offsets",
-    "token_stats_by_lang", "top_orders_per_customer",
-    "reported_speech_tokens", "revenue_by_nation", "sales_rollup",
-    "salted_event_totals",
-    # newest driver row r5–r6:
-    "pricing_summary", "pii_redaction", "pq_adc_topk", "props_k_stats",
-    "purchase_asof_signup", "quality_model_scores",
-    "quantities_extraction", "quantity_mentions", "quantity_operators",
-    "multimodal_features", "ner_token_metrics", "ngram_jaccard",
-    "ngram_jaccard_capped", "phrase_match_tokens", "negation_tokens",
-    # CHANGED in r9 (changed queries stay in the checked window):
-    # bpe_encoding — arrow path now mirrors the expr path on NULL text
-    # (ADVICE r8 #2); corpus_curation — carries n_redactions so the
-    # PII stage is exercised, new output column (ADVICE r8 #3)
-    "bpe_encoding", "corpus_curation",
+    # newest driver row r7:
+    "decontamination_overlap", "dedup_components",
+    "dedup_components_star", "dedup_exact", "disorders_full_diabetes",
+    "diversity_sample", "doc_fingerprint", "doc_quality",
+    "drugs_lexicon_match", "dsir_selection", "durations_extraction",
+    "embedding_neardup", "embedding_topk", "embedding_topk_ivf",
+    "embedding_topk_ivfpq", "embedding_topk_lsh", "endlines_rule",
+    "event_sessions", "exact_substring_dedup", "hll_distinct_windows",
+    "hourly_event_rollup", "hypothesis_tokens", "lang_id_heuristic",
+    "late_shipments", "markup_extraction", "minhash_lsh_dedup",
 })
 
-# r8-verified canonical a0_ names whose code is UNCHANGED in r9: the
+# r9-verified canonical a0_ names whose code is UNCHANGED in r10: the
 # driver key drops the prefix so they leave the window and free slots.
-# The 4 canonical a0_ names NOT listed here are changed this round
-# (a0_bigram_pmi, a0_badwords_filter, a0_corpus_curation_strip — the
-# three ADVICE r8 fixes — and a0_tokenizer_fertility, which composes
-# the changed BPE arrow encode) and stay windowed.
+# The canonical a0_ names NOT listed here are changed this round and
+# stay windowed: a0_crf_distillation (integer-quantized student oracle,
+# VERDICT r9 #2), a0_hybrid_retrieval (dense tier reads the persisted
+# IVF-PQ index, VERDICT r9 #1), a0_bloom_decontamination (in-data-path
+# shingle guard, ADVICE r9 #2), a0_badwords_filter (oracle DOUBLE
+# cast, ADVICE r9 #3) — plus every NEW r10 query (a0_ canonical keys).
 _ROTATE_OUT_OF_WINDOW = frozenset({
     "a0_corpus_length_profile", "a0_dedup_recall_eval",
     "a0_document_chunking", "a0_knn_label_propagation",
@@ -92,6 +87,10 @@ _ROTATE_OUT_OF_WINDOW = frozenset({
     "a0_tfidf_keywords", "a0_tnm_mentions", "a0_umls_scale_match",
     "a0_unigram_logppl", "a0_url_domain_filtering",
     "a0_weighted_doc_sample", "a0_winnowing_fp",
+    # rotated out at r10 (r9-verified, unchanged):
+    "a0_bigram_pmi", "a0_contrastive_pairs", "a0_corpus_curation_strip",
+    "a0_duplication_profile", "a0_ner_crf_viterbi",
+    "a0_temperature_mixture", "a0_tokenizer_fertility",
 })
 
 

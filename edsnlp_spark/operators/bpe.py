@@ -164,6 +164,31 @@ def _apply_merge_batch(symbols, pairs: list[tuple[str, str]],
     return F.aggregate(symbols, F.array().cast("array<string>"), step)
 
 
+def _adopt_disjoint(candidates: list[tuple[str, str]],
+                    want: int) -> list[tuple[str, str]]:
+    """Greedy scan of a (count desc, left, right)-ordered candidate
+    list, adopting up to ``want`` pairs whose symbol sets — operands
+    AND concatenated output — are pairwise disjoint.
+
+    The output check matters both ways (ADVICE r9 #1): without it,
+    adopting ('abc','d') then a later candidate ('ab','c') whose OUTPUT
+    'abc' equals the earlier OPERAND would let the single greedy fold
+    in :func:`_apply_merge_batch` merge the 'abc' CREATED in-round
+    with 'd' ([ab,c,d] -> [abcd]), diverging from the documented
+    sequential equivalence.
+    """
+    adopted: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for left, right in candidates:
+        if left in used or right in used or (left + right) in used:
+            continue
+        adopted.append((left, right))
+        used.update((left, right, left + right))
+        if len(adopted) >= want:
+            break
+    return adopted
+
+
 @scoped("bpe")
 def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
                       batch: int = 64,
@@ -179,11 +204,14 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
     Semantics vs the exact sequential algorithm (Sennrich 2016):
 
     - WITHIN a round the adopted pairs have pairwise-disjoint symbol
-      sets (greedy scan of the count table in (count desc, left,
-      right) order, skipping any pair sharing a symbol with an
-      already-adopted one), so applying them in one fold equals
-      applying them sequentially — and their counts are mutually
-      unaffected, so the adopted counts are the true counts.
+      sets INCLUDING their output symbols (greedy scan of the count
+      table in (count desc, left, right) order, skipping any pair
+      whose operands OR concatenated output share a symbol with an
+      already-adopted one — without the output check, adopting
+      ('abc','d') then ('ab','c') would let the single fold merge the
+      'abc' CREATED in-round into 'abcd'), so applying them in one
+      fold equals applying them sequentially — and their counts are
+      mutually unaffected, so the adopted counts are the true counts.
     - ACROSS a round boundary this is the standard batched
       approximation: a pair CREATED by an earlier merge in the same
       round (e.g. ('ab','c') after ('a','b')) only becomes adoptable
@@ -264,16 +292,8 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
         top = (pairs.filter(F.col("c") >= 2)
                .orderBy(F.col("c").desc(), "l", "r")
                .limit(4 * want + 8).collect())
-        adopted: list[tuple[str, str]] = []
-        used: set[str] = set()
-        for row in top:
-            left, right = row["l"], row["r"]
-            if left in used or right in used:
-                continue
-            adopted.append((left, right))
-            used.update((left, right, left + right))
-            if len(adopted) >= want:
-                break
+        adopted = _adopt_disjoint(
+            [(row["l"], row["r"]) for row in top], want)
         if not adopted:
             break
         merges.extend(adopted)

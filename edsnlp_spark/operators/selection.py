@@ -202,10 +202,14 @@ def blocklist_filter(docs: DataFrame, words: list[str],
     re-scanning text.
 
     ``keep`` = true flag ratio <= max_ratio, decided on the UNROUNDED
-    counts (n_flagged <= max_ratio * n_tokens — the identical
-    int-times-double arithmetic on both engines; ADVICE r8 #4: a doc
+    counts (n_flagged <= max_ratio * n_tokens; ADVICE r8 #4: a doc
     whose true ratio is 0.03004 must NOT slip under a 0.03 threshold
-    via 4dp rounding).  The default 0.0 reproduces C4's any-hit drop.
+    via 4dp rounding).  Spark evaluates max_ratio * n in binary
+    DOUBLE; a DuckDB oracle must cast its literal the same way
+    (``0.03::DOUBLE * n``) or DuckDB multiplies an exact DECIMAL and
+    the inclusive boundary can flip between engines for ratios with
+    larger representation error (ADVICE r9 #3).  The default 0.0
+    reproduces C4's any-hit drop.
     Matching is lowercase whole-token equality against the config list
     — a pure per-row projection (size(filter(tokens, in-list))), no
     join, no shuffle; the blocklist is a literal array in the plan

@@ -1156,8 +1156,19 @@ def bloom_decontamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     tok = r"[^ ]+"
     rx = "(?=(" + tok + (r" " + tok) * 7 + r"))" + tok + " "
+    # in-data-path guard (ADVICE r9 #2): the lookahead regexp silently
+    # skips empty tokens on non-single-space text while the oracle's
+    # string_split slicing does not — same failure mode
+    # _window_hash_rows / bigram_pmi_topk guard against; fail loudly
+    # instead of silently breaking parity
+    guarded = F.when(
+        ~F.col("text").rlike("^ |  | $"), F.col("text")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("bloom_decontamination: text is not single-space "
+              "tokenized (shingles would desync) for doc_id="),
+        F.col("doc_id").cast("string"))))
     sh = F.array_distinct(
-        F.regexp_extract_all("text", F.lit(rx), F.lit(1)))
+        F.regexp_extract_all(guarded, F.lit(rx), F.lit(1)))
     ev = d.filter(F.col("doc_id") % 97 == 0).select(
         F.explode(sh).alias("s"))
     bits = bloom_build(ev, "s", k=4, m=1 << 18)
@@ -2786,7 +2797,7 @@ SELECT doc_id,
        ROUND(len(list_filter(toks, x -> x IN ('dup', 'slow')))
              / len(toks), 4) AS flag_ratio,
        len(list_filter(toks, x -> x IN ('dup', 'slow')))
-         <= 0.03 * len(toks) AS keep
+         <= 0.03::DOUBLE * len(toks) AS keep
 FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
       FROM documents)
 """

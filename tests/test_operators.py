@@ -1872,11 +1872,14 @@ def test_bpe_train_batched_differential(spark):
     bat = bpe_train_batched(docs, n_merges=12, batch=4)
 
     # (c) per-round disjointness: replay rounds of 4 and check symbol
-    # sets within each round never intersect
+    # sets within each round never intersect — operands AND outputs
+    # (ADVICE r9 #1: an output colliding with a later operand, or an
+    # operand with a later output, would chain inside the single fold)
     for r in range(0, len(bat), 4):
         used: set[str] = set()
         for left, right in bat[r:r + 4]:
-            assert left not in used and right not in used, bat[r:r + 4]
+            assert left not in used and right not in used \
+                and (left + right) not in used, bat[r:r + 4]
             used.update((left, right, left + right))
 
     # (d) adversarial: 'aaab...' makes ('aa','a') / ('a','b') style
@@ -1895,6 +1898,27 @@ def test_bpe_train_batched_differential(spark):
         bpe_train_batched(docs, n_merges=4, batch=0)
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_batched(docs, n_merges=0)
+
+
+def test_bpe_adopt_disjoint_output_collision():
+    """ADVICE r9 #1 directly on the adoption scan: a candidate whose
+    OUTPUT equals an earlier-adopted operand (('ab','c') -> 'abc' after
+    ('abc','d')) must be skipped, as must the reverse direction (a
+    candidate whose operand equals an earlier output)."""
+    from edsnlp_spark.operators.bpe import _adopt_disjoint
+
+    # output-of-later == operand-of-earlier: ('ab','c') skipped
+    assert _adopt_disjoint(
+        [("abc", "d"), ("ab", "c"), ("x", "y")], want=3) \
+        == [("abc", "d"), ("x", "y")]
+    # operand-of-later == output-of-earlier: ('abc','e') skipped
+    assert _adopt_disjoint(
+        [("ab", "c"), ("abc", "e"), ("x", "y")], want=3) \
+        == [("ab", "c"), ("x", "y")]
+    # plain operand overlap still skipped; want caps adoption
+    assert _adopt_disjoint(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")], want=2) \
+        == [("a", "b"), ("c", "d")]
 
 
 def test_ner_linear_crf_matches_python_viterbi(spark):

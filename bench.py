@@ -109,6 +109,11 @@ HEADLINE = R1_SET + [
     "a0_contrastive_pairs",
     "a0_duplication_profile",
     "a0_temperature_mixture",
+    # round-10 additions: the persisted-index ANN read path (IVFADC-R
+    # over cell-partitioned saved codes; the one-time index build is
+    # paid in whichever consumer runs first COLD — warm times are the
+    # search half only)
+    "a0_ivfpq_indexed_search",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

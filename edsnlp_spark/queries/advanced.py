@@ -206,31 +206,39 @@ def ner_crf_viterbi(spark, sf_dir):
     return ner_linear_crf(notes)
 
 
-def _ner_crf_sql() -> str:
+def _ner_crf_sql(W=None, B=None, START=None, T=None) -> str:
     """Oracle for ner_crf_viterbi: same integer logits, Viterbi as a
     recursive CTE carrying per-state scores + argmax paths (ties ->
     lowest prev state via list_position first occurrence, matching
-    numpy argmax), BIO span decode."""
+    numpy argmax), BIO span decode.  Parameterized (r10) so the
+    distillation oracle can replay the student decode with the PINNED
+    integer-quantized trained weights; defaults are the demo/teacher
+    constants."""
     from ..operators.trainable import (
         NER_CRF_B, NER_CRF_START, NER_CRF_T, NER_CRF_W)
+
+    W = NER_CRF_W if W is None else W
+    B = NER_CRF_B if B is None else B
+    START = NER_CRF_START if START is None else START
+    T = NER_CRF_T if T is None else T
 
     # integer logit expressions: W @ md5_bytes(t) + b, expanded
     def byte(k: int) -> str:
         return f"('0x' || substr(md5(t), {2 * k + 1}, 2))::BIGINT"
 
     def logit(s: int) -> str:
-        terms = [str(NER_CRF_B[s])]
+        terms = [str(B[s])]
         terms += [f"{w} * {byte(k)}"
-                  for k, w in enumerate(NER_CRF_W[s]) if w != 0]
+                  for k, w in enumerate(W[s]) if w != 0]
         return " + ".join(terms)
 
     def cand(s: int) -> str:
         return "[" + ", ".join(
-            f"v.scv[{p + 1}] + ({NER_CRF_T[p][s]})" for p in range(3)
+            f"v.scv[{p + 1}] + ({T[p][s]})" for p in range(3)
         ) + "]"
 
     init_scv = "[" + ", ".join(
-        f"ls[{s + 1}] + ({NER_CRF_START[s]})" for s in range(3)) + "]"
+        f"ls[{s + 1}] + ({START[s]})" for s in range(3)) + "]"
     next_scv = "[" + ", ".join(
         f"list_aggregate({cand(s)}, 'max') + l.ls[{s + 1}]"
         for s in range(3)) + "]"
@@ -306,33 +314,148 @@ FROM ent
 NER_CRF_VITERBI_SQL = _ner_crf_sql()
 
 
-def crf_distillation(spark, sf_dir):
-    """Teacher->student distillation, end-to-end on the driver surface
-    (r9): the integer demo CRF ("teacher") silver-labels the corpus;
+def _train_quantized_student(spark, sf_dir, heldout_mod=None):
+    """Shared distillation trainer (query + pin script): the integer
+    demo CRF ("teacher") silver-labels the training corpus;
     train_ner_perceptron fits a fresh head on those silver spans
-    (3 epochs, 8 fixed shards — deterministic: explicit sharding +
-    sorted per-shard order make every run produce the same
-    parameters); the TRAINED student decodes the same corpus.  Output
-    = student spans in the shared entities schema.  No SQL oracle —
-    the training loop is iterative float state (the documented
-    exception class); the driver records the rows-only check, and the
-    exact-convergence guarantees live in pytest
-    (test_ner_perceptron_*)."""
-    from ..operators.trainable import ner_linear_crf, train_ner_perceptron
+    (3 epochs, 8 fixed shards, Collins-AVERAGED — deterministic:
+    explicit sharding + sorted per-shard order + fixed collect order
+    make every run produce the same parameters); the averaged params
+    are quantized onto the 2^16 integer grid (feature scale folded
+    in).  ``heldout_mod=(m, r)`` excludes note_id %% m == r from
+    training (the eval split); None trains on the full corpus.
+    Returns (notes, (Wq, bq, s0q, Tq))."""
+    from ..operators.trainable import (
+        ner_linear_crf, quantize_crf_params, train_ner_perceptron)
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
     notes = d.select(F.col("doc_id").alias("note_id"),
                      F.col("text").alias("note_text"))
-    silver = ner_linear_crf(notes).select(
+    train = notes if heldout_mod is None else notes.filter(
+        F.col("note_id") % heldout_mod[0] != heldout_mod[1])
+    silver = ner_linear_crf(train).select(
         "note_id", "tok_start", "tok_end").persist()
     silver.count()
     try:
         W, b, s0, T, _hist = train_ner_perceptron(
-            notes, silver, n_epochs=3, n_shards=8)
+            train, silver, n_epochs=3, n_shards=8, average=True)
     finally:
         silver.unpersist()
-    return ner_linear_crf(notes, weights=W, bias=b, start=s0,
-                          transitions=T, feature_scale=1.0 / 255.0)
+    return notes, quantize_crf_params(W, b, s0, T)
+
+
+def crf_distillation(spark, sf_dir):
+    """Teacher->student distillation, end-to-end on the driver surface
+    (r9; ORACLED r10, VERDICT r9 #2): teacher silver-labels the
+    corpus, the student trains on the silver spans (averaged
+    perceptron + iterative parameter mixing), and the trained params
+    are quantized to the 2^16 integer grid so the student DECODE runs
+    the exact int64 dp.  Output = student spans (entities schema) over
+    the full corpus.
+
+    Oracle: training is fully deterministic, so the quantized params
+    are a reproducible constant of (data, config) — pinned at sf0.01
+    in resources/distilled_crf.json (regenerate with
+    scripts/pin_distilled_params.py) and replayed through the same
+    recursive-CTE Viterbi as a0_ner_crf_viterbi.  A hash mismatch
+    therefore catches ANY drift in the training pipeline, not just the
+    decode."""
+    from ..operators.trainable import ner_linear_crf
+    notes, (Wq, bq, s0q, Tq) = _train_quantized_student(spark, sf_dir)
+    return ner_linear_crf(notes, weights=Wq, bias=bq, start=s0q,
+                          transitions=Tq, feature_scale=None)
+
+
+def distillation_eval(spark, sf_dir):
+    """Held-out distillation quality (VERDICT r9 brief #6): train the
+    student on note_id %% 5 != 4 (teacher silver labels, averaged +
+    quantized — :func:`_train_quantized_student`), then score
+    student-vs-teacher EXACT span agreement on the held-out fifth with
+    the existing metrics operator -> (label, tp, fp, fn, precision,
+    recall, f1) rows ('ENT' + 'micro').  Per-note decode independence
+    means the oracle can decode ALL notes with the pinned split params
+    and filter to the held-out set."""
+    from ..operators.metrics import ner_exact_metrics
+    from ..operators.trainable import ner_linear_crf
+    notes, (Wq, bq, s0q, Tq) = _train_quantized_student(
+        spark, sf_dir, heldout_mod=(5, 4))
+    held = notes.filter(F.col("note_id") % 5 == 4)
+    student = ner_linear_crf(held, weights=Wq, bias=bq, start=s0q,
+                             transitions=Tq, feature_scale=None)
+    teacher = ner_linear_crf(held)
+    return ner_exact_metrics(student, teacher)
+
+
+def _load_distilled_pin() -> dict:
+    """Pinned integer-quantized distilled params (sf0.01; see
+    scripts/pin_distilled_params.py).  Training determinism makes them
+    a constant of (data, config); the oracle replays them so a hash
+    mismatch catches ANY training-pipeline drift."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources", "distilled_crf.json")
+    with open(path) as f:
+        return _json.load(f)
+
+
+_DISTILLED_PIN = _load_distilled_pin()
+
+CRF_DISTILLATION_SQL = _ner_crf_sql(
+    W=_DISTILLED_PIN["full"]["W"], B=_DISTILLED_PIN["full"]["b"],
+    START=_DISTILLED_PIN["full"]["s0"], T=_DISTILLED_PIN["full"]["T"])
+
+
+def _distillation_eval_sql() -> str:
+    """Oracle for distillation_eval: teacher decode (demo ints) and
+    student decode (pinned split-trained quantized ints) over ALL
+    documents via the shared recursive-CTE Viterbi, filtered to the
+    held-out fifth (per-note decode independence), then exact-span
+    P/R/F1 with 'micro' rollup — same unrounded int/int divisions as
+    the Spark metrics operator, rounded 4dp."""
+    p = _DISTILLED_PIN["split"]
+    student = _ner_crf_sql(W=p["W"], B=p["b"], START=p["s0"], T=p["T"])
+    teacher = _ner_crf_sql()
+    return f"""
+WITH p AS (
+  SELECT note_id, start_char, end_char, label, 1 AS pm
+  FROM ( {student} ) WHERE note_id % 5 = 4
+),
+g AS (
+  SELECT note_id, start_char, end_char, label, 1 AS gm
+  FROM ( {teacher} ) WHERE note_id % 5 = 4
+),
+j AS (
+  SELECT label, pm, gm
+  FROM p FULL JOIN g USING (note_id, start_char, end_char, label)
+),
+per AS (
+  SELECT label,
+         SUM(CASE WHEN pm IS NOT NULL AND gm IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS tp,
+         SUM(CASE WHEN pm IS NOT NULL AND gm IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS fp,
+         SUM(CASE WHEN pm IS NULL AND gm IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM j GROUP BY label
+),
+allrows AS (
+  SELECT * FROM per
+  UNION ALL
+  SELECT 'micro', SUM(tp)::BIGINT, SUM(fp)::BIGINT, SUM(fn)::BIGINT
+  FROM per
+)
+SELECT label, tp, fp, fn,
+       ROUND(tp / NULLIF(tp + fp, 0), 4) AS precision,
+       ROUND(tp / NULLIF(tp + fn, 0), 4) AS recall,
+       ROUND(2 * (tp / NULLIF(tp + fp, 0)) * (tp / NULLIF(tp + fn, 0))
+             / NULLIF((tp / NULLIF(tp + fp, 0))
+                      + (tp / NULLIF(tp + fn, 0)), 0), 4) AS f1
+FROM allrows
+"""
+
+
+DISTILLATION_EVAL_SQL = _distillation_eval_sql()
 
 
 QUERIES = {
@@ -341,7 +464,11 @@ QUERIES = {
     "simstring_fuzzy": (simstring_fuzzy, SIMSTRING_FUZZY_SQL),
     # NEW r9: real numeric trainable head (no torch)
     "a0_ner_crf_viterbi": (ner_crf_viterbi, NER_CRF_VITERBI_SQL),
-    # NEW r9: teacher->train->student composition; no SQL oracle
-    # (iterative float training) -> driver rows-only check
-    "a0_crf_distillation": (crf_distillation, None),
+    # r9 rows-only -> ORACLED r10 (VERDICT r9 #2): the student decode
+    # runs integer-quantized averaged params, replayed from the pinned
+    # snapshot through the same recursive-CTE Viterbi
+    "a0_crf_distillation": (crf_distillation, CRF_DISTILLATION_SQL),
+    # NEW r10: held-out teacher-vs-student quality row (exact-span
+    # P/R/F1), fully oracled
+    "a0_distillation_eval": (distillation_eval, DISTILLATION_EVAL_SQL),
 }

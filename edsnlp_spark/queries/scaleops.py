@@ -79,6 +79,53 @@ FROM pairs
 """
 
 
+# ---- incremental MinHash-LSH dedup against a persisted band index -----
+
+def cross_minhash_dedup(spark, sf_dir):
+    """Incremental FUZZY dedup (VERDICT r9 #7): which docs of a new
+    batch (doc_id % 10 == 0) near-duplicate the accumulated corpus
+    (the rest), probed against the corpus's persistable
+    (band, value) signature index — the MinHash counterpart of
+    cross_corpus_dedup's exact window-hash tier, and the fuzzy half of
+    a real ingest pipeline.  The corpus collapses to its grouped band
+    keys ONCE (minhash_band_index — the artifact you persist between
+    batches); the batch's signatures equi-join it, so shuffle volume is
+    batch + index, never corpus x corpus."""
+    d = _docs(spark, sf_dir)
+    new_docs = d.filter(F.col("doc_id") % 10 == 0)
+    ref_docs = d.filter(F.col("doc_id") % 10 != 0)
+    idx = D.minhash_band_index(ref_docs, n=3, num_hashes=12, bands=6)
+    return D.cross_minhash_candidates(new_docs, idx, n=3,
+                                      num_hashes=12, bands=6)
+
+
+CROSS_MINHASH_DEDUP_SQL = f"""
+WITH {_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id,
+         unnest([
+           '0|' || sig[1] || '|' || sig[2],
+           '1|' || sig[3] || '|' || sig[4],
+           '2|' || sig[5] || '|' || sig[6],
+           '3|' || sig[7] || '|' || sig[8],
+           '4|' || sig[9] || '|' || sig[10],
+           '5|' || sig[11] || '|' || sig[12]
+         ]) AS bk
+  FROM sigs
+),
+idx AS (
+  SELECT bk, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+  FROM banded WHERE doc_id % 10 <> 0 GROUP BY bk
+)
+SELECT b.doc_id, COUNT(*)::BIGINT AS n_bands_hit,
+       SUM(idx.n_docs)::BIGINT AS ref_band_docs,
+       MIN(idx.min_id) AS ref_example_id
+FROM banded b JOIN idx USING (bk)
+WHERE b.doc_id % 10 = 0
+GROUP BY b.doc_id
+"""
+
+
 # ---- exact n-gram Jaccard over shared-shingle candidates --------------
 
 def ngram_jaccard(spark, sf_dir):
@@ -1373,6 +1420,9 @@ WHERE p.pos_id <> n.neg_id
 
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
+    # NEW r10: incremental fuzzy dedup against the persisted band index
+    "a0_cross_minhash_dedup": (cross_minhash_dedup,
+                               CROSS_MINHASH_DEDUP_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),

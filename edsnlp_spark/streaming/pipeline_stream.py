@@ -200,3 +200,100 @@ def curation_stream_strip(stream_docs: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fuzzy_dedup_stream(stream_docs: DataFrame, out_path: str,
+                       checkpoint: str, index_path: str,
+                       n: int = 3, num_hashes: int = 12, bands: int = 6,
+                       available_now: bool = True) -> StreamingQuery:
+    """Streaming incremental MinHash-LSH dedup (VERDICT r9 #7) — the
+    FUZZY counterpart of :func:`curation_stream_strip`'s exact tier:
+    each micro-batch probes the persistent
+    :func:`~edsnlp_spark.operators.dedup.minhash_band_index`
+    accumulated from PRIOR batches, flags docs that near-duplicate the
+    corpus (>= 1 shared LSH band) OR a smaller-id doc within the same
+    batch (first-arrival election, matching the batch tier's min-id
+    keeper), then appends its OWN grouped band keys as the next index
+    increment.
+
+    Output per batch doc: (doc_id, n_bands_hit, ref_example_id,
+    within_keeper_id, flagged).  State is the config-bounded grouped
+    band-key index — <= bands rows per corpus doc, two longs + a short
+    string each, NOT document text; the same durability recipe as the
+    exact tier (idempotent ``batch=<id>`` partition overwrites on both
+    sinks, the index read filters ``batch < batch_id`` so replays
+    never self-hit their failed attempt's half-written part).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import (
+        _minhash_banded, cross_minhash_candidates, minhash_band_index)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        snap = caching.snapshot()
+        try:
+            spark = batch.sparkSession
+            docs = batch.select("doc_id", "text")
+            try:
+                idx = (spark.read.parquet(index_path)
+                       .filter(F.col("batch") < F.lit(batch_id))
+                       .groupBy("bk")
+                       .agg(F.sum("n_docs").alias("n_docs"),
+                            F.min("min_id").alias("min_id")))
+            except AnalysisException:
+                idx = None  # cold start: no index yet
+            banded = _minhash_banded(docs, "doc_id", "text",
+                                     n, num_hashes, bands)
+            # within-batch first-arrival: a doc is a dup of the batch's
+            # smallest id sharing any band
+            within = (
+                banded.groupBy("bk")
+                .agg(F.min("doc_id").alias("wmin"),
+                     F.count(F.lit(1)).alias("wcnt"))
+                .filter(F.col("wcnt") >= 2)
+                .join(banded, "bk")
+                .filter(F.col("doc_id") > F.col("wmin"))
+                .groupBy("doc_id")
+                .agg(F.min("wmin").alias("within_keeper_id"))
+            )
+            if idx is not None:
+                hits = cross_minhash_candidates(
+                    docs, idx, n=n, num_hashes=num_hashes, bands=bands
+                ).select("doc_id", "n_bands_hit", "ref_example_id")
+            else:
+                hits = docs.select(
+                    "doc_id",
+                    F.lit(None).cast("bigint").alias("n_bands_hit"),
+                    F.lit(None).cast("bigint").alias("ref_example_id"),
+                ).limit(0)
+            out = (
+                docs.select("doc_id")
+                .join(hits, "doc_id", "left")
+                .join(within, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_bands_hit", F.lit(0)).cast("bigint")
+                    .alias("n_bands_hit"),
+                    "ref_example_id", "within_keeper_id",
+                    (F.col("n_bands_hit").isNotNull()
+                     | F.col("within_keeper_id").isNotNull())
+                    .alias("flagged"),
+                )
+            )
+            out.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}")
+            # the batch's grouped band keys become the next increment
+            minhash_band_index(docs, n=n, num_hashes=num_hashes,
+                               bands=bands) \
+                .write.mode("overwrite") \
+                .parquet(f"{index_path}/batch={batch_id}")
+        finally:
+            caching.release_since(snap)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -388,6 +388,73 @@ def test_streaming_incremental_span_strip_with_restart(spark, tmp_path):
                .collect()) == {0, 1}
 
 
+def test_streaming_fuzzy_dedup_with_restart(spark, tmp_path):
+    """r10 (VERDICT r9 #7): fuzzy_dedup_stream probes each micro-batch
+    against the MinHash band index accumulated from PRIOR batches and
+    appends its own grouped band keys.  Batch 2 (after a checkpoint
+    RESTART) must flag a clone of a batch-1 doc via the RESTORED
+    parquet index (n_bands_hit = all 6 bands, ref_example_id = the
+    batch-1 keeper), flag the non-keeper of a within-batch pair
+    (within_keeper_id = the smaller id), and leave unique docs and
+    batch 1's already-emitted output untouched."""
+    from edsnlp_spark.streaming.pipeline_stream import fuzzy_dedup_stream
+
+    def uniq(seed, n=25):
+        return " ".join(f"{seed}{i}" for i in range(n))
+
+    text_x = uniq("x")
+    text_z = uniq("z")
+    src = tmp_path / "in"
+    src.mkdir()
+    ts = "2024-01-01 10:00:00"
+    write_events_jsonl(src / "batch1.jsonl", [
+        {"doc_id": 0, "ts": ts, "text": text_x},
+        {"doc_id": 1, "ts": ts, "text": uniq("b")},
+    ])
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    index_path = str(tmp_path / "band_index")
+
+    def stream():
+        docs = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string").json(str(src))
+        return fuzzy_dedup_stream(docs, out_path, ckpt, index_path)
+
+    stream().awaitTermination(120)
+    first = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(first) == {0, 1}
+    assert not first[0]["flagged"] and not first[1]["flagged"]
+
+    # restart with batch 2: corpus clone (10), unique (11),
+    # within-batch pair (12 keeper, 13 flagged)
+    write_events_jsonl(src / "batch2.jsonl", [
+        {"doc_id": 10, "ts": ts, "text": text_x},
+        {"doc_id": 11, "ts": ts, "text": uniq("e")},
+        {"doc_id": 12, "ts": ts, "text": text_z},
+        {"doc_id": 13, "ts": ts, "text": text_z},
+    ])
+    stream().awaitTermination(120)
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+    assert set(got) == {0, 1, 10, 11, 12, 13}
+    # batch 1 rows unchanged (no reprocessing on restart)
+    assert not got[0]["flagged"] and not got[1]["flagged"]
+    # corpus clone flagged via the restored index: identical text ->
+    # identical signature -> all 6 bands collide with doc 0
+    assert got[10]["flagged"] and got[10]["n_bands_hit"] == 6
+    assert got[10]["ref_example_id"] == 0
+    assert got[10]["within_keeper_id"] is None
+    # within-batch pair: keeper unflagged, non-keeper flagged
+    assert not got[12]["flagged"]
+    assert got[13]["flagged"] and got[13]["within_keeper_id"] == 12
+    assert got[13]["n_bands_hit"] == 0  # not in the corpus index yet
+    assert not got[11]["flagged"]
+    # the index accumulated one partition per batch
+    idx = spark.read.parquet(index_path)
+    assert set(r["batch"] for r in idx.select("batch").distinct()
+               .collect()) == {0, 1}
+
+
 def test_streaming_bloom_decontamination(spark, tmp_path):
     """r9: the Bloom filter is the BOUNDED-state streaming membership
     shape (vs curation_stream_strip's unbounded hash index): build the

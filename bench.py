@@ -117,6 +117,10 @@ HEADLINE = R1_SET + [
     "a0_ivfpq_indexed_search",
     "a0_langid_trained",
     "a0_cross_minhash_dedup",
+    # full tokenizer lifecycle: RETRAINS 128 batched merges + arrow
+    # encode every run by design (~6.5s warm at sf0.1 — the cost IS
+    # two training rounds; the encode alone is ~0.5s)
+    "a0_bpe_lifecycle",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -2829,6 +2829,138 @@ FROM agg
 BPE_ENCODING_SQL = _bpe_encoding_sql()
 
 
+# ---- full tokenizer lifecycle: batched train -> arrow encode -------------
+
+# The raw corpus has ~31 distinct words and exhausts at ~110 merges
+# (r8 measurement), so the lifecycle trains on the DERIVED pair-word
+# corpus (adjacent-token pairs joined by '_', ~1k distinct words) at a
+# production-ish merge count that forces the Arrow encode path
+# (> EXPR_PATH_MAX_MERGES).
+_BPE_LIFECYCLE_MERGES = 128
+_BPE_LIFECYCLE_BATCH = 64
+
+
+def _bpe_pair_corpus(d):
+    """(doc_id, text): the derived pair-word corpus — word i of doc j
+    is tokens[i] '_' tokens[i+1].  Docs with < 2 tokens are dropped (an
+    empty pair-word would hit the ''-word encode edge on one engine
+    only).  The token array is projected FIRST so the per-element
+    lambda reads a column, never re-splits (HOF re-evaluation rule)."""
+    dd = d.filter(
+        F.size(F.split("text", " ", -1)) >= 2
+    ).select("doc_id", F.split("text", " ", -1).alias("__t"))
+    return dd.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            _pair_word_fn())).alias("text"),
+    )
+
+
+def _pair_word_fn():
+    def f(i):
+        return F.concat(F.element_at(F.col("__t"), i), F.lit("_"),
+                        F.element_at(F.col("__t"), i + 1))
+    return f
+
+
+def _load_bpe_pin() -> dict | None:
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources",
+        "bpe_merges_batched.json")
+    if not _os.path.exists(path):
+        return None  # bootstrap: scripts/pin_bpe_merges.py not run yet
+    with open(path) as f:
+        return _json.load(f)
+
+
+_BPE_PIN = _load_bpe_pin()
+
+
+def bpe_lifecycle(spark, sf_dir):
+    """The FULL tokenizer lifecycle on the driver surface (VERDICT r9
+    #8): bpe_train_batched learns a production-count merge table (128
+    merges, batch 64 — two rounds of one bounded collect + one fold
+    each) on the derived pair-word corpus, then bpe_encode applies it
+    through the AUTO-selected Arrow path (merge count is past the
+    expression cliff) — train-to-encode, end-to-end, every run.
+
+    Oracle: training is deterministic (eager per-round checkpoints,
+    ordered top-M collects, output-collision-safe adoption), so the
+    merge table is pinned at sf0.01 (resources/bpe_merges_batched.json,
+    scripts/pin_bpe_merges.py) and replayed via the wrapped-symbol
+    string rewrite — a hash mismatch catches trainer drift, encoder
+    drift, or batch-adoption drift."""
+    from ..operators.bpe import bpe_encode, bpe_train_batched
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    corpus = _bpe_pair_corpus(d)
+    merges = bpe_train_batched(corpus, n_merges=_BPE_LIFECYCLE_MERGES,
+                               batch=_BPE_LIFECYCLE_BATCH)
+    enc = bpe_encode(corpus, merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "tokens").alias("encoded"),
+    )
+
+
+def _bpe_lifecycle_sql() -> str | None:
+    if _BPE_PIN is None:
+        return None
+    # DuckDB's binder caps expression nesting at 128, so the 128-merge
+    # replace chain is CHUNKED across stacked CTEs (48 merges each —
+    # well under the cap); CTE order preserves merge order exactly.
+    chunks: list[str] = []
+    merges = _BPE_PIN["merges"]
+    prev = "w"
+    for ci in range(0, len(merges), 48):
+        expr = "sym"
+        for left, right in merges[ci:ci + 48]:
+            expr = (f"replace({expr}, '|{left}| |{right}|', "
+                    f"'|{left}{right}|')")
+        name = f"m{ci // 48}"
+        chunks.append(
+            f"{name} AS (SELECT doc_id, pos, {expr} AS sym FROM {prev})")
+        prev = name
+    chain = ",\n".join(chunks)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string([toks[i] || '_' || toks[i+1]
+                          for i in range(1, len(toks))], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+w AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           list_transform(string_split(wd, ''), c -> '|' || c || '|'),
+           ' ') || ' |</w>|' AS sym
+  FROM (
+    SELECT doc_id,
+           unnest(range(len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS wd
+    FROM base)
+),
+{chain},
+agg AS (
+  SELECT doc_id, string_agg(replace(sym, '|', ''), ' ' ORDER BY pos)
+           AS encoded
+  FROM {prev} GROUP BY doc_id
+)
+SELECT doc_id,
+       len(string_split(encoded, ' '))::BIGINT AS n_tokens,
+       encoded
+FROM agg
+"""
+
+
+BPE_LIFECYCLE_SQL = _bpe_lifecycle_sql()
+
+
 # ---- tokenizer fertility (per-source BPE efficiency monitor) ------------
 
 def tokenizer_fertility(spark, sf_dir):
@@ -3552,6 +3684,8 @@ FROM r WHERE rank <= 5
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
+    # NEW r10: full tokenizer lifecycle — batched train -> arrow encode
+    "a0_bpe_lifecycle": (bpe_lifecycle, BPE_LIFECYCLE_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),

@@ -156,3 +156,42 @@ def test_round9_operators_on_empty_docs(spark):
     out = ner_linear_crf(notes)
     assert out.count() == 0
     assert "lexical_variant" in out.columns
+
+
+def test_round10_operators_on_empty_docs(spark):
+    """r10 operators degrade to typed empties (or raise the documented
+    config errors) on empty inputs — nothing crashes mid-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.dedup import (
+        cross_minhash_candidates, minhash_band_index)
+    from edsnlp_spark.operators.trainable import (
+        classify_docs, quantize_linear, train_doc_classifier)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string")
+
+    # fuzzy index of an empty corpus -> empty index; probing an empty
+    # index -> no candidates; empty batch against a real index -> none
+    eidx = minhash_band_index(empty)
+    assert eidx.count() == 0
+    assert cross_minhash_candidates(some, eidx).count() == 0
+    idx = minhash_band_index(some)
+    assert cross_minhash_candidates(empty, idx).count() == 0
+
+    # classifier training on an empty plane raises the documented error
+    lab = empty.select("doc_id", "text",
+                       F.lit(0).cast("int").alias("label"))
+    with pytest.raises(ValueError, match="no training docs"):
+        train_doc_classifier(lab, n_classes=2, n_epochs=1, n_shards=2)
+
+    # the integer scorer over empty docs -> typed empty; over a doc
+    # shorter than the ngram -> zero scores, class-0 tie
+    Wq, bq = quantize_linear([[0.0] * 64, [0.0] * 64], [0.0, 0.0])
+    assert classify_docs(empty, Wq, bq).count() == 0
+    short = spark.createDataFrame([(7, "ab")], "doc_id long, text string")
+    row = classify_docs(short, Wq, bq, class_names=["en", "xx"]).first()
+    assert row["pred"] == 0 and row["score_0"] == 0 and row["score_1"] == 0
+    assert row["pred_name"] == "en"

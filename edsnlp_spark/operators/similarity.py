@@ -557,6 +557,36 @@ def build_ivfpq_index(emb: DataFrame, path: str,
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def ivfpq_index_append(new_emb: DataFrame, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """INCREMENTAL IVF-PQ index update (r10): encode ONLY a new batch
+    of vectors against the saved index's own metadata and append their
+    (n_id, cell, codes) rows to the cell-partitioned codes table — the
+    growing-corpus counterpart of :func:`build_ivfpq_index`.  At 100 TB
+    the corpus grows daily; re-encoding everything per ingest batch is
+    a corpus scan, while this touches batch rows only (quantizer drift
+    is handled by periodic offline retrain+rebuild, the standard IVF
+    operating procedure).  Searches over the appended index are
+    identical to a full rebuild over the union
+    (test_ivfpq_index_append_equals_rebuild).
+
+    Caller contract: new ids must not already exist in the index
+    (dedup upstream); appends are atomic per parquet task but the
+    parquet sink is not transactional across a concurrent search —
+    same caveat as the streaming sinks.
+    """
+    import json as _json
+
+    spark = new_emb.sparkSession
+    meta = _json.loads(
+        spark.read.parquet(f"{path}/meta").first()["meta"])
+    corpus = _ivfpq_corpus(new_emb, meta["centroids"], meta["codebooks"],
+                           id_col, vec_col)
+    corpus.write.mode("append").partitionBy("cell") \
+        .parquet(f"{path}/codes")
+
+
 def ivf_pq_topk_indexed(spark, path: str, queries: DataFrame,
                         k: int = 10, n_probe: int = 2,
                         rerank: int | None = None,

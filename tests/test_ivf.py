@@ -404,3 +404,47 @@ def test_ivfpq_index_roundtrip(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="rerank requires"):
         ivf_pq_topk_indexed(spark, path, queries, rerank=5)
+
+
+def test_ivfpq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """r10: growing-corpus index maintenance — build the index over
+    the first half of the corpus, APPEND the second half encoded
+    against the SAVED metadata (batch rows only, no re-encode of the
+    old half), and the search must be bit-identical to a full rebuild
+    over the union."""
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_index_append, ivf_pq_topk_indexed)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding")
+                    .orderBy("vec_id").collect()
+    ]
+    codebooks = [[s[j * 8:(j + 1) * 8] for s in seeds] for j in range(8)]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    # split by parity; the index metadata derives from `seeds` above,
+    # not from the split, so either half may carry the seed rows
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(old, inc_path, seeds, codebooks)
+    ivfpq_index_append(new, inc_path)
+
+    full_path = str(tmp_path / "ivfpq_full")
+    build_ivfpq_index(emb, full_path, seeds, codebooks)
+
+    def rows(df):
+        return sorted((r["q_id"], r["n_id"], r["rank"], r["adc_dist"])
+                      for r in df.collect())
+
+    got = rows(ivf_pq_topk_indexed(spark, inc_path, queries,
+                                   k=10, n_probe=3))
+    want = rows(ivf_pq_topk_indexed(spark, full_path, queries,
+                                    k=10, n_probe=3))
+    assert got == want and len(got) == 50

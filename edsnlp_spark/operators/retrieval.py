@@ -310,3 +310,65 @@ def rrf_fuse(tiers: list[DataFrame], k: int = 10, c: int = 60,
                 F.col("rank").cast("bigint").alias("rank"),
                 F.round("__s", 6).alias("rrf_score"))
     )
+
+
+def phrase_search_batch(docs: DataFrame, phrases: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        query_id_col: str = "query_id",
+                        phrase_col: str = "phrase") -> DataFrame:
+    """Exact multi-token phrase search for a DATAFRAME of phrase
+    queries via positional-postings intersection — the positional
+    complement to :func:`bm25_topk_batch` (reference analog: the
+    phrase mode of EDSPhraseMatcher, edsnlp/matchers/phrase.py, recast
+    as corpus-scale IR).
+
+    -> (query_id_col, id_col, n_matches, first_pos): one row per
+    (query, doc) with at least one occurrence; ``n_matches`` counts
+    distinct start positions, ``first_pos`` is the earliest 0-based
+    TOKEN offset under the corpus single-space tokenization model.
+
+    Plan: the classic positional-index intersection.  Each phrase
+    explodes to (query, j, term) rows; corpus postings (doc, pos,
+    term) come from ONE posexplode pass immediately semi-joined
+    against the broadcast DISTINCT phrase-term set (the proven
+    bm25_topk_batch shape — the (doc, pos, term) shuffle carries only
+    positions whose term some phrase asked for, never the corpus
+    vocabulary); then one equi-join on term maps every hit to its
+    implied anchor = pos - j, and a (query, doc, anchor) countDistinct
+    over j equal to the phrase length certifies every token of the
+    phrase at consecutive positions.  The phrase-term table is
+    broadcast (queries are small by definition).  A stopword-only
+    phrase keeps its full postings cost — inherent to positional
+    search.
+    """
+    pt = F.split(F.lower(F.col(phrase_col)), " ", -1)
+    qterms = phrases.select(
+        F.col(query_id_col),
+        F.size(pt).alias("m"),
+        F.posexplode(pt).alias("j", "term"),
+    )
+    uterms = qterms.select("term").distinct()
+    toks = _tokens(F.col(text_col))
+    postings = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+        .join(F.broadcast(uterms), "term")
+    )
+    anchored = (
+        postings.join(F.broadcast(qterms), "term")
+        .select(query_id_col, id_col, "m", "j",
+                (F.col("pos") - F.col("j")).alias("anchor"))
+        .filter(F.col("anchor") >= 0)
+    )
+    full = (
+        anchored.groupBy(query_id_col, id_col, "m", "anchor")
+        .agg(F.countDistinct("j").alias("cov"))
+        .filter(F.col("cov") == F.col("m"))
+    )
+    return (
+        full.groupBy(query_id_col, id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"),
+             F.min("anchor").alias("first_pos"))
+        .select(F.col(query_id_col), F.col(id_col),
+                F.col("n_matches").cast("bigint").alias("n_matches"),
+                F.col("first_pos").cast("bigint").alias("first_pos"))
+    )

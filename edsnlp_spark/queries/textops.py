@@ -3681,6 +3681,51 @@ FROM r WHERE rank <= 5
 """
 
 
+
+def phrase_search(spark, sf_dir):
+    """Exact multi-token phrase queries over the corpus via the
+    positional-postings intersection (retrieval.phrase_search_batch):
+    one posexplode pass semi-joined by the broadcast phrase-term set,
+    anchor = pos - j, coverage certified by countDistinct(j) == m.
+    Includes a repeated-token phrase ('table table') to exercise the
+    distinct-j coverage logic."""
+    from ..operators.retrieval import phrase_search_batch
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "table table"), (1, "fast merge batch"),
+         (2, "scan query big"), (3, "window stream sort")],
+        "query_id long, phrase string")
+    return phrase_search_batch(d, q)
+
+
+PHRASE_SEARCH_SQL = """
+WITH q(query_id, phrase) AS (
+  VALUES (0, 'table table'), (1, 'fast merge batch'),
+         (2, 'scan query big'), (3, 'window stream sort')
+),
+qt AS (
+  SELECT query_id, m, unnest(range(0, m)) AS j, unnest(pt) AS term
+  FROM (SELECT query_id, string_split(lower(phrase), ' ') AS pt,
+               len(string_split(lower(phrase), ' ')) AS m FROM q)
+),
+p AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS term
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents)
+),
+f AS (
+  SELECT query_id, doc_id, anchor
+  FROM (SELECT query_id, doc_id, m, j, pos - j AS anchor
+        FROM p JOIN qt USING (term) WHERE pos - j >= 0)
+  GROUP BY query_id, doc_id, m, anchor
+  HAVING COUNT(DISTINCT j) = m
+)
+SELECT query_id::BIGINT AS query_id, doc_id,
+       COUNT(*)::BIGINT AS n_matches, MIN(anchor)::BIGINT AS first_pos
+FROM f GROUP BY query_id, doc_id
+"""
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
@@ -3710,6 +3755,8 @@ QUERIES = {
                                  CORPUS_LENGTH_PROFILE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    # NEW r10 session-2: positional phrase search
+    "a0_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "hll_distinct_windows": (hll_distinct_windows,

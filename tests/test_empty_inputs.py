@@ -195,3 +195,16 @@ def test_round10_operators_on_empty_docs(spark):
     row = classify_docs(short, Wq, bq, class_names=["en", "xx"]).first()
     assert row["pred"] == 0 and row["score_0"] == 0 and row["score_1"] == 0
     assert row["pred_name"] == "en"
+
+
+def test_phrase_search_empty_inputs(spark):
+    from edsnlp_spark.operators.retrieval import phrase_search_batch
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    q = spark.createDataFrame([(0, "a b")], "query_id long, phrase string")
+    qe = spark.createDataFrame([], "query_id long, phrase string")
+    out = phrase_search_batch(empty, q)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "n_matches", "first_pos"]
+    assert phrase_search_batch(some, qe).count() == 0

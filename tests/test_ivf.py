@@ -448,3 +448,38 @@ def test_ivfpq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     want = rows(ivf_pq_topk_indexed(spark, full_path, queries,
                                     k=10, n_probe=3))
     assert got == want and len(got) == 50
+
+
+def test_phrase_search_batch_hand_computed(spark):
+    """Positional intersection on a corpus small enough to grep by
+    eye: overlapping matches, repeated-token phrase, case folding,
+    and a phrase that crosses nothing (absent middle term)."""
+    from edsnlp_spark.operators.retrieval import phrase_search_batch
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # "a b a" at 0 and 2 (overlap)
+         (2, "x a a y"),          # "a a" at 1
+         (3, "A B c"),            # case-folded "a b c" at 0
+         (4, "a c b")],           # no phrase
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(0, "a b a"), (1, "a a"), (2, "a b c"), (3, "a z c")],
+        "query_id long, phrase string")
+    got = {(r.query_id, r.doc_id): (r.n_matches, r.first_pos)
+           for r in phrase_search_batch(docs, q).collect()}
+    assert got == {
+        (0, 1): (2, 0),
+        (1, 2): (1, 1),
+        (2, 3): (1, 0),
+    }
+
+
+def test_phrase_search_batch_single_token(spark):
+    from edsnlp_spark.operators.retrieval import phrase_search_batch
+
+    docs = spark.createDataFrame(
+        [(1, "q w q"), (2, "w w")], "doc_id long, text string")
+    q = spark.createDataFrame([(7, "q")], "query_id long, phrase string")
+    got = {(r.query_id, r.doc_id): (r.n_matches, r.first_pos)
+           for r in phrase_search_batch(docs, q).collect()}
+    assert got == {(7, 1): (2, 0)}

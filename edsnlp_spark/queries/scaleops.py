@@ -1418,8 +1418,80 @@ WHERE p.pos_id <> n.neg_id
 """
 
 
+
+def pagerank_copurchase(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.py) over the part
+    co-purchase graph: part u -> v iff u and v appear in some common
+    order (degrees 42-206 at sf0.01 — real rank differentiation).  8
+    iterations, rank int64-scaled by 1e6 — every update is int64-only
+    (contribution = rank DIV deg, damping = 17*sum DIV 20) so the
+    recursive-CTE oracle reproduces ranks bit-for-bit."""
+    from ..operators.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    r = pagerank(edges, iterations=8)
+    return r.select(F.col("node").alias("p_partkey"),
+                    F.col("rank").alias("pagerank_q"))
+
+
+PAGERANK_COPURCHASE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) AS idx
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+adjrow AS (
+  SELECT nv.idx AS vidx,
+         COALESCE(list(nu.idx ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inb,
+         COALESCE(list(dg.d ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inbdeg
+  FROM nodes nv
+  LEFT JOIN e ON e.dst = nv.node
+  LEFT JOIN nodes nu ON e.src = nu.node
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY nv.idx
+),
+g AS (
+  SELECT (SELECT COUNT(*) FROM nodes) AS n,
+         list(inb ORDER BY vidx) AS adj,
+         list(inbdeg ORDER BY vidx) AS adjdeg
+  FROM adjrow
+),
+pr AS (
+  SELECT 0 AS it,
+         list_transform(range(1, n + 1), x -> 1000000::BIGINT) AS r
+  FROM g
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(1, n + 1), v ->
+           150000::BIGINT
+           + (17 * COALESCE(list_sum(
+               list_transform(range(1, len(adj[v]) + 1),
+                              k -> r[adj[v][k]] // adjdeg[v][k])),
+               0)) // 20)
+  FROM pr, g WHERE it < 8
+)
+SELECT nodes.node AS p_partkey, pr.r[nodes.idx] AS pagerank_q
+FROM nodes, pr WHERE pr.it = 8
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
+    # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
+    "a0_pagerank_copurchase": (pagerank_copurchase,
+                               PAGERANK_COPURCHASE_SQL),
     # NEW r10: incremental fuzzy dedup against the persisted band index
     "a0_cross_minhash_dedup": (cross_minhash_dedup,
                                CROSS_MINHASH_DEDUP_SQL),

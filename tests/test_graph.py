@@ -1,0 +1,36 @@
+"""PageRank (operators/graph.py): hand-computed integer updates,
+dangling handling, empty input."""
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_hand_computed(spark):
+    from edsnlp_spark.operators.graph import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 1; node 3 dangles (out-mass dropped).
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "src long, dst long")
+    # iteration 1 (r0 = 1e6):
+    #   r(2) = r(3) = 150000 + 17*(1e6 DIV 2) DIV 20 = 575000
+    #   r(1) = 150000 + 17*(1e6 DIV 1) DIV 20 = 1000000
+    assert _ranks(pagerank(edges, iterations=1)) == {
+        1: 1_000_000, 2: 575_000, 3: 575_000}
+    # iteration 2:
+    #   r(1) = 150000 + 17*575000 DIV 20 = 638750
+    #   r(2) = r(3) = 150000 + 17*(1000000 DIV 2) DIV 20 = 575000
+    assert _ranks(pagerank(edges, iterations=2)) == {
+        1: 638_750, 2: 575_000, 3: 575_000}
+
+
+def test_pagerank_zero_iterations_and_empty(spark):
+    from edsnlp_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert _ranks(pagerank(edges, iterations=0)) == {
+        1: 1_000_000, 2: 1_000_000}
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, iterations=3)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank"]

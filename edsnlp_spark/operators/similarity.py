@@ -863,3 +863,84 @@ def hard_negative_triplets(emb: DataFrame, centroids: list[list[float]],
                 F.col("p.cos").alias("pos_cos"),
                 F.col("q.cos").alias("neg_cos"))
     )
+
+
+def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 10,
+               n_candidates: int = 20, lam_num: int = 7,
+               lam_den: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id",
+               q_vec_col: str = "q_vec") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): greedily pick
+    ``argmax lam*rel(d) - (1-lam)*max_{s in selected} sim(d, s)`` so
+    the returned k trade relevance against redundancy — the standard
+    result-diversification pass a RAG/retrieval pipeline runs after
+    ANN.
+
+    -> (q_id, doc_id, mmr_rank, mmr_score): ``mmr_score`` is the
+    INTEGER selection score ``lam_num*rel - (lam_den-lam_num)*maxsim``
+    where rel/sim are cosines rounded to 4dp and scaled to 1e4 ints —
+    the greedy is integer-only, so ranks and scores are engine-exact
+    (ties break to the smaller doc id).
+
+    Scale shape: relevance comes from the exact brute-force tier
+    (swap in an IVF-PQ tier upstream for big corpora); everything
+    after is confined to the n_candidates x n_candidates pairwise
+    plane PER QUERY (cosines computed JVM-side by the same
+    left-to-right fold every oracle mirrors), and the greedy runs in
+    ONE applyInPandas over each query's bounded candidate group —
+    never a corpus-wide operation.  lam defaults to 0.7.
+    """
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("mmr_rerank requires 0 < lam_num <= lam_den")
+    cand = brute_force_topk(emb, queries, k=n_candidates,
+                            id_col=id_col, vec_col=vec_col,
+                            q_id_col=q_id_col, q_vec_col=q_vec_col)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = emb.select(F.col(id_col).alias("__vid"), vec.alias("__v"))
+    withv = (cand.select("q_id", "n_id",
+                         F.round(F.col("cos_sim") * 10000, 0)
+                          .cast("long").alias("rel"))
+             .join(vecs, F.col("n_id") == F.col("__vid"))
+             .drop("__vid"))
+    c1 = withv.select(F.col("q_id"), F.col("n_id").alias("d1"),
+                      F.col("rel").alias("rel1"), F.col("__v").alias("v1"))
+    c2 = withv.select(F.col("q_id"), F.col("n_id").alias("d2"),
+                      F.col("__v").alias("v2"))
+    pairs = (
+        c1.join(c2, "q_id")
+        .select("q_id", "d1", "rel1", "d2",
+                F.round(F.round(cosine(F.col("v1"), F.col("v2")), 4)
+                        * 10000, 0).cast("long").alias("sim"))
+    )
+    mu_num, mu_den = int(lam_num), int(lam_den)
+    kk = int(k)
+
+    def greedy(pdf):
+        import pandas as pd
+        rel: dict = {}
+        sim: dict = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.d1] = r.rel1
+            sim[(r.d1, r.d2)] = r.sim
+        qid = pdf["q_id"].iloc[0]
+        remaining = sorted(rel)
+        sel: list = []
+        rows = []
+        for rank in range(1, min(kk, len(remaining)) + 1):
+            best_key, best_d = None, None
+            for d in remaining:
+                ms = max((sim[(d, s)] for s in sel), default=0)
+                sc = mu_num * rel[d] - (mu_den - mu_num) * ms
+                key = (sc, -d)
+                if best_key is None or key > best_key:
+                    best_key, best_d = key, d
+            rows.append((qid, best_d, rank, best_key[0]))
+            sel.append(best_d)
+            remaining.remove(best_d)
+        return pd.DataFrame(
+            rows, columns=["q_id", "doc_id", "mmr_rank", "mmr_score"])
+
+    return pairs.groupBy("q_id").applyInPandas(
+        greedy, "q_id long, doc_id long, mmr_rank long, mmr_score long")

@@ -1487,11 +1487,98 @@ FROM nodes, pr WHERE pr.it = 8
 """
 
 
+
+def mmr_diversified_search(spark, sf_dir):
+    """MMR-diversified top-10 (similarity.mmr_rerank): brute-force
+    relevance tier -> 20-candidate pairwise plane -> integer greedy
+    (lam = 0.7, cosines rounded 4dp and scaled to 1e4 ints) inside one
+    applyInPandas per bounded query group.  Oracle = the same greedy
+    as a recursive CTE with list accumulators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return S.mmr_rerank(emb, queries, k=10, n_candidates=20)
+
+
+MMR_DIVERSIFIED_SEARCH_SQL = """
+WITH RECURSIVE q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))) AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+cand AS (
+  SELECT q_id, n_id, ROUND(ROUND(cos, 4) * 10000, 0)::BIGINT AS rel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, n_id) AS rank
+        FROM scored)
+  WHERE rank <= 20
+),
+cv AS (
+  SELECT c.q_id, c.n_id, c.rel, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.n_id
+),
+pw AS (
+  SELECT a.q_id, a.n_id AS d1, a.rel AS rel1, b.n_id AS d2,
+         ROUND(ROUND(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 4)
+               * 10000, 0)::BIGINT AS s
+  FROM cv a JOIN cv b USING (q_id)
+),
+rows_ AS (
+  SELECT q_id, d1, any_value(rel1) AS rel, list(s ORDER BY d2) AS srow
+  FROM pw GROUP BY q_id, d1
+),
+g AS (
+  SELECT q_id, list(d1 ORDER BY d1) AS ds,
+         list(rel ORDER BY d1) AS rels,
+         list(srow ORDER BY d1) AS sm
+  FROM rows_ GROUP BY q_id
+),
+st AS (
+  SELECT q_id, ds, rels, sm, 0 AS it,
+         []::BIGINT[] AS sel, []::BIGINT[] AS picks,
+         []::BIGINT[] AS scores
+  FROM g
+  UNION ALL
+  SELECT q_id, ds, rels, sm, it + 1,
+         list_append(sel, best[3]),
+         list_append(picks, ds[best[3]]),
+         list_append(scores, best[1])
+  FROM (
+    SELECT q_id, ds, rels, sm, it, sel, picks, scores,
+           list_max(list_transform(
+             list_filter(range(1, len(ds) + 1),
+                         i -> NOT list_contains(sel, i)),
+             i -> [7 * rels[i]
+                   - 3 * COALESCE(list_max(
+                       list_transform(sel, j -> sm[i][j])), 0),
+                   -ds[i], i])) AS best
+    FROM st WHERE it < 10 AND it < len(ds)
+  )
+)
+SELECT q_id, unnest(picks) AS doc_id,
+       unnest(range(1, len(picks) + 1)) AS mmr_rank,
+       unnest(scores) AS mmr_score
+FROM st WHERE it = least(10, len(ds))
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: MMR result diversification
+    "a0_mmr_diversified_search": (mmr_diversified_search,
+                                  MMR_DIVERSIFIED_SEARCH_SQL),
     # NEW r10: incremental fuzzy dedup against the persisted band index
     "a0_cross_minhash_dedup": (cross_minhash_dedup,
                                CROSS_MINHASH_DEDUP_SQL),

@@ -483,3 +483,42 @@ def test_phrase_search_batch_single_token(spark):
     got = {(r.query_id, r.doc_id): (r.n_matches, r.first_pos)
            for r in phrase_search_batch(docs, q).collect()}
     assert got == {(7, 1): (2, 0)}
+
+
+def test_mmr_rerank_diversifies(spark):
+    """With a near-duplicate pair (a, b) ranked 1-2 by relevance and a
+    diverse doc c close behind, MMR at lam=0.7 picks c second while
+    lam=1.0 (pure relevance) keeps b second."""
+    from edsnlp_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # the query vector
+        (1, [0.98, 0.199, 0.0]),       # a: rel ~.98
+        (2, [0.97, 0.2426, 0.0]),      # b: rel ~.97, sim(a,b) ~.999
+        (3, [0.90, -0.412, 0.1425]),   # c: rel ~.90, sim(a,c) ~.80
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+
+    div = mmr_rerank(emb, q, k=3, n_candidates=3)
+    order = [r.doc_id for r in div.orderBy("mmr_rank").collect()]
+    assert order == [1, 3, 2]
+
+    flat = mmr_rerank(emb, q, k=3, n_candidates=3,
+                      lam_num=10, lam_den=10)
+    order = [r.doc_id for r in flat.orderBy("mmr_rank").collect()]
+    assert order == [1, 2, 3]
+
+
+def test_mmr_rerank_k_exceeds_candidates(spark):
+    from edsnlp_spark.operators.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding as q_vec")
+    out = mmr_rerank(emb, q, k=10, n_candidates=10).collect()
+    assert len(out) == 2  # only 2 non-self candidates exist
+    assert sorted(r.mmr_rank for r in out) == [1, 2]

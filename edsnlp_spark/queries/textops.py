@@ -3726,11 +3726,111 @@ FROM f GROUP BY query_id, doc_id
 """
 
 
+
+def _load_unigram_pin():
+    """Pinned unigram-LM tokenizer vocabulary (sf0.01;
+    scripts/pin_unigram_vocab.py)."""
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources", "unigram_vocab.json")
+    try:
+        with open(path) as f:
+            return _json.load(f)
+    except OSError:
+        return None
+
+
+_UNIGRAM_PIN = _load_unigram_pin()
+
+
+def unigram_tokenizer(spark, sf_dir):
+    """The unigram-LM tokenizer lifecycle (SentencePiece, Kudo 2018 —
+    the vocabulary-scoring complement to a0_bpe_lifecycle): RETRAINS
+    the piece vocabulary per run (substring seeding + 2 hard-EM
+    Viterbi rounds, operators/unigram.py), Viterbi-encodes the
+    distinct-word plane under it, and rolls per-doc subword stats.
+
+    Oracle: training is deterministic (exact integer E-step counts,
+    sorted bounded M-step), so the vocabulary is pinned at sf0.01
+    (resources/unigram_vocab.json) and the oracle replays the integer
+    encode dp as a recursive CTE — a hash mismatch catches trainer OR
+    encoder drift."""
+    from ..operators.unigram import unigram_encode_words, unigram_train
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    vocab, unk = unigram_train(
+        d, vocab_size=300, seed_size=800, max_piece_len=6,
+        iterations=2, scale=4096)
+    words = d.select(
+        F.explode(F.split("text", " ", -1)).alias("word")).distinct()
+    enc = unigram_encode_words(words, vocab, unk, max_piece_len=6)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    return (
+        tok.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+             F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+             F.sum("score_q").cast("bigint").alias("score_q"))
+        .select("doc_id", "n_words", "n_pieces", "score_q",
+                F.round(F.col("n_pieces").cast("double")
+                        / F.col("n_words"), 4).alias("fertility"))
+    )
+
+
+def _unigram_tokenizer_sql():
+    if _UNIGRAM_PIN is None:
+        return None
+    items = ", ".join(
+        "'" + k.replace("'", "''") + "': " + str(v)
+        for k, v in sorted(_UNIGRAM_PIN["vocab"].items()))
+    unk = _UNIGRAM_PIN["unk"]
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+),
+st AS (
+  SELECT word, length(word)::BIGINT AS L, 0::BIGINT AS it,
+         [0::BIGINT] AS dp
+  FROM w
+  UNION ALL
+  SELECT word, L, it + 1,
+    list_append(dp, list_max(
+      list_transform(range(greatest(0, it + 1 - 6), it + 1),
+        j -> dp[j + 1] + COALESCE(
+               ((MAP {{{items}}})[substr(word, (j + 1)::INT,
+                                         (it + 1 - j)::INT)])[1],
+               CASE WHEN it + 1 - j = 1 THEN {unk} ELSE NULL END)
+             * 64 - 1)))
+  FROM st WHERE it < L
+),
+enc AS (
+  SELECT word, (-dp[L + 1]) % 64 AS n_pieces,
+         (dp[L + 1] + (-dp[L + 1]) % 64) // 64 AS score_q
+  FROM st WHERE it = L
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(n_pieces)::BIGINT AS n_pieces,
+       SUM(score_q)::BIGINT AS score_q,
+       ROUND(SUM(n_pieces)::DOUBLE / COUNT(*), 4) AS fertility
+FROM tok JOIN enc USING (word) GROUP BY doc_id
+"""
+
+
+UNIGRAM_TOKENIZER_SQL = _unigram_tokenizer_sql()
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
     # NEW r10: full tokenizer lifecycle — batched train -> arrow encode
     "a0_bpe_lifecycle": (bpe_lifecycle, BPE_LIFECYCLE_SQL),
+    # NEW r10 session-2: unigram-LM tokenizer lifecycle (train + encode)
+    "a0_unigram_tokenizer": (unigram_tokenizer, UNIGRAM_TOKENIZER_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "cross_corpus_dedup": (cross_corpus_dedup, CROSS_CORPUS_DEDUP_SQL),

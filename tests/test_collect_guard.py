@@ -53,6 +53,14 @@ ALLOWED = {
     ("operators/similarity.py", "centroid_stats.collect()"):
         "PQ Lloyd update: groupBy(subspace, code) has at most m*k rows "
         "(index metadata, never corpus rows)",
+    ("operators/unigram.py", 'F.length("piece") == 1).collect()'):
+        "unigram seed singles: bounded by the corpus CHARACTER set",
+    ("operators/unigram.py", ".limit(int(seed_size)).collect()"):
+        "unigram multi-char seeds: top-seed_size rows (config-bounded)"
+        " via TakeOrderedAndProject",
+    ("operators/unigram.py", "used_rows.collect()"):
+        "unigram E-step piece usage: groupBy over the current "
+        "vocabulary — at most vocab_size+charset rows per iteration",
 }
 
 

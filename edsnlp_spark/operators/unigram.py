@@ -135,6 +135,8 @@ def unigram_train(docs: DataFrame, vocab_size: int = 300,
     }
     counts = dict(singles)
     counts.update(multi)
+    if not counts:  # empty corpus: everything encodes as unk
+        return {}, -int(scale)
     vocab = _scores_from_counts(counts, scale)
     unk = min(vocab.values()) - scale
 

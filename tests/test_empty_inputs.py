@@ -208,3 +208,24 @@ def test_phrase_search_empty_inputs(spark):
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "n_matches", "first_pos"]
     assert phrase_search_batch(some, qe).count() == 0
+
+
+def test_unigram_and_mmr_empty_inputs(spark):
+    from edsnlp_spark.operators.similarity import mmr_rerank
+    from edsnlp_spark.operators.unigram import (
+        unigram_encode_words, unigram_train)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    vocab, unk = unigram_train(empty_docs, vocab_size=10, seed_size=10)
+    assert vocab == {} and unk < 0
+    w = spark.createDataFrame([("ab",)], "word string")
+    row = unigram_encode_words(w, vocab, unk).collect()[0]
+    assert row.n_pieces == 2 and row.score_q == 2 * unk
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_vec array<float>")
+    out = mmr_rerank(empty_emb, q, k=5, n_candidates=5)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "doc_id", "mmr_rank", "mmr_score"]

@@ -121,6 +121,15 @@ HEADLINE = R1_SET + [
     # encode every run by design (~6.5s warm at sf0.1 — the cost IS
     # two training rounds; the encode alone is ~0.5s)
     "a0_bpe_lifecycle",
+    # round-10 session-2 additions: positional phrase search (postings
+    # intersection), integer-exact PageRank (RETRAINS nothing but runs
+    # 8 checkpointed iterations over the 1995 co-purchase graph), MMR
+    # result diversification, and the unigram-LM tokenizer lifecycle
+    # (RETRAINS 2 hard-EM rounds per run by design, like bpe_lifecycle)
+    "a0_phrase_search",
+    "a0_pagerank_copurchase",
+    "a0_mmr_diversified_search",
+    "a0_unigram_tokenizer",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate
@@ -318,7 +327,10 @@ def main() -> None:
                  "a0_source_divergence", "a0_winnowing_fp",
                  "bm25_search_batch",
                  # r9: timed 10x ratios for the round's two heavies
-                 "a0_hybrid_retrieval", "a0_ner_crf_viterbi"]
+                 "a0_hybrid_retrieval", "a0_ner_crf_viterbi",
+                 # r10: the session-2 heavies — 8 checkpointed PageRank
+                 # iterations and the retraining unigram lifecycle
+                 "a0_pagerank_copurchase", "a0_unigram_tokenizer"]
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

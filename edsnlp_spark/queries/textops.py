@@ -3824,6 +3824,78 @@ FROM tok JOIN enc USING (word) GROUP BY doc_id
 UNIGRAM_TOKENIZER_SQL = _unigram_tokenizer_sql()
 
 
+
+def rouge_overlap(spark, sf_dir):
+    """ROUGE-1 + ROUGE-2 (metrics.rouge_n) scoring each document
+    against its successor (doc i as candidate, doc i+1 as reference) —
+    the generation-eval overlap metric, with clipped multiset n-gram
+    counts and exact 0-guarded P/R/F1 arithmetic shared with the
+    oracle."""
+    from ..operators.metrics import rouge_n
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(F.col("doc_id").alias("pair_id"), "text")
+    ref = (d.select((F.col("doc_id") - 1).alias("pair_id"), "text")
+           .filter(F.col("pair_id") >= 0))
+    return rouge_n(cand, ref, 1).unionByName(rouge_n(cand, ref, 2))
+
+
+def _rouge_overlap_sql() -> str:
+    gen = {
+        1: "toks",
+        2: "[array_to_string(toks[i:i+1], ' ') "
+           "for i in range(1, len(toks))]",
+    }
+    parts = []
+    for n, g in gen.items():
+        parts.append(f"""
+SELECT pair_id, {n} AS n, overlap, n_cand, n_ref,
+       ROUND(p, 4) AS precision,
+       ROUND(r, 4) AS recall,
+       ROUND(CASE WHEN overlap > 0 THEN 2.0 * p * r / (p + r)
+                  ELSE 0.0 END, 4) AS f1
+FROM (
+  SELECT pair_id, overlap, n_cand, n_ref,
+         CASE WHEN n_cand > 0 THEN overlap::DOUBLE / n_cand
+              ELSE 0.0 END AS p,
+         CASE WHEN n_ref > 0 THEN overlap::DOUBLE / n_ref
+              ELSE 0.0 END AS r
+  FROM (
+    SELECT t.pair_id,
+           t.n_cand, u.n_ref,
+           COALESCE(o.overlap, 0)::BIGINT AS overlap
+    FROM (SELECT pair_id, len({g})::BIGINT AS n_cand FROM c) t
+    JOIN (SELECT pair_id, len({g})::BIGINT AS n_ref FROM r) u
+      USING (pair_id)
+    LEFT JOIN (
+      SELECT pair_id, SUM(LEAST(cc, rc))::BIGINT AS overlap
+      FROM (SELECT pair_id, gram, COUNT(*) AS cc
+            FROM (SELECT pair_id, unnest({g}) AS gram FROM c)
+            GROUP BY 1, 2) a
+      JOIN (SELECT pair_id, gram, COUNT(*) AS rc
+            FROM (SELECT pair_id, unnest({g}) AS gram FROM r)
+            GROUP BY 1, 2) b
+        USING (pair_id, gram)
+      GROUP BY pair_id) o
+      USING (pair_id)
+  )
+)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH c AS (
+  SELECT doc_id AS pair_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id - 1 AS pair_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id >= 1
+)
+{body}
+"""
+
+
+ROUGE_OVERLAP_SQL = _rouge_overlap_sql()
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
@@ -3855,6 +3927,8 @@ QUERIES = {
                                  CORPUS_LENGTH_PROFILE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    # NEW r10 session-2: ROUGE-N generation-eval overlap
+    "a0_rouge_overlap": (rouge_overlap, ROUGE_OVERLAP_SQL),
     # NEW r10 session-2: positional phrase search
     "a0_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),

@@ -151,3 +151,32 @@ def test_dep_parsing_metrics(spark):
         "note_id long, token_i int, head_i int, label string")
     out2 = {r["metric"]: r for r in dep_parsing_metrics(pred2, gold).collect()}
     assert out2["uas"]["tp"] == 3 and out2["las"]["tp"] == 2
+
+
+def test_rouge_n_hand_computed(spark):
+    from edsnlp_spark.operators.metrics import rouge_n
+
+    cand = spark.createDataFrame([(0, "a b a c")],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(0, "a b b")],
+                                "pair_id long, text string")
+    r1 = rouge_n(cand, ref, 1).collect()[0]
+    # clipped: min(2,1) for 'a' + min(1,2) for 'b' = 2
+    assert (r1.overlap, r1.n_cand, r1.n_ref) == (2, 4, 3)
+    assert (r1.precision, r1.recall, r1.f1) == (0.5, 0.6667, 0.5714)
+    r2 = rouge_n(cand, ref, 2).collect()[0]
+    assert (r2.overlap, r2.n_cand, r2.n_ref) == (1, 3, 2)
+    assert (r2.precision, r2.recall, r2.f1) == (0.3333, 0.5, 0.4)
+
+
+def test_rouge_n_zero_overlap_and_missing_pairs(spark):
+    from edsnlp_spark.operators.metrics import rouge_n
+
+    cand = spark.createDataFrame([(0, "x y"), (1, "p q")],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(0, "z w")],
+                                "pair_id long, text string")
+    rows = rouge_n(cand, ref, 1).collect()
+    assert len(rows) == 1  # pair 1 has no reference -> dropped
+    r = rows[0]
+    assert r.overlap == 0 and r.precision == 0.0 and r.f1 == 0.0

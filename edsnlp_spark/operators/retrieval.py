@@ -372,3 +372,102 @@ def phrase_search_batch(docs: DataFrame, phrases: DataFrame,
                 F.col("n_matches").cast("bigint").alias("n_matches"),
                 F.col("first_pos").cast("bigint").alias("first_pos"))
     )
+
+
+def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """OFFLINE inverted-index build — the lexical twin of
+    ``similarity.build_ivfpq_index``: materialize the postings plane
+    (bucket, term, doc_id, tf, dl) as parquet PARTITIONED BY a
+    term-hash bucket, plus a 1-row metadata table (n_docs, sum_dl,
+    n_buckets).  Tokenization is paid ONCE per corpus snapshot; the
+    online path reads only the query terms' bucket partitions
+    (partition pruning — at 100 TB the difference between an index
+    read and a corpus re-tokenization).  ``dl`` is denormalized onto
+    every posting so scoring never joins a doc-scale table.
+    """
+    if n_buckets < 1:
+        raise ValueError("build_text_index requires n_buckets >= 1")
+    toks = _tokens(F.col(text_col))
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.size(toks).cast("long").alias("dl"),
+                    F.explode(toks).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(int(n_buckets))))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    spark = docs.sparkSession
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+        F.lit(int(n_buckets)).alias("n_buckets"))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_topk_indexed(spark, path: str, queries: DataFrame,
+                      k: int = 10, k1: float = 1.2, b: float = 0.75,
+                      query_id_col: str = "query_id",
+                      terms_col: str = "terms") -> DataFrame:
+    """Online BM25 top-k over the PERSISTED inverted index written by
+    :func:`build_text_index` — bit-identical to
+    :func:`bm25_topk_batch` on the same corpus (roundtrip-pinned) but
+    the corpus is never re-tokenized: the query terms' hash buckets
+    are computed driver-side (bounded by n_buckets) and pushed as a
+    LITERAL partition filter, so the scan touches only those buckets'
+    files; per-term df comes from the pruned postings themselves.
+    """
+    if k < 1:
+        raise ValueError("bm25_topk_indexed requires k >= 1")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_docs, sum_dl = float(meta["n_docs"]), float(meta["sum_dl"])
+    n_buckets = int(meta["n_buckets"])
+    uterms = queries.select(
+        F.explode(F.col(terms_col)).alias("term")).distinct()
+    # bounded by construction: <= n_buckets distinct hash buckets
+    buckets = [
+        r["bucket"]
+        for r in uterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            .alias("bucket")).distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .join(F.broadcast(uterms), "term")
+        .select("term", "doc_id", F.col("tf").cast("double").alias("tf"),
+                F.col("dl").cast("double").alias("dl"))
+    )
+    postings = tracked_persist(postings, "retrieval")
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = (
+        queries.select(F.col(query_id_col),
+                       F.explode(F.col(terms_col)).alias("term"))
+        .distinct()
+        .join(term_df, "term")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    norm = (F.lit(k1) * (F.lit(1.0 - b)
+                         + F.lit(b) * F.col("dl") * F.lit(n_docs)
+                         / F.lit(sum_dl)))
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm))
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.sum(contrib).alias("__s"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("__s", 4).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(query_id_col), F.col("doc_id"),
+                F.col("rank").cast("bigint"),
+                F.round("__s", 4).alias("score"))
+    )

@@ -3896,6 +3896,104 @@ r AS (
 ROUGE_OVERLAP_SQL = _rouge_overlap_sql()
 
 
+
+_TEXT_INDEX_BUILT: set = set()
+
+
+def _text_seed_index(spark, sf_dir) -> str:
+    """Build-or-reuse the PERSISTED inverted index for ``sf_dir`` (the
+    lexical twin of scaleops._ivfpq_seed_index): postings partitioned
+    by term-hash bucket under the gitignored ``.text_index/<tag>``,
+    keyed by data path + documents fingerprint + index config, so a
+    regenerated corpus rebuilds instead of serving stale postings.
+    Tokenization cost is paid once per corpus snapshot; every search
+    after that reads only the query terms' bucket partitions."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..operators.retrieval import build_text_index
+
+    src_path = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src_path)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "unknown"
+    tag = _hashlib.md5(
+        f"{_os.path.abspath(sf_dir)}|buckets64|{fp}".encode()
+    ).hexdigest()[:16]
+    repo = _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))))
+    path = _os.path.join(repo, ".text_index", tag)
+    if tag not in _TEXT_INDEX_BUILT:
+        done = all(
+            _os.path.exists(_os.path.join(path, part, "_SUCCESS"))
+            for part in ("postings", "meta"))
+        if not done:
+            build_text_index(_t(spark, sf_dir, "documents"), path,
+                             n_buckets=64)
+        _TEXT_INDEX_BUILT.add(tag)
+    return path
+
+
+def bm25_indexed_search(spark, sf_dir):
+    """BM25 top-5 per query served from the PERSISTED inverted index
+    (retrieval.bm25_topk_indexed): the corpus is never re-tokenized —
+    the scan is pruned to the query terms' bucket partitions and df/tf
+    come from the stored postings.  Bit-identical to recomputing from
+    text (the oracle recomputes), so a hash mismatch catches builder
+    OR reader drift."""
+    from ..operators.retrieval import bm25_topk_indexed
+    path = _text_seed_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(0, ["table", "merge"]), (1, ["vector", "scan", "slow"]),
+         (2, ["agg", "stream"])],
+        "query_id long, terms array<string>")
+    return bm25_topk_indexed(spark, path, q, k=5)
+
+
+BM25_INDEXED_SEARCH_SQL = """
+WITH q(query_id, term) AS (
+  VALUES (0, 'table'), (0, 'merge'),
+         (1, 'vector'), (1, 'scan'), (1, 'slow'),
+         (2, 'agg'), (2, 'stream')
+),
+tokd AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term
+    FROM tokd)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM p GROUP BY doc_id)
+),
+tdf AS (
+  SELECT term, COUNT(*)::DOUBLE AS df FROM p
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))) AS s
+  FROM q JOIN tdf USING (term) JOIN p USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id
+),
+r AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(s, 4) DESC, doc_id) AS rank, s
+  FROM scored
+)
+SELECT query_id, doc_id, rank::BIGINT AS rank, ROUND(s, 4) AS score
+FROM r WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
@@ -3931,6 +4029,8 @@ QUERIES = {
     "a0_rouge_overlap": (rouge_overlap, ROUGE_OVERLAP_SQL),
     # NEW r10 session-2: positional phrase search
     "a0_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
+    # NEW r10 session-2: BM25 served from the persisted inverted index
+    "a0_bm25_indexed_search": (bm25_indexed_search, BM25_INDEXED_SEARCH_SQL),
     "bm25_eval_metrics": (bm25_eval_metrics, BM25_EVAL_METRICS_SQL),
     "dsir_selection": (dsir_selection, DSIR_SELECTION_SQL),
     "hll_distinct_windows": (hll_distinct_windows,

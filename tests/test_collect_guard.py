@@ -58,6 +58,13 @@ ALLOWED = {
     ("operators/unigram.py", ".limit(int(seed_size)).collect()"):
         "unigram multi-char seeds: top-seed_size rows (config-bounded)"
         " via TakeOrderedAndProject",
+    ("operators/retrieval.py",
+     'spark.read.parquet(f"{path}/meta").first()'):
+        "saved inverted-index metadata: exactly one row by construction"
+        " (build_text_index coalesce(1) writes a single stats record)",
+    ("operators/retrieval.py", '.alias("bucket")).distinct().collect()'):
+        "query-term hash buckets: bounded by the n_buckets index config"
+        " (<= 64), pushed as a literal partition filter",
     ("operators/unigram.py", "used_rows.collect()"):
         "unigram E-step piece usage: groupBy over the current "
         "vocabulary — at most vocab_size+charset rows per iteration",

@@ -522,3 +522,29 @@ def test_mmr_rerank_k_exceeds_candidates(spark):
     out = mmr_rerank(emb, q, k=10, n_candidates=10).collect()
     assert len(out) == 2  # only 2 non-self candidates exist
     assert sorted(r.mmr_rank for r in out) == [1, 2]
+
+
+def test_bm25_indexed_roundtrip_bit_identical(spark, tmp_path):
+    """The persisted inverted index must reproduce bm25_topk_batch
+    exactly — builder or reader drift breaks this pin."""
+    from edsnlp_spark.operators.retrieval import (
+        bm25_topk_batch, bm25_topk_indexed, build_text_index)
+
+    docs = spark.createDataFrame(
+        [(1, "spark fast spark"), (2, "slow table scan"),
+         (3, "spark table"), (4, "merge sort merge sort merge")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tix")
+    build_text_index(docs, path, n_buckets=8)
+    q = spark.createDataFrame(
+        [(0, ["spark", "table"]), (1, ["merge"]), (2, ["absent"])],
+        "query_id long, terms array<string>")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk_indexed(spark, path, q, k=3).collect())
+    want = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in bm25_topk_batch(docs, q, k=3).collect())
+    assert got == want and len(got) > 0
+    # absent term -> no rows for query 2 in either path
+    assert not any(row[0] == 2 for row in got)

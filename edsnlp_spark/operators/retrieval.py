@@ -471,3 +471,46 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame,
                 F.col("rank").cast("bigint"),
                 F.round("__s", 4).alias("score"))
     )
+
+
+def text_index_append(new_docs: DataFrame, path: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """INCREMENTAL inverted-index update — the growing-corpus
+    counterpart of :func:`build_text_index` (same shape as
+    ``similarity.ivfpq_index_append``): tokenize ONLY the new batch,
+    append its postings to the bucket-partitioned table, and refresh
+    the 1-row stats record (n_docs / sum_dl are additive).  At 100 TB
+    re-tokenizing the corpus per ingest batch is a corpus scan; this
+    touches batch rows only, and searches over the appended index are
+    identical to a full rebuild over the union
+    (test_text_index_append_equals_rebuild).
+
+    Caller contract: new ids must not already exist in the index
+    (dedup upstream); the meta overwrite is not transactional against
+    a concurrent search — same caveat as the streaming sinks.
+    """
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    n_buckets = int(meta["n_buckets"])
+    toks = _tokens(F.col(text_col))
+    postings = (
+        new_docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(toks).cast("long").alias("dl"),
+                        F.explode(toks).alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    add = new_docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl")).first()
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]) + int(add["n_docs"]),
+          int(meta["sum_dl"]) + int(add["sum_dl"] or 0),
+          n_buckets)],
+        "n_docs long, sum_dl long, n_buckets long")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -62,6 +62,8 @@ ALLOWED = {
      'spark.read.parquet(f"{path}/meta").first()'):
         "saved inverted-index metadata: exactly one row by construction"
         " (build_text_index coalesce(1) writes a single stats record)",
+    ("operators/retrieval.py", '.alias("sum_dl")).first()'):
+        "1-row additive stats aggregate for the index meta refresh",
     ("operators/retrieval.py", '.alias("bucket")).distinct().collect()'):
         "query-term hash buckets: bounded by the n_buckets index config"
         " (<= 64), pushed as a literal partition filter",

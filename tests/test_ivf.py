@@ -548,3 +548,30 @@ def test_bm25_indexed_roundtrip_bit_identical(spark, tmp_path):
     assert got == want and len(got) > 0
     # absent term -> no rows for query 2 in either path
     assert not any(row[0] == 2 for row in got)
+
+
+def test_text_index_append_equals_rebuild(spark, tmp_path):
+    from edsnlp_spark.operators.retrieval import (
+        bm25_topk_indexed, build_text_index, text_index_append)
+
+    base = spark.createDataFrame(
+        [(1, "spark fast spark"), (2, "slow table scan")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(3, "spark table"), (4, "merge sort merge")],
+        "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    build_text_index(base, inc, n_buckets=8)
+    text_index_append(new, inc)
+    full = str(tmp_path / "full")
+    build_text_index(base.unionByName(new), full, n_buckets=8)
+    q = spark.createDataFrame(
+        [(0, ["spark", "table"]), (1, ["merge"])],
+        "query_id long, terms array<string>")
+
+    def rows(path):
+        return sorted((r.query_id, r.doc_id, r.rank, r.score)
+                      for r in bm25_topk_indexed(spark, path, q,
+                                                 k=4).collect())
+
+    assert rows(inc) == rows(full) and len(rows(inc)) > 0

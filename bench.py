@@ -130,6 +130,11 @@ HEADLINE = R1_SET + [
     "a0_pagerank_copurchase",
     "a0_mmr_diversified_search",
     "a0_unigram_tokenizer",
+    # ROUGE-N eval metrics + BM25 over the persisted inverted index
+    # (the indexed path pays the one-time build in whichever run is
+    # first COLD, like a0_ivfpq_indexed_search)
+    "a0_rouge_overlap",
+    "a0_bm25_indexed_search",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

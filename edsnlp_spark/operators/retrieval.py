@@ -409,6 +409,15 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _index_stats(spark, path: str):
+    """Fold the (possibly per-batch) additive stats records into the
+    one logical stats row — exactly one row by construction."""
+    return (spark.read.parquet(f"{path}/meta")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("sum_dl").alias("sum_dl"),
+                 F.max("n_buckets").alias("n_buckets")).first())
+
+
 def bm25_topk_indexed(spark, path: str, queries: DataFrame,
                       k: int = 10, k1: float = 1.2, b: float = 0.75,
                       query_id_col: str = "query_id",
@@ -423,7 +432,10 @@ def bm25_topk_indexed(spark, path: str, queries: DataFrame,
     """
     if k < 1:
         raise ValueError("bm25_topk_indexed requires k >= 1")
-    meta = spark.read.parquet(f"{path}/meta").first()
+    # the stats records are ADDITIVE: one row for a batch-built index,
+    # one row per ingest batch for a stream-built one (bounded by
+    # batch count) — aggregate to the single logical stats row
+    meta = _index_stats(spark, path)
     n_docs, sum_dl = float(meta["n_docs"]), float(meta["sum_dl"])
     n_buckets = int(meta["n_buckets"])
     uterms = queries.select(
@@ -491,7 +503,7 @@ def text_index_append(new_docs: DataFrame, path: str,
     a concurrent search — same caveat as the streaming sinks.
     """
     spark = new_docs.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _index_stats(spark, path)
     n_buckets = int(meta["n_buckets"])
     toks = _tokens(F.col(text_col))
     postings = (

@@ -58,10 +58,9 @@ ALLOWED = {
     ("operators/unigram.py", ".limit(int(seed_size)).collect()"):
         "unigram multi-char seeds: top-seed_size rows (config-bounded)"
         " via TakeOrderedAndProject",
-    ("operators/retrieval.py",
-     'spark.read.parquet(f"{path}/meta").first()'):
-        "saved inverted-index metadata: exactly one row by construction"
-        " (build_text_index coalesce(1) writes a single stats record)",
+    ("operators/retrieval.py", '.alias("n_buckets")).first()'):
+        "saved inverted-index stats: 1-row aggregate over the additive"
+        " per-batch stats records (bounded by ingest batch count)",
     ("operators/retrieval.py", '.alias("sum_dl")).first()'):
         "1-row additive stats aggregate for the index meta refresh",
     ("operators/retrieval.py", '.alias("bucket")).distinct().collect()'):

@@ -505,3 +505,50 @@ def test_streaming_bloom_decontamination(spark, tmp_path):
     got = {r["doc_id"]: r["flagged"]
            for r in spark.read.parquet(out).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_text_index_stream_with_restart(spark, tmp_path):
+    """r10 session 2: text_index_stream builds the inverted index
+    incrementally under Structured Streaming — per-batch idempotent
+    postings partitions + additive stats rows.  After a checkpoint
+    RESTART adds batch 2, searches over the streamed index must be
+    bit-identical to an offline build_text_index over the union."""
+    from edsnlp_spark.operators.retrieval import (
+        bm25_topk_indexed, build_text_index)
+    from edsnlp_spark.streaming.pipeline_stream import text_index_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ts = "2024-01-01 10:00:00"
+    b1 = [{"doc_id": 1, "ts": ts, "text": "spark fast spark"},
+          {"doc_id": 2, "ts": ts, "text": "slow table scan"}]
+    b2 = [{"doc_id": 3, "ts": ts, "text": "spark table"},
+          {"doc_id": 4, "ts": ts, "text": "merge sort merge"}]
+    write_events_jsonl(src / "batch1.jsonl", b1)
+    idx = str(tmp_path / "tix")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        docs = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string").json(str(src))
+        return text_index_stream(docs, idx, ckpt, n_buckets=8)
+
+    stream().awaitTermination(120)
+    write_events_jsonl(src / "batch2.jsonl", b2)
+    stream().awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1 + b2],
+        "doc_id long, text string")
+    full = str(tmp_path / "full")
+    build_text_index(all_docs, full, n_buckets=8)
+    q = spark.createDataFrame(
+        [(0, ["spark", "table"]), (1, ["merge"])],
+        "query_id long, terms array<string>")
+
+    def rows(path):
+        return sorted((r.query_id, r.doc_id, r.rank, r.score)
+                      for r in bm25_topk_indexed(spark, path, q,
+                                                 k=4).collect())
+
+    assert rows(idx) == rows(full) and len(rows(idx)) > 0

@@ -26,6 +26,7 @@ _DAMP_NUM, _DAMP_DEN = 17, 20
 @scoped("graph")
 def pagerank(edges: DataFrame, iterations: int = 8,
              scale: int = 1_000_000, max_fanout: int = 8192,
+             checkpoint_interval: int = 4,
              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """PageRank over a directed edge list -> (node, rank) with ``rank``
     int64-scaled by ``scale`` (rank/scale ~ the conventional value for
@@ -52,14 +53,21 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     shuffle on dst.  ``max_fanout`` chunks a celebrity node's
     neighbour array across rows (groupBy(src, pmod(hash(dst), ...)))
     so no single row grows with skew.  Lineage is cut per round with
-    an eager localCheckpoint (the r6 connected-components lesson:
-    persist alone leaves the logical plan doubling per round).  No
-    driver-side state (no collect; ranks live distributed).
+    an eager localCheckpoint every ``checkpoint_interval`` rounds +
+    at the end — unlike connected components (whose round references
+    the previous state TWICE, doubling the plan), each PageRank round
+    references ranks once, so lineage grows linearly and a per-round
+    barrier just wastes materializations (measured 4.7 -> 4.2s for 8
+    iterations checkpointing only at the end; interval 4 keeps plans
+    bounded for long runs at ~the same cost).  No driver-side state
+    (no collect; ranks live distributed).
     """
     if iterations < 0:
         raise ValueError("pagerank requires iterations >= 0")
     if max_fanout < 1:
         raise ValueError("pagerank requires max_fanout >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("pagerank requires checkpoint_interval >= 1")
     base = int(scale * 3) // _DAMP_DEN  # floor(0.15 * scale)
     # persisted: deg, adj and nodes all derive from it — unpersisted,
     # the (possibly expensive) upstream edge build re-executes 3x
@@ -85,7 +93,7 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     ranks = nodes.select(
         "node", F.lit(int(scale)).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["node"])
             .select(F.explode("dsts").alias("dst"),
@@ -99,6 +107,7 @@ def pagerank(edges: DataFrame, iterations: int = 8,
                 (F.lit(base)
                  + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
                           f" DIV {_DAMP_DEN}")).alias("rank"))
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_interval == 0 or it + 1 == iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

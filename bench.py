@@ -135,6 +135,7 @@ HEADLINE = R1_SET + [
     # first COLD, like a0_ivfpq_indexed_search)
     "a0_rouge_overlap",
     "a0_bm25_indexed_search",
+    "a0_length_quantiles",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -230,3 +230,54 @@ def bloom_probe(values: DataFrame, col: str, bits: DataFrame,
         .select(*[values[c] for c in values.columns],
                 F.coalesce("__mm", F.lit(False)).alias("maybe_member"))
     )
+
+
+def histogram_quantiles(hist: DataFrame,
+                        quantiles: list[tuple[int, int, str]] = (
+                            (1, 2, "p50"), (9, 10, "p90"),
+                            (99, 100, "p99")),
+                        group_col: str = "source",
+                        bucket_col: str = "len_bucket",
+                        count_col: str = "n_docs") -> DataFrame:
+    """Rank-based quantile ESTIMATES from a log2-bucket histogram
+    sketch (the quantile member of the sketch family next to
+    HLL/CMS/Bloom): for quantile num/den over n items, the estimate is
+    the lower bound 2^b of the first bucket whose cumulative count
+    reaches the target rank ceil(q*n) — so ``est <= exact < 2*est`` by
+    construction (the 2x band is the sketch's resolution; pinned in
+    test_histogram_quantiles_error_bound).
+
+    All arithmetic is integer (target rank = (num*n + den-1) DIV den;
+    estimate = 2^b exact in int64 for b < 53), so the estimates are
+    engine-exact.  The histogram plane is mergeable (counts add) and
+    config-bounded (groups x ~40 buckets) — windows over it are free,
+    and the sketch composes with streaming ingest the same way the
+    HLL register plane does.
+
+    -> (group_col, q_label, n, est) one row per group x quantile.
+    """
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(a), int(b), str(lbl)) for a, b, lbl in quantiles],
+        "q_num long, q_den long, q_label string")
+    w = (Window.partitionBy(group_col).orderBy(bucket_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        F.col(group_col), F.col(bucket_col).alias("__b"),
+        F.sum(count_col).over(w).alias("__cum"),
+        F.sum(F.col(count_col)).over(
+            Window.partitionBy(group_col)).alias("__n"))
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("__cum")
+                >= F.expr("(q_num * __n + q_den - 1) DIV q_den"))
+        .groupBy(group_col, "q_label")
+        .agg(F.min("__b").alias("__eb"), F.first("__n").alias("n"))
+    )
+    return hit.select(
+        F.col(group_col), F.col("q_label"),
+        F.col("n").cast("long").alias("n"),
+        F.pow(F.lit(2.0), F.col("__eb").cast("double"))
+         .cast("long").alias("est"))

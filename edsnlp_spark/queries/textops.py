@@ -3994,6 +3994,53 @@ FROM r WHERE rank <= 5
 """
 
 
+
+def length_quantiles(spark, sf_dir):
+    """Per-source p50/p90/p99 document-length ESTIMATES from the
+    mergeable log2-histogram sketch (sketches.histogram_quantiles
+    composed over textstats.length_profile — the same
+    sketch-into-monitor composition as source_vocab_saturation):
+    integer rank targets, 2^bucket estimates, est <= exact < 2*est by
+    construction."""
+    from ..operators.sketches import histogram_quantiles
+    from ..operators.textstats import length_profile
+    d = _t(spark, sf_dir, "documents")
+    return histogram_quantiles(length_profile(d))
+
+
+LENGTH_QUANTILES_SQL = """
+WITH n AS (
+  SELECT source, len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT source,
+         CASE WHEN POWER(2.0, l0) > n THEN l0 - 1
+              WHEN POWER(2.0, l0) * 2 <= n THEN l0 + 1
+              ELSE l0 END AS len_bucket
+  FROM (SELECT source, n,
+               FLOOR(log2(GREATEST(n, 1)))::BIGINT AS l0 FROM n)
+),
+h AS (
+  SELECT source, len_bucket, COUNT(*)::BIGINT AS c
+  FROM b GROUP BY source, len_bucket
+),
+cum AS (
+  SELECT source, len_bucket,
+         SUM(c) OVER (PARTITION BY source ORDER BY len_bucket) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS nn
+  FROM h
+),
+q(q_num, q_den, q_label) AS (
+  VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')
+)
+SELECT source, q_label, nn::BIGINT AS n,
+       POWER(2.0, MIN(len_bucket))::BIGINT AS est
+FROM cum CROSS JOIN q
+WHERE cum >= (q_num * nn + q_den - 1) // q_den
+GROUP BY source, q_label, nn
+"""
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
@@ -4025,6 +4072,8 @@ QUERIES = {
                                  CORPUS_LENGTH_PROFILE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    # NEW r10 session-2: histogram-sketch quantile estimates
+    "a0_length_quantiles": (length_quantiles, LENGTH_QUANTILES_SQL),
     # NEW r10 session-2: ROUGE-N generation-eval overlap
     "a0_rouge_overlap": (rouge_overlap, ROUGE_OVERLAP_SQL),
     # NEW r10 session-2: positional phrase search

@@ -467,3 +467,43 @@ def test_hard_negative_triplets_hand_computed(spark):
     assert got[0] == (1, 2)
     # anchor 3 has ONE same-cell neighbor -> pos == neg -> dropped
     assert 3 not in got
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """The sketch guarantee: est <= exact < 2*est for every group and
+    quantile (the estimate is the covering bucket's lower bound)."""
+    import random
+
+    from edsnlp_spark.operators.sketches import histogram_quantiles
+    from edsnlp_spark.operators.textstats import length_profile
+
+    rnd = random.Random(7)
+    rows = [(i, " ".join("w" for _ in range(rnd.randint(1, 900))),
+             f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    est = {(r.source, r.q_label): (r.n, r.est)
+           for r in histogram_quantiles(length_profile(docs)).collect()}
+    lens = {}
+    for _, text, src in rows:
+        lens.setdefault(src, []).append(len(text.split(" ")))
+    for src, vals in lens.items():
+        vals.sort()
+        n = len(vals)
+        for num, den, lbl in [(1, 2, "p50"), (9, 10, "p90"),
+                              (99, 100, "p99")]:
+            exact = vals[(num * n + den - 1) // den - 1]  # rank ceil(qn)
+            got_n, got_est = est[(src, lbl)]
+            assert got_n == n
+            assert got_est <= exact < 2 * got_est, (
+                src, lbl, got_est, exact)
+
+
+def test_histogram_quantiles_single_bucket_group(spark):
+    from edsnlp_spark.operators.sketches import histogram_quantiles
+
+    hist = spark.createDataFrame(
+        [("a", 5, 10)], "source string, len_bucket long, n_docs long")
+    rows = {r.q_label: r.est
+            for r in histogram_quantiles(hist).collect()}
+    assert rows == {"p50": 32, "p90": 32, "p99": 32}

@@ -27,6 +27,8 @@ _DAMP_NUM, _DAMP_DEN = 17, 20
 def pagerank(edges: DataFrame, iterations: int = 8,
              scale: int = 1_000_000, max_fanout: int = 8192,
              checkpoint_interval: int = 1,
+             weight_col: str | None = None,
+             seeds: list | None = None,
              src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """PageRank over a directed edge list -> (node, rank) with ``rank``
     int64-scaled by ``scale`` (rank/scale ~ the conventional value for
@@ -64,6 +66,16 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     The knob exists for graphs where the trade flips (tiny node sets,
     many iterations).  No driver-side state (no collect; ranks live
     distributed).
+
+    Variants (same integer machinery, same plan shape):
+
+    * ``weight_col`` — WEIGHTED PageRank: contribution becomes
+      ``(rank * w) DIV W`` with ``W`` the node's total out-weight
+      (int64 weights; rank*w must fit int64 — fine for scale 1e6 and
+      weights <= ~1e6).  ``weight_col=None`` is exactly w=1/W=deg.
+    * ``seeds`` — PERSONALIZED PageRank (teleport only to the seed
+      set): seeds start at ``scale`` and receive the teleport term;
+      everything else starts at 0 and receives pure propagated mass.
     """
     if iterations < 0:
         raise ValueError("pagerank requires iterations >= 0")
@@ -72,42 +84,62 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     if checkpoint_interval < 1:
         raise ValueError("pagerank requires checkpoint_interval >= 1")
     base = int(scale * 3) // _DAMP_DEN  # floor(0.15 * scale)
+    w_expr = (F.col(weight_col).cast("long") if weight_col
+              else F.lit(1).cast("long"))
     # persisted: deg, adj and nodes all derive from it — unpersisted,
     # the (possibly expensive) upstream edge build re-executes 3x
     e = tracked_persist(
         edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")),
+                     F.col(dst_col).alias("dst"),
+                     w_expr.alias("w")),
         "graph")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"),
+                               F.count(F.lit(1)).alias("__fan"))
     n_chunks = F.greatest(
         F.lit(1).cast("long"),
-        F.expr(f"(deg + {int(max_fanout) - 1}) DIV {int(max_fanout)}"))
+        F.expr(f"(__fan + {int(max_fanout) - 1}) DIV {int(max_fanout)}"))
+    # unweighted adjacency stays a plain long array (struct rows cost
+    # ~10% on the explode); weighted carries (dst, w) structs
+    dst_entry = (F.struct("dst", "w") if weight_col else F.col("dst"))
     adj = tracked_persist(
         e.join(deg, "src")
         .withColumn("__chunk", F.pmod(F.xxhash64("dst"), n_chunks))
         .groupBy("src", "__chunk")
-        .agg(F.collect_list("dst").alias("dsts"),
+        .agg(F.collect_list(dst_entry).alias("dsts"),
              F.first("deg").alias("deg"))
         .repartition("src"),
         "graph")
     nodes = tracked_persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node"))).distinct(), "graph")
-    ranks = nodes.select(
-        "node", F.lit(int(scale)).cast("long").alias("rank"))
+    if seeds is None:
+        teleport = F.lit(base)
+        init = F.lit(int(scale))
+    else:
+        in_seeds = F.col("node").isin([int(s) for s in seeds])
+        teleport = F.when(in_seeds, F.lit(base)).otherwise(F.lit(0))
+        init = F.when(in_seeds, F.lit(int(scale))).otherwise(F.lit(0))
+    ranks = nodes.select("node", init.cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for it in range(iterations):
-        contribs = (
-            adj.join(ranks, adj["src"] == ranks["node"])
-            .select(F.explode("dsts").alias("dst"),
-                    F.expr("rank DIV deg").alias("c"))
-            .groupBy("dst").agg(F.sum("c").alias("in_sum"))
-        )
+        joined = adj.join(ranks, adj["src"] == ranks["node"])
+        if weight_col:
+            expanded = (
+                joined.select(F.explode("dsts").alias("dw"),
+                              F.col("rank"), F.col("deg"))
+                .select(F.col("dw.dst").alias("dst"),
+                        F.expr("(rank * dw.w) DIV deg").alias("c")))
+        else:
+            expanded = joined.select(
+                F.explode("dsts").alias("dst"),
+                F.expr("rank DIV deg").alias("c"))
+        contribs = expanded.groupBy("dst").agg(
+            F.sum("c").alias("in_sum"))
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 F.col("node"),
-                (F.lit(base)
+                (teleport
                  + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
                           f" DIV {_DAMP_DEN}")).alias("rank"))
         )

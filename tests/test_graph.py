@@ -34,3 +34,32 @@ def test_pagerank_zero_iterations_and_empty(spark):
     out = pagerank(empty, iterations=3)
     assert out.count() == 0
     assert out.columns == ["node", "rank"]
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    from edsnlp_spark.operators.graph import pagerank
+
+    # 1 ->(w=3) 2, 1 ->(w=1) 3: W(1)=4; one iteration from r0=1e6:
+    #   r(2) = 150000 + 17*((1e6*3) DIV 4) DIV 20 = 150000+637500 = 787500
+    #   r(3) = 150000 + 17*((1e6*1) DIV 4) DIV 20 = 150000+212500 = 362500
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1)], "src long, dst long, w long")
+    got = _ranks(pagerank(edges, iterations=1, weight_col="w"))
+    assert got == {1: 150_000, 2: 787_500, 3: 362_500}
+    # w=1 weighted == unweighted exactly
+    e1 = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (1, 3, 1)], "src long, dst long, w long")
+    assert (_ranks(pagerank(e1, iterations=2, weight_col="w"))
+            == _ranks(pagerank(e1.drop("w"), iterations=2)))
+
+
+def test_pagerank_personalized_seeds(spark):
+    from edsnlp_spark.operators.graph import pagerank
+
+    # chain 1 -> 2 -> 3, teleport only to seed {1}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long")
+    got = _ranks(pagerank(edges, iterations=2, seeds=[1]))
+    # r0 = (1e6, 0, 0); it1: r = (150000, 850000, 0)
+    # it2: r(2) = 17*150000 DIV 20 = 127500; r(3) = 17*850000 DIV 20
+    assert got == {1: 150_000, 2: 127_500, 3: 722_500}

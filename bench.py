@@ -136,6 +136,7 @@ HEADLINE = R1_SET + [
     "a0_rouge_overlap",
     "a0_bm25_indexed_search",
     "a0_length_quantiles",
+    "a0_chunk_retrieval",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -4041,6 +4041,89 @@ GROUP BY source, q_label, nn
 """
 
 
+
+def chunk_retrieval(spark, sf_dir):
+    """The composed RAG-prep pipeline in ONE Catalyst plan: sliding
+    64/16 token chunking (pure projection + explode) -> BM25 over the
+    CHUNK corpus (postings semi-joined by the broadcast query-term
+    set) -> top-5 chunks per query with doc attribution.  Chunk keys
+    are doc_id*1000 + chunk_id (chunk counts are bounded far below
+    1000 by the 64-token window over these documents), split back into
+    (doc_id, chunk_id) in the output."""
+    from ..operators.packing import chunk_documents
+    from ..operators.retrieval import bm25_topk_batch
+    d = _t(spark, sf_dir, "documents")
+    # key-packing guard IN the data path (a standalone assert column
+    # would be pruned by Catalyst): a >=1000-chunk doc would silently
+    # collide keys, so fail loudly instead
+    ck = F.when(
+        F.col("chunk_id") < 1000,
+        F.col("doc_id") * 1000 + F.col("chunk_id"),
+    ).otherwise(F.raise_error(F.lit(
+        "chunk_retrieval: chunk_id >= 1000 breaks key packing")))
+    chunks = chunk_documents(d, chunk_size=64, overlap=16).select(
+        ck.alias("ck"), F.col("chunk_text"))
+    q = spark.createDataFrame(
+        [(0, ["table", "merge"]), (1, ["vector", "scan"]),
+         (2, ["stream", "window", "agg"])],
+        "query_id long, terms array<string>")
+    hits = bm25_topk_batch(chunks, q, k=5, id_col="ck",
+                           text_col="chunk_text")
+    return hits.select(
+        "query_id",
+        F.expr("ck DIV 1000").alias("doc_id"),
+        F.pmod(F.col("ck"), F.lit(1000)).cast("bigint").alias("chunk_id"),
+        "rank", "score")
+
+
+CHUNK_RETRIEVAL_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks
+      FROM t),
+ch AS (
+  SELECT doc_id * 1000 + cid AS ck,
+         array_to_string(
+           toks[cid * 48 + 1 : cid * 48 + least(64, n - cid * 48)],
+           ' ') AS chunk_text
+  FROM (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS cid FROM c)
+),
+q(query_id, term) AS (
+  VALUES (0, 'table'), (0, 'merge'), (1, 'vector'), (1, 'scan'),
+         (2, 'stream'), (2, 'window'), (2, 'agg')
+),
+tokd AS (SELECT ck, string_split(lower(chunk_text), ' ') AS toks FROM ch),
+p AS (
+  SELECT ck, dl, term, COUNT(*)::DOUBLE AS tf FROM (
+    SELECT ck, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM tokd)
+  GROUP BY ck, dl, term
+),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl
+  FROM (SELECT ck, any_value(dl) AS dl FROM p GROUP BY ck)
+),
+tdf AS (SELECT term, COUNT(*)::DOUBLE AS df FROM p GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.ck,
+         SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl)))) AS s
+  FROM q JOIN tdf USING (term) JOIN p USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, p.ck
+),
+r AS (
+  SELECT query_id, ck,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(s, 4) DESC, ck) AS rank, s
+  FROM scored
+)
+SELECT query_id, ck // 1000 AS doc_id, ck % 1000 AS chunk_id,
+       rank::BIGINT AS rank, ROUND(s, 4) AS score
+FROM r WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "bigram_logppl": (bigram_logppl, BIGRAM_LOGPPL_SQL),
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
@@ -4072,6 +4155,8 @@ QUERIES = {
                                  CORPUS_LENGTH_PROFILE_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bm25_search_batch": (bm25_search_batch, BM25_SEARCH_BATCH_SQL),
+    # NEW r10 session-2: composed chunk->index->retrieve pipeline
+    "a0_chunk_retrieval": (chunk_retrieval, CHUNK_RETRIEVAL_SQL),
     # NEW r10 session-2: histogram-sketch quantile estimates
     "a0_length_quantiles": (length_quantiles, LENGTH_QUANTILES_SQL),
     # NEW r10 session-2: ROUGE-N generation-eval overlap

@@ -137,6 +137,7 @@ HEADLINE = R1_SET + [
     "a0_bm25_indexed_search",
     "a0_length_quantiles",
     "a0_chunk_retrieval",
+    "a0_clustering_coefficient",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -146,3 +146,84 @@ def pagerank(edges: DataFrame, iterations: int = 8,
         if (it + 1) % checkpoint_interval == 0 or it + 1 == iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+@scoped("graph")
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the UNDIRECTED simple graph induced by the edge list ->
+    (node, deg, n_tri, clustering) with
+    ``clustering = round(2*n_tri / (deg*(deg-1)), 4)`` (0.0 for
+    deg <= 1).
+
+    Algorithm: degree-ordered orientation (the classic
+    compact-forward / Schank-Wagner scheme): every undirected edge is
+    oriented from its lower-(deg, id)-rank endpoint to the higher, so
+    each triangle is found exactly once from its minimum-rank vertex
+    and the wedge work per node is bounded by its FORWARD degree
+    (<= sqrt(2m) on any graph) — the hot-node deg^2 wedge explosion a
+    naive middle-vertex join suffers is structurally capped.  Ranks
+    are single int64s (deg * 2^33 + id — exact for deg < 2^30,
+    id < 2^33) so the oracle reproduces orientation and counts
+    bit-for-bit; the closing-edge check is one equi-join against the
+    oriented edge set.
+
+    Scale shape: two shuffles build the oriented plane (distinct +
+    degree join), the wedge self-join shuffles on the pivot vertex
+    with forward-degree-bounded fan-out, and the closing check is an
+    equi-join on (b, c) — no driver state, no windows.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = tracked_persist(und, "graph")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = tracked_persist(deg, "graph")
+    rk = (F.col("deg") * F.lit(8589934592) + F.col("node")).alias("rk")
+    ranked = deg.select("node", rk)
+    oriented = (
+        und.join(ranked.withColumnRenamed("node", "u")
+                 .withColumnRenamed("rk", "rku"), "u")
+        .join(ranked.withColumnRenamed("node", "v")
+              .withColumnRenamed("rk", "rkv"), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u"))
+             .otherwise(F.col("v")).alias("a"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v"))
+             .otherwise(F.col("u")).alias("b"),
+            F.greatest("rku", "rkv").alias("rk_hi"))
+    )
+    oriented = tracked_persist(oriented, "graph")
+    w1 = oriented.select(F.col("a"), F.col("b"),
+                         F.col("rk_hi").alias("rk_b"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("c"),
+                         F.col("rk_hi").alias("rk_c"))
+    wedges = (w1.join(w2, "a")
+              .filter(F.col("rk_b") < F.col("rk_c"))
+              .select("a", "b", "c"))
+    closing = oriented.select(F.col("a").alias("b"),
+                              F.col("b").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(per_node, "node", "left")
+    n_tri = F.coalesce("n_tri", F.lit(0)).cast("long")
+    clustering = F.when(
+        F.col("deg") >= 2,
+        F.round(F.lit(2.0) * n_tri.cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"), 4)
+    ).otherwise(F.lit(0.0))
+    return out.select("node", F.col("deg").cast("long").alias("deg"),
+                      n_tri.alias("n_tri"),
+                      clustering.alias("clustering"))

@@ -1584,11 +1584,88 @@ FROM st WHERE it = least(10, len(ds))
 """
 
 
+
+def clustering_coefficient(spark, sf_dir):
+    """Per-part triangle counts + local clustering coefficient
+    (graph.triangle_counts: degree-ordered orientation, each triangle
+    found once from its min-rank vertex, forward-degree-bounded wedge
+    work) over the same 1995 co-purchase graph as
+    a0_pagerank_copurchase."""
+    from ..operators.graph import triangle_counts
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_partkey"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct())
+    t = triangle_counts(edges)
+    return t.select(F.col("node").alias("p_partkey"), "deg", "n_tri",
+                    "clustering")
+
+
+CLUSTERING_COEFFICIENT_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') a
+  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') b
+    ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+  WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+rk AS (SELECT node, deg * 8589934592 + node AS rk FROM deg),
+o AS (
+  SELECT CASE WHEN ru.rk < rv.rk THEN und.u ELSE und.v END AS a,
+         CASE WHEN ru.rk < rv.rk THEN und.v ELSE und.u END AS b,
+         greatest(ru.rk, rv.rk) AS rk_hi
+  FROM und JOIN rk ru ON ru.node = und.u
+           JOIN rk rv ON rv.node = und.v
+),
+tri AS (
+  SELECT w1.a, w1.b, w2.b AS c
+  FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.rk_hi < w2.rk_hi
+  JOIN o cl ON cl.a = w1.b AND cl.b = w2.b
+),
+per_node AS (
+  SELECT node, COUNT(*)::BIGINT AS n_tri FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS p_partkey, deg.deg,
+       COALESCE(per_node.n_tri, 0)::BIGINT AS n_tri,
+       CASE WHEN deg.deg >= 2 THEN
+         ROUND(2.0 * COALESCE(per_node.n_tri, 0)::DOUBLE
+               / (deg.deg * (deg.deg - 1))::DOUBLE, 4)
+       ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per_node USING (node)
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: triangle counts / clustering coefficient
+    "a0_clustering_coefficient": (clustering_coefficient,
+                                  CLUSTERING_COEFFICIENT_SQL),
     # NEW r10 session-2: MMR result diversification
     "a0_mmr_diversified_search": (mmr_diversified_search,
                                   MMR_DIVERSIFIED_SEARCH_SQL),

@@ -63,3 +63,32 @@ def test_pagerank_personalized_seeds(spark):
     # r0 = (1e6, 0, 0); it1: r = (150000, 850000, 0)
     # it2: r(2) = 17*150000 DIV 20 = 127500; r(3) = 17*850000 DIV 20
     assert got == {1: 150_000, 2: 127_500, 3: 722_500}
+
+
+def test_triangle_counts_hand_computed(spark):
+    from edsnlp_spark.operators.graph import triangle_counts
+
+    # triangle 1-2-3 plus pendant edge 3-4 (given as DIRECTED dups to
+    # exercise the undirected canonicalization)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (4, 3)], "src long, dst long")
+    got = {r.node: (r.deg, r.n_tri, r.clustering)
+           for r in triangle_counts(edges).collect()}
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.3333),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_triangle_counts_no_triangles_and_empty(spark):
+    from edsnlp_spark.operators.graph import triangle_counts
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(path).collect()}
+    assert got == {1: 0, 2: 0, 3: 0}
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = triangle_counts(empty)
+    assert out.count() == 0
+    assert out.columns == ["node", "deg", "n_tri", "clustering"]

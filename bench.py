@@ -138,6 +138,7 @@ HEADLINE = R1_SET + [
     "a0_length_quantiles",
     "a0_chunk_retrieval",
     "a0_clustering_coefficient",
+    "a0_related_parts_ppr",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

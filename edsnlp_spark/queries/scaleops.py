@@ -1658,11 +1658,98 @@ FROM deg LEFT JOIN per_node USING (node)
 """
 
 
+
+_PPR_SEEDS = [7, 500, 1333]
+
+
+def related_parts_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.pagerank(seeds=...)) from a fixed
+    3-part seed set over the 1995 co-purchase graph — the
+    "related items" recommendation shape: teleport mass is confined to
+    the seeds, so rank measures co-purchase proximity to them.  Same
+    integer machinery as a0_pagerank_copurchase; 6 iterations."""
+    from ..operators.graph import pagerank
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_partkey"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct())
+    r = pagerank(edges, iterations=6, seeds=_PPR_SEEDS)
+    return (r.filter(F.col("rank") > 0)
+            .select(F.col("node").alias("p_partkey"),
+                    F.col("rank").alias("ppr_q")))
+
+
+RELATED_PARTS_PPR_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') a
+  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') b
+    ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) AS idx
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+deg AS (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+adjrow AS (
+  SELECT nv.idx AS vidx,
+         COALESCE(list(nu.idx ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inb,
+         COALESCE(list(dg.d ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inbdeg
+  FROM nodes nv
+  LEFT JOIN e ON e.dst = nv.node
+  LEFT JOIN nodes nu ON e.src = nu.node
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY nv.idx
+),
+g AS (
+  SELECT (SELECT COUNT(*) FROM nodes) AS n,
+         list(inb ORDER BY vidx) AS adj,
+         list(inbdeg ORDER BY vidx) AS adjdeg,
+         (SELECT list(CASE WHEN node IN (7, 500, 1333) THEN 1 ELSE 0 END
+                      ORDER BY idx) FROM nodes) AS sd
+  FROM adjrow
+),
+pr AS (
+  SELECT 0 AS it,
+         list_transform(range(1, n + 1),
+                        v -> sd[v] * 1000000::BIGINT) AS r
+  FROM g
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(1, n + 1), v ->
+           sd[v] * 150000::BIGINT
+           + (17 * COALESCE(list_sum(
+               list_transform(range(1, len(adj[v]) + 1),
+                              k -> r[adj[v][k]] // adjdeg[v][k])),
+               0)) // 20)
+  FROM pr, g WHERE it < 6
+)
+SELECT nodes.node AS p_partkey, pr.r[nodes.idx] AS ppr_q
+FROM nodes, pr WHERE pr.it = 6 AND pr.r[nodes.idx] > 0
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: personalized PageRank (related-parts recs)
+    "a0_related_parts_ppr": (related_parts_ppr, RELATED_PARTS_PPR_SQL),
     # NEW r10 session-2: triangle counts / clustering coefficient
     "a0_clustering_coefficient": (clustering_coefficient,
                                   CLUSTERING_COEFFICIENT_SQL),

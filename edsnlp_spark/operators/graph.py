@@ -227,3 +227,81 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     return out.select("node", F.col("deg").cast("long").alias("deg"),
                       n_tri.alias("n_tri"),
                       clustering.alias("clustering"))
+
+
+@scoped("graph")
+def random_walks(edges: DataFrame, walks_per_node: int = 2,
+                 walk_len: int = 6, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
+    corpus-generation step, Perozzi et al. 2014) ->
+    (walk_key, start_node, steps, walk) where ``walk`` is the
+    '-'-joined node path and ``steps`` counts EDGES taken (a dead-end
+    node truncates the walk).
+
+    Determinism: the t-th step from a walk leaves by neighbor index
+    ``md5(walk_key:t) % out_degree`` over the SORTED neighbor list —
+    the repo's salted-md5 randomness recipe (DSIR Gumbel, CMS rows),
+    so walks are a pure function of (graph, config) and a SQL oracle
+    replays them exactly.
+
+    Scale shape: the sorted adjacency plane is built once (one
+    groupBy) and persisted hash-partitioned on node; each step is one
+    join of the walk frontier (nodes x walks_per_node rows) against
+    it plus an eager localCheckpoint — walk state is rows, never
+    driver memory.  Skew caveat: a celebrity node's neighbor array
+    lives in ONE row here because stepping needs positional access to
+    the full sorted list; cap upstream if out-degrees exceed array
+    limits.
+    """
+    if walks_per_node < 1 or walk_len < 0:
+        raise ValueError("random_walks requires walks_per_node >= 1 "
+                         "and walk_len >= 0")
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).distinct(),
+        "graph")
+    adj = tracked_persist(
+        e.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .repartition("src"),
+        "graph")
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    frontier = (
+        nodes.select(
+            "node",
+            F.explode(F.array(*[F.lit(w) for w in range(walks_per_node)]))
+            .alias("__w"))
+        .select(
+            (F.col("node") * walks_per_node + F.col("__w"))
+            .alias("walk_key"),
+            F.col("node").alias("start_node"),
+            F.col("node").alias("cur"),
+            F.col("node").cast("string").alias("walk"),
+            F.lit(0).cast("long").alias("steps"))
+        .localCheckpoint(eager=True))
+    for t in range(int(walk_len)):
+        idx = (F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("walk_key"), F.lit(str(t)))), 1, 8),
+                16, 10).cast("long"),
+            F.size("nbrs")) + 1).cast("int")
+        stepped = (
+            frontier.join(adj, frontier["cur"] == adj["src"], "left")
+            .select("walk_key", "start_node", "cur", "walk", "steps",
+                    F.when(F.col("src").isNotNull(),
+                           F.element_at("nbrs", idx)).alias("__nxt"))
+            .select(
+                "walk_key", "start_node",
+                F.coalesce("__nxt", "cur").alias("cur"),
+                F.when(F.col("__nxt").isNull(), F.col("walk"))
+                 .otherwise(F.concat_ws("-", "walk", "__nxt"))
+                 .alias("walk"),
+                (F.col("steps")
+                 + F.when(F.col("__nxt").isNull(), 0).otherwise(1))
+                .cast("long").alias("steps"),
+            )
+        )
+        frontier = stepped.localCheckpoint(eager=True)
+    return frontier.select("walk_key", "start_node", "steps", "walk")

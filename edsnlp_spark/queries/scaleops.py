@@ -1743,11 +1743,85 @@ FROM nodes, pr WHERE pr.it = 6 AND pr.r[nodes.idx] > 0
 """
 
 
+
+def graph_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style random-walk corpus
+    (graph.random_walks: salted-md5 next-step over sorted neighbor
+    lists, dead-end truncation) over the 1995 co-purchase graph — 2
+    walks per part, 6 steps: the graph-embedding training-data
+    generation step, reproducible enough for a full value oracle."""
+    from ..operators.graph import random_walks
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_partkey"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct())
+    return random_walks(edges, walks_per_node=2, walk_len=6)
+
+
+GRAPH_WALKS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') a
+  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= '1995-01-01'
+          AND l_shipdate < '1996-01-01') b
+    ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) AS idx
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+adjrow AS (
+  SELECT n1.idx AS sidx, list(e.dst ORDER BY e.dst) AS nbrs
+  FROM e JOIN nodes n1 ON e.src = n1.node GROUP BY n1.idx
+),
+g AS (
+  SELECT list(COALESCE(nbrs, []) ORDER BY idx) AS adj
+  FROM nodes LEFT JOIN adjrow ON adjrow.sidx = nodes.idx
+),
+st AS (
+  SELECT node * 2 + k AS walk_key, node AS start_node, node AS cur,
+         node::VARCHAR AS walk, 0::BIGINT AS steps, 0 AS it
+  FROM nodes, unnest([0, 1]) AS t(k)
+  UNION ALL
+  SELECT walk_key, start_node, COALESCE(nxt, cur),
+         CASE WHEN nxt IS NULL THEN walk
+              ELSE walk || '-' || nxt::VARCHAR END,
+         steps + CASE WHEN nxt IS NULL THEN 0 ELSE 1 END,
+         it + 1
+  FROM (
+    SELECT st.walk_key, st.start_node, st.cur, st.walk, st.steps,
+           st.it,
+           CASE WHEN len(g.adj[n.idx]) > 0 THEN
+             g.adj[n.idx][
+               (('0x' || substr(md5(st.walk_key || ':' || st.it), 1, 8))
+                  ::BIGINT % len(g.adj[n.idx])) + 1]
+           ELSE NULL END AS nxt
+    FROM st JOIN nodes n ON n.node = st.cur CROSS JOIN g
+    WHERE st.it < 6
+  )
+)
+SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: deterministic random-walk corpus
+    "a0_graph_walks": (graph_walks, GRAPH_WALKS_SQL),
     # NEW r10 session-2: personalized PageRank (related-parts recs)
     "a0_related_parts_ppr": (related_parts_ppr, RELATED_PARTS_PPR_SQL),
     # NEW r10 session-2: triangle counts / clustering coefficient

@@ -92,3 +92,42 @@ def test_triangle_counts_no_triangles_and_empty(spark):
     out = triangle_counts(empty)
     assert out.count() == 0
     assert out.columns == ["node", "deg", "n_tri", "clustering"]
+
+
+def test_random_walks_match_python_replay(spark):
+    """Walks are a pure function of (graph, config): replay the salted
+    md5 next-step rule in Python and demand identical paths, including
+    dead-end truncation."""
+    import hashlib
+
+    from edsnlp_spark.operators.graph import random_walks
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]  # 4 is a dead end
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.walk_key: (r.start_node, r.steps, r.walk)
+           for r in random_walks(edges, walks_per_node=2,
+                                 walk_len=4).collect()}
+
+    adj = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(v) for s, v in adj.items()}
+    nodes = sorted({s for s, _ in raw} | {d for _, d in raw})
+    want = {}
+    for node in nodes:
+        for w in range(2):
+            key = node * 2 + w
+            cur, path, steps = node, [str(node)], 0
+            for t in range(4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    continue
+                h = int(hashlib.md5(f"{key}:{t}".encode())
+                        .hexdigest()[:8], 16)
+                cur = nbrs[h % len(nbrs)]
+                path.append(str(cur))
+                steps += 1
+            want[key] = (node, steps, "-".join(path))
+    assert got == want
+    # dead-end node 4 never moves
+    assert got[8] == (4, 0, "4") and got[9] == (4, 0, "4")

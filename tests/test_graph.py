@@ -131,3 +131,12 @@ def test_random_walks_match_python_replay(spark):
     assert got == want
     # dead-end node 4 never moves
     assert got[8] == (4, 0, "4") and got[9] == (4, 0, "4")
+
+
+def test_random_walks_empty_edges(spark):
+    from edsnlp_spark.operators.graph import random_walks
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = random_walks(empty, walks_per_node=2, walk_len=3)
+    assert out.count() == 0
+    assert out.columns == ["walk_key", "start_node", "steps", "walk"]

@@ -61,6 +61,8 @@ ALLOWED = {
         "DSIR log-ratio table, <= b rows (config-bounded, never corpus)",
     ("operators/retrieval.py", "F.broadcast(uterms)"):
         "distinct query terms (batch-BM25 contract: queries << corpus)",
+    ("operators/sketches.py", "F.broadcast(qdf)"):
+        "quantile spec rows: fixed by the quantiles argument (3 rows)",
     ("operators/retrieval.py", "F.broadcast(qterms)"):
         "query terms x df+stats (bounded by the query set, not corpus)",
     ("operators/scores.py", "F.broadcast(adicap_dim)"):

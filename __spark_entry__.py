@@ -70,6 +70,13 @@ _ROTATE_INTO_WINDOW = frozenset({
 
 # r9-verified canonical a0_ names whose code is UNCHANGED in r10: the
 # driver key drops the prefix so they leave the window and free slots.
+# Session 2 adds 11 more a0_ canonical queries (phrase_search,
+# pagerank_copurchase, mmr_diversified_search, unigram_tokenizer,
+# rouge_overlap, bm25_indexed_search, length_quantiles,
+# chunk_retrieval, clustering_coefficient, related_parts_ppr,
+# graph_walks) — 46/50 a0 slots used; displaced canonical names are
+# r8-verified and within the 3-round staleness budget until r11
+# (audit test green).
 # The canonical a0_ names NOT listed here are changed this round and
 # stay windowed: a0_crf_distillation (integer-quantized student oracle,
 # VERDICT r9 #2), a0_hybrid_retrieval (dense tier reads the persisted

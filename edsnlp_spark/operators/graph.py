@@ -305,3 +305,36 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
         )
         frontier = stepped.localCheckpoint(eager=True)
     return frontier.select("walk_key", "start_node", "steps", "walk")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2,
+                   walk_col: str = "walk") -> DataFrame:
+    """(center, context) co-occurrence counts from a random-walk
+    corpus — the skip-gram pair extraction that turns
+    :func:`random_walks` output into embedding-training data
+    (DeepWalk's corpus step; word2vec Mikolov et al. 2013) ->
+    (center, context, n_pairs).
+
+    Pairs are generated IN-ROW (one flatten(transform(...)) over the
+    walk's node list with an index-aware lambda — no posexplode
+    self-join), then one groupBy with map-side partial aggregation;
+    shuffle volume is bounded by distinct (center, context) pairs,
+    never the raw pair stream.
+    """
+    if window < 1:
+        raise ValueError("skipgram_pairs requires window >= 1")
+    w = int(window)
+    pairs = F.expr(
+        f"flatten(transform(sp, (t, i) -> "
+        f"transform(filter(sequence(-{w}, {w}), o -> o != 0 "
+        f"AND i + o >= 0 AND i + o < size(sp)), "
+        f"o -> struct(CAST(t AS BIGINT) AS center, "
+        f"CAST(sp[i + o] AS BIGINT) AS context))))")
+    return (
+        walks.select(F.split(F.col(walk_col), "-").alias("sp"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.center").alias("center"),
+                F.col("p.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

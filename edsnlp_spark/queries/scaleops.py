@@ -1815,11 +1815,51 @@ SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6
 """
 
 
+
+def walk_skipgram_pairs(spark, sf_dir):
+    """The DeepWalk pipeline completed end-to-end: deterministic
+    random walks over the 1995 co-purchase graph ->
+    graph.skipgram_pairs (window 2, in-row pair generation) ->
+    (center, context, n_pairs) co-occurrence counts — the
+    embedding-training corpus, fully value-oracled."""
+    from ..operators.graph import random_walks, skipgram_pairs
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_partkey"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct())
+    walks = random_walks(edges, walks_per_node=2, walk_len=6)
+    return skipgram_pairs(walks, window=2)
+
+
+WALK_SKIPGRAM_PAIRS_SQL = GRAPH_WALKS_SQL.replace(
+    "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
+    """wk AS (SELECT walk FROM st WHERE it = 6),
+sp AS (SELECT string_split(walk, '-') AS sp FROM wk)
+SELECT sp[i]::BIGINT AS center, sp[i + o]::BIGINT AS context,
+       COUNT(*)::BIGINT AS n_pairs
+FROM sp, unnest(range(1, len(sp) + 1)) AS a(i),
+     unnest([-2, -1, 1, 2]) AS b(o)
+WHERE i + o >= 1 AND i + o <= len(sp)
+GROUP BY center, context""").replace(
+    ")\nwk AS", "),\nwk AS")
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: skip-gram pairs from the walk corpus
+    "a0_walk_skipgram_pairs": (walk_skipgram_pairs,
+                               WALK_SKIPGRAM_PAIRS_SQL),
     # NEW r10 session-2: deterministic random-walk corpus
     "a0_graph_walks": (graph_walks, GRAPH_WALKS_SQL),
     # NEW r10 session-2: personalized PageRank (related-parts recs)

@@ -140,3 +140,19 @@ def test_random_walks_empty_edges(spark):
     out = random_walks(empty, walks_per_node=2, walk_len=3)
     assert out.count() == 0
     assert out.columns == ["walk_key", "start_node", "steps", "walk"]
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from edsnlp_spark.operators.graph import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("1-2-3",), ("1-2-3",), ("7",)], "walk string")
+    got = {(r.center, r.context): r.n_pairs
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # each 3-node walk yields all 6 ordered pairs once; doubled corpus
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 1): 2, (2, 3): 2,
+                   (3, 1): 2, (3, 2): 2}
+    # window=1 drops the distance-2 pairs
+    got1 = {(r.center, r.context): r.n_pairs
+            for r in skipgram_pairs(walks, window=1).collect()}
+    assert got1 == {(1, 2): 2, (2, 1): 2, (2, 3): 2, (3, 2): 2}

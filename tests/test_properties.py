@@ -976,3 +976,63 @@ def test_chunk_documents_fuzz(spark, docs_tokens, chunk_size, overlap):
            (r["start_tok"], r["n_tok"], r["chunk_text"])
            for r in chunk_documents(df, chunk_size, overlap).collect()}
     assert got == want
+
+
+def test_phrase_search_matches_python_reference(spark):
+    """Positional-intersection phrase search vs a naive Python token
+    scan on a random word-salad corpus (seeded)."""
+    import random
+
+    from edsnlp_spark.operators.retrieval import phrase_search_batch
+
+    rnd = random.Random(31)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [(i, " ".join(rnd.choice(vocab) for _ in range(30)))
+            for i in range(40)]
+    phrases = [(0, "a b"), (1, "b b b"), (2, "c"), (3, "a b a"),
+               (4, "e d c b")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(phrases, "query_id long, phrase string")
+    got = {(r.query_id, r.doc_id): (r.n_matches, r.first_pos)
+           for r in phrase_search_batch(sdf, qdf).collect()}
+
+    want = {}
+    for qid, ph in phrases:
+        pt = ph.split(" ")
+        for did, text in docs:
+            toks = text.split(" ")
+            hits = [s for s in range(len(toks) - len(pt) + 1)
+                    if toks[s:s + len(pt)] == pt]
+            if hits:
+                want[(qid, did)] = (len(hits), hits[0])
+    assert got == want
+
+
+def test_rouge_n_matches_python_reference(spark):
+    """Clipped n-gram overlap vs a collections.Counter reference."""
+    import random
+    from collections import Counter
+
+    from edsnlp_spark.operators.metrics import rouge_n
+
+    rnd = random.Random(17)
+    vocab = ["x", "y", "z", "w"]
+    pairs = [(i, " ".join(rnd.choice(vocab) for _ in range(20)),
+              " ".join(rnd.choice(vocab) for _ in range(15)))
+             for i in range(25)]
+    cand = spark.createDataFrame([(i, c) for i, c, _ in pairs],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(i, r) for i, _, r in pairs],
+                                "pair_id long, text string")
+    for n in (1, 2, 3):
+        got = {r.pair_id: (r.overlap, r.n_cand, r.n_ref)
+               for r in rouge_n(cand, ref, n).collect()}
+        for i, c, r in pairs:
+            ct, rt = c.split(" "), r.split(" ")
+            cg = Counter(tuple(ct[j:j + n])
+                         for j in range(len(ct) - n + 1))
+            rg = Counter(tuple(rt[j:j + n])
+                         for j in range(len(rt) - n + 1))
+            ov = sum(min(cg[g], rg[g]) for g in cg)
+            assert got[i] == (ov, sum(cg.values()), sum(rg.values())), (
+                n, i)

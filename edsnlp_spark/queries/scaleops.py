@@ -1852,11 +1852,101 @@ WHERE i + o >= 1 AND i + o <= len(sp)
 GROUP BY center, context""").replace(
     ")\nwk AS", "),\nwk AS")
 
+
+def weighted_pagerank_copurchase(spark, sf_dir):
+    """WEIGHTED PageRank (graph.pagerank(weight_col=...)): edge weight
+    = number of 1995 orders the two parts co-occur in, so mass flows
+    proportionally to co-purchase strength — contribution =
+    (rank * w) DIV W with W the part's total out-weight, still
+    int64-only."""
+    from ..operators.graph import pagerank
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_partkey"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform("
+        "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    r = pagerank(edges, iterations=6, weight_col="w")
+    return r.select(F.col("node").alias("p_partkey"),
+                    F.col("rank").alias("wpr_q"))
+
+
+WEIGHTED_PAGERANK_SQL = """
+WITH RECURSIVE e AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS w FROM (
+    SELECT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= '1995-01-01'
+            AND l_shipdate < '1996-01-01') a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          WHERE l_shipdate >= '1995-01-01'
+            AND l_shipdate < '1996-01-01') b
+      ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey <> b.l_partkey)
+  GROUP BY src, dst
+),
+nodes AS (
+  SELECT node, row_number() OVER (ORDER BY node) AS idx
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+wdeg AS (SELECT src, SUM(w)::BIGINT AS wd FROM e GROUP BY src),
+adjrow AS (
+  SELECT nv.idx AS vidx,
+         COALESCE(list(nu.idx ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inb,
+         COALESCE(list(dg.wd ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inbdeg,
+         COALESCE(list(e.w ORDER BY nu.idx)
+                    FILTER (WHERE nu.idx IS NOT NULL), []) AS inbw
+  FROM nodes nv
+  LEFT JOIN e ON e.dst = nv.node
+  LEFT JOIN nodes nu ON e.src = nu.node
+  LEFT JOIN wdeg dg ON dg.src = e.src
+  GROUP BY nv.idx
+),
+g AS (
+  SELECT (SELECT COUNT(*) FROM nodes) AS n,
+         list(inb ORDER BY vidx) AS adj,
+         list(inbdeg ORDER BY vidx) AS adjdeg,
+         list(inbw ORDER BY vidx) AS adjw
+  FROM adjrow
+),
+pr AS (
+  SELECT 0 AS it,
+         list_transform(range(1, n + 1), x -> 1000000::BIGINT) AS r
+  FROM g
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(1, n + 1), v ->
+           150000::BIGINT
+           + (17 * COALESCE(list_sum(
+               list_transform(range(1, len(adj[v]) + 1),
+                              k -> (r[adj[v][k]] * adjw[v][k])
+                                   // adjdeg[v][k])),
+               0)) // 20)
+  FROM pr, g WHERE it < 6
+)
+SELECT nodes.node AS p_partkey, pr.r[nodes.idx] AS wpr_q
+FROM nodes, pr WHERE pr.it = 6
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
     "a0_pagerank_copurchase": (pagerank_copurchase,
                                PAGERANK_COPURCHASE_SQL),
+    # NEW r10 session-2: weighted PageRank over co-purchase counts
+    "a0_weighted_pagerank": (weighted_pagerank_copurchase,
+                             WEIGHTED_PAGERANK_SQL),
     # NEW r10 session-2: skip-gram pairs from the walk corpus
     "a0_walk_skipgram_pairs": (walk_skipgram_pairs,
                                WALK_SKIPGRAM_PAIRS_SQL),

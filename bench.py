@@ -139,6 +139,7 @@ HEADLINE = R1_SET + [
     "a0_chunk_retrieval",
     "a0_clustering_coefficient",
     "a0_related_parts_ppr",
+    "a0_multimodal_decode",
     "a0_graph_walks",
 ]
 

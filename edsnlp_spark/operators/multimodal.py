@@ -3,12 +3,16 @@
 North-star requirement (BASELINE.json): treat image/audio/video as
 ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
-``mapInPandas``.  The actual media codecs are NOT in this container, so
-the decode step is STUBBED: ``decode_stub=True`` produces deterministic
-pseudo-features from the bytes; ``decode_stub=False`` raises
-NotImplementedError where a real libvips/ffmpeg call would go.  The
+``mapInPandas``.  Codec LIBRARIES are not in this container, but three
+standard uncompressed formats need none: PPM (P6), 24-bit BI_RGB BMP
+and 16-bit PCM WAV decode with pure numpy / the stdlib ``wave`` module
+(r10: decode_ppm/decode_bmp/decode_wav + nn_resize + decode_features —
+REAL decode, driver-checked by a0_multimodal_decode).  Compressed
+formats (JPEG/PNG/MP4) remain stubbed: ``decode_stub=True`` produces
+deterministic pseudo-features from the bytes; ``decode_stub=False``
+raises NotImplementedError where a libvips/ffmpeg call would go.  The
 Spark-side plumbing — schema, batching, partition sizing — is real and
-tested.
+tested either way.
 """
 
 from __future__ import annotations
@@ -98,6 +102,18 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
             rows = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
                                           pdf["meta"]):
+                if meta["media_type"] in REAL_IMAGE_TYPES:
+                    # REAL path (r10): pure-numpy decode + NN resample,
+                    # re-encoded as PPM
+                    px = (decode_ppm(bytes(blob))
+                          if meta["media_type"] == "image/ppm"
+                          else decode_bmp(bytes(blob)))
+                    out = encode_ppm(nn_resize(px, width, height))
+                    rows.append((doc_id, out, {
+                        "media_type": "image/ppm",
+                        "width": width, "height": height,
+                        "duration_ms": meta["duration_ms"]}))
+                    continue
                 if not decode_stub:
                     raise NotImplementedError(
                         "real resize requires libvips/PIL; "
@@ -143,3 +159,183 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                 "doc_id", "frame_idx", "ts_ms", "frame", "media_type"])
 
     return df.mapInPandas(run, FRAME_DDL)
+
+
+# ---- REAL codecs for uncompressed formats (r10) -----------------------
+#
+# The container has no libvips/ffmpeg, but three standard formats need
+# no codec library at all: PPM (P6) and 24-bit BI_RGB BMP are raw
+# pixel layouts, and PCM WAV parses with the stdlib ``wave`` module.
+# For these, decode / feature-extract / resize are REAL — only
+# compressed formats (JPEG/PNG/MP4) remain behind the documented
+# NotImplementedError wall.
+
+REAL_IMAGE_TYPES = ("image/ppm", "image/bmp")
+REAL_AUDIO_TYPES = ("audio/wav",)
+
+
+def decode_ppm(raw: bytes):
+    """Binary PPM (P6) -> numpy uint8 array (h, w, 3).  Tolerates
+    comments and arbitrary whitespace in the header per the spec."""
+    import numpy as np
+
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    px = raw[pos:pos + n]
+    if len(px) < n:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """numpy (h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def decode_bmp(raw: bytes):
+    """Uncompressed 24-bit BI_RGB BMP -> numpy uint8 (h, w, 3) in RGB
+    order.  Handles 4-byte row padding and bottom-up (positive height)
+    or top-down (negative height) layouts."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BI_RGB BMP is supported without "
+            "a codec library")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        src = offset + row * stride
+        line = np.frombuffer(raw[src:src + w * 3], dtype=np.uint8)
+        if line.size < w * 3:
+            raise ValueError("truncated BMP payload")
+        # BGR on disk -> RGB
+        out[h - 1 - row if bottom_up else row] = \
+            line.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def decode_wav(raw: bytes):
+    """PCM WAV -> (numpy int16 samples shaped (n, channels), rate) via
+    the stdlib ``wave`` module (no external codec)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        n, ch, rate = f.getnframes(), f.getnchannels(), f.getframerate()
+        data = np.frombuffer(f.readframes(n), dtype="<i2")
+    return data.reshape(-1, ch), rate
+
+
+def nn_resize(arr, width: int, height: int):
+    """Nearest-neighbor image resize with pure numpy indexing."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
+
+
+def _image_stats(px):
+    """Per-channel mean/std from EXACT integer sums in a fixed order
+    (engine-portable double arithmetic: mean = s/n,
+    var = sq/n - mean*mean) -> dict of rounded doubles."""
+    import math
+
+    h, w = px.shape[0], px.shape[1]
+    n = h * w
+    out = {}
+    for ci, cname in enumerate("rgb"):
+        vals = px[:, :, ci].astype("int64")
+        s, sq = int(vals.sum()), int((vals * vals).sum())
+        mean = s / n
+        var = sq / n - mean * mean
+        out[f"mean_{cname}"] = mean
+        out[f"std_{cname}"] = math.sqrt(max(var, 0.0))
+    return out
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """REAL media feature extraction for the supported uncompressed
+    formats -> (doc_id, media_type, width, height, mean_r..std_b) as
+    UNROUNDED doubles (engine-portable: channel sums are exact ints,
+    the mean/var arithmetic is one fixed-order double expression;
+    round in the CONSUMER with F.round — Python's round() is banker's
+    and diverges from Spark/DuckDB half-away exactly on the /32 grid).
+    Audio rows report (n_samples, rate) in width/height and amplitude
+    stats in the r-channel slots.  Unsupported media types raise —
+    route them through the stubbed :func:`extract_features` instead.
+    """
+    ddl = ("doc_id long, media_type string, width long, height long, "
+           "mean_r double, std_r double, mean_g double, std_g double, "
+           "mean_b double, std_b double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                raw = bytes(blob)
+                mt = meta["media_type"]
+                if mt == "image/ppm":
+                    px = decode_ppm(raw)
+                elif mt == "image/bmp":
+                    px = decode_bmp(raw)
+                elif mt in REAL_AUDIO_TYPES:
+                    samples, rate = decode_wav(raw)
+                    flat = samples.astype("int64").ravel()
+                    n = max(len(flat), 1)
+                    s, sq = int(flat.sum()), int((flat * flat).sum())
+                    mean = s / n
+                    var = sq / n - mean * mean
+                    rows.append((doc_id, mt, len(flat), rate,
+                                 mean, math.sqrt(max(var, 0.0)),
+                                 0.0, 0.0, 0.0, 0.0))
+                    continue
+                else:
+                    raise NotImplementedError(
+                        f"no pure-python codec for {mt}; compressed "
+                        f"formats need libvips/ffmpeg")
+                st = _image_stats(px)
+                rows.append((doc_id, mt, px.shape[1], px.shape[0],
+                             st["mean_r"], st["std_r"], st["mean_g"],
+                             st["std_g"], st["mean_b"], st["std_b"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_type", "width", "height", "mean_r",
+                "std_r", "mean_g", "std_g", "mean_b", "std_b"])
+
+    return df.mapInPandas(run, ddl)

@@ -1939,6 +1939,79 @@ FROM nodes, pr WHERE pr.it = 6
 """
 
 
+
+def multimodal_decode(spark, sf_dir):
+    """REAL media decode on the driver surface (r10): per-doc binary
+    PPM blobs are synthesized from the text bytes (a valid P6 image —
+    8x4, payload = utf-8 bytes tiled to 96), decoded by the pure-numpy
+    codec (multimodal.decode_ppm — no libvips), and reduced to
+    per-channel mean/std over EXACT integer sums with fixed-order
+    double arithmetic, so DuckDB reproduces the stats from the same
+    character codes.  Compressed formats remain behind the documented
+    NotImplementedError wall; this query proves the decode path itself
+    is real, not a checksum stub."""
+    from ..operators.multimodal import decode_features
+    d = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    blobs = d.select(
+        "doc_id",
+        F.encode(F.concat(
+            F.lit("P6\n8 4\n255\n"),
+            F.substring(F.expr("repeat(text, 96 DIV length(text) + 1)"),
+                        1, 96)), "utf-8").alias("blob"),
+        F.struct(
+            F.lit("image/ppm").alias("media_type"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"))
+    f = decode_features(blobs)
+    return f.select(
+        "doc_id", "width", "height",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ("mean_r", "std_r", "mean_g", "std_g",
+                    "mean_b", "std_b")])
+
+
+def _mm_decode_channel_sql(c: int) -> str:
+    return f"""
+         list_sum(list_transform(
+           [x for x in range(1, 97) if (x - 1) % 3 = {c}],
+           pos -> ord(substr(p, pos::INT, 1)))) AS s{c},
+         list_sum(list_transform(
+           [x for x in range(1, 97) if (x - 1) % 3 = {c}],
+           pos -> ord(substr(p, pos::INT, 1))
+                  * ord(substr(p, pos::INT, 1)))) AS q{c}"""
+
+
+MULTIMODAL_DECODE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         substr(repeat(text, (96 // length(text) + 1)::INT), 1, 96) AS p
+  FROM documents WHERE length(text) >= 1
+),
+sums AS (
+  SELECT doc_id,
+{_mm_decode_channel_sql(0)},
+{_mm_decode_channel_sql(1)},
+{_mm_decode_channel_sql(2)}
+  FROM t
+),
+m AS (
+  SELECT doc_id, s0 / 32 AS m0, q0 / 32 AS v0,
+         s1 / 32 AS m1, q1 / 32 AS v1, s2 / 32 AS m2, q2 / 32 AS v2
+  FROM sums
+)
+SELECT doc_id, 8::BIGINT AS width, 4::BIGINT AS height,
+       ROUND(m0, 4) AS mean_r,
+       ROUND(sqrt(greatest(v0 - m0 * m0, 0.0)), 4) AS std_r,
+       ROUND(m1, 4) AS mean_g,
+       ROUND(sqrt(greatest(v1 - m1 * m1, 0.0)), 4) AS std_g,
+       ROUND(m2, 4) AS mean_b,
+       ROUND(sqrt(greatest(v2 - m2 * m2, 0.0)), 4) AS std_b
+FROM m
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
@@ -1994,6 +2067,8 @@ QUERIES = {
     # NEW r8: dedup-tier evaluation harness (planted-clone recall)
     "a0_dedup_recall_eval": (dedup_recall_eval, DEDUP_RECALL_EVAL_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
+    # NEW r10 session-2: REAL pure-numpy PPM decode on the driver surface
+    "a0_multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     # NEW r9: RRF hybrid retrieval composing both index tiers
     "a0_hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     # NEW r9: contrastive hard-negative mining over the IVF cells

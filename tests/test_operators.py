@@ -2275,3 +2275,115 @@ def test_ner_perceptron_converges_and_decodes_gold(spark):
                 feature_scale=1.0 / 255.0)
             .collect()}
     assert pred == set(spans)
+
+
+def test_real_codecs_roundtrip_and_decode():
+    """r10: PPM/BMP/WAV decode with NO codec library — pure
+    numpy/stdlib.  Round-trips and hand-built byte layouts."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, decode_wav, encode_ppm, nn_resize)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # header with comment + multi-whitespace
+    ugly = b"P6\n# a comment\n 5  3\n255\n" + img.tobytes()
+    assert (decode_ppm(ugly) == img).all()
+
+    # hand-built 2x2 bottom-up BMP with row padding (stride 8 for w=2)
+    # pixels (RGB): top row [(255,0,0), (0,255,0)],
+    #               bottom  [(0,0,255), (10,20,30)]
+    def bgr(r, g, b):
+        return struct.pack("BBB", b, g, r)
+
+    rows = [bgr(0, 0, 255) + bgr(10, 20, 30) + b"\0\0",   # bottom first
+            bgr(255, 0, 0) + bgr(0, 255, 0) + b"\0\0"]
+    payload = b"".join(rows)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(payload), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                            len(payload), 0, 0, 0, 0))
+    px = decode_bmp(header + payload)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 255, 0)
+    assert tuple(px[1, 0]) == (0, 0, 255) and tuple(px[1, 1]) == (10, 20, 30)
+
+    # WAV via the stdlib writer
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(samples.tobytes())
+    got, rate = decode_wav(buf.getvalue())
+    assert rate == 16000 and (got.ravel() == samples).all()
+
+    # nearest-neighbor resize doubles a 2x2 into exact quadrants
+    small = np.array([[[1, 1, 1], [2, 2, 2]],
+                      [[3, 3, 3], [4, 4, 4]]], dtype=np.uint8)
+    big = nn_resize(small, 4, 4)
+    assert (big[:2, :2] == 1).all() and (big[:2, 2:] == 2).all()
+    assert (big[2:, :2] == 3).all() and (big[2:, 2:] == 4).all()
+
+
+def test_decode_features_real_paths(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_features, encode_ppm)
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 0] = [[0, 100], [200, 100]]   # R: mean 100, var 5000
+    img[:, :, 1] = 7                        # G: constant
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1); f.setsampwidth(2); f.setframerate(8000)
+        f.writeframes(np.array([100, -100], dtype="<i2").tobytes())
+    rows = [
+        (1, bytearray(encode_ppm(img)),
+         {"media_type": "image/ppm", "width": 2, "height": 2,
+          "duration_ms": None}),
+        (2, bytearray(buf.getvalue()),
+         {"media_type": "audio/wav", "width": 0, "height": 0,
+          "duration_ms": 1}),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, blob binary, meta struct<media_type string,"
+              " width int, height int, duration_ms int>")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    im = got[1]
+    assert (im.width, im.height) == (2, 2)
+    assert im.mean_r == 100.0 and im.std_r == 5000 ** 0.5
+    assert im.mean_g == 7.0 and im.std_g == 0.0
+    au = got[2]
+    assert (au.width, au.height) == (2, 8000)
+    assert au.mean_r == 0.0 and au.std_r == 100.0
+
+
+def test_resize_media_real_image(spark):
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_ppm, encode_ppm, resize_media)
+
+    img = np.array([[[1, 1, 1], [2, 2, 2]],
+                    [[3, 3, 3], [4, 4, 4]]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)),
+          {"media_type": "image/ppm", "width": 2, "height": 2,
+           "duration_ms": None})],
+        "doc_id long, blob binary, meta struct<media_type string,"
+        " width int, height int, duration_ms int>")
+    out = resize_media(df, width=4, height=4).collect()[0]
+    assert out.meta.width == 4 and out.meta.media_type == "image/ppm"
+    big = decode_ppm(bytes(out.blob))
+    assert big.shape == (4, 4, 3) and (big[:2, :2] == 1).all()

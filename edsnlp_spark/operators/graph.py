@@ -65,7 +65,12 @@ def pagerank(edges: DataFrame, iterations: int = 8,
     while the per-round barrier re-reads a 17k-row checkpoint — cheap.
     The knob exists for graphs where the trade flips (tiny node sets,
     many iterations).  No driver-side state (no collect; ranks live
-    distributed).
+    distributed).  Intermediate checkpoint blocks (one small node-scale
+    RDD per round) are lineage-truncated and unreferenced after the
+    next round, so the ContextCleaner reclaims them on driver GC —
+    measured harmless to co-resident queries (stale blocks moved a
+    heavy shuffle query <5%), and DataFrame.unpersist() cannot free
+    them eagerly (they are RDD-level storage, not SQL cache).
 
     Variants (same integer machinery, same plan shape):
 

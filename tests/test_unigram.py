@@ -70,3 +70,52 @@ def test_unigram_empty_and_encode_memo(spark):
     assert ("", 0, 0) in rows
     assert ("a", 1, -10) in rows
     assert ("ab", 2, -30) in rows
+
+
+def test_viterbi_matches_bruteforce_enumeration():
+    """Property: the dp's combined int equals the max over ALL 2^(L-1)
+    segmentations (pieces limited to max_len, unknown multi-char
+    pieces disallowed, unknown single chars scored unk)."""
+    import itertools
+    import random
+
+    from edsnlp_spark.operators.unigram import _COMB, _viterbi
+
+    rnd = random.Random(11)
+    alphabet = "abc"
+    for trial in range(40):
+        L = rnd.randint(1, 8)
+        word = "".join(rnd.choice(alphabet) for _ in range(L))
+        # random vocab over substrings (plus maybe-missing singles)
+        vocab = {}
+        for i in range(L):
+            for j in range(i + 1, min(i + 4, L) + 1):
+                if rnd.random() < 0.6:
+                    vocab[word[i:j]] = -rnd.randint(1, 500)
+        unk = -900
+
+        def seg_score(cuts):
+            total, prev = 0, 0
+            for c in list(cuts) + [L]:
+                piece = word[prev:c]
+                prev = c
+                if not piece:
+                    continue
+                if len(piece) > 3:
+                    return None
+                s = vocab.get(piece)
+                if s is None:
+                    if len(piece) != 1:
+                        return None
+                    s = unk
+                total += s * _COMB - 1
+            return total
+
+        best = None
+        for k in range(L):
+            for cuts in itertools.combinations(range(1, L), k):
+                s = seg_score(cuts)
+                if s is not None and (best is None or s > best):
+                    best = s
+        _, comb = _viterbi(word, vocab, unk, max_len=3)
+        assert comb == best, (word, vocab, comb, best)

@@ -156,3 +156,35 @@ def test_skipgram_pairs_hand_computed(spark):
     got1 = {(r.center, r.context): r.n_pairs
             for r in skipgram_pairs(walks, window=1).collect()}
     assert got1 == {(1, 2): 2, (2, 1): 2, (2, 3): 2, (3, 2): 2}
+
+
+def test_triangle_counts_match_naive_on_random_graphs(spark):
+    """Degree-ordered orientation vs a brute-force all-triples count
+    on random undirected graphs (seeded)."""
+    import itertools
+    import random
+
+    from edsnlp_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(23)
+    for trial in range(3):
+        nodes = list(range(1, 11))
+        und = {tuple(sorted(p))
+               for p in itertools.combinations(nodes, 2)
+               if rnd.random() < 0.35}
+        if not und:
+            continue
+        edges = spark.createDataFrame(
+            [(u, v) for u, v in und], "src long, dst long")
+        got = {r.node: (r.deg, r.n_tri)
+               for r in triangle_counts(edges).collect()}
+
+        present = {n for e in und for n in e}
+        deg = {n: sum(1 for e in und if n in e) for n in present}
+        tri = {n: 0 for n in present}
+        for a, b, c in itertools.combinations(sorted(present), 3):
+            if ((a, b) in und and (b, c) in und and (a, c) in und):
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+        assert got == {n: (deg[n], tri[n]) for n in present}, trial

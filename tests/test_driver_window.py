@@ -29,7 +29,7 @@ _spec.loader.exec_module(_entry)
 # The current build round: 1 + the newest committed CORRECTNESS file.
 _ROUNDS = sorted(
     int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
-    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0*.json")))
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
 THIS_ROUND = (_ROUNDS[-1] + 1) if _ROUNDS else 1
 MAX_STALENESS = 3
 
@@ -98,7 +98,11 @@ def test_no_driver_row_older_than_three_rounds():
     newest green row is then <= MAX_STALENESS rounds old.  Names are
     compared canonically (the a0_ prefix flips between rounds)."""
     newest: dict[str, int] = {}
-    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r0*.json")):
+    # NOTE: the pattern must be r*.json, not r0*.json — the r10 file
+    # is CORRECTNESS_r10.json and a r0* glob silently drops it (this
+    # bug made the audit blind to round 10 and under-counted
+    # THIS_ROUND by one; found at r11 start).
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
         for key, row in json.load(open(f)).items():
             ok = (row.get("rows_match") and row.get("schema_match")

@@ -418,6 +418,7 @@ def _index_stats(spark, path: str):
                  F.max("n_buckets").alias("n_buckets")).first())
 
 
+@scoped("retrieval")
 def bm25_topk_indexed(spark, path: str, queries: DataFrame,
                       k: int = 10, k1: float = 1.2, b: float = 0.75,
                       query_id_col: str = "query_id",

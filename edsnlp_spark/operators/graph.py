@@ -370,3 +370,117 @@ def skipgram_pairs(walks: DataFrame, window: int = 2,
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@scoped("graph")
+def train_graph_embeddings(pairs: DataFrame, dim: int = 8,
+                           iters: int = 1, ratio_scale: int = 64,
+                           shift: int = 1, assoc_cap: int = 1 << 20,
+                           emb_scale: int = 4096,
+                           center_col: str = "center",
+                           context_col: str = "context",
+                           count_col: str = "n_pairs") -> DataFrame:
+    """REAL distributed node embeddings from skip-gram pair counts —
+    the training step that closes the DeepWalk loop
+    (:func:`random_walks` -> :func:`skipgram_pairs` -> here), so the
+    ANN tier can finally consume trained vectors instead of synthetic
+    ones.  -> (node, emb array<bigint>) for every node that appears as
+    a center, at fixed integer scale ``emb_scale``.
+
+    Algorithm (published recipe, exact-integer adaptation):
+    - Levy & Goldberg 2014: word2vec-style embeddings are a low-rank
+      factorization of the shifted-PMI co-occurrence matrix.  The
+      association here is a hard-capped integer PMI-ratio surrogate
+      (monotone in the PMI ratio, no libm log):
+      ``a(c,x) = max(0, min(cap, (n_cx * rs * D) DIV (n_c * n_x))
+      - shift*rs)`` — exact int64, engine-portable.
+    - Halko, Martinsson & Tropp 2011 randomized range finder: project
+      the sparse association matrix A onto a deterministic {-1,+1}
+      md5-derived (vocab x dim) sketch R (Achlioptas 2001), then run
+      ``iters`` power refinements E <- A (A^T E) to concentrate the
+      top of the spectrum.
+
+    Determinism policy (the pagerank recipe): every matrix-vector
+    product is an int64 join+sum (groupBy merge order cannot drift);
+    the only normalization is a per-dimension integer requantization
+    ``q = sign(v) * ((|v| * emb_scale) DIV max_j |v|)`` — sign-
+    decomposed so Spark's trunc-DIV and DuckDB's floor-// agree.  A
+    SQL oracle replaying the same arithmetic reproduces every vector
+    bit-for-bit.
+
+    Scale shape: ``D``/per-node totals are vocabulary-bounded
+    groupBys; the association plane is persisted and every iteration
+    joins it against a node-scale vector table (the pagerank
+    iteration shape); the per-dimension max for requantization is a
+    ``dim``-value driver collect.  int64 headroom: requires
+    ``n_cx * ratio_scale * D < 2^63`` (raise ``assoc_cap``/shard
+    counts upstream past ~1e14 total pairs) and
+    ``assoc_cap * emb_scale * vocab < 2^63``.
+    """
+    if dim < 1 or iters < 0:
+        raise ValueError("train_graph_embeddings requires dim >= 1 "
+                         "and iters >= 0")
+    if ratio_scale < 1 or emb_scale < 1 or assoc_cap < 1:
+        raise ValueError("train_graph_embeddings scales must be >= 1")
+    d = int(dim)
+    p = pairs.select(F.col(center_col).cast("long").alias("c"),
+                     F.col(context_col).cast("long").alias("x"),
+                     F.col(count_col).cast("long").alias("n"))
+    tot = p.agg(F.sum("n").cast("long").alias("D"))
+    ncs = p.groupBy("c").agg(F.sum("n").cast("long").alias("nc"))
+    nxs = p.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    a_expr = (
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(int(assoc_cap)).cast("long"),
+                    F.expr(f"(n * {int(ratio_scale)} * D) DIV (nc * nx)"))
+            - F.lit(int(shift) * int(ratio_scale))))
+    assoc = (p.join(ncs, "c").join(nxs, "x")
+             .crossJoin(F.broadcast(tot))  # 1-row totals
+             .select("c", "x", a_expr.alias("a"))
+             .filter(F.col("a") > 0))
+    assoc = tracked_persist(assoc, "graph")
+    ecols = [f"e{j}" for j in range(d)]
+
+    # deterministic {-1,+1} sketch entry r_j(x), computed in-row
+    contrib = F.expr(
+        f"transform(sequence(0, {d - 1}), j -> a * "
+        f"(CASE WHEN CAST(conv(substring(md5(concat(CAST(x AS string), "
+        f"':', CAST(j AS string))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+        f"THEN 1 ELSE -1 END))")
+
+    def _requant(df):
+        """Per-dimension integer requantization to +-emb_scale."""
+        df = tracked_persist(df, "graph")
+        s = df.agg(*[F.max(F.abs(F.col(e))).alias(e)
+                     for e in ecols]).first()
+        cols = []
+        for e in ecols:
+            sj = int(s[e] or 0)
+            if sj == 0:
+                cols.append(F.lit(0).cast("long").alias(e))
+            else:
+                sign = F.when(F.col(e) < 0, F.lit(-1)) \
+                    .otherwise(F.lit(1)).cast("long")
+                cols.append(
+                    (sign * F.expr(
+                        f"(abs({e}) * {int(emb_scale)}) DIV {sj}"))
+                    .cast("long").alias(e))
+        return df.select("node", *cols)
+
+    def _matvec(vecs, from_col, to_col):
+        """(node-keyed vecs) -> A-weighted sums re-keyed on to_col."""
+        joined = assoc.join(vecs, assoc[from_col] == vecs["node"])
+        return (joined.groupBy(assoc[to_col].alias("node"))
+                .agg(*[F.sum(F.col(e) * F.col("a")).cast("long")
+                       .alias(e) for e in ecols]))
+
+    e = (assoc.withColumn("__ct", contrib)
+         .groupBy(F.col("c").alias("node"))
+         .agg(*[F.sum(F.element_at("__ct", j + 1)).cast("long")
+                .alias(ecols[j]) for j in range(d)]))
+    e = _requant(e)
+    for _ in range(int(iters)):
+        y = _requant(_matvec(e, "c", "x"))
+        e = _requant(_matvec(y, "x", "c"))
+    return e.select("node", F.array(*ecols).alias("emb"))

@@ -2387,3 +2387,18 @@ def test_resize_media_real_image(spark):
     assert out.meta.width == 4 and out.meta.media_type == "image/ppm"
     big = decode_ppm(bytes(out.blob))
     assert big.shape == (4, 4, 3) and (big[:2, :2] == 1).all()
+
+
+def test_negation_distillation_heldout_floor(spark):
+    """r11 (VERDICT r10 #5): the distilled negation head — integer
+    perceptron over distance-tagged window features, taught by the
+    rule-based QualifierEngine — must reach F1 >= 0.70 on held-out
+    docs (measured ~0.78 at sf0.01; the plain-window bag model
+    plateaus at 0.73, distance tags make recency lexical)."""
+    from edsnlp_spark.queries.advanced import negation_distillation_eval
+
+    row = negation_distillation_eval(
+        spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["tp"] + row["fn"] > 100  # enough positives to mean it
+    assert row["f1"] >= 0.70, row
+    assert row["accuracy"] >= 0.65, row

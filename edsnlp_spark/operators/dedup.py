@@ -1017,3 +1017,231 @@ def strip_spans_incremental(docs: DataFrame, ref_index: DataFrame | None,
             .otherwise(F.size("cov")).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           id_a: str = "id_a", id_b: str = "id_b",
+                           max_iter: int = 25,
+                           on_nonconverged: str = "raise",
+                           stats: dict | None = None) -> DataFrame:
+    """INCREMENTAL connected components for the dedup ingest path
+    (VERDICT r10 #6) -> the full updated (id, comp) table.
+
+    ``labels`` is the accumulated corpus's (id, comp) table with the
+    :func:`connected_components` invariant comp == min member id;
+    ``new_edges`` is a batch of near-dup pairs (endpoints may be new
+    docs or existing ones).  Each existing component is CONTRACTED to
+    its label: batch endpoints map to their current comp (new nodes to
+    themselves), and the min-label propagation runs on THAT graph —
+    nodes = touched comps + new nodes, edges = batch pairs, i.e.
+    bounded by the batch's reach, never the corpus.  Because every
+    existing label is already the min of its members, the contracted
+    minimum equals the global minimum, so the result is pinned equal
+    to a full recompute over (corpus ∪ batch) edges
+    (test_incremental_components_equals_full).
+
+    New-node ids cannot collide with component ids (a comp id is an
+    EXISTING member id; new nodes are not in ``labels``), so the
+    contracted node space is unambiguous.
+
+    Scale shape: the batch subgraph CC is batch-sized; the final label
+    refresh joins the (batch-bounded) comp remap into the labels table
+    — AQE broadcasts it.  The whole-table rewrite here is for callers
+    that want the result as a DataFrame; the PERSISTED form
+    (:func:`components_index_build` / :func:`components_index_update`)
+    rewrites only the affected comp-hash partitions.
+    """
+    lab = labels.select(F.col("id"), F.col("comp"))
+    e = new_edges.select(F.col(id_a).alias("__a"),
+                         F.col(id_b).alias("__b"))
+    ca = lab.select(F.col("id").alias("__a"), F.col("comp").alias("__ca"))
+    cb = lab.select(F.col("id").alias("__b"), F.col("comp").alias("__cb"))
+    mapped = (
+        e.join(ca, "__a", "left").join(cb, "__b", "left")
+        .select(F.coalesce("__ca", F.col("__a")).alias("id_a"),
+                F.coalesce("__cb", F.col("__b")).alias("id_b"))
+    )
+    sub = connected_components(mapped, max_iter=max_iter,
+                               on_nonconverged=on_nonconverged,
+                               stats=stats)
+    remap = sub.select(F.col("id").alias("comp"),
+                       F.col("comp").alias("__new"))
+    upd = (lab.join(remap, "comp", "left")
+           .select("id", F.coalesce("__new", F.col("comp")).alias("comp")))
+    new_rows = sub.join(lab.select("id"), "id", "left_anti") \
+        .select("id", "comp")
+    return upd.unionByName(new_rows)
+
+
+def components_index_build(labels: DataFrame, path: str,
+                           n_buckets: int = 64) -> None:
+    """Materialize a (id, comp) label table as the PERSISTED component
+    index: parquet PARTITIONED BY bucket = pmod(xxhash64(comp),
+    n_buckets), so incremental updates rewrite only the partitions
+    whose components a batch touches (the artifact-family shape:
+    window-hash index, MinHash band index, IVF-PQ index, inverted
+    index)."""
+    if n_buckets < 1:
+        raise ValueError("components_index_build requires n_buckets >= 1")
+    out = labels.select(
+        "id", "comp",
+        F.pmod(F.xxhash64("comp"), F.lit(int(n_buckets))).alias("bucket"))
+    out.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/labels")
+    spark = labels.sparkSession
+    # n_buckets as an explicit meta record: recovering it from
+    # max(bucket)+1 would silently shrink the modulus whenever the top
+    # buckets happen to be empty, corrupting every later remap
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets long") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def components_index_update(spark, path: str, new_edges: DataFrame,
+                            id_a: str = "id_a", id_b: str = "id_b",
+                            max_iter: int = 25,
+                            stats: dict | None = None) -> None:
+    """INCREMENTAL update of a :func:`components_index_build` label
+    index with a batch of near-dup edges — only AFFECTED comp-hash
+    partitions are rewritten (VERDICT r10 #6): per batch this touches
+    the batch subgraph plus the partitions holding remapped components
+    and merge targets, never the corpus-scale rest of the table.
+
+    Mechanics: contract-and-solve exactly like
+    :func:`incremental_components`; the (batch-bounded) remap's source
+    AND target buckets are collected driver-side (bounded by the
+    batch's reach) and pushed as a literal partition filter; rows in
+    those buckets are re-labeled and rewritten with
+    partitionOverwriteMode=dynamic (rows changing bucket land in their
+    new partition; unaffected partitions are untouched on disk).
+    Searches against the index during the rewrite see the usual
+    non-transactional window (the streaming-sink caveat shared by the
+    whole artifact family).
+    """
+    n_buckets = int(spark.read.parquet(f"{path}/meta")
+                    .agg(F.max("n_buckets")).first()[0])
+    lab = spark.read.parquet(f"{path}/labels")
+    lab_ids = lab.select("id", "comp")
+    e = new_edges.select(F.col(id_a).alias("__a"),
+                         F.col(id_b).alias("__b"))
+    ca = lab_ids.select(F.col("id").alias("__a"),
+                        F.col("comp").alias("__ca"))
+    cb = lab_ids.select(F.col("id").alias("__b"),
+                        F.col("comp").alias("__cb"))
+    mapped = (
+        e.join(ca, "__a", "left").join(cb, "__b", "left")
+        .select(F.coalesce("__ca", F.col("__a")).alias("id_a"),
+                F.coalesce("__cb", F.col("__b")).alias("id_b"))
+    )
+    sub = connected_components(mapped, max_iter=max_iter, stats=stats)
+    # remap rows where the label actually changes, plus brand-new nodes
+    remap = (sub.filter(F.col("id") != F.col("comp"))
+             .select(F.col("id").alias("comp"),
+                     F.col("comp").alias("__new")))
+    new_rows = sub.join(lab_ids.select("id"), "id", "left_anti") \
+        .select("id", "comp")
+    # bounded collect: source buckets (old comps being remapped) +
+    # target buckets (new labels) + new nodes' buckets
+    bkt = F.pmod(F.xxhash64("comp"), F.lit(n_buckets))
+    buckets = {
+        r["b"] for r in
+        remap.select(bkt.alias("b"))
+        .union(remap.select(F.pmod(F.xxhash64("__new"),
+                                   F.lit(n_buckets)).alias("b")))
+        .union(new_rows.select(bkt.alias("b")))
+        .distinct().collect()
+    }
+    if not buckets:
+        return
+    blist = sorted(int(b) for b in buckets)
+    touched = (
+        lab.filter(F.col("bucket").isin(blist))
+        .select("id", "comp")
+        .join(remap, "comp", "left")
+        .select("id", F.coalesce("__new", F.col("comp")).alias("comp"))
+        .unionByName(new_rows)
+        .select("id", "comp", F.pmod(F.xxhash64("comp"),
+                                     F.lit(n_buckets)).alias("bucket"))
+    )
+    touched = touched.persist()
+    try:
+        written = {int(r["bucket"]) for r in
+                   touched.select("bucket").distinct().collect()}
+        (touched.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(f"{path}/labels"))
+    finally:
+        touched.unpersist()
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — an affected source bucket whose every row moved elsewhere
+    # receives no rows and would keep its STALE files; drop those dirs
+    # explicitly (Hadoop FS API: portable across local and cluster FS)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for b in sorted(set(blist) - written):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{path}/labels/bucket={b}"), True)
+
+
+def components_index_view(spark, path: str,
+                          before_batch: int | None = None) -> DataFrame:
+    """Current (id, comp) view of a persisted component index that may
+    carry streaming DELTAS (``{path}/delta/batch=<id>`` written by
+    ``streaming.components_stream``): per id, the newest row wins
+    (base labels count as batch -1).  ``before_batch`` excludes deltas
+    from batch ids >= the given one — the replay-safety filter (a
+    restarted batch never reads its own failed attempt's half-written
+    delta), the fuzzy_dedup_stream recipe."""
+    from pyspark.errors import AnalysisException
+    parts = []
+    try:
+        parts.append(spark.read.parquet(f"{path}/labels")
+                     .select("id", "comp",
+                             F.lit(-1).cast("long").alias("__b")))
+    except AnalysisException:
+        pass
+    try:
+        d = spark.read.parquet(f"{path}/delta")
+        if before_batch is not None:
+            d = d.filter(F.col("batch") < F.lit(int(before_batch)))
+        parts.append(d.select("id", "comp",
+                              F.col("batch").cast("long").alias("__b")))
+    except AnalysisException:
+        pass
+    if not parts:
+        return spark.createDataFrame([], "id long, comp long")
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return allr.groupBy("id").agg(F.max_by("comp", "__b").alias("comp"))
+
+
+def incremental_components_delta(labels: DataFrame,
+                                 new_edges: DataFrame,
+                                 id_a: str = "id_a", id_b: str = "id_b",
+                                 max_iter: int = 25,
+                                 stats: dict | None = None) -> DataFrame:
+    """The DELTA of :func:`incremental_components`: only the (id, comp)
+    rows a batch CHANGES or CREATES — batch-reach-bounded, the
+    idempotent unit the streaming tier persists per batch (applying
+    the same edge batch twice yields the same labels, so a replayed
+    delta overwrite is harmless)."""
+    lab = labels.select(F.col("id"), F.col("comp"))
+    e = new_edges.select(F.col(id_a).alias("__a"),
+                         F.col(id_b).alias("__b"))
+    ca = lab.select(F.col("id").alias("__a"), F.col("comp").alias("__ca"))
+    cb = lab.select(F.col("id").alias("__b"), F.col("comp").alias("__cb"))
+    mapped = (
+        e.join(ca, "__a", "left").join(cb, "__b", "left")
+        .select(F.coalesce("__ca", F.col("__a")).alias("id_a"),
+                F.coalesce("__cb", F.col("__b")).alias("id_b"))
+    )
+    sub = connected_components(mapped, max_iter=max_iter, stats=stats)
+    remap = (sub.filter(F.col("id") != F.col("comp"))
+             .select(F.col("id").alias("comp"),
+                     F.col("comp").alias("__new")))
+    changed = (lab.join(remap, "comp")
+               .select("id", F.col("__new").alias("comp")))
+    new_rows = sub.join(lab.select("id"), "id", "left_anti") \
+        .select("id", "comp")
+    return changed.unionByName(new_rows)

@@ -213,6 +213,43 @@ def dedup_components(spark, sf_dir):
         "is_canonical")
 
 
+def dedup_components_incremental(spark, sf_dir):
+    """INCREMENTAL component resolution (VERDICT r10 #6): the corpus's
+    near-dup pairs are split into a BASE corpus (doc_id % 7 != 3 on
+    both endpoints) resolved by plain min-label propagation, and an
+    ingest BATCH (every remaining pair) folded in by
+    dedup.incremental_components — existing components contract to
+    their labels, so the batch subgraph CC is bounded by the batch's
+    reach, never the corpus.  Because base labels are component
+    minima, the incremental result is pinned EQUAL to a full
+    recompute: the oracle is the unchanged full-recompute
+    reachability CTE (DEDUP_COMPONENTS_SQL)."""
+    from ..core.caching import tracked_persist
+    docs = _docs(spark, sf_dir)
+    pairs = tracked_persist(
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.2), "dedup")
+    is_base = (F.col("id_a") % 7 != 3) & (F.col("id_b") % 7 != 3)
+    base_pairs = pairs.filter(is_base)
+    batch_pairs = pairs.filter(~is_base)
+    base_cc = D.connected_components(base_pairs)
+    base_labels = (
+        docs.filter(F.col("doc_id") % 7 != 3)
+        .select(F.col("doc_id").alias("id"))
+        .join(base_cc.withColumnRenamed("comp", "__c"), "id", "left")
+        .select("id", F.coalesce("__c", F.col("id")).alias("comp")))
+    updated = D.incremental_components(base_labels, batch_pairs)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(updated.withColumnRenamed("comp", "__c"), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("__c", F.col("id")).cast("bigint")
+            .alias("component"),
+            (F.coalesce("__c", F.col("id")) == F.col("id"))
+            .alias("is_canonical"),
+        ))
+
+
 def dedup_components_star(spark, sf_dir):
     """Same drop-list semantics as :func:`dedup_components`, resolved
     with the diameter-independent large-star/small-star contraction
@@ -2232,6 +2269,10 @@ QUERIES = {
     "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
+    # NEW r11 (VERDICT r10 #6): incremental component resolution pinned
+    # equal to a full recompute (shared reachability oracle)
+    "a0_dedup_components_incremental": (dedup_components_incremental,
+                                        DEDUP_COMPONENTS_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     # a0_-prefixed CANONICAL keys: queries with no driver-recorded
     # correctness row through r7 (VERDICT r7 #1 — the rekey layer never

@@ -2402,3 +2402,100 @@ def test_negation_distillation_heldout_floor(spark):
     assert row["tp"] + row["fn"] > 100  # enough positives to mean it
     assert row["f1"] >= 0.70, row
     assert row["accuracy"] >= 0.65, row
+
+
+def test_incremental_components_equals_full(spark):
+    """r11 (VERDICT r10 #6): folding a batch of edges into persisted
+    (id, comp) labels via component contraction must equal a full
+    recompute over the union — on random graphs, across 3 sequential
+    batches."""
+    import random
+
+    from edsnlp_spark.operators.dedup import (connected_components,
+                                              incremental_components)
+
+    rnd = random.Random(23)
+    all_edges = sorted({(rnd.randrange(40), rnd.randrange(40))
+                        for _ in range(70)})
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    chunks = [all_edges[:30], all_edges[30:45], all_edges[45:]]
+
+    base = spark.createDataFrame(chunks[0], "id_a long, id_b long")
+    labels = connected_components(base).select("id", "comp")
+    seen = list(chunks[0])
+    for chunk in chunks[1:]:
+        batch = spark.createDataFrame(chunk, "id_a long, id_b long")
+        labels = incremental_components(labels, batch) \
+            .localCheckpoint(eager=True)
+        seen += chunk
+        full = connected_components(
+            spark.createDataFrame(seen, "id_a long, id_b long"))
+        got = {r.id: r.comp for r in labels.collect()}
+        want = {r.id: r.comp for r in full.collect()}
+        assert got == want
+
+
+def test_components_index_update_rewrites_only_affected(spark, tmp_path):
+    """The persisted label index updates in place: only partitions
+    whose components the batch touches are rewritten, stale source
+    partitions are dropped, and the folded table equals a full
+    recompute."""
+    import os
+
+    from edsnlp_spark.operators.dedup import (components_index_build,
+                                              components_index_update,
+                                              connected_components)
+
+    path = str(tmp_path / "cidx")
+    base_edges = [(1, 2), (3, 4), (10, 11), (20, 21)]
+    base = spark.createDataFrame(base_edges, "id_a long, id_b long")
+    components_index_build(connected_components(base), path,
+                           n_buckets=8)
+    files_before = {
+        d: sorted(os.listdir(os.path.join(path, "labels", d)))
+        for d in os.listdir(os.path.join(path, "labels"))
+        if d.startswith("bucket=")
+    }
+    # batch: merge comp(3)=3 into comp(1)=1, add new node 50 linked
+    # to 20's component
+    batch = spark.createDataFrame([(2, 4), (50, 21)],
+                                  "id_a long, id_b long")
+    components_index_update(spark, path, batch)
+    got = {r.id: r.comp for r in
+           spark.read.parquet(f"{path}/labels")
+           .select("id", "comp").collect()}
+    full = connected_components(spark.createDataFrame(
+        base_edges + [(2, 4), (50, 21)], "id_a long, id_b long"))
+    want = {r.id: r.comp for r in full.collect()}
+    assert got == want
+    # the (10, 11) component was untouched: its partition files are
+    # byte-identical on disk
+    import pyspark.sql.functions as SF
+    b1011 = spark.createDataFrame([(10,)], "c long").select(
+        SF.pmod(SF.xxhash64("c"), SF.lit(8)).alias("b")).first()["b"]
+    d = f"bucket={b1011}"
+    after = sorted(os.listdir(os.path.join(path, "labels", d)))
+    assert files_before[d] == after
+
+
+def test_components_index_update_drops_emptied_partition(spark, tmp_path):
+    """Dynamic partition overwrite cannot rewrite a partition that
+    receives no rows — a source bucket whose every component was
+    remapped elsewhere must have its stale files dropped explicitly."""
+    from edsnlp_spark.operators.dedup import (components_index_build,
+                                              components_index_update,
+                                              connected_components)
+
+    path = str(tmp_path / "cidx")
+    # comps {5,6} and {1,2}: with n_buckets=2 one bucket can hold
+    # exactly one comp; merging 5's comp into 1's may empty it
+    base = spark.createDataFrame([(5, 6), (1, 2)],
+                                 "id_a long, id_b long")
+    components_index_build(connected_components(base), path,
+                           n_buckets=2)
+    batch = spark.createDataFrame([(2, 6)], "id_a long, id_b long")
+    components_index_update(spark, path, batch)
+    got = {r.id: r.comp for r in
+           spark.read.parquet(f"{path}/labels")
+           .select("id", "comp").collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}

@@ -2236,6 +2236,60 @@ FROM m
 """
 
 
+def png_decode(spark, sf_dir):
+    """REAL PNG decode on the driver surface (VERDICT r10 #4): per-doc
+    pixels (the same sanitized-ASCII 8x4 payload as
+    a0_multimodal_decode) are ENCODED into a real PNG — stdlib zlib
+    deflate, scanline filter type = doc_id %% 5, so every run
+    exercises all five unfilter paths (None/Sub/Up/Average/Paeth) —
+    then decoded back by the pure-stdlib decode_png inside
+    decode_features.  The oracle computes the expected channel stats
+    from the text code points directly (identical to the PPM oracle):
+    the filter/deflate round-trip is exactly what the hash certifies.
+    The encode step is a genuine Python surface (zlib + CRC are not
+    SQL-expressible), so it runs as ONE Arrow-batched mapInPandas."""
+    from ..operators.multimodal import decode_features, encode_png
+    d = (_docs(spark, sf_dir).filter(F.length("text") >= 1)
+         .withColumn("text",
+                     F.regexp_replace("text", r"[^\x00-\x7F]", "?")))
+    src = d.select(
+        "doc_id",
+        F.substring(F.expr("repeat(text, 96 DIV length(text) + 1)"),
+                    1, 96).alias("p"))
+
+    def mk(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["p"]):
+                arr = np.frombuffer(p.encode("ascii"),
+                                    dtype=np.uint8).reshape(4, 8, 3)
+                out.append((doc_id, bytearray(
+                    encode_png(arr, filter_type=int(doc_id) % 5))))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = src.mapInPandas(mk, "doc_id long, blob binary").select(
+        "doc_id", "blob",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"))
+    f = decode_features(blobs)
+    return f.select(
+        "doc_id", "width", "height",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ("mean_r", "std_r", "mean_g", "std_g",
+                    "mean_b", "std_b")])
+
+
+# the PNG round-trip reproduces the pixel bytes exactly, so the
+# expected stats are the PPM oracle's, verbatim
+PNG_DECODE_SQL = MULTIMODAL_DECODE_SQL
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
@@ -2302,6 +2356,8 @@ QUERIES = {
     "multimodal_features": (multimodal_features, MULTIMODAL_FEATURES_SQL),
     # NEW r10 session-2: REAL pure-numpy PPM decode on the driver surface
     "a0_multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    # NEW r11 (VERDICT r10 #4): stdlib-zlib PNG decode, all 5 filters
+    "a0_png_decode": (png_decode, PNG_DECODE_SQL),
     # NEW r9: RRF hybrid retrieval composing both index tiers
     "a0_hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     # NEW r9: contrastive hard-negative mining over the IVF cells

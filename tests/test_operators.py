@@ -2499,3 +2499,91 @@ def test_components_index_update_drops_emptied_partition(spark, tmp_path):
            spark.read.parquet(f"{path}/labels")
            .select("id", "comp").collect()}
     assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+def test_png_roundtrip_all_filter_types():
+    """r11 (VERDICT r10 #4): pure-stdlib PNG codec — encode with every
+    filter type (None/Sub/Up/Average/Paeth) and demand bit-identical
+    pixels back, RGB and RGBA, including gradient data where the
+    predictors actually differ."""
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    imgs = [
+        rng.randint(0, 256, (7, 5, 3)).astype(np.uint8),
+        rng.randint(0, 256, (4, 9, 4)).astype(np.uint8),
+        # smooth gradient: Sub/Up/Average/Paeth all predict differently
+        (np.arange(8 * 6 * 3).reshape(8, 6, 3) % 256).astype(np.uint8),
+        np.zeros((1, 1, 3), dtype=np.uint8),
+    ]
+    for img in imgs:
+        for ft in range(5):
+            blob = encode_png(img, filter_type=ft)
+            out = decode_png(blob)
+            assert out.shape == img.shape, (img.shape, ft)
+            assert (out == img).all(), (img.shape, ft)
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from edsnlp_spark.operators.multimodal import (_PNG_SIG, decode_png,
+                                                   encode_png)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK")
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr16))
+    # Adam7
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr_i))
+    # truncated scanlines
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    ihdr_big = struct.pack(">IIBBBBB", 99, 99, 8, 2, 0, 0, 0)
+    bad = (_PNG_SIG + chunk(b"IHDR", ihdr_big)
+           + good[len(_PNG_SIG) + 25:])  # reuse the small IDAT/IEND
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bad)
+
+
+def test_png_decode_features_matches_ppm(spark):
+    """decode_features over PNG blobs (every filter type) must produce
+    the same channel stats as the PPM path over the same pixels."""
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (decode_features,
+                                                   encode_png, encode_ppm)
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+            for _ in range(5)]
+    rows = []
+    for i, img in enumerate(imgs):
+        rows.append((i * 2, bytearray(encode_ppm(img)),
+                     ("image/ppm", 8, 4, None)))
+        rows.append((i * 2 + 1,
+                     bytearray(encode_png(img, filter_type=i % 5)),
+                     ("image/png", 8, 4, None)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, blob binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>")
+    got = {r.doc_id: (r.mean_r, r.std_r, r.mean_g, r.std_g,
+                      r.mean_b, r.std_b)
+           for r in decode_features(df).collect()}
+    for i in range(5):
+        assert got[i * 2] == got[i * 2 + 1], i

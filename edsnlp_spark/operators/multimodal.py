@@ -400,6 +400,59 @@ def decode_wav(raw: bytes):
     return data.reshape(-1, ch), rate
 
 
+#: Goertzel probe bins with EXACT INTEGER recurrence coefficients:
+#: 2*cos(2*pi*k/N) is an integer exactly when k/N is 1/6 (coeff 1),
+#: 1/4 (0), 1/3 (-1) or 1/2 (-2) — so the DFT bin energy at those
+#: relative frequencies computes in pure int64 arithmetic, and a SQL
+#: oracle replaying the recurrence matches bit-for-bit (the float-FFT
+#: alternative is summation-order-sensitive across engines).
+GOERTZEL_PROBES = (("p_f6", 1), ("p_f4", 0), ("p_f3", -1), ("p_f2", -2))
+
+
+def goertzel_powers(x) -> list[int]:
+    """Exact-integer Goertzel (Goertzel 1958) DFT bin energies of an
+    int sample sequence at the four integer-coefficient probe bins ->
+    [P(N/6), P(N/4), P(N/3), P(N/2)] with
+    P = s1^2 + s2^2 - c*s1*s2 after the recurrence
+    s[n] = x[n] + c*s[n-1] - s[n-2]."""
+    out = []
+    for _, c in GOERTZEL_PROBES:
+        s1 = s2 = 0
+        for v in x:
+            s = int(v) + c * s1 - s2
+            s2, s1 = s1, s
+        out.append(s1 * s1 + s2 * s2 - c * s1 * s2)
+    return out
+
+
+def wav_spectral_probes(df: DataFrame, n_samples: int = 96) -> DataFrame:
+    """SPECTRAL features over the REAL PCM decode (VERDICT r10 #9) ->
+    (doc_id, n, p_f6, p_f4, p_f3, p_f2): DFT bin energies of the first
+    channel's first ``n_samples`` samples at relative frequencies
+    fs/6, fs/4, fs/3, fs/2 via the exact-integer Goertzel recurrence
+    (see :data:`GOERTZEL_PROBES`) — the audio analog of
+    decode_features, and hash-oracle-able because every value is an
+    int64 function of the PCM ints (no float FFT in the data path).
+
+    int64 headroom: |s| grows at most linearly in n_samples * max
+    amplitude; 16-bit PCM at n_samples <= ~2e4 keeps P < 2^63.
+    Sequences are truncated (never padded) to ``n_samples``."""
+    ddl = ("doc_id long, n long, p_f6 long, p_f4 long, "
+           "p_f3 long, p_f2 long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                samples, _rate = decode_wav(bytes(blob))
+                x = [int(v) for v in samples[:n_samples, 0]]
+                rows.append((doc_id, len(x), *goertzel_powers(x)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n", "p_f6", "p_f4", "p_f3", "p_f2"])
+
+    return df.mapInPandas(run, ddl)
+
+
 def nn_resize(arr, width: int, height: int):
     """Nearest-neighbor image resize with pure numpy indexing."""
     import numpy as np

@@ -2290,6 +2290,88 @@ def png_decode(spark, sf_dir):
 PNG_DECODE_SQL = MULTIMODAL_DECODE_SQL
 
 
+def wav_spectral(spark, sf_dir):
+    """SPECTRAL audio features on the driver surface (VERDICT r10 #9):
+    per-doc 16-bit PCM WAVs are synthesized from the sanitized text
+    bytes (sample_i = (code_point_i - 64) * 128, mono, 96 samples),
+    decoded by the REAL stdlib-wave path, and reduced to DFT bin
+    energies at fs/6, fs/4, fs/3, fs/2 via the EXACT-INTEGER Goertzel
+    recurrence (2cos(w) in {1, 0, -1, -2} at those bins) — no float
+    FFT anywhere, so the oracle replays the recurrence in a recursive
+    CTE and the value hash certifies the whole decode+spectral path."""
+    from ..operators.multimodal import wav_spectral_probes
+    d = (_docs(spark, sf_dir).filter(F.length("text") >= 1)
+         .withColumn("text",
+                     F.regexp_replace("text", r"[^\x00-\x7F]", "?")))
+    src = d.select(
+        "doc_id",
+        F.substring(F.expr("repeat(text, 96 DIV length(text) + 1)"),
+                    1, 96).alias("p"))
+
+    def mk(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["p"]):
+                x = ((np.frombuffer(p.encode("ascii"), dtype=np.uint8)
+                      .astype(np.int32) - 64) * 128).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(8000)
+                    f.writeframes(x.tobytes())
+                out.append((doc_id, bytearray(buf.getvalue())))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = src.mapInPandas(mk, "doc_id long, blob binary")
+    return wav_spectral_probes(blobs, n_samples=96)
+
+
+WAV_SPECTRAL_SQL = """
+WITH RECURSIVE ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+  FROM documents WHERE length(text) >= 1
+),
+t AS (
+  SELECT doc_id,
+         substr(repeat(text, (96 // length(text) + 1)::INT), 1, 96) AS p
+  FROM ascii_docs
+),
+smp AS (
+  SELECT doc_id,
+         [(ord(substr(p, i::INT, 1)) - 64) * 128
+          for i in range(1, 97)] AS xs
+  FROM t
+),
+g AS (
+  SELECT doc_id, xs, 0 AS i,
+         0::BIGINT AS a1, 0::BIGINT AS a2,
+         0::BIGINT AS b1, 0::BIGINT AS b2,
+         0::BIGINT AS c1, 0::BIGINT AS c2,
+         0::BIGINT AS d1, 0::BIGINT AS d2
+  FROM smp
+  UNION ALL
+  SELECT doc_id, xs, i + 1,
+         xs[i + 1] + a1 - a2, a1,
+         xs[i + 1] - b2, b1,
+         xs[i + 1] - c1 - c2, c1,
+         xs[i + 1] - 2 * d1 - d2, d1
+  FROM g WHERE i < 96
+)
+SELECT doc_id, 96::BIGINT AS n,
+       (a1 * a1 + a2 * a2 - a1 * a2)::BIGINT AS p_f6,
+       (b1 * b1 + b2 * b2)::BIGINT AS p_f4,
+       (c1 * c1 + c2 * c2 + c1 * c2)::BIGINT AS p_f3,
+       (d1 * d1 + d2 * d2 + 2 * d1 * d2)::BIGINT AS p_f2
+FROM g WHERE i = 96
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": (minhash_lsh_dedup, MINHASH_LSH_DEDUP_SQL),
     # NEW r10 session-2: integer-exact PageRank over the co-supplier graph
@@ -2358,6 +2440,9 @@ QUERIES = {
     "a0_multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     # NEW r11 (VERDICT r10 #4): stdlib-zlib PNG decode, all 5 filters
     "a0_png_decode": (png_decode, PNG_DECODE_SQL),
+    # NEW r11 (VERDICT r10 #9): exact-integer Goertzel spectral probes
+    # over the real PCM decode
+    "a0_wav_spectral": (wav_spectral, WAV_SPECTRAL_SQL),
     # NEW r9: RRF hybrid retrieval composing both index tiers
     "a0_hybrid_retrieval": (hybrid_retrieval, HYBRID_RETRIEVAL_SQL),
     # NEW r9: contrastive hard-negative mining over the IVF cells

@@ -141,6 +141,18 @@ HEADLINE = R1_SET + [
     "a0_related_parts_ppr",
     "a0_multimodal_decode",
     "a0_graph_walks",
+    # round-11 additions: trained graph embeddings (RETRAINS the full
+    # walks -> pairs -> association -> power-iteration pipeline per
+    # run by design), ANN over the trained vectors, incremental
+    # component resolution, the distilled negation head (RETRAINS 8
+    # perceptron epochs per run), stdlib-zlib PNG decode (all 5
+    # filters) and integer-Goertzel WAV spectral probes
+    "a0_graph_embeddings",
+    "a0_trained_ann_topk",
+    "a0_dedup_components_incremental",
+    "a0_negation_distillation",
+    "a0_png_decode",
+    "a0_wav_spectral",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate
@@ -341,7 +353,13 @@ def main() -> None:
                  "a0_hybrid_retrieval", "a0_ner_crf_viterbi",
                  # r10: the session-2 heavies — 8 checkpointed PageRank
                  # iterations and the retraining unigram lifecycle
-                 "a0_pagerank_copurchase", "a0_unigram_tokenizer"]
+                 "a0_pagerank_copurchase", "a0_unigram_tokenizer",
+                 # r11: the retraining embedding pipeline, the indexed
+                 # chunk-retrieval read path (VERDICT r10 #2's 'done'
+                 # bar: the 10x ratio must drop from corpus-linear to
+                 # the indexed profile) and incremental components
+                 "a0_graph_embeddings", "a0_chunk_retrieval",
+                 "a0_dedup_components_incremental"]
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

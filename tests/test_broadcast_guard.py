@@ -71,6 +71,10 @@ ALLOWED = {
         "gated by broadcast_terms flag; scale tier uses shuffle join",
     ("operators/simstring.py", "F.broadcast(t_grams)"):
         "simstring lexicon char-grams (resource-scale)",
+    ("operators/graph.py", "F.broadcast(tot)"):
+        "1-row pair-count total (embedding association denominator)",
+    ("queries/scaleops.py", "F.broadcast(probes)"):
+        "8 probe rows by construction (orderBy(node).limit(8))",
 }
 
 

@@ -1995,21 +1995,62 @@ SELECT node, j::BIGINT AS j, q FROM q1""").replace(
     ")\nwk AS", "),\nwk AS")
 
 
+_GRAPH_EMB_BUILT: set = set()
+
+
+def _graph_emb_seed(spark, sf_dir) -> str:
+    """Build-or-reuse the PERSISTED trained-embedding artifact for
+    ``sf_dir`` (the seed-index pattern of _ivfpq_seed_index /
+    _text_seed_index): train_graph_embeddings output parquet under the
+    gitignored ``.graph_emb/<tag>``, keyed by the lineitem fingerprint
+    + embedding config.  Training is deterministic, so the artifact's
+    values equal a fresh retrain (what a0_graph_embeddings verifies
+    per run against the full-replay oracle) — consumers read trained
+    vectors at index-read cost instead of re-running the walk/train
+    pipeline inline."""
+    import hashlib
+    import os
+
+    from ..operators.graph import (random_walks, skipgram_pairs,
+                                   train_graph_embeddings)
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "unknown"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|gemb-d8-i1-w2x6|{fp}".encode()
+    ).hexdigest()[:16]
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".graph_emb", tag)
+    if tag not in _GRAPH_EMB_BUILT:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            edges = _copurchase_edges_1995(spark, sf_dir)
+            walks = random_walks(edges, walks_per_node=2, walk_len=6)
+            pairs = skipgram_pairs(walks, window=2)
+            emb = train_graph_embeddings(pairs, dim=8, iters=1)
+            emb.write.mode("overwrite").parquet(path)
+        _GRAPH_EMB_BUILT.add(tag)
+    return path
+
+
 def trained_ann_topk(spark, sf_dir):
     """ANN over TRAINED vectors (VERDICT r10 #3 'done' condition): the
     8 lowest-id nodes with a nonzero trained embedding probe the full
     embedding table for cosine top-5 (integer dot products + norms;
     ordering by the ROUNDED score so engine float noise cannot flip
     ranks — the mmr/contrastive recipe).  The probes x candidates
-    plane is 8 x vocab, bounded."""
+    plane is 8 x vocab, bounded.  The trained vectors come from the
+    PERSISTED artifact (_graph_emb_seed): training is paid once per
+    corpus snapshot, the search is an artifact read — and because
+    training is deterministic, the full-replay oracle still verifies
+    every value the artifact serves."""
     from pyspark.sql import Window as W
-    from ..operators.graph import (random_walks, skipgram_pairs,
-                                   train_graph_embeddings)
     from ..core.caching import tracked_persist
-    edges = _copurchase_edges_1995(spark, sf_dir)
-    walks = random_walks(edges, walks_per_node=2, walk_len=6)
-    pairs = skipgram_pairs(walks, window=2)
-    emb = train_graph_embeddings(pairs, dim=8, iters=1)
+    emb = spark.read.parquet(_graph_emb_seed(spark, sf_dir))
     nn = F.aggregate(F.transform("emb", lambda e: e * e),
                      F.lit(0).cast("long"), lambda acc, v: acc + v)
     emb = tracked_persist(

@@ -133,7 +133,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
 
 
 def _apply_merge_batch(symbols, pairs: list[tuple[str, str]],
-                       sep: str = "\x00"):
+                       sep: str = "\x00",
+                       merged: list[str] | None = None):
     """In-row application of a BATCH of mutually non-interacting merges
     (disjoint symbol sets) in ONE fold: the step looks the (last, cur)
     pair up in a literal K-entry map instead of stacking K fold layers.
@@ -146,9 +147,10 @@ def _apply_merge_batch(symbols, pairs: list[tuple[str, str]],
     callers must not admit \\x00 inside tokens (corpus text never does).
     """
     kv: list = []
-    for left, right in pairs:
+    outs = merged if merged is not None else [l + r for l, r in pairs]
+    for (left, right), out in zip(pairs, outs):
         kv.append(F.lit(f"{left}{sep}{right}"))
-        kv.append(F.lit(left + right))
+        kv.append(F.lit(out))
     table = F.create_map(*kv)
 
     def step(acc, s):

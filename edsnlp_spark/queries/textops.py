@@ -2961,6 +2961,125 @@ FROM agg
 BPE_LIFECYCLE_SQL = _bpe_lifecycle_sql()
 
 
+# ---- WordPiece lifecycle (r11) ------------------------------------------
+
+_WP_MERGES, _WP_BATCH = 48, 16
+
+
+def _load_wordpiece_pin() -> dict | None:
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "resources",
+        "wordpiece_vocab.json")
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
+
+_WP_PIN = _load_wordpiece_pin()
+
+
+def wordpiece_lifecycle(spark, sf_dir):
+    """The THIRD tokenizer lifecycle (WordPiece, Schuster & Nakajima
+    2012 — likelihood-scored merges + greedy longest-match encode,
+    completing the family next to BPE's count-scored merges and the
+    unigram LM's Viterbi): RETRAINS the vocabulary per run (48 merges,
+    batch 16 — likelihood score c_lr/(c_l*c_r), disjoint-batch
+    adoption) on the derived pair-word corpus, greedy-encodes the
+    distinct-word plane, and rolls per-doc subword stats with an [UNK]
+    count.
+
+    Oracle: training is deterministic (ordered bounded collects, exact
+    integer counts, one IEEE division), so the vocabulary is pinned at
+    sf0.01 (resources/wordpiece_vocab.json,
+    scripts/pin_wordpiece_vocab.py) and the oracle replays the greedy
+    longest-match scan as a recursive CTE over a piece-lookup MAP — a
+    hash mismatch catches trainer OR encoder drift."""
+    from ..operators.wordpiece import (wordpiece_encode_words,
+                                       wordpiece_train)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    corpus = _bpe_pair_corpus(d)
+    vocab = wordpiece_train(corpus, n_merges=_WP_MERGES,
+                            batch=_WP_BATCH)
+    words = corpus.select(
+        F.explode(F.split("text", " ", -1)).alias("word")).distinct()
+    enc = wordpiece_encode_words(words, vocab)
+    tok = corpus.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    return (
+        tok.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+             F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+             F.sum(F.col("is_unk").cast("int")).cast("bigint")
+             .alias("n_unk"))
+        .select("doc_id", "n_words", "n_pieces", "n_unk",
+                F.round(F.col("n_pieces").cast("double")
+                        / F.col("n_words"), 4).alias("fertility"))
+    )
+
+
+def _wordpiece_lifecycle_sql() -> str | None:
+    if _WP_PIN is None:
+        return None
+    vocab = _WP_PIN["vocab"]
+    maxlen = max(len(p) for p in vocab)
+    vm = "MAP{" + ", ".join(
+        "'" + p.replace("'", "''") + "': 1" for p in sorted(vocab)) + "}"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         array_to_string([toks[i] || '_' || toks[i+1]
+                          for i in range(1, len(toks))], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 2
+),
+tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM base
+),
+words AS (SELECT DISTINCT word FROM tokp),
+g AS (
+  SELECT word, 0 AS i, 0::BIGINT AS np, FALSE AS failed FROM words
+  UNION ALL
+  SELECT word,
+         CASE WHEN best IS NULL THEN i ELSE i + best END,
+         CASE WHEN best IS NULL THEN np ELSE np + 1 END,
+         best IS NULL
+  FROM (
+    SELECT word, i, np,
+           list_max([L for L in range(1, {maxlen + 1})
+                     if i + L <= length(word)
+                     AND len(({vm})[
+                       (CASE WHEN i = 0 THEN '' ELSE '##' END)
+                         || substr(word, i + 1, L::INT)]) > 0]) AS best
+    FROM g WHERE NOT failed AND i < length(word))
+),
+fin AS (
+  SELECT word, np, failed FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY word ORDER BY failed DESC, i DESC) AS rn
+    FROM g) WHERE rn = 1
+),
+encw AS (
+  SELECT word, CASE WHEN failed THEN 1 ELSE np END AS n_pieces,
+         failed AS is_unk
+  FROM fin
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       SUM(n_pieces)::BIGINT AS n_pieces,
+       SUM(is_unk::INT)::BIGINT AS n_unk,
+       ROUND(SUM(n_pieces) / COUNT(*), 4) AS fertility
+FROM tokp JOIN encw USING (word)
+GROUP BY doc_id
+"""
+
+
+WORDPIECE_LIFECYCLE_SQL = _wordpiece_lifecycle_sql()
+
+
 # ---- tokenizer fertility (per-source BPE efficiency monitor) ------------
 
 def tokenizer_fertility(spark, sf_dir):
@@ -4154,6 +4273,10 @@ QUERIES = {
     "bpe_encoding": (bpe_encoding, BPE_ENCODING_SQL),
     # NEW r10: full tokenizer lifecycle — batched train -> arrow encode
     "a0_bpe_lifecycle": (bpe_lifecycle, BPE_LIFECYCLE_SQL),
+    # NEW r11: the THIRD tokenizer lifecycle — WordPiece likelihood
+    # merges + greedy longest-match encode, pinned-vocab oracle
+    "a0_wordpiece_lifecycle": (wordpiece_lifecycle,
+                               WORDPIECE_LIFECYCLE_SQL),
     # NEW r10 session-2: unigram-LM tokenizer lifecycle (train + encode)
     "a0_unigram_tokenizer": (unigram_tokenizer, UNIGRAM_TOKENIZER_SQL),
     "ccnet_buckets": (ccnet_buckets, CCNET_BUCKETS_SQL),

@@ -80,6 +80,11 @@ ALLOWED = {
     ("operators/dedup.py",
      'touched.select("bucket").distinct().collect()'):
         "written bucket ids: subset of the affected-bucket set",
+    ("operators/wordpiece.py", '.alias("s")).distinct().collect()'):
+        "initial alphabet: bounded by the corpus CHARACTER set x2 "
+        "(bare + '##' forms)",
+    ("operators/wordpiece.py", ".limit(4 * want + 8).collect()"):
+        "wordpiece top-M candidate collect: M bounded by batch config",
 }
 
 

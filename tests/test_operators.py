@@ -2645,3 +2645,75 @@ def test_wav_spectral_probes_roundtrip(spark):
     got = {r.doc_id: (r.n, r.p_f6, r.p_f4, r.p_f3, r.p_f2)
            for r in wav_spectral_probes(df, n_samples=96).collect()}
     assert got == want
+
+
+def test_wordpiece_train_matches_python_reference(spark):
+    """r11: sequential (batch=1) WordPiece training vs a pure-Python
+    reference of the likelihood objective — identical merge-output
+    sequences, and the textbook BERT example learns 'low'/'##er'."""
+    from collections import Counter
+
+    from edsnlp_spark.operators.wordpiece import (wordpiece_train,
+                                                  wp_merged)
+
+    texts = ["low lower lowest low low", "new newer newest new",
+             "low new wider widest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = wordpiece_train(docs, n_merges=8, batch=1)
+
+    wc = Counter(w for t in texts for w in t.split(" "))
+    vocab = {w: ([w[0]] + ["##" + c for c in w[1:]], f)
+             for w, f in wc.items()}
+    alphabet = sorted({s for sym, _ in vocab.values() for s in sym})
+    pieces = list(alphabet)
+    for _ in range(8):
+        pc, sc = Counter(), Counter()
+        for sym, f in vocab.values():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += f
+            for s in sym:
+                sc[s] += f
+        cands = [(c / (sc[l] * sc[r]), c, l, r)
+                 for (l, r), c in pc.items() if c >= 2]
+        if not cands:
+            break
+        # (score desc, count desc, l, r) — the trainer's ordering
+        best = sorted(cands, key=lambda t: (-t[0], -t[1], t[2], t[3]))[0]
+        _, _, l, r = best
+        m = wp_merged(l, r)
+        pieces.append(m)
+        for w, (sym, f) in vocab.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == l and s == r:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            vocab[w] = (out, f)
+    assert got == pieces
+    assert "low" in got and "##er" in got
+
+
+def test_wordpiece_encode_edges(spark):
+    from edsnlp_spark.operators.wordpiece import (wordpiece_encode_word,
+                                                  wordpiece_encode_words)
+
+    vocab = ["l", "##o", "##w", "low", "##er"]
+    vs, ml = set(vocab), max(len(p) for p in vocab)
+    assert wordpiece_encode_word("low", vs, ml, "[UNK]") == ["low"]
+    assert wordpiece_encode_word("lower", vs, ml, "[UNK]") == \
+        ["low", "##er"]
+    # greedy longest-match beats char-by-char
+    assert wordpiece_encode_word("lowow", vs, ml, "[UNK]") == \
+        ["low", "##o", "##w"]
+    # any unmatchable position -> whole-word UNK
+    assert wordpiece_encode_word("lox", vs, ml, "[UNK]") == ["[UNK]"]
+    assert wordpiece_encode_word("", vs, ml, "[UNK]") == []
+    words = spark.createDataFrame(
+        [("lower",), ("zzz",), ("",)], "word string")
+    got = {r.word: (r.pieces, r.n_pieces, r.is_unk)
+           for r in wordpiece_encode_words(words, vocab).collect()}
+    assert got["lower"] == (["low", "##er"], 2, False)
+    assert got["zzz"] == (["[UNK]"], 1, True)
+    assert got[""] == ([], 0, False)

@@ -153,6 +153,9 @@ HEADLINE = R1_SET + [
     "a0_negation_distillation",
     "a0_png_decode",
     "a0_wav_spectral",
+    # WordPiece lifecycle (RETRAINS 48 merges per run by design, like
+    # its BPE/unigram siblings)
+    "a0_wordpiece_lifecycle",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -3958,6 +3958,71 @@ def rouge_overlap(spark, sf_dir):
     return rouge_n(cand, ref, 1).unionByName(rouge_n(cand, ref, 2))
 
 
+def rouge_l_overlap(spark, sf_dir):
+    """ROUGE-L (metrics.rouge_l): LCS-based P/R/F1 of each document
+    vs its successor — the ORDER-SENSITIVE generation-eval complement
+    of a0_rouge_overlap's multiset n-gram counts.  Sequences truncate
+    to 64 tokens on BOTH engines (the documented config bound that
+    keeps the per-pair dp O(64^2) at any corpus scale); the oracle
+    replays the exact dp as a recursive CTE — the within-row
+    dependency (cur[j-1]) is eliminated by prefix-max DOUBLING passes
+    (6 passes cover 64 positions), so every recursion step is one
+    index-independent list comprehension."""
+    from ..operators.metrics import rouge_l
+    d = _t(spark, sf_dir, "documents")
+    cand = d.select(F.col("doc_id").alias("pair_id"), "text")
+    ref = (d.select((F.col("doc_id") - 1).alias("pair_id"), "text")
+           .filter(F.col("pair_id") >= 0))
+    return rouge_l(cand, ref, max_tokens=64)
+
+
+ROUGE_L_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT c.doc_id AS pair_id,
+         string_split(c.text, ' ')[1:64] AS a,
+         string_split(r.text, ' ')[1:64] AS b
+  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+),
+dp AS (
+  SELECT pair_id, a, b, 0 AS i, 6 AS ph,
+         list_transform(range(1, len(b) + 1), x -> 0::BIGINT) AS row
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, a, b,
+         CASE WHEN ph = 6 THEN i + 1 ELSE i END,
+         CASE WHEN ph = 6 THEN 0 ELSE ph + 1 END,
+         CASE WHEN ph = 6 THEN
+           list_transform(range(1, len(b) + 1), j ->
+             GREATEST(row[j::INT],
+                      (CASE WHEN j >= 2 THEN row[(j - 1)::INT]
+                            ELSE 0 END)
+                      + CASE WHEN a[(i + 1)::INT] = b[j::INT]
+                             THEN 1 ELSE 0 END))
+         ELSE
+           list_transform(range(1, len(b) + 1), j ->
+             GREATEST(row[j::INT],
+                      CASE WHEN j > (1 << ph)
+                           THEN row[(j - (1 << ph))::INT]
+                           ELSE 0 END))
+         END
+  FROM dp WHERE NOT (i = len(a) AND ph = 6)
+)
+SELECT pair_id, row[len(b)]::BIGINT AS lcs,
+       len(a)::BIGINT AS n_cand, len(b)::BIGINT AS n_ref,
+       ROUND(CASE WHEN len(a) > 0
+                  THEN row[len(b)] / len(a) ELSE 0.0 END, 4)
+         AS precision,
+       ROUND(CASE WHEN len(b) > 0
+                  THEN row[len(b)] / len(b) ELSE 0.0 END, 4) AS recall,
+       ROUND(CASE WHEN row[len(b)] > 0
+                  THEN 2.0 * (row[len(b)] / len(a))
+                       * (row[len(b)] / len(b))
+                       / (row[len(b)] / len(a) + row[len(b)] / len(b))
+                  ELSE 0.0 END, 4) AS f1
+FROM dp WHERE i = len(a) AND ph = 6
+"""
+
+
 def _rouge_overlap_sql() -> str:
     gen = {
         1: "toks",
@@ -4309,6 +4374,9 @@ QUERIES = {
     "a0_length_quantiles": (length_quantiles, LENGTH_QUANTILES_SQL),
     # NEW r10 session-2: ROUGE-N generation-eval overlap
     "a0_rouge_overlap": (rouge_overlap, ROUGE_OVERLAP_SQL),
+    # NEW r11: ROUGE-L — order-sensitive LCS eval, doubling-pass
+    # recursive-CTE dp oracle
+    "a0_rouge_l": (rouge_l_overlap, ROUGE_L_SQL),
     # NEW r10 session-2: positional phrase search
     "a0_phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     # NEW r10 session-2: BM25 served from the persisted inverted index

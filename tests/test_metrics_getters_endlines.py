@@ -211,3 +211,53 @@ def test_rouge_n_zero_overlap_and_missing_pairs(spark):
     assert len(rows) == 1  # pair 1 has no reference -> dropped
     r = rows[0]
     assert r.overlap == 0 and r.precision == 0.0 and r.f1 == 0.0
+
+
+def test_rouge_l_matches_python_reference(spark):
+    """r11: LCS-based ROUGE-L vs a textbook O(mn) Python dp, including
+    truncation semantics and repeated tokens."""
+    import random
+
+    from edsnlp_spark.operators.metrics import _lcs_len, rouge_l
+
+    def ref_lcs(a, b):
+        m, n = len(a), len(b)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[m][n]
+
+    rnd = random.Random(31)
+    vocab = ["x", "y", "z", "w"]
+    pairs = [(i, [rnd.choice(vocab) for _ in range(rnd.randrange(1, 90))],
+              [rnd.choice(vocab) for _ in range(rnd.randrange(1, 90))])
+             for i in range(20)]
+    for _, a, b in pairs:
+        assert _lcs_len(a, b) == ref_lcs(a, b)
+    cand = spark.createDataFrame([(i, " ".join(a)) for i, a, _ in pairs],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(i, " ".join(b)) for i, _, b in pairs],
+                                "pair_id long, text string")
+    got = {r.pair_id: (r.lcs, r.n_cand, r.n_ref)
+           for r in rouge_l(cand, ref, max_tokens=64).collect()}
+    for i, a, b in pairs:
+        ta, tb = a[:64], b[:64]
+        assert got[i] == (ref_lcs(ta, tb), len(ta), len(tb)), i
+
+
+def test_rouge_l_hand_and_edges(spark):
+    from edsnlp_spark.operators.metrics import rouge_l
+
+    cand = spark.createDataFrame([(0, "a b c d"), (1, "x y")],
+                                 "pair_id long, text string")
+    ref = spark.createDataFrame([(0, "a c b d"), (1, "p q")],
+                                "pair_id long, text string")
+    rows = {r.pair_id: r for r in rouge_l(cand, ref).collect()}
+    # LCS('abcd','acbd') = 3 ('a c d' or 'a b d')
+    r0 = rows[0]
+    assert (r0.lcs, r0.n_cand, r0.n_ref) == (3, 4, 4)
+    assert (r0.precision, r0.recall, r0.f1) == (0.75, 0.75, 0.75)
+    r1 = rows[1]
+    assert r1.lcs == 0 and r1.f1 == 0.0

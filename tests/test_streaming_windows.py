@@ -599,3 +599,33 @@ def test_components_stream_with_restart(spark, tmp_path):
     d2 = {r.id for r in spark.read.parquet(
         f"{index_path}/delta").filter("batch = 1").collect()}
     assert d2 == {10, 11, 30, 31}
+
+
+def test_components_index_compaction_preserves_view(spark, tmp_path):
+    """components_index_build over the folded view IS the delta-chain
+    compaction: the compacted index serves the same labels with zero
+    deltas left to fold."""
+    from edsnlp_spark.operators.dedup import (components_index_build,
+                                              components_index_view)
+    from edsnlp_spark.streaming.pipeline_stream import components_stream
+
+    src = tmp_path / "edges"
+    src.mkdir()
+    write_events_jsonl(src / "b1.jsonl",
+                       [{"id_a": 1, "id_b": 2}, {"id_a": 5, "id_b": 6}])
+    write_events_jsonl(src / "b2.jsonl", [{"id_a": 2, "id_b": 5}])
+    index_path = str(tmp_path / "cidx")
+
+    edges = spark.readStream.schema("id_a long, id_b long").json(str(src))
+    components_stream(edges, index_path,
+                      str(tmp_path / "ckpt")).awaitTermination(120)
+    before = {r.id: r.comp for r in
+              components_index_view(spark, index_path).collect()}
+    assert before == {1: 1, 2: 1, 5: 1, 6: 1}
+
+    compacted = str(tmp_path / "cidx2")
+    components_index_build(components_index_view(spark, index_path),
+                           compacted, n_buckets=8)
+    after = {r.id: r.comp for r in
+             components_index_view(spark, compacted).collect()}
+    assert after == before

@@ -2106,6 +2106,131 @@ WHERE rank <= 5""").replace(
     ")\nwk AS", "),\nwk AS")
 
 
+def _semantic_planes(n_planes: int = 6, dim: int = 8) -> list[list[int]]:
+    """Deterministic {-1,+1} hyperplanes for the semantic-cluster LSH
+    tier — md5-derived config constants (computed once here, embedded
+    as literals in BOTH engines, like the MINHASH_A table)."""
+    import hashlib
+    return [[1 if int(hashlib.md5(f"pl:{p}:{j}".encode())
+                      .hexdigest()[:8], 16) % 2 == 0 else -1
+             for j in range(dim)]
+            for p in range(n_planes)]
+
+
+_SEM_PLANES = _semantic_planes()
+
+
+def semantic_clusters(spark, sf_dir):
+    """TRAINED vectors feeding the dedup/clustering tier end-to-end:
+    the persisted graph embeddings (_graph_emb_seed) are bucketed by a
+    6-hyperplane LSH signature (integer dots against the literal
+    {-1,+1} planes — sign decisions are exact), candidate pairs within
+    a bucket verify at ROUNDED cosine >= 0.95 (integer dots + norms,
+    the mmr/contrastive recipe), and connected components resolve the
+    verified pairs into semantic clusters -> (node, cluster,
+    is_canonical).
+
+    Scale shape: signatures are one in-row projection; the candidate
+    self-join is bucket-confined (64 buckets here; more planes at
+    scale); CC runs on the verified pair set only.  The oracle
+    replays the WHOLE chain — embedding training included — plus the
+    signature/verify joins and a reachability CTE."""
+    from ..core.caching import tracked_persist
+    from ..operators.dedup import connected_components
+    emb = spark.read.parquet(_graph_emb_seed(spark, sf_dir))
+    nn = F.aggregate(F.transform("emb", lambda e: e * e),
+                     F.lit(0).cast("long"), lambda acc, v: acc + v)
+    sig = F.concat_ws("", *[
+        F.when(
+            F.aggregate(
+                F.zip_with("emb",
+                           F.array(*[F.lit(v) for v in plane]),
+                           lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, v: acc + v) >= 0,
+            F.lit("1")).otherwise(F.lit("0"))
+        for plane in _SEM_PLANES])
+    base = tracked_persist(
+        emb.select("node", "emb", nn.alias("nn"), sig.alias("sig"))
+        .filter(F.col("nn") > 0), "graph")
+    a = base.select(F.col("node").alias("na"), F.col("emb").alias("ea"),
+                    F.col("nn").alias("nna"), "sig")
+    b = base.select(F.col("node").alias("nb"), F.col("emb").alias("eb"),
+                    F.col("nn").alias("nnb"), "sig")
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cos = F.round(dot.cast("double")
+                  / (F.sqrt(F.col("nna").cast("double"))
+                     * F.sqrt(F.col("nnb").cast("double"))), 4)
+    pairs = (a.join(b, "sig")
+             .filter(F.col("na") < F.col("nb"))
+             .select("na", "nb", cos.alias("cos"))
+             .filter(F.col("cos") >= 0.95))
+    comps = connected_components(pairs, id_a="na", id_b="nb")
+    return (
+        emb.select("node")
+        .join(comps.withColumnRenamed("id", "node")
+              .withColumnRenamed("comp", "__c"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("__c", F.col("node")).cast("bigint")
+            .alias("cluster"),
+            (F.coalesce("__c", F.col("node")) == F.col("node"))
+            .alias("is_canonical")))
+
+
+def _semantic_clusters_sql() -> str:
+    flat = ", ".join(
+        f"({p}, {j}, {v})"
+        for p, plane in enumerate(_SEM_PLANES)
+        for j, v in enumerate(plane))
+    chain = _GRAPH_EMB_CHAIN + f""",
+rp(p, j, r) AS (VALUES {flat}),
+nnq AS MATERIALIZED (
+  SELECT node, SUM(q * q)::BIGINT AS nn FROM q1 GROUP BY node
+),
+sigs AS MATERIALIZED (
+  SELECT sq.node,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS sig
+  FROM (
+    SELECT q1.node, rp.p, SUM(q1.q * rp.r)::BIGINT AS s
+    FROM q1 JOIN rp ON rp.j = q1.j
+    GROUP BY q1.node, rp.p) sq
+  GROUP BY sq.node
+),
+prs AS (
+  SELECT a.node AS na, b.node AS nb
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.node < b.node
+  JOIN nnq x ON x.node = a.node AND x.nn > 0
+  JOIN nnq y ON y.node = b.node AND y.nn > 0
+  JOIN q1 p ON p.node = a.node
+  JOIN q1 c ON c.node = b.node AND c.j = p.j
+  GROUP BY a.node, b.node, x.nn, y.nn
+  HAVING ROUND(SUM(p.q * c.q) / (sqrt(x.nn) * sqrt(y.nn)), 4) >= 0.95
+),
+edges2 AS (
+  SELECT na AS src, nb AS dst FROM prs
+  UNION SELECT nb, na FROM prs
+),
+reach(node2, comp) AS (
+  SELECT src, src FROM edges2
+  UNION
+  SELECT e.src, r.comp FROM edges2 e JOIN reach r ON e.dst = r.node2
+),
+comps AS (SELECT node2, MIN(comp) AS comp FROM reach GROUP BY node2)
+SELECT q.node,
+       COALESCE(c.comp, q.node) AS cluster,
+       COALESCE(c.comp, q.node) = q.node AS is_canonical
+FROM (SELECT DISTINCT node FROM q1) q
+LEFT JOIN comps c ON c.node2 = q.node"""
+    return GRAPH_WALKS_SQL.replace(
+        "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
+        chain).replace(")\nwk AS", "),\nwk AS")
+
+
+SEMANTIC_CLUSTERS_SQL = _semantic_clusters_sql()
+
+
 def weighted_pagerank_copurchase(spark, sf_dir):
     """WEIGHTED PageRank (graph.pagerank(weight_col=...)): edge weight
     = number of 1995 orders the two parts co-occur in, so mass flows
@@ -2429,6 +2554,8 @@ QUERIES = {
     "a0_graph_embeddings": (graph_embeddings, GRAPH_EMBEDDINGS_SQL),
     # NEW r11: cosine ANN over the TRAINED vectors
     "a0_trained_ann_topk": (trained_ann_topk, TRAINED_ANN_TOPK_SQL),
+    # NEW r11: trained vectors -> LSH buckets -> verified pairs -> CC
+    "a0_semantic_clusters": (semantic_clusters, SEMANTIC_CLUSTERS_SQL),
     # NEW r10 session-2: deterministic random-walk corpus
     "a0_graph_walks": (graph_walks, GRAPH_WALKS_SQL),
     # NEW r10 session-2: personalized PageRank (related-parts recs)

@@ -229,3 +229,41 @@ def test_unigram_and_mmr_empty_inputs(spark):
     out = mmr_rerank(empty_emb, q, k=5, n_candidates=5)
     assert out.count() == 0
     assert out.columns == ["q_id", "doc_id", "mmr_rank", "mmr_score"]
+
+
+def test_r11_operators_empty_inputs(spark):
+    """Empty-input robustness for the round-11 operators (the r9/r10
+    convention): empty corpora/batches degrade to empty or identity
+    results, never errors."""
+    from edsnlp_spark.operators.dedup import (connected_components,
+                                              incremental_components)
+    from edsnlp_spark.operators.metrics import rouge_l
+    from edsnlp_spark.operators.multimodal import wav_spectral_probes
+    from edsnlp_spark.operators.wordpiece import (wordpiece_encode_words,
+                                                  wordpiece_train)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    # wordpiece: empty corpus -> alphabet-only (empty) vocab
+    assert wordpiece_train(empty_docs, n_merges=4, batch=2) == []
+    empty_words = spark.createDataFrame([], "word string")
+    assert wordpiece_encode_words(empty_words, ["a"]).count() == 0
+    # rouge_l: no overlapping pair ids -> empty
+    cand = spark.createDataFrame([(0, "a b")], "pair_id long, text string")
+    ref = spark.createDataFrame([], "pair_id long, text string")
+    assert rouge_l(cand, ref).count() == 0
+    # wav spectral: empty blob table -> empty
+    blobs = spark.createDataFrame([], "doc_id long, blob binary")
+    assert wav_spectral_probes(blobs).count() == 0
+    # incremental components: empty batch leaves labels unchanged
+    labels = connected_components(spark.createDataFrame(
+        [(1, 2)], "id_a long, id_b long"))
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.id: r.comp
+           for r in incremental_components(labels, empty_edges).collect()}
+    assert got == {1: 1, 2: 1}
+    # and empty labels with a fresh batch == plain CC
+    empty_labels = spark.createDataFrame([], "id long, comp long")
+    batch = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    got2 = {r.id: r.comp
+            for r in incremental_components(empty_labels, batch).collect()}
+    assert got2 == {5: 5, 6: 5}

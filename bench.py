@@ -156,6 +156,8 @@ HEADLINE = R1_SET + [
     # WordPiece lifecycle (RETRAINS 48 merges per run by design, like
     # its BPE/unigram siblings)
     "a0_wordpiece_lifecycle",
+    # ROUGE-L (order-sensitive LCS eval; 64-token-truncated Arrow dp)
+    "a0_rouge_l",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

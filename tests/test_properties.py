@@ -1036,3 +1036,65 @@ def test_rouge_n_matches_python_reference(spark):
             ov = sum(min(cg[g], rg[g]) for g in cg)
             assert got[i] == (ov, sum(cg.values()), sum(rg.values())), (
                 n, i)
+
+
+def test_wordpiece_encode_invariants(spark):
+    """Fuzz: for any vocab built from a corpus's own words, a non-UNK
+    encode must (a) concatenate back to the word ('##' stripped) and
+    (b) be greedy — no longer vocab piece matches at each cursor."""
+    import random
+
+    from edsnlp_spark.operators.wordpiece import (wordpiece_encode_word,
+                                                  wordpiece_train)
+
+    rnd = random.Random(41)
+    alphabet = "abcd"
+    words = ["".join(rnd.choice(alphabet)
+                     for _ in range(rnd.randrange(1, 9)))
+             for _ in range(120)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 12:(i + 1) * 12]))
+         for i in range(10)], "doc_id long, text string")
+    vocab = wordpiece_train(docs, n_merges=20, batch=8)
+    vs, ml = set(vocab), max(len(p) for p in vocab)
+    probe = words + ["zzz", "abcz", ""]
+    for w in probe:
+        got = wordpiece_encode_word(w, vs, ml, "[UNK]")
+        if got == ["[UNK]"]:
+            continue
+        # (a) reconstruction
+        flat = "".join(p[2:] if p.startswith("##") else p for p in got)
+        assert flat == w, (w, got)
+        # (b) greediness: at each cursor the chosen piece is the
+        # longest matching vocab entry
+        i = 0
+        for k, p in enumerate(got):
+            body = p[2:] if p.startswith("##") else p
+            pref = "" if i == 0 else "##"
+            for ln in range(len(w) - i, len(body), -1):
+                assert pref + w[i:i + ln] not in vs, (w, got, k)
+            i += len(body)
+
+
+def test_train_graph_embeddings_invariants(spark):
+    """Every requantized component is within +-emb_scale, and at least
+    one component per dimension attains the scale (the max defines the
+    quantization)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from edsnlp_spark.operators.graph import train_graph_embeddings
+
+    rnd = random.Random(13)
+    pairs = spark.createDataFrame(
+        sorted({(rnd.randrange(30), rnd.randrange(30),
+                 rnd.randrange(1, 9)) for _ in range(150)}),
+        "center long, context long, n_pairs long")
+    emb = train_graph_embeddings(pairs, dim=4, iters=1,
+                                 emb_scale=4096).collect()
+    assert emb
+    by_dim = list(zip(*[r.emb for r in emb]))
+    for vals in by_dim:
+        assert all(abs(v) <= 4096 for v in vals)
+        assert max(abs(v) for v in vals) in (0, 4096)

@@ -1162,15 +1162,16 @@ def components_index_update(spark, path: str, new_edges: DataFrame,
         .select("id", "comp", F.pmod(F.xxhash64("comp"),
                                      F.lit(n_buckets)).alias("bucket"))
     )
-    touched = touched.persist()
-    try:
-        written = {int(r["bucket"]) for r in
-                   touched.select("bucket").distinct().collect()}
-        (touched.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(f"{path}/labels"))
-    finally:
-        touched.unpersist()
+    # the write OVERWRITES partitions the plan also READS: an eager
+    # localCheckpoint (not persist — a memory-pressure eviction would
+    # silently re-read half-overwritten source files) materializes the
+    # updated rows BEFORE any partition is touched
+    touched = touched.localCheckpoint(eager=True)
+    written = {int(r["bucket"]) for r in
+               touched.select("bucket").distinct().collect()}
+    (touched.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(f"{path}/labels"))
     # dynamic overwrite only replaces partitions PRESENT in the written
     # data — an affected source bucket whose every row moved elsewhere
     # receives no rows and would keep its STALE files; drop those dirs

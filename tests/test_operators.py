@@ -2717,3 +2717,30 @@ def test_wordpiece_encode_edges(spark):
     assert got["lower"] == (["low", "##er"], 2, False)
     assert got["zzz"] == (["[UNK]"], 1, True)
     assert got[""] == ([], 0, False)
+
+
+def test_wordpiece_batched_equals_sequential_on_disjoint_head(spark):
+    """When the top-of-table candidates are symbol-disjoint, one
+    batched round must adopt exactly the pairs sequential training
+    would learn, in the same order (the bpe differential's wordpiece
+    twin)."""
+    from edsnlp_spark.operators.wordpiece import wordpiece_train
+
+    # two INDEPENDENT 2-letter families (one candidate pair each, no
+    # shared symbols, no chains): batch of 2 == two sequential rounds.
+    # NOTE a 3-letter family like 'foo'/'bar' does NOT qualify: the
+    # second-best round-1 candidate shares a symbol with the first, so
+    # sequential's round-2 rescoring (which sees the merged symbol)
+    # legitimately diverges — that IS the documented cross-round
+    # approximation, verified below only for encoding validity.
+    docs = spark.createDataFrame(
+        [(1, "xy xy xy pq pq pq"), (2, "xy pq")],
+        "doc_id long, text string")
+    seq = wordpiece_train(docs, n_merges=2, batch=1)
+    bat = wordpiece_train(docs, n_merges=2, batch=2)
+    assert seq == bat
+    # and a chain-heavy corpus still yields an encoding-valid vocab
+    chain = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaa aaa aa")], "doc_id long, text string")
+    v = wordpiece_train(chain, n_merges=4, batch=4)
+    assert all(p.replace("##", "").strip("a") == "" for p in v)

@@ -1116,7 +1116,24 @@ def components_index_update(spark, path: str, new_edges: DataFrame,
     Searches against the index during the rewrite see the usual
     non-transactional window (the streaming-sink caveat shared by the
     whole artifact family).
+
+    Refuses to run on an index carrying streaming deltas
+    (``{path}/delta`` written by ``streaming.components_stream``):
+    this function reads only ``{path}/labels``, so updating a
+    delta-carrying index would compute from stale labels.  Compact
+    the deltas into the base first (rebuild via
+    :func:`components_index_build` over
+    :func:`components_index_view`), then update.
     """
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/delta")):
+        raise ValueError(
+            "components_index_update: index carries streaming deltas "
+            f"({path}/delta); compact them into the base labels first "
+            "(components_index_build over components_index_view) — "
+            "updating from labels alone would use stale components")
     n_buckets = int(spark.read.parquet(f"{path}/meta")
                     .agg(F.max("n_buckets")).first()[0])
     lab = spark.read.parquet(f"{path}/labels")

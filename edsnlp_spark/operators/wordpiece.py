@@ -73,8 +73,7 @@ def _wp_sym0(col_w):
 @scoped("wordpiece")
 def wordpiece_train(docs: DataFrame, n_merges: int = 48,
                     batch: int = 16, id_col: str = "doc_id",
-                    text_col: str = "text",
-                    unk: str = "[UNK]") -> list[str]:
+                    text_col: str = "text") -> list[str]:
     """Learn a WordPiece vocabulary -> ordered piece list: the sorted
     initial alphabet (bare first-chars + '##'-prefixed continuations
     actually present) followed by merge outputs in adoption order.

@@ -638,8 +638,9 @@ def _ivfpq_seed_index(spark, sf_dir) -> str:
     stale codes.  Encode cost is paid once per corpus snapshot (12.2s
     at sf0.1); every search after that reads only the probed cells'
     partitions."""
-    import hashlib
     import os
+
+    from ..core import artifacts as _art
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -647,20 +648,21 @@ def _ivfpq_seed_index(spark, sf_dir) -> str:
         fp = f"{st.st_size}:{int(st.st_mtime)}"
     except OSError:
         fp = "unknown"
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|seeds8-m8-dsub8|{fp}".encode()
-    ).hexdigest()[:16]
+    # ARTIFACT_VERSION folds into the tag (VERDICT r11 #3).
+    tag = _art.artifact_tag(
+        os.path.abspath(sf_dir), "seeds8-m8-dsub8", fp)
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo, ".ivfpq_index", tag)
     if tag not in _IVFPQ_BUILT:
         done = all(
             os.path.exists(os.path.join(path, part, "_SUCCESS"))
-            for part in ("codes", "meta"))
+            for part in ("codes", "meta")) and _art.version_ok(path)
         if not done:
             emb = _t(spark, sf_dir, "embeddings")
             seeds, codebooks = _seed_codebooks(emb)
             S.build_ivfpq_index(emb, path, seeds, codebooks)
+            _art.stamp_version(path)
         _IVFPQ_BUILT.add(tag)
     return path
 
@@ -2008,9 +2010,9 @@ def _graph_emb_seed(spark, sf_dir) -> str:
     per run against the full-replay oracle) — consumers read trained
     vectors at index-read cost instead of re-running the walk/train
     pipeline inline."""
-    import hashlib
     import os
 
+    from ..core import artifacts as _art
     from ..operators.graph import (random_walks, skipgram_pairs,
                                    train_graph_embeddings)
 
@@ -2020,19 +2022,23 @@ def _graph_emb_seed(spark, sf_dir) -> str:
         fp = f"{st.st_size}:{int(st.st_mtime)}"
     except OSError:
         fp = "unknown"
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|gemb-d8-i1-w2x6|{fp}".encode()
-    ).hexdigest()[:16]
+    # ARTIFACT_VERSION folds into the tag (VERDICT r11 #3): a
+    # train_graph_embeddings behavior change = one central bump.
+    tag = _art.artifact_tag(
+        os.path.abspath(sf_dir), "gemb-d8-i1-w2x6", fp)
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo, ".graph_emb", tag)
     if tag not in _GRAPH_EMB_BUILT:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        done = (os.path.exists(os.path.join(path, "_SUCCESS"))
+                and _art.version_ok(path))
+        if not done:
             edges = _copurchase_edges_1995(spark, sf_dir)
             walks = random_walks(edges, walks_per_node=2, walk_len=6)
             pairs = skipgram_pairs(walks, window=2)
             emb = train_graph_embeddings(pairs, dim=8, iters=1)
             emb.write.mode("overwrite").parquet(path)
+            _art.stamp_version(path)
         _GRAPH_EMB_BUILT.add(tag)
     return path
 

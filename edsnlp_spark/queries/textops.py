@@ -4095,9 +4095,9 @@ def _seed_text_index(spark, sf_dir, variant: str, corpus_fn,
     serving stale postings.  Tokenization cost is paid once per corpus
     snapshot; every search after that reads only the query terms'
     bucket partitions."""
-    import hashlib as _hashlib
     import os as _os
 
+    from ..core import artifacts as _art
     from ..operators.retrieval import build_text_index
 
     src_path = _os.path.join(sf_dir, "documents.parquet")
@@ -4106,19 +4106,21 @@ def _seed_text_index(spark, sf_dir, variant: str, corpus_fn,
         fp = f"{st.st_size}:{int(st.st_mtime)}"
     except OSError:
         fp = "unknown"
-    tag = _hashlib.md5(
-        f"{_os.path.abspath(sf_dir)}|{variant}|buckets64|{fp}".encode()
-    ).hexdigest()[:16]
+    # ARTIFACT_VERSION folds into the tag (VERDICT r11 #3): a builder
+    # behavior change = one central bump = every consumer rebuilds.
+    tag = _art.artifact_tag(
+        _os.path.abspath(sf_dir), variant, "buckets64", fp)
     repo = _os.path.dirname(_os.path.dirname(
         _os.path.dirname(_os.path.abspath(__file__))))
     path = _os.path.join(repo, ".text_index", tag)
     if tag not in _TEXT_INDEX_BUILT:
         done = all(
             _os.path.exists(_os.path.join(path, part, "_SUCCESS"))
-            for part in ("postings", "meta"))
+            for part in ("postings", "meta")) and _art.version_ok(path)
         if not done:
             build_text_index(corpus_fn(), path, n_buckets=64,
                              id_col=id_col, text_col=text_col)
+            _art.stamp_version(path)
         _TEXT_INDEX_BUILT.add(tag)
     return path
 

@@ -2501,6 +2501,46 @@ def test_components_index_update_drops_emptied_partition(spark, tmp_path):
     assert got == {1: 1, 2: 1, 5: 1, 6: 1}
 
 
+def test_components_index_update_refuses_delta_carrying_index(
+        spark, tmp_path):
+    """ADVICE r11 #3: the batch updater reads only {path}/labels, so
+    running it on an index that components_stream has been appending
+    deltas to would compute from stale labels — it must raise until
+    the deltas are compacted into the base."""
+    import pytest as _pytest
+
+    from edsnlp_spark.operators.dedup import (components_index_build,
+                                              components_index_update,
+                                              components_index_view,
+                                              connected_components)
+
+    path = str(tmp_path / "cidx")
+    base = spark.createDataFrame([(1, 2), (5, 6)],
+                                 "id_a long, id_b long")
+    components_index_build(connected_components(base), path,
+                           n_buckets=4)
+    # simulate a streaming delta (the components_stream sink shape)
+    spark.createDataFrame([(6, 1, 0)], "id long, comp long, batch long") \
+        .write.mode("overwrite").parquet(f"{path}/delta/batch=0")
+    with _pytest.raises(ValueError, match="delta"):
+        components_index_update(
+            spark, path,
+            spark.createDataFrame([(2, 5)], "id_a long, id_b long"))
+    # compaction (rebuild over the folded view) clears the guard
+    folded = components_index_view(spark, path)
+    import shutil
+    compacted = str(tmp_path / "cidx2")
+    components_index_build(folded, compacted, n_buckets=4)
+    shutil.rmtree(path)
+    components_index_update(
+        spark, compacted,
+        spark.createDataFrame([(2, 5)], "id_a long, id_b long"))
+    got = {r.id: r.comp for r in
+           spark.read.parquet(f"{compacted}/labels")
+           .select("id", "comp").collect()}
+    assert len(set(got.values())) == 1  # everything merged into one comp
+
+
 def test_png_roundtrip_all_filter_types():
     """r11 (VERDICT r10 #4): pure-stdlib PNG codec — encode with every
     filter type (None/Sub/Up/Average/Paeth) and demand bit-identical

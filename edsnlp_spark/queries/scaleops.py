@@ -2123,27 +2123,35 @@ def _semantic_planes(n_planes: int = 6, dim: int = 8) -> list[list[int]]:
             for p in range(n_planes)]
 
 
-_SEM_PLANES = _semantic_planes()
+_SEM_PLANES = _semantic_planes(16)
+
+# LSH sizing: buckets target ~_SEM_TARGET_OCC vectors each; the
+# effective signature LENGTH grows with the corpus (VERDICT r11 #2 —
+# a fixed 64-bucket scheme is quadratic in bucket occupancy at scale).
+_SEM_TARGET_OCC = 256
+_SEM_SIG_LO, _SEM_SIG_HI = 6, 16
 
 
-def semantic_clusters(spark, sf_dir):
-    """TRAINED vectors feeding the dedup/clustering tier end-to-end:
-    the persisted graph embeddings (_graph_emb_seed) are bucketed by a
-    6-hyperplane LSH signature (integer dots against the literal
-    {-1,+1} planes — sign decisions are exact), candidate pairs within
-    a bucket verify at ROUNDED cosine >= 0.95 (integer dots + norms,
-    the mmr/contrastive recipe), and connected components resolve the
-    verified pairs into semantic clusters -> (node, cluster,
-    is_canonical).
+def _sem_sig_len(n: int, target: int = _SEM_TARGET_OCC,
+                 lo: int = _SEM_SIG_LO, hi: int = _SEM_SIG_HI) -> int:
+    """Smallest L in [lo, hi] with 2^L buckets holding <= target
+    vectors on average — pure integer doublings (no libm log2), so
+    Spark/DuckDB/Python agree exactly."""
+    sig_len, cap = lo, target << lo
+    while sig_len < hi and n > cap:
+        sig_len += 1
+        cap <<= 1
+    return sig_len
 
-    Scale shape: signatures are one in-row projection; the candidate
-    self-join is bucket-confined (64 buckets here; more planes at
-    scale); CC runs on the verified pair set only.  The oracle
-    replays the WHOLE chain — embedding training included — plus the
-    signature/verify joins and a reachability CTE."""
+
+def semantic_clusters_over(emb, target_occ: int = _SEM_TARGET_OCC,
+                           max_bucket: int = 2048,
+                           cache_scope: str = "graph"):
+    """Core of :func:`semantic_clusters` over any (node, emb) table —
+    factored so the hot-bucket guard is unit-testable on planted
+    clone-heavy vectors without the persisted artifact."""
     from ..core.caching import tracked_persist
     from ..operators.dedup import connected_components
-    emb = spark.read.parquet(_graph_emb_seed(spark, sf_dir))
     nn = F.aggregate(F.transform("emb", lambda e: e * e),
                      F.lit(0).cast("long"), lambda acc, v: acc + v)
     sig = F.concat_ws("", *[
@@ -2157,17 +2165,39 @@ def semantic_clusters(spark, sf_dir):
         for plane in _SEM_PLANES])
     base = tracked_persist(
         emb.select("node", "emb", nn.alias("nn"), sig.alias("sig"))
-        .filter(F.col("nn") > 0), "graph")
-    a = base.select(F.col("node").alias("na"), F.col("emb").alias("ea"),
-                    F.col("nn").alias("nna"), "sig")
-    b = base.select(F.col("node").alias("nb"), F.col("emb").alias("eb"),
-                    F.col("nn").alias("nnb"), "sig")
+        .filter(F.col("nn") > 0), cache_scope)
+    # plane count derives from the corpus (1-value driver collect):
+    # 2^L buckets sized for ~target_occ vectors each
+    sig_len = _sem_sig_len(base.count(), target=target_occ)
+    bkt = F.substring("sig", 1, sig_len)
+    keyed = base.select("node", "emb", "nn", bkt.alias("bkt"))
+    # hot-bucket guard (VERDICT r11 #2, the dedup-tier convention):
+    # clone-heavy / low-variance vectors concentrate in ONE bucket at
+    # ANY plane count — in-bucket pairs are quadratic in occupancy, so
+    # a bucket past max_bucket raises IN the data path (the when/
+    # otherwise feeds the join key, so Catalyst cannot prune it)
+    # instead of silently going quadratic; route such corpora through
+    # the dedup tier (exact/MinHash) first.
+    cnt = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("__occ"))
+    guarded = F.when(
+        F.col("__occ") <= max_bucket, F.col("bkt")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("semantic_clusters: hot LSH bucket ("),
+        F.col("__occ").cast("string"),
+        F.lit(f" > max_bucket={max_bucket} vectors) — clone-heavy "
+              "input; dedup first or raise max_bucket"))))
+    a = keyed.join(cnt, "bkt").select(
+        guarded.alias("k"), F.col("node").alias("na"),
+        F.col("emb").alias("ea"), F.col("nn").alias("nna"))
+    b = keyed.select(F.col("bkt").alias("k"),
+                     F.col("node").alias("nb"),
+                     F.col("emb").alias("eb"), F.col("nn").alias("nnb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda acc, v: acc + v)
     cos = F.round(dot.cast("double")
                   / (F.sqrt(F.col("nna").cast("double"))
                      * F.sqrt(F.col("nnb").cast("double"))), 4)
-    pairs = (a.join(b, "sig")
+    pairs = (a.join(b, "k")
              .filter(F.col("na") < F.col("nb"))
              .select("na", "nb", cos.alias("cos"))
              .filter(F.col("cos") >= 0.95))
@@ -2184,20 +2214,56 @@ def semantic_clusters(spark, sf_dir):
             .alias("is_canonical")))
 
 
+def semantic_clusters(spark, sf_dir):
+    """TRAINED vectors feeding the dedup/clustering tier end-to-end:
+    the persisted graph embeddings (_graph_emb_seed) are bucketed by
+    an LSH signature whose LENGTH derives from the corpus size
+    (:func:`_sem_sig_len`: 2^L buckets targeting ~256 vectors each,
+    L in [6, 16] — integer dots against the literal {-1,+1} planes, so
+    sign decisions are exact), candidate pairs within a bucket verify
+    at ROUNDED cosine >= 0.95 (integer dots + norms, the
+    mmr/contrastive recipe), and connected components resolve the
+    verified pairs into semantic clusters -> (node, cluster,
+    is_canonical).
+
+    Scale shape (VERDICT r11 #2): signatures are one in-row
+    projection; the candidate self-join is bucket-confined with
+    occupancy ~target regardless of corpus size; buckets past
+    max_bucket (clone-heavy data no plane count can split) raise in
+    the data path instead of going quadratic; CC runs on the verified
+    pair set only.  The oracle replays the WHOLE chain — embedding
+    training, the integer sig-length derivation included — plus the
+    signature/verify joins and a reachability CTE."""
+    return semantic_clusters_over(
+        spark.read.parquet(_graph_emb_seed(spark, sf_dir)))
+
+
 def _semantic_clusters_sql() -> str:
     flat = ", ".join(
         f"({p}, {j}, {v})"
         for p, plane in enumerate(_SEM_PLANES)
         for j, v in enumerate(plane))
+    # integer sig-length derivation (mirror of _sem_sig_len): smallest
+    # L in [6, 16] with n <= 256 * 2^L — a CASE chain over exact
+    # power-of-two thresholds, no libm log2
+    thresholds = "\n    ".join(
+        f"WHEN n <= {_SEM_TARGET_OCC << sig_len} THEN {sig_len}"
+        for sig_len in range(_SEM_SIG_LO, _SEM_SIG_HI))
     chain = _GRAPH_EMB_CHAIN + f""",
 rp(p, j, r) AS (VALUES {flat}),
 nnq AS MATERIALIZED (
   SELECT node, SUM(q * q)::BIGINT AS nn FROM q1 GROUP BY node
 ),
+slen AS MATERIALIZED (
+  SELECT CASE
+    {thresholds}
+    ELSE {_SEM_SIG_HI} END AS L
+  FROM (SELECT COUNT(*)::BIGINT AS n FROM nnq WHERE nn > 0)
+),
 sigs AS MATERIALIZED (
   SELECT sq.node,
-         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-                    ORDER BY p) AS sig
+         substr(string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                           ORDER BY p), 1, (SELECT L FROM slen)) AS sig
   FROM (
     SELECT q1.node, rp.p, SUM(q1.q * rp.r)::BIGINT AS s
     FROM q1 JOIN rp ON rp.j = q1.j

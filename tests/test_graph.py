@@ -356,3 +356,40 @@ def test_trained_embeddings_feed_ivfpq_with_recall_floor(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
     vecs.unpersist()
+
+
+def test_sem_sig_len_integer_doublings():
+    """LSH signature length derives from corpus size: 2^L buckets
+    targeting ~256 vectors each, clamped to [6, 16], via pure integer
+    doublings (mirrors the oracle's CASE chain exactly)."""
+    from edsnlp_spark.queries.scaleops import _sem_sig_len
+
+    assert _sem_sig_len(0) == 6
+    assert _sem_sig_len(1713) == 6        # sf0.01 corpus
+    assert _sem_sig_len(16384) == 6       # boundary: exactly fits
+    assert _sem_sig_len(16385) == 7
+    assert _sem_sig_len(17015) == 7       # sf0.1 corpus
+    assert _sem_sig_len(256 << 16) == 16
+    assert _sem_sig_len(10**12) == 16     # clamped at hi
+
+
+def test_semantic_clusters_hot_bucket_raises(spark):
+    """VERDICT r11 #2: identical vectors concentrate in ONE LSH bucket
+    at ANY plane count; past max_bucket the query must raise in the
+    data path instead of silently going quadratic."""
+    import pytest as _pytest
+
+    from edsnlp_spark.queries.scaleops import semantic_clusters_over
+
+    clones = spark.createDataFrame(
+        [(i, [1, 2, 3, 4, 5, 6, 7, 8]) for i in range(30)],
+        "node long, emb array<long>")
+    with _pytest.raises(Exception, match="hot LSH bucket"):
+        semantic_clusters_over(clones, max_bucket=10,
+                               cache_scope="test_sem").collect()
+    # with the cap above occupancy the same corpus clusters cleanly:
+    # all 30 identical vectors land in one component
+    got = semantic_clusters_over(clones, max_bucket=64,
+                                 cache_scope="test_sem").collect()
+    assert len({r.cluster for r in got}) == 1
+    assert sum(r.is_canonical for r in got) == 1

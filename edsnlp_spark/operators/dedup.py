@@ -949,6 +949,71 @@ def cross_minhash_candidates(new_docs: DataFrame, band_index: DataFrame,
     )
 
 
+def minhash_postings_index(docs: DataFrame, path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 12,
+                           bands: int = 6) -> None:
+    """Persist the UNGROUPED banded postings (id, bk) of a reference
+    corpus — the pair-generating form of :func:`minhash_band_index`
+    (which keeps only per-band counts + min id, enough for collision
+    STATS but not for edges).  An ingest pipeline that resolves
+    COMPONENTS needs the actual colliding ids, so this artifact is
+    what the incremental-components path probes: per batch, shuffle
+    volume is batch signatures + postings, never corpus x corpus.
+
+    Layout: ``{path}/postings`` (<= bands rows per doc, two columns)
+    and ``{path}/meta`` (the signature config; probes refuse a
+    mismatched config instead of silently generating a different pair
+    universe)."""
+    banded = _minhash_banded(docs, id_col, text_col, n,
+                             num_hashes, bands)
+    banded.withColumnRenamed(id_col, "id") \
+        .write.mode("overwrite").parquet(f"{path}/postings")
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n), int(num_hashes), int(bands))],
+        "n long, num_hashes long, bands long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def minhash_index_candidates(spark, path: str, new_docs: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             num_hashes: int = 12,
+                             bands: int = 6) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING a new batch, against a
+    persisted :func:`minhash_postings_index` -> distinct (id_a, id_b),
+    id_a < id_b: batch x corpus collisions via the postings equi-join
+    plus batch x batch self-collisions.  Together with the pairs the
+    index's own corpus was resolved with, the union is EXACTLY the
+    band-collision pair universe over (corpus ∪ batch) — what makes
+    the incremental component result equal a full recompute."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if (meta["n"], meta["num_hashes"], meta["bands"]) != (
+            n, num_hashes, bands):
+        raise ValueError(
+            "minhash_index_candidates: config mismatch vs index meta "
+            f"(index n={meta['n']}, num_hashes={meta['num_hashes']}, "
+            f"bands={meta['bands']}) — a different signature config "
+            "generates a different pair universe")
+    banded = tracked_persist(
+        _minhash_banded(new_docs, id_col, text_col, n,
+                        num_hashes, bands)
+        .withColumnRenamed(id_col, "id"), "dedup")
+    ref = spark.read.parquet(f"{path}/postings")
+    cross = banded.join(
+        ref.select(F.col("id").alias("__r"), "bk"), "bk").select(
+        F.least("id", "__r").alias("id_a"),
+        F.greatest("id", "__r").alias("id_b"))
+    self_p = banded.join(
+        banded.select(F.col("id").alias("__r"), "bk"), "bk").filter(
+        F.col("id") < F.col("__r")).select(
+        F.col("id").alias("id_a"), F.col("__r").alias("id_b"))
+    return cross.filter(F.col("id_a") != F.col("id_b")) \
+        .unionByName(self_p).distinct()
+
+
 @scoped("dedup")
 def strip_spans_incremental(docs: DataFrame, ref_index: DataFrame | None,
                             n: int = 13, id_col: str = "doc_id",

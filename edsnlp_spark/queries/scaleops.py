@@ -126,6 +126,65 @@ GROUP BY b.doc_id
 """
 
 
+# Full-recompute replay of the ingest-shaped incremental components
+# (a0_dedup_components_incremental): the pair universe is band
+# collisions (the MinHash banding above) VERIFIED by exact 3-gram
+# Jaccard >= 0.2, resolved by reachability — what the base-index +
+# batch-probe + index-update chain composes to.
+DEDUP_COMPONENTS_INCREMENTAL_SQL = f"""
+WITH RECURSIVE {_MINHASH_SIG_SQL},
+banded AS MATERIALIZED (
+  SELECT doc_id,
+         unnest([
+           '0|' || sig[1] || '|' || sig[2],
+           '1|' || sig[3] || '|' || sig[4],
+           '2|' || sig[5] || '|' || sig[6],
+           '3|' || sig[7] || '|' || sig[8],
+           '4|' || sig[9] || '|' || sig[10],
+           '5|' || sig[11] || '|' || sig[12]
+         ]) AS bk
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, len(toks) - 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(x.shingles, y.shingles)) AS shared,
+           len(x.shingles) AS na, len(y.shingles) AS nb
+    FROM cand
+    JOIN sh x ON x.doc_id = id_a
+    JOIN sh y ON y.doc_id = id_b)
+  WHERE shared / (na + nb - shared) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id)::BIGINT AS component,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+"""
+
+
 # ---- exact n-gram Jaccard over shared-shingle candidates --------------
 
 def ngram_jaccard(spark, sf_dir):
@@ -213,34 +272,120 @@ def dedup_components(spark, sf_dir):
         "is_canonical")
 
 
+def _verified_jaccard_pairs(cands, docs, threshold: float = 0.2):
+    """Exact 3-gram Jaccard verification over GIVEN candidate pairs:
+    shingle sets are computed only for candidate-touched docs (two
+    bounded semi-joins), and the threshold arithmetic —
+    ``shared / (na + nb - shared)`` — is written identically in the
+    oracle so the boolean decision can never drift."""
+    ids = (cands.select(F.col("id_a").alias("doc_id"))
+           .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    sh = (docs.join(ids, "doc_id")
+          .select(F.col("doc_id"),
+                  D.token_shingles(F.col("text"), 3).alias("sh"))
+          .filter(F.size("sh") > 0))
+    j = (cands
+         .join(sh.select(F.col("doc_id").alias("id_a"),
+                         F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col("doc_id").alias("id_b"),
+                         F.col("sh").alias("sh_b")), "id_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = shared / (F.size("sh_a") + F.size("sh_b") - shared)
+    return j.filter(jac >= threshold).select("id_a", "id_b")
+
+
+_DEDUP_SEED_BUILT: set = set()
+
+
+def _dedup_seed_index(spark, sf_dir) -> str:
+    """Build-or-reuse the persisted BASE-corpus dedup state for
+    ``sf_dir`` (the seed-index pattern): the MinHash banded postings
+    (dedup.minhash_postings_index) plus the base components label
+    index (dedup.components_index_build over the base corpus's
+    verified band-collision pairs), under the gitignored
+    ``.dedup_seed/<tag>``.  Pair generation over the accumulated
+    corpus is paid ONCE per corpus snapshot; every ingest after that
+    touches batch signatures + the index only."""
+    import os
+
+    from ..core import artifacts as _art
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        fp = "unknown"
+    tag = _art.artifact_tag(
+        os.path.abspath(sf_dir), "dedupseed-mh12x6-j02-mod7", fp)
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(repo, ".dedup_seed", tag)
+    # two sub-artifacts, each with its own meta: the banded postings
+    # under {path}/bands, the component label index under {path}/comps
+    if tag not in _DEDUP_SEED_BUILT:
+        done = all(
+            os.path.exists(os.path.join(path, sub, part, "_SUCCESS"))
+            for sub, part in (("bands", "postings"), ("bands", "meta"),
+                              ("comps", "labels"), ("comps", "meta"))
+        ) and _art.version_ok(path)
+        if not done:
+            from ..core.caching import tracked_persist
+            docs = _docs(spark, sf_dir)
+            base_docs = docs.filter(F.col("doc_id") % 7 != 3)
+            D.minhash_postings_index(base_docs, f"{path}/bands", n=3,
+                                     num_hashes=12, bands=6)
+            post = spark.read.parquet(f"{path}/bands/postings")
+            cand = tracked_persist(
+                post.join(post.select(F.col("id").alias("__r"), "bk"),
+                          "bk")
+                .filter(F.col("id") < F.col("__r"))
+                .select(F.col("id").alias("id_a"),
+                        F.col("__r").alias("id_b")).distinct(),
+                "dedup")
+            base_pairs = _verified_jaccard_pairs(cand, base_docs)
+            D.components_index_build(
+                D.connected_components(base_pairs), f"{path}/comps",
+                n_buckets=64)
+            _art.stamp_version(path)
+        _DEDUP_SEED_BUILT.add(tag)
+    return path
+
+
 def dedup_components_incremental(spark, sf_dir):
-    """INCREMENTAL component resolution (VERDICT r10 #6): the corpus's
-    near-dup pairs are split into a BASE corpus (doc_id % 7 != 3 on
-    both endpoints) resolved by plain min-label propagation, and an
-    ingest BATCH (every remaining pair) folded in by
-    dedup.incremental_components — existing components contract to
-    their labels, so the batch subgraph CC is bounded by the batch's
-    reach, never the corpus.  Because base labels are component
-    minima, the incremental result is pinned EQUAL to a full
-    recompute: the oracle is the unchanged full-recompute
-    reachability CTE (DEDUP_COMPONENTS_SQL)."""
-    from ..core.caching import tracked_persist
+    """INGEST-SHAPED incremental component resolution (VERDICT r11
+    #4): the accumulated corpus's state is a PERSISTED artifact —
+    MinHash banded postings + the base component label index, built
+    once per corpus snapshot (:func:`_dedup_seed_index`) — and the
+    per-run work is batch-bounded: the ingest batch (doc_id % 7 == 3)
+    probes the postings for band collisions
+    (dedup.minhash_index_candidates: batch x corpus + batch x batch,
+    never corpus x corpus), candidates verify with exact 3-gram
+    Jaccard >= 0.2 over candidate-touched docs only, and
+    dedup.components_index_update folds the verified pairs into the
+    label index, rewriting only affected comp-hash partitions.
+
+    Because base labels are component minima and the base ∪ batch
+    pair sets union to EXACTLY the band-collision-verified pair
+    universe over the whole corpus, the updated index equals a full
+    recompute — the oracle replays that full recompute (signatures ->
+    band collisions -> Jaccard verify -> reachability CC).  The
+    update is idempotent (re-applying the same batch is a label
+    no-op), so repeated runs serve identical values."""
     docs = _docs(spark, sf_dir)
-    pairs = tracked_persist(
-        D.ngram_jaccard_pairs(docs, n=3, threshold=0.2), "dedup")
-    is_base = (F.col("id_a") % 7 != 3) & (F.col("id_b") % 7 != 3)
-    base_pairs = pairs.filter(is_base)
-    batch_pairs = pairs.filter(~is_base)
-    base_cc = D.connected_components(base_pairs)
-    base_labels = (
-        docs.filter(F.col("doc_id") % 7 != 3)
-        .select(F.col("doc_id").alias("id"))
-        .join(base_cc.withColumnRenamed("comp", "__c"), "id", "left")
-        .select("id", F.coalesce("__c", F.col("id")).alias("comp")))
-    updated = D.incremental_components(base_labels, batch_pairs)
+    path = _dedup_seed_index(spark, sf_dir)
+    batch_docs = docs.filter(F.col("doc_id") % 7 == 3)
+    cands = D.minhash_index_candidates(spark, f"{path}/bands",
+                                       batch_docs, n=3,
+                                       num_hashes=12, bands=6)
+    verified = _verified_jaccard_pairs(cands, docs)
+    D.components_index_update(spark, f"{path}/comps", verified)
+    labels = spark.read.parquet(f"{path}/comps/labels")
     return (
         docs.select(F.col("doc_id").alias("id"))
-        .join(updated.withColumnRenamed("comp", "__c"), "id", "left")
+        .join(labels.select("id", F.col("comp").alias("__c")),
+              "id", "left")
         .select(
             F.col("id").alias("doc_id"),
             F.coalesce("__c", F.col("id")).cast("bigint")
@@ -2645,10 +2790,12 @@ QUERIES = {
     "ngram_jaccard_capped": (ngram_jaccard_capped, NGRAM_JACCARD_CAPPED_SQL),
     "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
-    # NEW r11 (VERDICT r10 #6): incremental component resolution pinned
-    # equal to a full recompute (shared reachability oracle)
+    # r11 (VERDICT r10 #6), r12 ingest-shaped (VERDICT r11 #4):
+    # persisted postings + label index probed by the batch, index
+    # updated in place; oracle replays the full recompute over the
+    # band-collision ∩ Jaccard-verified pair universe
     "a0_dedup_components_incremental": (dedup_components_incremental,
-                                        DEDUP_COMPONENTS_SQL),
+                                        DEDUP_COMPONENTS_INCREMENTAL_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     # a0_-prefixed CANONICAL keys: queries with no driver-recorded
     # correctness row through r7 (VERDICT r7 #1 — the rekey layer never

@@ -36,6 +36,10 @@ ALLOWED = {
      'spark.read.parquet(f"{path}/meta").first()'):
         "saved IVF-PQ index metadata: exactly one row by construction"
         " (build_ivfpq_index coalesce(1) writes a single meta record)",
+    ("operators/dedup.py",
+     'spark.read.parquet(f"{path}/meta").first()'):
+        "saved MinHash postings-index config: exactly one row by "
+        "construction (minhash_postings_index coalesce(1) meta record)",
     ("operators/endlines.py", 'F.min("cv"), F.max("cv")).first()'):
         "1-row min/max aggregate for decile binning",
     ("operators/scores.py", '== "").collect()'):

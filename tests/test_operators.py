@@ -2784,3 +2784,50 @@ def test_wordpiece_batched_equals_sequential_on_disjoint_head(spark):
         [(1, "aaaa aaaa aaaa aaa aaa aa")], "doc_id long, text string")
     v = wordpiece_train(chain, n_merges=4, batch=4)
     assert all(p.replace("##", "").strip("a") == "" for p in v)
+
+
+def test_minhash_postings_index_probe_pair_universe(spark, tmp_path):
+    """r12 (VERDICT r11 #4): the persisted banded postings probed by a
+    batch must yield EXACTLY the band-collision pairs involving the
+    batch — base self-pairs ∪ probe pairs == the full inline
+    minhash_lsh candidate universe, which is what makes the
+    incremental component result equal a full recompute."""
+    import pytest as _pytest
+    import pyspark.sql.functions as SF
+
+    from edsnlp_spark.operators.dedup import (minhash_index_candidates,
+                                              minhash_lsh_pairs,
+                                              minhash_postings_index)
+
+    words = ["spark", "query", "merge", "scan", "agg", "join"]
+    rows = []
+    for i in range(36):
+        toks = [words[(i + j) % len(words)] for j in range(6)]
+        if i % 4 == 0:
+            toks = [words[j % len(words)] for j in range(6)]  # clones
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter(SF.col("doc_id") % 3 != 0)
+    batch = docs.filter(SF.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mhidx")
+    minhash_postings_index(base, path)
+    cands = minhash_index_candidates(spark, path, batch)
+    got_batch = {(r.id_a, r.id_b) for r in cands.collect()}
+    # every probe pair involves >= 1 batch doc
+    assert all(a % 3 == 0 or b % 3 == 0 for a, b in got_batch)
+    post = spark.read.parquet(f"{path}/postings")
+    base_self = {
+        (r.id_a, r.id_b)
+        for r in post.alias("x").join(
+            post.selectExpr("id as rid", "bk").alias("y"), "bk")
+        .filter(SF.col("id") < SF.col("rid"))
+        .selectExpr("id as id_a", "rid as id_b").distinct().collect()}
+    full = {(r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs).select("id_a", "id_b")
+            .collect()}
+    assert base_self | got_batch == full
+    # a mismatched signature config generates a DIFFERENT pair
+    # universe: the probe must refuse, not silently drift
+    with _pytest.raises(ValueError, match="config mismatch"):
+        minhash_index_candidates(spark, path, batch, num_hashes=24,
+                                 bands=6)

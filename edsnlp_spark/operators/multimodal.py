@@ -106,10 +106,10 @@ def resize_media(df: DataFrame, width: int = 224, height: int = 224,
                                           pdf["meta"]):
                 if meta["media_type"] in REAL_IMAGE_TYPES:
                     # REAL path (r10): pure-numpy decode + NN resample,
-                    # re-encoded as PPM
-                    px = (decode_ppm(bytes(blob))
-                          if meta["media_type"] == "image/ppm"
-                          else decode_bmp(bytes(blob)))
+                    # re-encoded as PPM.  (r12: dispatch by type — the
+                    # r11 png addition silently fell through to
+                    # decode_bmp here.)
+                    px = _decode_image(meta["media_type"], bytes(blob))
                     out = encode_ppm(nn_resize(px, width, height))
                     rows.append((doc_id, out, {
                         "media_type": "image/ppm",
@@ -170,11 +170,28 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
 # pixel layouts, PCM WAV parses with the stdlib ``wave`` module, and
 # PNG (r11, VERDICT r10 #4) is stdlib ``zlib`` inflate + per-row
 # unfiltering (filters 0-4 incl. Paeth) over IHDR/IDAT chunks.  For
-# these, decode / feature-extract / resize are REAL — only JPEG/MP4
-# remain behind the documented NotImplementedError wall.
+# these, decode / feature-extract / resize are REAL — and baseline
+# JPEG (r12) decodes with stdlib struct + numpy huffman/IDCT below.
+# Only MP4/video remains behind the documented NotImplementedError
+# wall.
 
-REAL_IMAGE_TYPES = ("image/ppm", "image/bmp", "image/png")
+REAL_IMAGE_TYPES = ("image/ppm", "image/bmp", "image/png", "image/jpeg")
 REAL_AUDIO_TYPES = ("audio/wav",)
+
+
+def _decode_image(media_type: str, raw: bytes):
+    """Dispatch a supported image type to its pure-python decoder ->
+    (h, w, >=3) uint8 pixels."""
+    if media_type == "image/ppm":
+        return decode_ppm(raw)
+    if media_type == "image/bmp":
+        return decode_bmp(raw)
+    if media_type == "image/png":
+        return decode_png(raw)
+    if media_type == "image/jpeg":
+        return decode_jpeg(raw)
+    raise NotImplementedError(
+        f"no pure-python codec for {media_type}; video needs ffmpeg")
 
 
 def decode_ppm(raw: bytes):
@@ -384,6 +401,376 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# ---- baseline JPEG (r12, VERDICT r11 #6) -------------------------------
+#
+# Pure stdlib+numpy JFIF baseline sequential codec (ITU-T T.81): the
+# decoder parses DQT/SOF0/DHT/SOS from the stream, entropy-decodes the
+# huffman bitstream (DC prediction, AC run-length, ZRL/EOB, 0xFF00
+# byte unstuffing), dequantizes, applies the exact orthonormal 8x8
+# IDCT, and converts YCbCr->RGB with EXACT int64 fixed-point
+# arithmetic (constants below) so SQL oracles can mirror the color
+# conversion bit-for-bit.  Only 4:4:4 (sampling factors all 1) and
+# grayscale are supported — chroma subsampling raises.  The encoder
+# emits fixed-length canonical huffman tables (DC: 12 symbols @ 4
+# bits; AC: 255 symbols @ 9 bits + 1 @ 10 — valid prefix codes with
+# the all-ones codes unused, favoring spec compliance over
+# compression ratio) so the decoder exercises the REAL DHT path.
+
+# YCbCr -> RGB fixed-point constants: round(coef * 65536) of the
+# JFIF/CCIR 601 conversion (R = Y + 1.402 Cr', G = Y - 0.344136 Cb'
+# - 0.714136 Cr', B = Y + 1.772 Cb' with C' = C - 128).
+_J_CR_R, _J_CB_G, _J_CR_G, _J_CB_B = 91881, 22554, 46802, 116130
+
+
+def _jpeg_zigzag():
+    """Standard zigzag scan order as a list of 64 flat (r*8+c)
+    indices: diagonals d = r+c walked up-right on even d, down-left on
+    odd d — matches T.81 figure 5."""
+    out = []
+    for d in range(15):
+        rng = range(max(0, d - 7), min(d, 7) + 1)
+        rows = reversed(rng) if d % 2 == 0 else rng
+        out.extend(r * 8 + (d - r) for r in rows)
+    return out
+
+
+_J_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+    return np.array([
+        [math.cos((2 * n + 1) * k * math.pi / 16)
+         * (math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8))
+         for n in range(8)]
+        for k in range(8)])
+
+
+# fixed canonical tables (see module comment): (bits[1..16], symbols)
+_J_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_J_DC_VALS = list(range(12))
+_J_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_J_AC_VALS = list(range(255)) + [255]
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman (code, length) per symbol — T.81 Annex C."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1          # unstuff
+            elif nxt == 0xD9:          # EOI reached mid-fill
+                b = 0
+                self.pos -= 1
+            else:
+                raise NotImplementedError(
+                    f"JPEG marker 0xFF{nxt:02X} in entropy data "
+                    "(restart intervals unsupported)")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            self._fill()
+        v = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _dc_magnitude(v: int) -> tuple[int, int]:
+    """DC/AC coefficient -> (size category, value bits) per T.81
+    F.1.2.1: negatives encode as v + 2^size - 1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of :func:`_dc_magnitude`."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def encode_jpeg(ycbcr, quant=None) -> bytes:
+    """numpy (h, w, 3) uint8 Y/Cb/Cr planes (or (h, w) grayscale,
+    h and w multiples of 8) -> baseline JFIF bytes, 4:4:4 interleaved,
+    one quant table per luma/chroma (default all-ones = near-lossless
+    for exactly-representable blocks).  The roundtrip counterpart of
+    :func:`decode_jpeg`, used to exercise the full huffman/IDCT path."""
+    import struct
+
+    import numpy as np
+
+    a8 = np.asarray(ycbcr, dtype=np.uint8)
+    gray = a8.ndim == 2
+    h, w = a8.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs h, w multiples of 8")
+    ncomp = 1 if gray else 3
+    if quant is None:
+        quant = (np.ones(64, dtype=np.int64),
+                 np.ones(64, dtype=np.int64))
+    qluma = np.asarray(quant[0], dtype=np.int64).reshape(64)
+    qchroma = np.asarray(quant[1], dtype=np.int64).reshape(64)
+    C = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_J_DC_BITS, _J_DC_VALS)
+    ac_codes = _huff_codes(_J_AC_BITS, _J_AC_VALS)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for c in range(ncomp):
+                plane = a8[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                if not gray:
+                    plane = plane[:, :, c]
+                q = qluma if c == 0 else qchroma
+                f = C @ (plane.astype(np.float64) - 128.0) @ C.T
+                coef = np.round(f).astype(np.int64).reshape(64)
+                # quantize in zigzag order, truncating toward zero
+                czz = coef[np.array(_J_ZZ)]
+                zz = np.sign(czz) * (np.abs(czz) // q)
+                diff = int(zz[0]) - pred[c]
+                pred[c] = int(zz[0])
+                size, bits = _dc_magnitude(diff)
+                code, ln = dc_codes[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i] != 0), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]   # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _dc_magnitude(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]       # EOB
+                    bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")                    # SOI
+    out += seg(0xFFDB, bytes([0]) + bytes(
+        int(qluma[i]) for i in range(64)))          # DQT 0
+    if ncomp == 3:
+        out += seg(0xFFDB, bytes([1]) + bytes(
+            int(qchroma[i]) for i in range(64)))    # DQT 1
+    comp_spec = b"".join(
+        bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+        for cid in range(ncomp))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp)
+               + comp_spec)                         # SOF0
+    for tc_th, bits, vals in ((0x00, _J_DC_BITS, _J_DC_VALS),
+                              (0x10, _J_AC_BITS, _J_AC_VALS),
+                              (0x01, _J_DC_BITS, _J_DC_VALS),
+                              (0x11, _J_AC_BITS, _J_AC_VALS)):
+        if ncomp == 1 and tc_th in (0x01, 0x11):
+            continue
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits)
+                   + bytes(vals))                   # DHT
+    scan = b"".join(
+        bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        for cid in range(ncomp))
+    out += seg(0xFFDA, bytes([ncomp]) + scan + bytes([0, 63, 0]))
+    out += data
+    out += b"\xFF\xD9"                              # EOI
+    return bytes(out)
+
+
+def decode_jpeg(raw: bytes):
+    """Baseline JFIF bytes -> numpy (h, w, 3) uint8 RGB (grayscale
+    replicates Y): marker parse (DQT/SOF0/DHT/SOS), huffman entropy
+    decode, dequant, exact orthonormal 8x8 IDCT, and EXACT int64
+    fixed-point YCbCr->RGB (constants _J_CR_R etc., positive-dividend
+    shift so the floor is engine-portable).  4:4:4 or grayscale only;
+    progressive, subsampled, or restart-interval streams raise."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []   # (id, sampling, tq)
+    h = w = 0
+    scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", raw[pos:pos + 2])[0]
+        body = raw[pos + 2:pos + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtabs[tq] = np.frombuffer(
+                    body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                o += 65
+        elif marker == 0xC0:
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                htabs[(tc, th)] = {
+                    (code, length): sym
+                    for sym, (code, length)
+                    in _huff_codes(bits, vals).items()}
+                o += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                idx = next(j for j, c in enumerate(comps)
+                           if c[0] == cid)
+                scan_map.append((idx, tt >> 4, tt & 0x0F))
+            pos += ln
+            break
+        pos += ln
+    if not comps or not scan_map:
+        raise ValueError("JPEG missing SOF0/SOS")
+    C = _jpeg_dct_matrix()
+    br = _BitReader(raw, pos)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.int64)
+              for _ in comps]
+    pred = [0] * len(comps)
+    inv_zz = np.array(_J_ZZ)
+    for by in range(bh):
+        for bx in range(bw_):
+            for (ci, dc_id, ac_id) in scan_map:
+                zz = np.zeros(64, dtype=np.int64)
+                size = br.huff(htabs[(0, dc_id)])
+                diff = _extend(br.read(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = br.huff(htabs[(1, ac_id)])
+                    if sym == 0x00:           # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        k += 16               # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.read(size), size)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[inv_zz] = zz * qtabs[comps[ci][2]]
+                f = C.T @ coef.reshape(8, 8).astype(np.float64) @ C
+                px = np.clip(np.round(f) + 128, 0, 255)
+                planes[ci][by * 8:by * 8 + 8,
+                           bx * 8:bx * 8 + 8] = px.astype(np.int64)
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = (p.astype(np.int64) for p in planes)
+    off = 32768 + (1 << 24)
+
+    def _mix(acc):
+        return np.clip(((acc + off) >> 16) - 256, 0, 255)
+
+    r = _mix(y * 65536 + _J_CR_R * (cr - 128))
+    g = _mix(y * 65536 - _J_CB_G * (cb - 128) - _J_CR_G * (cr - 128))
+    b = _mix(y * 65536 + _J_CB_B * (cb - 128))
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
 def decode_wav(raw: bytes):
     """PCM WAV -> (numpy int16 samples shaped (n, channels), rate) via
     the stdlib ``wave`` module (no external codec)."""
@@ -505,12 +892,8 @@ def decode_features(df: DataFrame) -> DataFrame:
                                           pdf["meta"]):
                 raw = bytes(blob)
                 mt = meta["media_type"]
-                if mt == "image/ppm":
-                    px = decode_ppm(raw)
-                elif mt == "image/bmp":
-                    px = decode_bmp(raw)
-                elif mt == "image/png":
-                    px = decode_png(raw)[:, :, :3]  # stats over RGB
+                if mt in REAL_IMAGE_TYPES:
+                    px = _decode_image(mt, raw)[:, :, :3]  # RGB stats
                 elif mt in REAL_AUDIO_TYPES:
                     samples, rate = decode_wav(raw)
                     flat = samples.astype("int64").ravel()

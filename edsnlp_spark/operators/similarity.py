@@ -842,8 +842,11 @@ def hard_negative_triplets(emb: DataFrame, centroids: list[list[float]],
                   "cell")
         .filter(F.col("a_id") != F.col("n_id"))
         .select("a_id", "n_id",
-                F.round(cosine(F.col("a_v"), F.col("n_v")), 4)
-                .alias("cos"))
+                # + 0.0 normalizes -0.0 (a tiny negative cosine rounds
+                # to -0.0 and breaks the value hash — the r8 lesson);
+                # the oracle adds the same term
+                (F.round(cosine(F.col("a_v"), F.col("n_v")), 4)
+                 + F.lit(0.0)).alias("cos"))
     )
     elect = pairs.groupBy("a_id").agg(
         F.max_by(F.struct(F.col("n_id").alias("n_id"),

@@ -52,6 +52,8 @@ ALLOWED = {
         "facade .collect() mirrors the reference API (caller's choice)",
     ("queries/scaleops.py", '.orderBy("vec_id").collect()'):
         "k centroid seed rows (k fixed by the index config)",
+    ("queries/scaleops.py", '.orderBy("vec_id").limit(8).collect()'):
+        "8 trained-vector centroid seeds (fixed by the index config)",
     ("operators/similarity.py", ".orderBy(id_col).limit(k).collect()"):
         "PQ codebook init: k seed rows (k fixed by the index config)",
     ("operators/similarity.py", "centroid_stats.collect()"):

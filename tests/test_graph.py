@@ -393,3 +393,23 @@ def test_semantic_clusters_hot_bucket_raises(spark):
                                  cache_scope="test_sem").collect()
     assert len({r.cluster for r in got}) == 1
     assert sum(r.is_canonical for r in got) == 1
+
+
+def test_trained_vector_similarity_tier_floors(spark):
+    """r12 (VERDICT r11 #7): semdedup + contrastive mining read the
+    persisted TRAINED vectors.  Floors: every planted exact clone is
+    dropped by semdedup (cosine exactly 1.0 vs its source), and every
+    mined triplet satisfies pos_cos >= neg_cos with a same-cell
+    positive."""
+    from edsnlp_spark.queries.scaleops import (contrastive_pairs,
+                                               semdedup_embeddings)
+
+    sf = "/root/testdata/sf0.001"
+    sd = semdedup_embeddings(spark, sf).collect()
+    clones = [r for r in sd if r.vec_id >= 1000000]
+    assert clones, "planted clones missing from the semdedup output"
+    assert all(not r.keep for r in clones), "a planted clone survived"
+    trips = contrastive_pairs(spark, sf).collect()
+    assert trips, "no triplets mined from the trained vectors"
+    assert all(r.pos_cos >= r.neg_cos for r in trips)
+    assert all(r.pos_id != r.neg_id for r in trips)

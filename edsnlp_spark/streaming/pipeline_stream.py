@@ -351,6 +351,86 @@ def text_index_stream(stream_docs: DataFrame, index_path: str,
     return writer.start()
 
 
+def dedup_resolution_stream(stream_docs: DataFrame, index_path: str,
+                            checkpoint: str, n: int = 3,
+                            num_hashes: int = 12, bands: int = 6,
+                            max_iter: int = 25,
+                            available_now: bool = True) -> StreamingQuery:
+    """END-TO-END streaming dedup resolution (VERDICT r11 #9):
+    :func:`fuzzy_dedup_stream`'s candidate probe composed with
+    :func:`components_stream`'s label maintenance in ONE foreachBatch
+    pipeline.  Per micro-batch of documents:
+
+    1. band the batch (one shuffle-free signature projection) and
+       generate candidate EDGES — batch x accumulated postings plus
+       batch self-collisions (pair granularity via the r12 postings
+       layout, so the union over batches is EXACTLY the
+       band-collision pair universe over everything ingested);
+    2. contract the edges against the folded label view
+       (``components_index_view`` with the ``before_batch`` replay
+       filter) and persist the component DELTA;
+    3. append the batch's own postings as the next index increment.
+
+    Layout under ``index_path``: ``postings/batch=<id>`` and
+    ``delta/batch=<id>`` (plus ``labels/`` if a compaction seeded a
+    base).  All writes are idempotent ``batch=<id>`` overwrites and
+    every read filters ``batch < batch_id``, so a restarted batch
+    converges to the same table
+    (test_dedup_resolution_stream_with_restart pins view == full
+    recompute across a restart)."""
+    from pyspark.errors import AnalysisException
+
+    from ..core.caching import tracked_persist
+    from ..operators.dedup import (_minhash_banded, components_index_view,
+                                   incremental_components_delta)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        snap = caching.snapshot()
+        try:
+            spark = batch.sparkSession
+            docs = batch.select("doc_id", "text")
+            banded = tracked_persist(
+                _minhash_banded(docs, "doc_id", "text", n, num_hashes,
+                                bands).withColumnRenamed("doc_id", "id"),
+                "dedup")
+            edges = (
+                banded.join(banded.select(F.col("id").alias("__r"),
+                                          "bk"), "bk")
+                .filter(F.col("id") < F.col("__r"))
+                .select(F.col("id").alias("id_a"),
+                        F.col("__r").alias("id_b")))
+            try:
+                ref = (spark.read.parquet(f"{index_path}/postings")
+                       .filter(F.col("batch") < F.lit(batch_id)))
+                cross = (
+                    banded.join(ref.select(F.col("id").alias("__r"),
+                                           "bk"), "bk")
+                    .select(F.least("id", "__r").alias("id_a"),
+                            F.greatest("id", "__r").alias("id_b"))
+                    .filter(F.col("id_a") != F.col("id_b")))
+                edges = edges.unionByName(cross)
+            except AnalysisException:
+                pass                       # cold start: no postings yet
+            labels = components_index_view(spark, index_path,
+                                           before_batch=batch_id)
+            delta = incremental_components_delta(
+                labels, edges.distinct(), max_iter=max_iter)
+            delta.write.mode("overwrite").parquet(
+                f"{index_path}/delta/batch={batch_id}")
+            banded.write.mode("overwrite").parquet(
+                f"{index_path}/postings/batch={batch_id}")
+        finally:
+            caching.release_since(snap)
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def components_stream(edge_stream: DataFrame, index_path: str,
                       checkpoint: str,
                       id_a: str = "id_a", id_b: str = "id_b",

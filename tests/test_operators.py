@@ -2954,3 +2954,51 @@ def test_resize_media_dispatches_png_and_jpeg(spark):
     # the PNG resize is exact NN sampling of the source pixels
     png_px = decode_ppm(bytes(out[1].blob))
     assert (png_px == arr[::2, ::2]).all()
+
+
+def test_negation_student_survives_document_skew(spark, tmp_path):
+    """r12 (VERDICT r11 #8): the distillation instance plane and the
+    perceptron's explicit sharding must survive a corpus where ONE
+    document dominates (the r9 join-reshard lesson: a join silently
+    re-sharded an order-sensitive training plane and parameter mixing
+    washed every epoch out).  Pins: per-doc instance counts, both
+    classes present, window distance-tags exact inside the dominating
+    doc, and bit-identical trained params across two runs."""
+    import numpy as np
+
+    from edsnlp_spark.queries.advanced import _train_negation_student
+
+    rows = [(0, ("slow spark filter fast merge " * 400).strip(),
+             "en", "synth", 0)]
+    for i in range(1, 61):
+        t = "slow table filter" if i % 2 else "fast table filter"
+        rows.append((i, t, "en", "synth", len(t)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    inst, (Wq1, bq1) = _train_negation_student(spark, sf)
+    inst_rows = inst.collect()
+    by_doc: dict = {}
+    for r in inst_rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # the dominating doc contributes 400 negated spark + 400 plain
+    # merge instances; every small doc exactly one — nothing dropped
+    # or duplicated by the teacher join under skew
+    assert len(by_doc[0]) == 800
+    assert all(len(by_doc[i]) == 1 for i in range(1, 61))
+    assert {r.label for r in inst_rows} == {0, 1}
+    # window tagging exact inside the dominating doc: spark at pos 2
+    # sees "slow@1"; merge at pos 5 sees the full tagged window
+    sp2 = next(r for r in by_doc[0] if r.term == "spark" and r.pos == 2)
+    assert sp2.wtext == "slow@1" and sp2.label == 1
+    mg5 = next(r for r in by_doc[0] if r.term == "merge" and r.pos == 5)
+    assert mg5.wtext == "slow@4 spark@3 filter@2 fast@1"
+    assert mg5.label == 0
+    # determinism under skew: retraining yields bit-identical params
+    _, (Wq2, bq2) = _train_negation_student(spark, sf)
+    assert np.array_equal(np.asarray(Wq1), np.asarray(Wq2))
+    assert np.array_equal(np.asarray(bq1), np.asarray(bq2))

@@ -158,6 +158,12 @@ HEADLINE = R1_SET + [
     "a0_wordpiece_lifecycle",
     # ROUGE-L (order-sensitive LCS eval; 64-token-truncated Arrow dp)
     "a0_rouge_l",
+    # round-12 additions: baseline JPEG decode (huffman + IDCT +
+    # exact-int color), the migrated trained-vector similarity tier,
+    # and ingest-shaped incremental components (the
+    # a0_dedup_components_incremental row above now times the
+    # band-index probe path; its best re-baselines on first run)
+    "a0_jpeg_decode",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate
@@ -189,13 +195,16 @@ def main() -> None:
     # pricing_summary at 1.72x); comparing calib_sec against the value
     # recorded alongside each bench_best era tells "slow host" apart
     # from "slow code" — read flags against the calibration ratio.
-    calib_samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(400_000_000).selectExpr(
-            "sum(id * 3 % 7) as s").collect()
-        calib_samples.append(time.perf_counter() - t0)
-    calib_sec = round(min(calib_samples), 3)
+    def _cpu_probe(k: int = 3) -> tuple[float, list[float]]:
+        samples = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            spark.range(400_000_000).selectExpr(
+                "sum(id * 3 % 7) as s").collect()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3), samples
+
+    calib_sec, calib_samples = _cpu_probe()
     # Second probe, SHUFFLE/memory-bound: the arithmetic probe misses
     # memory-bandwidth contention (observed r8: calib_ratio 1.0 while
     # two runs 90 min apart differed 15% across the board and flags
@@ -214,9 +223,22 @@ def main() -> None:
           f"(samples {[round(s, 3) for s in shuffle_samples]})",
           file=sys.stderr)
 
+    # Mid-run calibration re-probes (VERDICT r11 #1): the one-shot
+    # start-of-run calib is blind to load waves that arrive mid-bench
+    # (r11: 12 flags on untouched plans at start-calib 1.12; the r11c
+    # discard showed the failure mode exactly).  A cheap 1-sample cpu
+    # probe fires at the loop midpoint and at the end, so every flag
+    # can be read against host speed AT (roughly) flag time.
+    calib_marks: list[tuple[str, float]] = [("start", calib_sec)]
+
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    midpoint = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
+        if qi == midpoint:
+            mid_sec, _ = _cpu_probe(k=1)
+            calib_marks.append(("mid", mid_sec))
+            print(f"# mid-run calib: cpu {mid_sec}s", file=sys.stderr)
         fn, _ = qs[name]
         # Cold run includes codegen/compile of the query's expression
         # tree; the warm number is the BEST of two steady-state runs —
@@ -296,9 +318,18 @@ def main() -> None:
     # re-creating the phantom-regression bias the probe exists to
     # correct (ADVICE r5) — so 'improved' is computed from the
     # pre-probe times.
+    end_sec, _ = _cpu_probe(k=1)
+    calib_marks.append(("end", end_sec))
+    print(f"# end-of-run calib: cpu {end_sec}s", file=sys.stderr)
+
     pre_probe_times = dict(times)
     for name in list(regressions):
         fn, _ = qs[name]
+        # host speed AT PROBE TIME, so the flag is adjudicated against
+        # the load that actually surrounded its samples
+        probe_calib, _ = _cpu_probe(k=1)
+        regressions[name]["calib_at_probe"] = (
+            round(probe_calib / calib_best, 2) if calib_best else None)
         samples = []
         for _ in range(6):
             spark.catalog.clearCache()
@@ -307,7 +338,8 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         probe_min = round(min(samples), 3)
         print(f"# probe6 {name}: min {probe_min}s "
-              f"(samples {[round(s, 3) for s in samples]})", file=sys.stderr)
+              f"(calib_at_probe {regressions[name]['calib_at_probe']}x, "
+              f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
         times[name] = min(times[name], probe_min)
         if probe_min <= 1.3 * best[name]:
             del regressions[name]
@@ -415,6 +447,9 @@ def main() -> None:
         "calib_ratio": calib_ratio,
         "calib_shuffle_sec": calib_shuffle_sec,
         "calib_shuffle_ratio": calib_shuffle_ratio,
+        # mid-run load visibility (VERDICT r11 #1): cpu probe at the
+        # headline midpoint and end, as (label, sec) pairs
+        "calib_marks": calib_marks,
         "n_regressions": len(regressions),
         "worst_regression": worst_regression,
         "eval_only": eval_times,

@@ -267,3 +267,35 @@ def test_r11_operators_empty_inputs(spark):
     got2 = {r.id: r.comp
             for r in incremental_components(empty_labels, batch).collect()}
     assert got2 == {5: 5, 6: 5}
+
+
+def test_r12_operators_empty_inputs(spark, tmp_path):
+    """Empty-input robustness for the round-12 operators: empty
+    batches/corpora degrade to empty results, never errors."""
+    import numpy as np
+
+    from edsnlp_spark.operators.dedup import (minhash_index_candidates,
+                                              minhash_postings_index)
+    from edsnlp_spark.operators.multimodal import decode_jpeg, encode_jpeg
+    from edsnlp_spark.queries.scaleops import semantic_clusters_over
+
+    # postings index over an empty corpus builds, and probing it with
+    # a real batch yields no cross pairs (self pairs still possible)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "mhidx")
+    minhash_postings_index(empty_docs, path)
+    batch = spark.createDataFrame(
+        [(1, "spark streams merge tables fast")],
+        "doc_id long, text string")
+    assert minhash_index_candidates(spark, path, batch).count() == 0
+    # empty batch against a populated index -> no candidates
+    minhash_postings_index(batch, path)
+    assert minhash_index_candidates(spark, path, empty_docs).count() == 0
+    # semantic clustering over an empty vector table -> empty
+    empty_emb = spark.createDataFrame([], "node long, emb array<long>")
+    assert semantic_clusters_over(
+        empty_emb, cache_scope="test_empty").count() == 0
+    # 8x8 single-block JPEG (smallest legal image) round-trips
+    one = np.full((8, 8), 77, dtype=np.uint8)
+    px = decode_jpeg(encode_jpeg(one))
+    assert (px == 77).all() and px.shape == (8, 8, 3)

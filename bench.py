@@ -164,6 +164,7 @@ HEADLINE = R1_SET + [
     # a0_dedup_components_incremental row above now times the
     # band-index probe path; its best re-baselines on first run)
     "a0_jpeg_decode",
+    "a0_dedup_keeper_election",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

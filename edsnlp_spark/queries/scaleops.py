@@ -395,6 +395,101 @@ def dedup_components_incremental(spark, sf_dir):
         ))
 
 
+def dedup_keeper_election(spark, sf_dir):
+    """Quality-aware keeper election over near-dup clusters (r12): the
+    production curation policy keeps the MOST INFORMATIVE member of
+    each duplicate cluster, not the smallest id — keeper = argmax of
+    (distinct-token count, -doc_id), an all-integer struct max so the
+    election is engine-exact.  Composes the SKEW-CAPPED dedup tier
+    (max_df=5 stop-shingle cap, the documented scale path — uncapped
+    pair generation measured 11.6x at 10x on the clone-heavy replica)
+    end-to-end: capped ngram-Jaccard pairs -> connected components ->
+    one per-cluster groupBy(max_by) -> join back; singletons keep
+    themselves.  -> (doc_id, cluster, keeper_id, keep)."""
+    from ..core.caching import tracked_persist
+    docs = tracked_persist(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " ", -1)))
+            .cast("bigint").alias("nd")),
+        "dedup")
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                  threshold=0.2, max_df=5)
+    comps = D.connected_components(pairs)
+    lab = (docs.join(comps.withColumnRenamed("id", "doc_id")
+                     .withColumnRenamed("comp", "__c"),
+                     "doc_id", "left")
+           .select("doc_id", "nd",
+                   F.coalesce("__c", F.col("doc_id")).alias("cluster")))
+    keepers = lab.groupBy("cluster").agg(
+        F.max_by("doc_id", F.struct(F.col("nd").alias("a"),
+                                    (-F.col("doc_id")).alias("b")))
+        .alias("keeper_id"))
+    return (lab.join(keepers, "cluster")
+            .select("doc_id", F.col("cluster").cast("bigint")
+                    .alias("cluster"),
+                    F.col("keeper_id").cast("bigint").alias("keeper_id"),
+                    (F.col("doc_id") == F.col("keeper_id"))
+                    .alias("keep")))
+
+
+DEDUP_KEEPER_ELECTION_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           for i in range(1, len(toks) - 1)
+         ]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 5),
+cex AS (SELECT doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cex a JOIN cex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+prs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM cands
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b)
+  WHERE shared / (na + nb - shared) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b, id_a FROM prs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+),
+comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id,
+         len(list_distinct(string_split(d.text, ' ')))::BIGINT AS nd,
+         COALESCE(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+),
+keep AS (
+  SELECT cluster, doc_id AS keeper_id FROM (
+    SELECT cluster, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY nd DESC, doc_id) AS rn
+    FROM lab) WHERE rn = 1
+)
+SELECT l.doc_id, l.cluster::BIGINT AS cluster,
+       k.keeper_id::BIGINT AS keeper_id,
+       l.doc_id = k.keeper_id AS keep
+FROM lab l JOIN keep k USING (cluster)
+"""
+
+
 def dedup_components_star(spark, sf_dir):
     """Same drop-list semantics as :func:`dedup_components`, resolved
     with the diameter-independent large-star/small-star contraction
@@ -2956,6 +3051,10 @@ QUERIES = {
     # band-collision ∩ Jaccard-verified pair universe
     "a0_dedup_components_incremental": (dedup_components_incremental,
                                         DEDUP_COMPONENTS_INCREMENTAL_SQL),
+    # NEW r12: quality-aware keeper election over near-dup clusters
+    # (keep the most informative member, not the smallest id)
+    "a0_dedup_keeper_election": (dedup_keeper_election,
+                                 DEDUP_KEEPER_ELECTION_SQL),
     "simhash_fingerprints": (simhash_fingerprints, SIMHASH_FINGERPRINTS_SQL),
     # a0_-prefixed CANONICAL keys: queries with no driver-recorded
     # correctness row through r7 (VERDICT r7 #1 — the rekey layer never

@@ -3002,3 +3002,38 @@ def test_negation_student_survives_document_skew(spark, tmp_path):
     _, (Wq2, bq2) = _train_negation_student(spark, sf)
     assert np.array_equal(np.asarray(Wq1), np.asarray(Wq2))
     assert np.array_equal(np.asarray(bq1), np.asarray(bq2))
+
+
+def test_dedup_keeper_election_prefers_informative_member(spark, tmp_path):
+    """r12: keeper election is QUALITY-aware, not min-id — in a near-dup
+    cluster the member with the most distinct tokens wins even when it
+    has the larger doc_id; ties break to the smaller id; singletons
+    keep themselves."""
+    from edsnlp_spark.queries.scaleops import dedup_keeper_election
+
+    base = "spark streams merge tables quickly under load today"
+    rows = [
+        (1, base, "en", "s", 0),
+        # near-dup of doc 1 with MORE distinct tokens (richer copy)
+        (2, base + " with watermarks and checkpoints", "en", "s", 0),
+        (3, "completely different text about parquet row groups",
+         "en", "s", 0),
+        # exact clones: tie on nd -> smaller id keeps
+        (10, "vectors scan slowly under heavy aggregation load now",
+         "en", "s", 0),
+        (11, "vectors scan slowly under heavy aggregation load now",
+         "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           dedup_keeper_election(spark, str(tmp_path)).collect()}
+    assert got[1].cluster == got[2].cluster
+    assert got[1].keeper_id == 2 and got[2].keeper_id == 2
+    assert not got[1].keep and got[2].keep
+    assert got[3].keep and got[3].keeper_id == 3      # singleton
+    assert got[10].keeper_id == 10 and got[11].keeper_id == 10
+    assert got[10].keep and not got[11].keep

@@ -7,14 +7,16 @@ resize / frame-sample run as Arrow-batched pandas functions over
 standard formats need none: PPM (P6), 24-bit BI_RGB BMP and 16-bit
 PCM WAV decode with pure numpy / the stdlib ``wave`` module
 (r10: decode_ppm/decode_bmp/decode_wav + nn_resize + decode_features —
-REAL decode, driver-checked by a0_multimodal_decode), and PNG decodes
+REAL decode, driver-checked by a0_multimodal_decode), PNG decodes
 with stdlib ``zlib`` + per-row unfiltering (r11: decode_png/encode_png,
-all 5 filter types, driver-checked by a0_png_decode).  The remaining
-compressed formats (JPEG/MP4) stay stubbed: ``decode_stub=True`` produces
-deterministic pseudo-features from the bytes; ``decode_stub=False``
-raises NotImplementedError where a libvips/ffmpeg call would go.  The
-Spark-side plumbing — schema, batching, partition sizing — is real and
-tested either way.
+all 5 filter types, driver-checked by a0_png_decode), and baseline
+JPEG decodes with stdlib struct + numpy huffman/IDCT (r12:
+decode_jpeg/encode_jpeg incl. 4:2:0/4:2:2 sampling, driver-checked by
+a0_jpeg_decode).  Only MP4/video stays stubbed: ``decode_stub=True``
+produces deterministic pseudo-features from the bytes;
+``decode_stub=False`` raises NotImplementedError where an ffmpeg call
+would go.  The Spark-side plumbing — schema, batching, partition
+sizing — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -548,12 +550,15 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def encode_jpeg(ycbcr, quant=None) -> bytes:
+def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
     """numpy (h, w, 3) uint8 Y/Cb/Cr planes (or (h, w) grayscale,
-    h and w multiples of 8) -> baseline JFIF bytes, 4:4:4 interleaved,
-    one quant table per luma/chroma (default all-ones = near-lossless
-    for exactly-representable blocks).  The roundtrip counterpart of
-    :func:`decode_jpeg`, used to exercise the full huffman/IDCT path."""
+    h and w multiples of 8) -> baseline JFIF bytes, interleaved at
+    4:4:4 (default) or 4:2:0 (``subsample="420"``, h and w multiples
+    of 16; chroma = truncating 2x2 mean), one quant table per
+    luma/chroma (default all-ones = near-lossless for
+    exactly-representable blocks).  The roundtrip counterpart of
+    :func:`decode_jpeg`, used to exercise the full huffman/IDCT path
+    including the multi-block-per-MCU scan layout."""
     import struct
 
     import numpy as np
@@ -563,6 +568,11 @@ def encode_jpeg(ycbcr, quant=None) -> bytes:
     h, w = a8.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg needs h, w multiples of 8")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    sub420 = subsample == "420" and not gray
+    if sub420 and (h % 16 or w % 16):
+        raise ValueError("4:2:0 needs h, w multiples of 16")
     ncomp = 1 if gray else 3
     if quant is None:
         quant = (np.ones(64, dtype=np.int64),
@@ -574,45 +584,71 @@ def encode_jpeg(ycbcr, quant=None) -> bytes:
     ac_codes = _huff_codes(_J_AC_BITS, _J_AC_VALS)
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for c in range(ncomp):
-                plane = a8[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                if not gray:
-                    plane = plane[:, :, c]
-                q = qluma if c == 0 else qchroma
-                f = C @ (plane.astype(np.float64) - 128.0) @ C.T
-                coef = np.round(f).astype(np.int64).reshape(64)
-                # quantize in zigzag order, truncating toward zero
-                czz = coef[np.array(_J_ZZ)]
-                zz = np.sign(czz) * (np.abs(czz) // q)
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                size, bits = _dc_magnitude(diff)
-                code, ln = dc_codes[size]
+    # per-component planes + sampling factors: 4:2:0 subsamples chroma
+    # by a truncating 2x2 mean; 4:4:4 / grayscale are all-1 factors
+    if gray:
+        planes, samps = [a8.astype(np.int64)], [(1, 1)]
+    elif sub420:
+        y = a8[:, :, 0].astype(np.int64)
+        cb4 = a8[:, :, 1].astype(np.int64)
+        cr4 = a8[:, :, 2].astype(np.int64)
+
+        def down(p):
+            return (p[0::2, 0::2] + p[0::2, 1::2]
+                    + p[1::2, 0::2] + p[1::2, 1::2]) // 4
+
+        planes = [y, down(cb4), down(cr4)]
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [a8[:, :, c].astype(np.int64) for c in range(3)]
+        samps = [(1, 1)] * 3
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+
+    def emit_block(plane, y0, x0, c):
+        q = qluma if c == 0 else qchroma
+        blk = plane[y0:y0 + 8, x0:x0 + 8]
+        f = C @ (blk.astype(np.float64) - 128.0) @ C.T
+        coef = np.round(f).astype(np.int64).reshape(64)
+        # quantize in zigzag order, truncating toward zero
+        czz = coef[np.array(_J_ZZ)]
+        zz = np.sign(czz) * (np.abs(czz) // q)
+        diff = int(zz[0]) - pred[c]
+        pred[c] = int(zz[0])
+        size, bits = _dc_magnitude(diff)
+        code, ln = dc_codes[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(bits, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i] != 0), default=0)
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]           # ZRL
                 bw.write(code, ln)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                last_nz = max(
-                    (i for i in range(1, 64) if zz[i] != 0), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]   # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, bits = _dc_magnitude(v)
-                    code, ln = ac_codes[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]       # EOB
-                    bw.write(code, ln)
+                run -= 16
+            size, bits = _dc_magnitude(v)
+            code, ln = ac_codes[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(bits, size)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]               # EOB
+            bw.write(code, ln)
+
+    for by in range(h // (8 * vmax)):
+        for bx in range(w // (8 * hmax)):
+            for c in range(ncomp):
+                hi, vi = samps[c]
+                for vb in range(vi):
+                    for hb in range(hi):
+                        emit_block(planes[c],
+                                   (by * vi + vb) * 8,
+                                   (bx * hi + hb) * 8, c)
     data = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -625,7 +661,8 @@ def encode_jpeg(ycbcr, quant=None) -> bytes:
         out += seg(0xFFDB, bytes([1]) + bytes(
             int(qchroma[i]) for i in range(64)))    # DQT 1
     comp_spec = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+        bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1],
+               0 if cid == 0 else 1])
         for cid in range(ncomp))
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp)
                + comp_spec)                         # SOF0
@@ -651,8 +688,10 @@ def decode_jpeg(raw: bytes):
     replicates Y): marker parse (DQT/SOF0/DHT/SOS), huffman entropy
     decode, dequant, exact orthonormal 8x8 IDCT, and EXACT int64
     fixed-point YCbCr->RGB (constants _J_CR_R etc., positive-dividend
-    shift so the floor is engine-portable).  4:4:4 or grayscale only;
-    progressive, subsampled, or restart-interval streams raise."""
+    shift so the floor is engine-portable).  Interleaved baseline with
+    any integer sampling ratios (4:4:4, 4:2:0, 4:2:2, grayscale;
+    subsampled components upsample by pixel replication); progressive
+    and restart-interval streams raise."""
     import struct
 
     import numpy as np
@@ -687,9 +726,7 @@ def decode_jpeg(raw: bytes):
             _, h, w, nc = struct.unpack(">BHHB", body[:6])
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                comps.append((cid, samp, tq))
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xC4:
@@ -720,42 +757,63 @@ def decode_jpeg(raw: bytes):
         raise ValueError("JPEG missing SOF0/SOS")
     C = _jpeg_dct_matrix()
     br = _BitReader(raw, pos)
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.int64)
-              for _ in comps]
+    # general interleaved-scan sampling (r12 session 2): hmax x vmax
+    # MCUs, each component contributes h_i x v_i blocks per MCU —
+    # covers 4:4:4, 4:2:0, 4:2:2 and grayscale with one loop
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if any(hmax % hi or vmax % vi for hi, vi in zip(hs, vs)):
+        raise NotImplementedError("non-integer sampling ratios")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.int64)
+              for hi, vi in zip(hs, vs)]
     pred = [0] * len(comps)
     inv_zz = np.array(_J_ZZ)
-    for by in range(bh):
-        for bx in range(bw_):
+
+    def _block(ci: int, dc_id: int, ac_id: int):
+        zz = np.zeros(64, dtype=np.int64)
+        size = br.huff(htabs[(0, dc_id)])
+        diff = _extend(br.read(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = br.huff(htabs[(1, ac_id)])
+            if sym == 0x00:           # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16               # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.read(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        coef[inv_zz] = zz * qtabs[comps[ci][3]]
+        f = C.T @ coef.reshape(8, 8).astype(np.float64) @ C
+        return np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
+
+    for by in range(mcuy):
+        for bx in range(mcux):
             for (ci, dc_id, ac_id) in scan_map:
-                zz = np.zeros(64, dtype=np.int64)
-                size = br.huff(htabs[(0, dc_id)])
-                diff = _extend(br.read(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = br.huff(htabs[(1, ac_id)])
-                    if sym == 0x00:           # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16               # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[inv_zz] = zz * qtabs[comps[ci][2]]
-                f = C.T @ coef.reshape(8, 8).astype(np.float64) @ C
-                px = np.clip(np.round(f) + 128, 0, 255)
-                planes[ci][by * 8:by * 8 + 8,
-                           bx * 8:bx * 8 + 8] = px.astype(np.int64)
-    planes = [p[:h, :w] for p in planes]
+                for vb in range(vs[ci]):
+                    for hb in range(hs[ci]):
+                        y0 = (by * vs[ci] + vb) * 8
+                        x0 = (bx * hs[ci] + hb) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = _block(
+                            ci, dc_id, ac_id)
+    # upsample subsampled components by pixel replication, crop to
+    # the frame size
+    planes = [
+        np.repeat(np.repeat(p, vmax // vi, axis=0),
+                  hmax // hi, axis=1)[:h, :w]
+        for p, hi, vi in zip(planes, hs, vs)]
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=2)

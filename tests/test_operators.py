@@ -2914,12 +2914,57 @@ def test_jpeg_lossy_path_and_guards():
     assert got.shape == (24, 16, 3) and got.dtype == np.uint8
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # patch SOF0 sampling factors to 4:2:0 -> must refuse, not corrupt
+    # patch SOF0 -> SOF2 (progressive): must refuse, not corrupt
     i = blob.index(b"\xFF\xC0")
     patched = bytearray(blob)
-    patched[i + 2 + 2 + 6 + 1] = 0x22  # first component h/v sampling
-    with _pytest.raises(NotImplementedError, match="subsampl"):
+    patched[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="baseline"):
         decode_jpeg(bytes(patched))
+
+
+def test_jpeg_420_subsampling_exact_paths():
+    """r12 session 2: 4:2:0 interleaved scans (the dominant real-world
+    layout — 2x2 luma blocks + 1 Cb + 1 Cr per MCU, chroma upsampled
+    by replication) decode exactly on MCU-constant chroma: constant
+    color MCUs round-trip bit-exactly, and per-8x8-varying LUMA under
+    neutral chroma reproduces Y verbatim."""
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (_J_CB_B, _J_CB_G,
+                                                   _J_CR_G, _J_CR_R,
+                                                   decode_jpeg,
+                                                   encode_jpeg)
+
+    def mix(y, cb, cr):
+        off = 32768 + (1 << 24)
+
+        def clamp(acc):
+            return min(max(((acc + off) >> 16) - 256, 0), 255)
+
+        return [clamp(y * 65536 + _J_CR_R * (cr - 128)),
+                clamp(y * 65536 - _J_CB_G * (cb - 128)
+                      - _J_CR_G * (cr - 128)),
+                clamp(y * 65536 + _J_CB_B * (cb - 128))]
+
+    ycc = np.zeros((16, 32, 3), dtype=np.uint8)
+    ycc[:, :16] = [200, 30, 180]
+    ycc[:, 16:] = [63, 200, 90]
+    got = decode_jpeg(encode_jpeg(ycc, subsample="420"))
+    assert (got[:, :16] == mix(200, 30, 180)).all()
+    assert (got[:, 16:] == mix(63, 200, 90)).all()
+    # varying luma per 8x8 block, neutral chroma -> RGB == Y exactly
+    # (exercises the 2x2-luma-block MCU order + DC prediction chain)
+    ycc2 = np.full((16, 16, 3), 128, dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            ycc2[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, 0] = \
+                60 + 40 * (2 * by + bx)
+    got2 = decode_jpeg(encode_jpeg(ycc2, subsample="420"))
+    assert (got2[:, :, 0] == ycc2[:, :, 0]).all()
+    assert (got2[:, :, 0] == got2[:, :, 1]).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample="420")
 
 
 def test_resize_media_dispatches_png_and_jpeg(spark):

@@ -486,10 +486,19 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def marker(self, m: int) -> None:
+        """Byte-align and emit a raw marker (markers are never
+        stuffed)."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -525,6 +534,27 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the next RSTn marker (resynch point:
+        any partial padding bits and stuffed 0xFF00 bytes before the
+        marker are discarded)."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                break
+            p += 2 if (self.data[p] == 0xFF
+                       and self.data[p + 1] == 0x00) else 1
+        m = self.data[p + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn marker, got 0xFF{m:02X}")
+        if m != 0xD0 + expected:
+            raise ValueError(
+                f"restart marker out of sequence: got RST{m - 0xD0}, "
+                f"expected RST{expected}")
+        self.pos = p + 2
+
     def huff(self, table: dict) -> int:
         code, length = 0, 0
         while length < 17:
@@ -550,7 +580,8 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
+def encode_jpeg(ycbcr, quant=None, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
     """numpy (h, w, 3) uint8 Y/Cb/Cr planes (or (h, w) grayscale,
     h and w multiples of 8) -> baseline JFIF bytes, interleaved at
     4:4:4 (default) or 4:2:0 (``subsample="420"``, h and w multiples
@@ -558,7 +589,9 @@ def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
     luma/chroma (default all-ones = near-lossless for
     exactly-representable blocks).  The roundtrip counterpart of
     :func:`decode_jpeg`, used to exercise the full huffman/IDCT path
-    including the multi-block-per-MCU scan layout."""
+    including the multi-block-per-MCU scan layout.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset, cycling RST0-RST7)."""
     import struct
 
     import numpy as np
@@ -640,8 +673,14 @@ def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
             code, ln = ac_codes[0x00]               # EOB
             bw.write(code, ln)
 
+    mcu_n = 0
     for by in range(h // (8 * vmax)):
         for bx in range(w // (8 * hmax)):
+            if restart_interval and mcu_n and \
+                    mcu_n % restart_interval == 0:
+                bw.marker(0xD0 + (mcu_n // restart_interval - 1) % 8)
+                for c in range(ncomp):
+                    pred[c] = 0
             for c in range(ncomp):
                 hi, vi = samps[c]
                 for vb in range(vi):
@@ -649,6 +688,7 @@ def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
                         emit_block(planes[c],
                                    (by * vi + vb) * 8,
                                    (bx * hi + hb) * 8, c)
+            mcu_n += 1
     data = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -664,6 +704,8 @@ def encode_jpeg(ycbcr, quant=None, subsample: str = "444") -> bytes:
         bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1],
                0 if cid == 0 else 1])
         for cid in range(ncomp))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp)
                + comp_spec)                         # SOF0
     for tc_th, bits, vals in ((0x00, _J_DC_BITS, _J_DC_VALS),
@@ -690,8 +732,9 @@ def decode_jpeg(raw: bytes):
     fixed-point YCbCr->RGB (constants _J_CR_R etc., positive-dividend
     shift so the floor is engine-portable).  Interleaved baseline with
     any integer sampling ratios (4:4:4, 4:2:0, 4:2:2, grayscale;
-    subsampled components upsample by pixel replication); progressive
-    and restart-interval streams raise."""
+    subsampled components upsample by pixel replication) and restart
+    intervals (DRI + cycling RSTn resync, DC predictors reset);
+    progressive streams raise."""
     import struct
 
     import numpy as np
@@ -703,6 +746,7 @@ def decode_jpeg(raw: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int, int]] = []   # (id, sampling, tq)
     h = w = 0
+    restart_interval = 0
     scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
     while pos < len(raw):
         if raw[pos] != 0xFF:
@@ -742,7 +786,7 @@ def decode_jpeg(raw: bytes):
                     in _huff_codes(bits, vals).items()}
                 o += 17 + n
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
             for i in range(ns):
@@ -799,8 +843,14 @@ def decode_jpeg(raw: bytes):
         f = C.T @ coef.reshape(8, 8).astype(np.float64) @ C
         return np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
 
+    mcu_n = 0
     for by in range(mcuy):
         for bx in range(mcux):
+            if restart_interval and mcu_n and \
+                    mcu_n % restart_interval == 0:
+                br.restart((mcu_n // restart_interval - 1) % 8)
+                for ci in range(len(comps)):
+                    pred[ci] = 0
             for (ci, dc_id, ac_id) in scan_map:
                 for vb in range(vs[ci]):
                     for hb in range(hs[ci]):
@@ -808,6 +858,7 @@ def decode_jpeg(raw: bytes):
                         x0 = (bx * hs[ci] + hb) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = _block(
                             ci, dc_id, ac_id)
+            mcu_n += 1
     # upsample subsampled components by pixel replication, crop to
     # the frame size
     planes = [

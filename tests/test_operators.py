@@ -3082,3 +3082,37 @@ def test_dedup_keeper_election_prefers_informative_member(spark, tmp_path):
     assert got[3].keep and got[3].keeper_id == 3      # singleton
     assert got[10].keeper_id == 10 and got[11].keeper_id == 10
     assert got[10].keep and not got[11].keep
+
+
+def test_jpeg_restart_intervals_exact():
+    """r12 session 2: DRI/RSTn restart intervals — the decoder
+    byte-aligns at each marker, verifies the RST0-7 cycle, resets DC
+    predictors, and the result is bit-identical to the no-restart
+    stream; an out-of-sequence marker raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from edsnlp_spark.operators.multimodal import (decode_jpeg,
+                                                   encode_jpeg)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 40)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(
+        plain, decode_jpeg(encode_jpeg(img, restart_interval=1)))
+    assert np.array_equal(
+        plain, decode_jpeg(encode_jpeg(img, restart_interval=3)))
+    ycc = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(ycc, subsample="420")),
+        decode_jpeg(encode_jpeg(ycc, subsample="420",
+                                restart_interval=2)))
+    # > 8 restarts exercises the RST0-7 marker cycle
+    wide = rng.randint(0, 256, (8, 8 * 20)).astype(np.uint8)
+    assert decode_jpeg(
+        encode_jpeg(wide, restart_interval=1)).shape == (8, 160, 3)
+    blob = bytearray(encode_jpeg(wide, restart_interval=1))
+    i = blob.index(b"\xFF\xD0")
+    blob[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(blob))

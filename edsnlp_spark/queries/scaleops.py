@@ -2816,18 +2816,23 @@ PNG_DECODE_SQL = MULTIMODAL_DECODE_SQL
 
 def jpeg_decode(spark, sf_dir):
     """REAL baseline JPEG decode on the driver surface (VERDICT r11
-    #6): per doc, six sanitized-ASCII code points define two constant
-    8x8 YCbCr blocks (a 16x8 4:4:4 image); the repo's own
-    encode_jpeg writes a genuine JFIF stream (DQT/SOF0/DHT/SOS +
-    huffman entropy data with DC prediction, EOB and byte stuffing),
-    and decode_jpeg inside decode_features parses the markers,
-    huffman-decodes, dequantizes, runs the exact 8x8 IDCT and the
-    EXACT int64 fixed-point YCbCr->RGB.  Constant blocks with
-    all-ones quant tables round-trip EXACTLY (DC-only blocks —
-    pytest pins rich-AC exactness separately), so the oracle computes
-    the expected RGB from the same code points with the same integer
-    conversion: the whole marker/huffman/IDCT/color chain is what the
-    hash certifies."""
+    #6): per doc, six sanitized-ASCII code points define a 16x16
+    YCbCr image — four constant-Y 8x8 quadrants (code points 1-4)
+    under image-constant chroma (5-6).  The repo's own encode_jpeg
+    writes a genuine JFIF stream whose LAYOUT varies per doc so every
+    run exercises every decode path (the a0_png_decode filter=%5
+    recipe): doc_id %% 2 picks 4:2:0 (one 2x2-luma MCU + subsampled
+    chroma) vs 4:4:4 (four interleaved MCUs), and doc_id %% 3 == 0
+    adds DRI/RST1-interval restarts on the 4:4:4 stream.
+    decode_jpeg parses the markers, huffman-decodes (DC prediction,
+    EOB, byte unstuffing, RSTn resync), dequantizes, runs the exact
+    8x8 IDCT, replication-upsamples chroma and converts with the
+    EXACT int64 fixed-point YCbCr->RGB.  Constant quadrants with
+    all-ones quant tables round-trip EXACTLY under BOTH layouts
+    (pytest pins rich-AC exactness separately), so the oracle
+    computes the expected RGB from the same code points with the same
+    integer conversion: the marker/huffman/IDCT/sampling/color chain
+    is what the hash certifies."""
     from ..operators.multimodal import decode_features, encode_jpeg
     d = (_docs(spark, sf_dir).filter(F.length("text") >= 1)
          .withColumn("text",
@@ -2844,10 +2849,17 @@ def jpeg_decode(spark, sf_dir):
             out = []
             for doc_id, p in zip(pdf["doc_id"], pdf["p"]):
                 b = p.encode("ascii")
-                ycc = np.zeros((8, 16, 3), dtype=np.uint8)
-                ycc[:, :8] = list(b[0:3])
-                ycc[:, 8:] = list(b[3:6])
-                out.append((doc_id, bytearray(encode_jpeg(ycc))))
+                ycc = np.zeros((16, 16, 3), dtype=np.uint8)
+                for q, (r0, c0) in enumerate(
+                        ((0, 0), (0, 8), (8, 0), (8, 8))):
+                    ycc[r0:r0 + 8, c0:c0 + 8, 0] = b[q]
+                ycc[:, :, 1] = b[4]
+                ycc[:, :, 2] = b[5]
+                sub = "420" if doc_id % 2 == 0 else "444"
+                rst = 1 if (sub == "444" and doc_id % 3 == 0) else 0
+                out.append((doc_id, bytearray(
+                    encode_jpeg(ycc, subsample=sub,
+                                restart_interval=rst))))
             yield pd.DataFrame(out, columns=["doc_id", "blob"])
 
     blobs = src.mapInPandas(mk, "doc_id long, blob binary").select(
@@ -2855,7 +2867,7 @@ def jpeg_decode(spark, sf_dir):
         F.struct(
             F.lit("image/jpeg").alias("media_type"),
             F.lit(16).cast("int").alias("width"),
-            F.lit(8).cast("int").alias("height"),
+            F.lit(16).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"))
     f = decode_features(blobs)
@@ -2868,22 +2880,32 @@ def jpeg_decode(spark, sf_dir):
 
 def _jpeg_mix_sql(ch: str, blk: str) -> str:
     """Exact int64 YCbCr->RGB mirror of multimodal.decode_jpeg (the
-    positive-dividend // 65536 floor, then clamp)."""
+    positive-dividend // 65536 floor, then clamp); chroma is
+    image-constant (cb/cr), luma per quadrant (y{blk})."""
     from ..operators.multimodal import (_J_CB_B, _J_CB_G, _J_CR_G,
                                         _J_CR_R)
-    y, cb, cr = f"y{blk}", f"cb{blk}", f"cr{blk}"
+    y = f"y{blk}"
     if ch == "r":
-        acc = f"{y} * 65536 + {_J_CR_R} * ({cr} - 128)"
+        acc = f"{y} * 65536 + {_J_CR_R} * (cr - 128)"
     elif ch == "g":
-        acc = (f"{y} * 65536 - {_J_CB_G} * ({cb} - 128) "
-               f"- {_J_CR_G} * ({cr} - 128)")
+        acc = (f"{y} * 65536 - {_J_CB_G} * (cb - 128) "
+               f"- {_J_CR_G} * (cr - 128)")
     else:
-        acc = f"{y} * 65536 + {_J_CB_B} * ({cb} - 128)"
+        acc = f"{y} * 65536 + {_J_CB_B} * (cb - 128)"
     return (f"LEAST(GREATEST((({acc} + 32768 + 16777216) // 65536) "
             f"- 256, 0), 255)")
 
 
-JPEG_DECODE_SQL = f"""
+def _jpeg_decode_sql() -> str:
+    rgb = ",\n         ".join(
+        f"{_jpeg_mix_sql(ch, str(q))} AS {ch}{q}"
+        for ch in ("r", "g", "b") for q in range(1, 5))
+    stats = ",\n         ".join(
+        f"(64 * ({c}1 + {c}2 + {c}3 + {c}4)) / 256 AS m{c}, "
+        f"(64 * ({c}1*{c}1 + {c}2*{c}2 + {c}3*{c}3 + {c}4*{c}4)) / 256 "
+        f"AS v{c}"
+        for c in ("r", "g", "b"))
+    return f"""
 WITH ascii_docs AS (
   SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
   FROM documents WHERE length(text) >= 1
@@ -2896,28 +2918,24 @@ t AS (
 ycc AS (
   SELECT doc_id,
          ord(substr(p, 1, 1))::BIGINT AS y1,
-         ord(substr(p, 2, 1))::BIGINT AS cb1,
-         ord(substr(p, 3, 1))::BIGINT AS cr1,
-         ord(substr(p, 4, 1))::BIGINT AS y2,
-         ord(substr(p, 5, 1))::BIGINT AS cb2,
-         ord(substr(p, 6, 1))::BIGINT AS cr2
+         ord(substr(p, 2, 1))::BIGINT AS y2,
+         ord(substr(p, 3, 1))::BIGINT AS y3,
+         ord(substr(p, 4, 1))::BIGINT AS y4,
+         ord(substr(p, 5, 1))::BIGINT AS cb,
+         ord(substr(p, 6, 1))::BIGINT AS cr
   FROM t
 ),
 rgb AS (
   SELECT doc_id,
-         {_jpeg_mix_sql('r', '1')} AS r1, {_jpeg_mix_sql('r', '2')} AS r2,
-         {_jpeg_mix_sql('g', '1')} AS g1, {_jpeg_mix_sql('g', '2')} AS g2,
-         {_jpeg_mix_sql('b', '1')} AS b1, {_jpeg_mix_sql('b', '2')} AS b2
+         {rgb}
   FROM ycc
 ),
 m AS (
   SELECT doc_id,
-         (64 * (r1 + r2)) / 128 AS mr, (64 * (r1*r1 + r2*r2)) / 128 AS vr,
-         (64 * (g1 + g2)) / 128 AS mg, (64 * (g1*g1 + g2*g2)) / 128 AS vg,
-         (64 * (b1 + b2)) / 128 AS mb, (64 * (b1*b1 + b2*b2)) / 128 AS vb
+         {stats}
   FROM rgb
 )
-SELECT doc_id, 16::BIGINT AS width, 8::BIGINT AS height,
+SELECT doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
        ROUND(mr, 4) AS mean_r,
        ROUND(sqrt(greatest(vr - mr * mr, 0.0)), 4) AS std_r,
        ROUND(mg, 4) AS mean_g,
@@ -2926,6 +2944,9 @@ SELECT doc_id, 16::BIGINT AS width, 8::BIGINT AS height,
        ROUND(sqrt(greatest(vb - mb * mb, 0.0)), 4) AS std_b
 FROM m
 """
+
+
+JPEG_DECODE_SQL = _jpeg_decode_sql()
 
 
 def wav_spectral(spark, sf_dir):

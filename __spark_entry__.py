@@ -47,71 +47,87 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 #      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
 #      — robust under ANY driver keying model.
 #
-# Rotation #8 (set at r12 START; the driver grades the round-END
-# keying — rotate once, early, never re-rotate mid-round): the 45
-# queries whose newest driver-green row is r9 (they would exceed the
-# 3-round staleness cap once CORRECTNESS_r12 lands).  7 of the 45 are
+# Rotation #9 (set at r13 START; the driver grades the round-END
+# keying — rotate once, early, never re-rotate mid-round): the 43
+# queries whose newest driver-green row is r10 (they would exceed the
+# 3-round staleness cap once CORRECTNESS_r13 lands).  17 of the 43 are
 # canonical a0_ names — those re-enter the window simply by NOT being
-# listed in _ROTATE_OUT_OF_WINDOW; the 38 plain names below gain the
+# listed in _ROTATE_OUT_OF_WINDOW; the 26 plain names below gain the
 # prefix via _ROTATE_INTO_WINDOW.  Slots are freed by dropping the
-# prefix from the driver key of r10/r11-verified canonical a0_ names
-# whose behavior is unchanged in r12 (_ROTATE_OUT_OF_WINDOW) —
+# prefix from the driver key of r11/r12-verified canonical a0_ names
+# whose behavior is unchanged in r13 (_ROTATE_OUT_OF_WINDOW) —
 # canonical registry keys stay stable so bench_best / COVERAGE / tests
-# don't churn.  Window budget: 45 due + a0_dedup_components_incremental
-# (ingest-shaped rewrite, VERDICT r11 #4) + a0_semantic_clusters
-# (hot-bucket cap, #5) + a0_semdedup_embeddings (trained-vector
-# migration, #7; a0_contrastive_pairs migrates too but is due anyway)
-# + a0_jpeg_decode (new, #6) = 49/50.
+# don't churn.  Window budget (slot arithmetic FIRST, the r12 lesson):
+# 26 rotated-in + 17 due canonical a0_ + a0_knn_label_propagation
+# (trained-vector migration changes its plan in r13; diversity_sample
+# and a0_mmr_diversified_search migrate too but are due anyway) = 44,
+# leaving 6 slots for new r13 queries (canonical a0_ keys).
 _ROTATE_INTO_WINDOW = frozenset({
-    # newest driver row r9 (plain canonical names):
-    "bigram_logppl", "bm25_eval_metrics", "bm25_search",
-    "bm25_search_batch", "boilerplate_line_removal", "bpe_encoding",
-    "bpe_token_counts", "ccnet_buckets", "charlson_scores",
-    "close_event_pairs", "cms_token_counts", "corpus_curation",
-    "multimodal_features", "negation_tokens", "ner_token_metrics",
-    "ngram_jaccard", "ngram_jaccard_capped", "phrase_match_tokens",
-    "pii_redaction", "pq_adc_topk", "pricing_summary",
-    "props_k_stats", "purchase_asof_signup", "quality_model_scores",
-    "quantities_extraction", "quantity_mentions", "quantity_operators",
-    "reported_speech_tokens", "revenue_by_nation", "sales_rollup",
-    "salted_event_totals", "section_spans", "simstring_fuzzy",
-    "split_windows", "suppliers_with_recent_shipments",
-    "token_offsets", "token_stats_by_lang", "top_orders_per_customer",
+    # newest driver row r10 (plain canonical names):
+    "decontamination_overlap", "dedup_components",
+    "dedup_components_star", "dedup_exact", "disorders_full_diabetes",
+    "diversity_sample", "doc_fingerprint", "doc_quality",
+    "drugs_lexicon_match", "dsir_selection", "durations_extraction",
+    "embedding_neardup", "embedding_topk", "embedding_topk_ivf",
+    "embedding_topk_ivfpq", "embedding_topk_lsh", "endlines_rule",
+    "event_sessions", "exact_substring_dedup", "hll_distinct_windows",
+    "hourly_event_rollup", "hypothesis_tokens", "lang_id_heuristic",
+    "late_shipments", "markup_extraction", "minhash_lsh_dedup",
 })
 
-# r10/r11-verified canonical a0_ names whose behavior is UNCHANGED in
-# r12: the driver key drops the prefix so they leave the window and
-# free slots.  Canonical a0_ names NOT listed here either hit the r9
-# staleness cap (bigram_pmi, contrastive_pairs, corpus_curation_strip,
-# duplication_profile, ner_crf_viterbi, temperature_mixture,
-# tokenizer_fertility) or are CHANGED in r12 and stay windowed:
-# a0_dedup_components_incremental (ingest-shaped band-index probe),
-# a0_semantic_clusters (hot-bucket occupancy cap),
-# a0_semdedup_embeddings (reads trained .graph_emb vectors) — plus
-# every NEW r12 query (a0_ canonical keys).
+# r11/r12-verified canonical a0_ names whose behavior is UNCHANGED in
+# r13: the driver key drops the prefix so they leave the window and
+# free slots.  Canonical a0_ names NOT listed here either hit the r10
+# staleness cap (the 17 enumerated in the budget comment above) or are
+# CHANGED in r13 and stay windowed: a0_knn_label_propagation
+# (trained-vector migration) — plus every NEW r13 query (a0_ canonical
+# keys).
 _ROTATE_OUT_OF_WINDOW = frozenset({
-    "a0_badwords_filter", "a0_bloom_decontamination",
-    "a0_bm25_indexed_search", "a0_bpe_lifecycle", "a0_chunk_retrieval",
-    "a0_clustering_coefficient", "a0_corpus_length_profile",
-    "a0_crf_distillation", "a0_cross_minhash_dedup",
-    "a0_dedup_recall_eval", "a0_distillation_eval",
-    "a0_document_chunking", "a0_graph_embeddings", "a0_graph_walks",
-    "a0_hybrid_retrieval", "a0_ivfpq_indexed_search",
-    "a0_knn_label_propagation", "a0_langid_trained",
-    "a0_length_quantiles", "a0_mmr_diversified_search",
-    "a0_multimodal_decode", "a0_negation_distillation",
-    "a0_negation_distillation_eval", "a0_pagerank_copurchase",
-    "a0_phrase_search", "a0_png_decode", "a0_related_parts_ppr",
-    "a0_rouge_l", "a0_rouge_overlap", "a0_sentence_boundaries",
-    "a0_sequence_packing", "a0_simhash_neardup",
-    "a0_simhash_neardup_capped", "a0_source_divergence",
-    "a0_source_mixture_sample", "a0_source_vocab_saturation",
-    "a0_split_assignment", "a0_strip_duplicated_spans",
-    "a0_tfidf_keywords", "a0_tnm_mentions", "a0_trained_ann_topk",
-    "a0_umls_scale_match", "a0_unigram_logppl", "a0_unigram_tokenizer",
-    "a0_url_domain_filtering", "a0_walk_skipgram_pairs",
-    "a0_wav_spectral", "a0_weighted_doc_sample", "a0_weighted_pagerank",
-    "a0_winnowing_fp", "a0_wordpiece_lifecycle",
+    "a0_bigram_pmi",
+    "a0_bm25_indexed_search",
+    "a0_chunk_retrieval",
+    "a0_contrastive_pairs",
+    "a0_corpus_curation_strip",
+    "a0_corpus_length_profile",
+    "a0_dedup_components_incremental",
+    "a0_dedup_keeper_election",
+    "a0_dedup_recall_eval",
+    "a0_document_chunking",
+    "a0_duplication_profile",
+    "a0_graph_embeddings",
+    "a0_graph_walks",
+    "a0_jpeg_decode",
+    "a0_multimodal_decode",
+    "a0_negation_distillation",
+    "a0_negation_distillation_eval",
+    "a0_ner_crf_viterbi",
+    "a0_png_decode",
+    "a0_rouge_l",
+    "a0_rouge_overlap",
+    "a0_semantic_clusters",
+    "a0_semdedup_embeddings",
+    "a0_sentence_boundaries",
+    "a0_sequence_packing",
+    "a0_simhash_neardup",
+    "a0_simhash_neardup_capped",
+    "a0_source_divergence",
+    "a0_source_mixture_sample",
+    "a0_source_vocab_saturation",
+    "a0_split_assignment",
+    "a0_strip_duplicated_spans",
+    "a0_temperature_mixture",
+    "a0_tfidf_keywords",
+    "a0_tnm_mentions",
+    "a0_tokenizer_fertility",
+    "a0_trained_ann_topk",
+    "a0_umls_scale_match",
+    "a0_unigram_logppl",
+    "a0_url_domain_filtering",
+    "a0_walk_skipgram_pairs",
+    "a0_wav_spectral",
+    "a0_weighted_doc_sample",
+    "a0_winnowing_fp",
+    "a0_wordpiece_lifecycle",
 })
 
 

@@ -520,9 +520,10 @@ class _BitReader:
                 b = 0
                 self.pos -= 1
             else:
-                raise NotImplementedError(
-                    f"JPEG marker 0xFF{nxt:02X} in entropy data "
-                    "(restart intervals unsupported)")
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} in entropy data "
+                    "(RSTn without matching DRI interval, or corrupt "
+                    "stream)")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
@@ -546,6 +547,8 @@ class _BitReader:
                 break
             p += 2 if (self.data[p] == 0xFF
                        and self.data[p + 1] == 0x00) else 1
+        if p + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: missing RSTn marker")
         m = self.data[p + 1]
         if not (0xD0 <= m <= 0xD7):
             raise ValueError(f"expected RSTn marker, got 0xFF{m:02X}")
@@ -744,7 +747,7 @@ def decode_jpeg(raw: bytes):
     pos = 2
     qtabs: dict[int, "np.ndarray"] = {}
     htabs: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int, int]] = []   # (id, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []   # (id, h_samp, v_samp, tq)
     h = w = 0
     restart_interval = 0
     scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)

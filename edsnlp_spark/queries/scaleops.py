@@ -213,7 +213,7 @@ inter AS (
 SELECT id_a, id_b,
        ROUND(shared / (na + nb - shared), 4) AS jaccard
 FROM inter
-WHERE shared / (na + nb - shared) >= 0.2
+WHERE ROUND(shared / (na + nb - shared), 4) >= 0.2
 """
 
 
@@ -254,7 +254,7 @@ verified AS (
   JOIN sh sb ON sb.doc_id = id_b
 )
 SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
-FROM verified WHERE jac >= 0.2
+FROM verified WHERE ROUND(jac, 4) >= 0.2
 """
 
 
@@ -458,7 +458,7 @@ prs AS (
     FROM cands
     JOIN sh sa ON sa.doc_id = id_a
     JOIN sh sb ON sb.doc_id = id_b)
-  WHERE shared / (na + nb - shared) >= 0.2
+  WHERE ROUND(shared / (na + nb - shared), 4) >= 0.2
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM prs

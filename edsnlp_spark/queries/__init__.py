@@ -48,4 +48,9 @@ def all_queries() -> dict:
         out.update(domain.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import miscpipes
+        out.update(miscpipes.QUERIES)
+    except ImportError:
+        pass
     return out

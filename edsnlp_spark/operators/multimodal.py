@@ -12,11 +12,16 @@ with stdlib ``zlib`` + per-row unfiltering (r11: decode_png/encode_png,
 all 5 filter types, driver-checked by a0_png_decode), and baseline
 JPEG decodes with stdlib struct + numpy huffman/IDCT (r12:
 decode_jpeg/encode_jpeg incl. 4:2:0/4:2:2 sampling, driver-checked by
-a0_jpeg_decode).  Only MP4/video stays stubbed: ``decode_stub=True``
-produces deterministic pseudo-features from the bytes;
-``decode_stub=False`` raises NotImplementedError where an ffmpeg call
-would go.  The Spark-side plumbing — schema, batching, partition
-sizing — is real and tested either way.
+a0_jpeg_decode).  MP4 (r13): ISO-BMFF is a pure container — the box
+walk + sample tables (encode_mp4_mjpeg / mp4_sample_table /
+decode_mp4_frames below) parse with stdlib struct, and an MJPEG track
+decodes per-frame through the real decode_jpeg (driver-checked by
+a0_mp4_frames).  The remaining stub surface is non-MJPEG video codecs
+(avc1/hvc1) and progressive JPEG: ``decode_stub=True`` produces
+deterministic pseudo-features from the bytes; ``decode_stub=False``
+raises NotImplementedError where an ffmpeg call would go.  The
+Spark-side plumbing — schema, batching, partition sizing — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -139,7 +144,9 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
     """mapInPandas frame sampler: one input video row fans out to one
     row PER SAMPLED FRAME (doc_id, frame_idx, ts_ms, frame bytes) — the
     explode-shaped stage a video pipeline feeds to per-frame encoders.
-    Frame decode is stubbed (deterministic byte slices standing in for
+    video/mp4 rows take the REAL path (r13): ISO-BMFF sample-table
+    demux emits each sampled frame's actual JPEG bytes.  Other video
+    types are stubbed (deterministic byte slices standing in for
     ffmpeg); the fan-out schema and Arrow batching are real."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,6 +154,17 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
             rows = []
             for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
                                           pdf["meta"]):
+                if meta["media_type"] == "video/mp4":
+                    raw = bytes(blob)
+                    _codec, _w, _h, samples = mp4_sample_table(raw)
+                    next_t = 0
+                    for i, (off, size, t) in enumerate(samples):
+                        if t < next_t:
+                            continue
+                        next_t = (t // every_ms + 1) * every_ms
+                        rows.append((doc_id, i, t,
+                                     raw[off:off + size], "image/jpeg"))
+                    continue
                 if not decode_stub:
                     raise NotImplementedError(
                         "real frame extraction requires ffmpeg; "
@@ -1028,5 +1046,266 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_type", "width", "height", "mean_r",
                 "std_r", "mean_g", "std_g", "mean_b", "std_b"])
+
+    return df.mapInPandas(run, ddl)
+
+
+# ---- ISO-BMFF (MP4) container: mux + demux + MJPEG frame decode -------
+#
+# r13 (VERDICT r12 Next #3): the last multimodal brick.  ISO base
+# media (ISO/IEC 14496-12) is a pure container — a box tree whose
+# sample tables (stsd/stts/stsc/stsz/stco) map track samples to byte
+# ranges in mdat.  With the r12 baseline-JPEG codec real, an MJPEG
+# video track decodes end-to-end with stdlib struct + numpy: box walk
+# -> sample table -> per-frame decode_jpeg.  Progressive JPEG and
+# non-MJPEG codecs (avc1/hvc1) stay honest NotImplementedError raises.
+
+_MP4_MATRIX = (b"\x00\x01\x00\x00" + b"\x00" * 12 +
+               b"\x00\x01\x00\x00" + b"\x00" * 12 + b"\x40\x00\x00\x00")
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full_box(typ: bytes, version: int, flags: int,
+              payload: bytes) -> bytes:
+    import struct
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_mjpeg(samples: list[bytes], width: int, height: int,
+                     frame_ms: int = 40,
+                     samples_per_chunk: int | None = None) -> bytes:
+    """Mux already-encoded JPEG frames into a minimal but VALID ISO-BMFF
+    file: ftyp + mdat + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    minf(vmhd, dinf, stbl)))) with a 'jpeg' VisualSampleEntry.
+    ``samples_per_chunk`` splits mdat into multiple chunks (multiple
+    stco entries + a two-run stsc when the tail chunk is short) so the
+    demuxer's chunk-walk generality is exercisable; default is the
+    common one-chunk layout."""
+    import struct
+
+    if not samples:
+        raise ValueError("encode_mp4_mjpeg needs >= 1 sample")
+    n = len(samples)
+    spc = samples_per_chunk or n
+    chunks = [samples[i:i + spc] for i in range(0, n, spc)]
+    timescale = 1000
+    dur = frame_ms * n
+    ftyp = _box(b"ftyp",
+                b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    # chunk byte offsets are file-absolute (ISO 14496-12 §8.7.5)
+    off = len(ftyp) + 8
+    chunk_offs = []
+    for ch in chunks:
+        chunk_offs.append(off)
+        off += sum(len(s) for s in ch)
+    vse = (b"\x00" * 6 + struct.pack(">H", 1)
+           + b"\x00" * 16
+           + struct.pack(">HH", width, height)
+           + struct.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + struct.pack(">H", 1)
+           + b"\x05MJPEG" + b"\x00" * 26
+           + struct.pack(">Hh", 24, -1))
+    stsd = _full_box(b"stsd", 0, 0,
+                     struct.pack(">I", 1) + _box(b"jpeg", vse))
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, frame_ms))
+    stsc_entries = [(1, len(chunks[0]))]
+    if len(chunks) > 1 and len(chunks[-1]) != len(chunks[0]):
+        stsc_entries.append((len(chunks), len(chunks[-1])))
+    stsc = _full_box(b"stsc", 0, 0,
+                     struct.pack(">I", len(stsc_entries))
+                     + b"".join(struct.pack(">III", fc, c, 1)
+                                for fc, c in stsc_entries))
+    stsz = _full_box(b"stsz", 0, 0,
+                     struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(s))
+                                for s in samples))
+    stco = _full_box(b"stco", 0, 0,
+                     struct.pack(">I", len(chunk_offs))
+                     + b"".join(struct.pack(">I", o)
+                                for o in chunk_offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _full_box(
+        b"dref", 0, 0,
+        struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")))
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(b"hdlr", 0, 0,
+                     struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                     + b"MJPEG\x00")
+    mdhd = _full_box(b"mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, timescale, dur,
+                                 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(b"tkhd", 0, 7,
+                     struct.pack(">III", 0, 0, 1) + b"\x00" * 4
+                     + struct.pack(">I", dur) + b"\x00" * 8
+                     + struct.pack(">HHHH", 0, 0, 0, 0) + _MP4_MATRIX
+                     + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(b"mvhd", 0, 0,
+                     struct.pack(">IIII", 0, 0, timescale, dur)
+                     + struct.pack(">IH", 0x00010000, 0x0100)
+                     + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24
+                     + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, box_end) for each box in
+    [start, end); handles 64-bit largesize and size==0 (to-end)."""
+    import struct
+
+    p = start
+    while p + 8 <= end:
+        size, typ = struct.unpack(">I4s", data[p:p + 8])
+        hdr = 8
+        if size == 1:
+            if p + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize box")
+            size = struct.unpack(">Q", data[p + 8:p + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - p
+        if size < hdr or p + size > end:
+            raise ValueError("malformed ISO-BMFF box")
+        yield typ, p + hdr, p + size
+        p += size
+
+
+def _child_box(data: bytes, start: int, end: int, typ: bytes):
+    for t, s, e in _walk_boxes(data, start, end):
+        if t == typ:
+            return s, e
+    raise ValueError(f"missing {typ.decode()} box")
+
+
+def mp4_sample_table(raw: bytes):
+    """Parse an ISO-BMFF file -> (codec fourcc, width, height,
+    [(byte_offset, byte_size, ts_ms)] per sample) for the first video
+    track.  Full stsc chunk-run + stco/co64 + stts reconstruction —
+    the general sample-to-byte-range mapping, not a one-chunk
+    shortcut."""
+    import struct
+
+    moov = _child_box(raw, 0, len(raw), b"moov")
+    trak = _child_box(raw, *moov, typ=b"trak")
+    mdia = _child_box(raw, *trak, typ=b"mdia")
+    mdhd_s, _ = _child_box(raw, *mdia, typ=b"mdhd")
+    version = raw[mdhd_s]
+    timescale = struct.unpack(
+        ">I", raw[mdhd_s + (20 if version else 12):
+                  mdhd_s + (24 if version else 16)])[0]
+    minf = _child_box(raw, *mdia, typ=b"minf")
+    stbl = _child_box(raw, *minf, typ=b"stbl")
+    # stsd: first sample entry fourcc + dimensions
+    stsd_s, stsd_e = _child_box(raw, *stbl, typ=b"stsd")
+    entry_t, entry_s, _ = next(_walk_boxes(raw, stsd_s + 8, stsd_e))
+    width, height = struct.unpack(">HH", raw[entry_s + 24:entry_s + 28])
+    # stsz: per-sample sizes
+    stsz_s, _ = _child_box(raw, *stbl, typ=b"stsz")
+    fixed, count = struct.unpack(">II", raw[stsz_s + 4:stsz_s + 12])
+    sizes = ([fixed] * count if fixed else
+             list(struct.unpack(f">{count}I",
+                                raw[stsz_s + 12:stsz_s + 12 + 4 * count])))
+    # stco / co64: chunk offsets
+    try:
+        stco_s, _ = _child_box(raw, *stbl, typ=b"stco")
+        n_chunks = struct.unpack(">I", raw[stco_s + 4:stco_s + 8])[0]
+        offs = struct.unpack(f">{n_chunks}I",
+                             raw[stco_s + 8:stco_s + 8 + 4 * n_chunks])
+    except ValueError:
+        co64_s, _ = _child_box(raw, *stbl, typ=b"co64")
+        n_chunks = struct.unpack(">I", raw[co64_s + 4:co64_s + 8])[0]
+        offs = struct.unpack(f">{n_chunks}Q",
+                             raw[co64_s + 8:co64_s + 8 + 8 * n_chunks])
+    # stsc: samples-per-chunk runs -> explicit per-chunk counts
+    stsc_s, _ = _child_box(raw, *stbl, typ=b"stsc")
+    n_runs = struct.unpack(">I", raw[stsc_s + 4:stsc_s + 8])[0]
+    runs = [struct.unpack(">III", raw[stsc_s + 8 + 12 * i:
+                                      stsc_s + 20 + 12 * i])
+            for i in range(n_runs)]
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < n_runs else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    # stts: decode timestamps in track timescale -> ms
+    stts_s, _ = _child_box(raw, *stbl, typ=b"stts")
+    n_tt = struct.unpack(">I", raw[stts_s + 4:stts_s + 8])[0]
+    deltas = []
+    for i in range(n_tt):
+        cnt, dlt = struct.unpack(">II", raw[stts_s + 8 + 8 * i:
+                                            stts_s + 16 + 8 * i])
+        deltas.extend([dlt] * cnt)
+    samples, si, t = [], 0, 0
+    for ci, spc in enumerate(per_chunk):
+        off = offs[ci]
+        for _ in range(spc):
+            if si >= count:
+                break
+            samples.append((off, sizes[si], t * 1000 // timescale))
+            off += sizes[si]
+            t += deltas[si] if si < len(deltas) else 0
+            si += 1
+    if si != count:
+        raise ValueError(
+            f"stsc/stco chunk map covers {si} of {count} samples")
+    return entry_t, width, height, samples
+
+
+def decode_mp4_frames(raw: bytes, every_ms: int | None = None):
+    """MJPEG-in-MP4 -> [(frame_idx, ts_ms, rgb array)].  ``every_ms``
+    keeps only the first frame at or after each multiple of every_ms
+    (the frame-sampling contract); None decodes every frame."""
+    codec, _w, _h, samples = mp4_sample_table(raw)
+    if codec != b"jpeg":
+        raise NotImplementedError(
+            f"no pure-python codec for MP4 track {codec.decode()!r}; "
+            "only MJPEG ('jpeg') tracks decode in this container")
+    out, next_t = [], 0
+    for idx, (off, size, t) in enumerate(samples):
+        if every_ms is not None:
+            if t < next_t:
+                continue
+            next_t = (t // every_ms + 1) * every_ms
+        out.append((idx, t, decode_jpeg(raw[off:off + size])))
+    return out
+
+
+def video_frame_features(df: DataFrame,
+                         every_ms: int | None = None) -> DataFrame:
+    """REAL per-frame feature extraction for MJPEG MP4 blobs: one
+    input row fans out to one row PER (sampled) FRAME with the exact
+    integer-sum channel stats of decode_features.  Row-wise demux +
+    decode — a pure map over file splits at 100 TB, no shuffle."""
+    ddl = ("doc_id long, frame_idx int, ts_ms long, width long, "
+           "height long, mean_r double, std_r double, mean_g double, "
+           "std_g double, mean_b double, std_b double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, meta in zip(pdf["doc_id"], pdf["blob"],
+                                          pdf["meta"]):
+                if meta["media_type"] != "video/mp4":
+                    raise NotImplementedError(
+                        f"video_frame_features only decodes video/mp4 "
+                        f"(got {meta['media_type']})")
+                for idx, t, px in decode_mp4_frames(bytes(blob),
+                                                    every_ms=every_ms):
+                    st = _image_stats(px[:, :, :3])
+                    rows.append((doc_id, idx, t, px.shape[1],
+                                 px.shape[0], st["mean_r"], st["std_r"],
+                                 st["mean_g"], st["std_g"], st["mean_b"],
+                                 st["std_b"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "ts_ms", "width", "height",
+                "mean_r", "std_r", "mean_g", "std_g", "mean_b",
+                "std_b"])
 
     return df.mapInPandas(run, ddl)

@@ -2949,6 +2949,135 @@ FROM m
 JPEG_DECODE_SQL = _jpeg_decode_sql()
 
 
+def mp4_frames(spark, sf_dir):
+    """REAL MP4 (ISO-BMFF) demux + per-frame MJPEG decode on the
+    driver surface (VERDICT r12 Next #3, closing the multimodal
+    wall): per doc, doc_id %% 3 + 1 frames are built from the
+    jpeg_decode recipe (frame f takes code points f*6..f*6+5 of the
+    sanitized text; layout varies PER FRAME — (doc_id+f) %% 2 picks
+    4:2:0 vs 4:4:4, (doc_id+f) %% 3 == 0 adds restart intervals on
+    4:4:4), encoded with the repo's own encode_jpeg, muxed by
+    encode_mp4_mjpeg (multi-chunk layout when doc_id %% 2 == 0:
+    2-sample chunks exercise the stsc run walk + multiple stco
+    entries), then decoded by the REAL box-walk + sample-table +
+    decode_jpeg chain (video_frame_features).  The oracle replays the
+    expected per-frame RGB from the code points — the container
+    round-trip + frame fan-out is what the hash certifies."""
+    from ..operators.multimodal import (encode_jpeg, encode_mp4_mjpeg,
+                                        video_frame_features)
+    d = (_docs(spark, sf_dir).filter(F.length("text") >= 1)
+         .withColumn("text",
+                     F.regexp_replace("text", r"[^\x00-\x7F]", "?")))
+    src = d.select(
+        "doc_id",
+        F.substring(F.expr("repeat(text, 18 DIV length(text) + 1)"),
+                    1, 18).alias("p"))
+
+    def mk(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["p"]):
+                b = p.encode("ascii")
+                doc_id = int(doc_id)
+                samples = []
+                for f in range(doc_id % 3 + 1):
+                    ycc = np.zeros((16, 16, 3), dtype=np.uint8)
+                    for q, (r0, c0) in enumerate(
+                            ((0, 0), (0, 8), (8, 0), (8, 8))):
+                        ycc[r0:r0 + 8, c0:c0 + 8, 0] = b[f * 6 + q]
+                    ycc[:, :, 1] = b[f * 6 + 4]
+                    ycc[:, :, 2] = b[f * 6 + 5]
+                    sub = "420" if (doc_id + f) % 2 == 0 else "444"
+                    rst = 1 if (sub == "444"
+                                and (doc_id + f) % 3 == 0) else 0
+                    samples.append(encode_jpeg(ycc, subsample=sub,
+                                               restart_interval=rst))
+                spc = 2 if doc_id % 2 == 0 else None
+                out.append((doc_id, bytearray(encode_mp4_mjpeg(
+                    samples, 16, 16, frame_ms=40,
+                    samples_per_chunk=spc))))
+            yield pd.DataFrame(out, columns=["doc_id", "blob"])
+
+    blobs = src.mapInPandas(mk, "doc_id long, blob binary").select(
+        "doc_id", "blob",
+        F.struct(
+            F.lit("video/mp4").alias("media_type"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            ((F.col("doc_id") % 3 + 1) * 40).cast("int")
+            .alias("duration_ms"),
+        ).alias("meta"))
+    f = video_frame_features(blobs)
+    return f.select(
+        "doc_id", F.col("frame_idx").cast("bigint").alias("frame_id"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        "width", "height",
+        *[F.round(F.col(c), 4).alias(c)
+          for c in ("mean_r", "std_r", "mean_g", "std_g",
+                    "mean_b", "std_b")])
+
+
+def _mp4_frames_sql() -> str:
+    rgb = ",\n         ".join(
+        f"{_jpeg_mix_sql(ch, str(q))} AS {ch}{q}"
+        for ch in ("r", "g", "b") for q in range(1, 5))
+    stats = ",\n         ".join(
+        f"(64 * ({c}1 + {c}2 + {c}3 + {c}4)) / 256 AS m{c}, "
+        f"(64 * ({c}1*{c}1 + {c}2*{c}2 + {c}3*{c}3 + {c}4*{c}4)) / 256 "
+        f"AS v{c}"
+        for c in ("r", "g", "b"))
+    return f"""
+WITH ascii_docs AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text
+  FROM documents WHERE length(text) >= 1
+),
+t AS (
+  SELECT doc_id,
+         substr(repeat(text, (18 // length(text) + 1)::INT), 1, 18) AS p
+  FROM ascii_docs
+),
+fr AS (
+  SELECT doc_id, p, unnest(range(0, doc_id % 3 + 1)) AS f
+  FROM t
+),
+ycc AS (
+  SELECT doc_id, f,
+         ord(substr(p, f * 6 + 1, 1))::BIGINT AS y1,
+         ord(substr(p, f * 6 + 2, 1))::BIGINT AS y2,
+         ord(substr(p, f * 6 + 3, 1))::BIGINT AS y3,
+         ord(substr(p, f * 6 + 4, 1))::BIGINT AS y4,
+         ord(substr(p, f * 6 + 5, 1))::BIGINT AS cb,
+         ord(substr(p, f * 6 + 6, 1))::BIGINT AS cr
+  FROM fr
+),
+rgb AS (
+  SELECT doc_id, f,
+         {rgb}
+  FROM ycc
+),
+m AS (
+  SELECT doc_id, f,
+         {stats}
+  FROM rgb
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       16::BIGINT AS width, 16::BIGINT AS height,
+       ROUND(mr, 4) AS mean_r,
+       ROUND(sqrt(greatest(vr - mr * mr, 0.0)), 4) AS std_r,
+       ROUND(mg, 4) AS mean_g,
+       ROUND(sqrt(greatest(vg - mg * mg, 0.0)), 4) AS std_g,
+       ROUND(mb, 4) AS mean_b,
+       ROUND(sqrt(greatest(vb - mb * mb, 0.0)), 4) AS std_b
+FROM m
+"""
+
+
+MP4_FRAMES_SQL = _mp4_frames_sql()
+
+
 def wav_spectral(spark, sf_dir):
     """SPECTRAL audio features on the driver surface (VERDICT r10 #9):
     per-doc 16-bit PCM WAVs are synthesized from the sanitized text
@@ -3110,6 +3239,7 @@ QUERIES = {
     # NEW r12 (VERDICT r11 #6): baseline JPEG — marker parse, huffman
     # entropy decode, dequant, exact IDCT, int64 YCbCr->RGB
     "a0_jpeg_decode": (jpeg_decode, JPEG_DECODE_SQL),
+    "a0_mp4_frames": (mp4_frames, MP4_FRAMES_SQL),
     # NEW r11 (VERDICT r10 #9): exact-integer Goertzel spectral probes
     # over the real PCM decode
     "a0_wav_spectral": (wav_spectral, WAV_SPECTRAL_SQL),

@@ -3116,3 +3116,71 @@ def test_jpeg_restart_intervals_exact():
     blob[i + 1] = 0xD5
     with _pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(bytes(blob))
+
+
+def test_mp4_mjpeg_container_roundtrip():
+    """ISO-BMFF mux -> demux -> per-frame decode is bit-exact vs
+    decoding each JPEG sample directly, under both the one-chunk and
+    the multi-chunk (two-run stsc) layouts; every_ms sampling keeps
+    the first frame at or after each multiple."""
+    import numpy as np
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_jpeg, decode_mp4_frames, encode_jpeg, encode_mp4_mjpeg)
+
+    frames = []
+    for f in range(5):
+        ycc = np.zeros((16, 16, 3), dtype=np.uint8)
+        for q, (r0, c0) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+            ycc[r0:r0 + 8, c0:c0 + 8, 0] = 40 * f + 10 * q + 30
+        ycc[:, :, 1] = 100 + f
+        ycc[:, :, 2] = 140 + f
+        frames.append(encode_jpeg(
+            ycc, subsample="420" if f % 2 == 0 else "444",
+            restart_interval=1 if f == 3 else 0))
+    for spc in (None, 2):
+        mp4 = encode_mp4_mjpeg(frames, 16, 16, frame_ms=40,
+                               samples_per_chunk=spc)
+        out = decode_mp4_frames(mp4)
+        assert [(i, t) for i, t, _ in out] == [(i, i * 40)
+                                               for i in range(5)]
+        for (_, _, px), s in zip(out, frames):
+            assert (px == decode_jpeg(s)).all()
+        assert [i for i, _, _ in decode_mp4_frames(mp4, every_ms=80)] \
+            == [0, 2, 4]
+
+
+def test_mp4_demux_guards_and_frame_sample(spark):
+    """Non-MJPEG tracks raise (honest codec wall), malformed boxes
+    raise, and frame_sample's real video/mp4 path emits the actual
+    JPEG sample bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_jpeg, decode_mp4_frames, encode_jpeg, encode_mp4_mjpeg,
+        frame_sample)
+
+    ycc = np.full((16, 16, 3), 90, dtype=np.uint8)
+    sample = encode_jpeg(ycc)
+    mp4 = encode_mp4_mjpeg([sample, sample], 16, 16, frame_ms=40)
+    # patch the stsd entry fourcc to avc1: must refuse, not misparse
+    patched = bytearray(mp4)
+    i = mp4.index(b"jpeg", mp4.index(b"stsd"))
+    patched[i:i + 4] = b"avc1"
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(bytes(patched))
+    with _pytest.raises(ValueError, match="box|moov"):
+        decode_mp4_frames(mp4[:24])
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4),
+          {"media_type": "video/mp4", "width": 16, "height": 16,
+           "duration_ms": 80})],
+        "doc_id long, blob binary, meta struct<media_type string, "
+        "width int, height int, duration_ms int>")
+    rows = frame_sample(df, every_ms=40).collect()
+    assert [(r.frame_idx, r.ts_ms, r.media_type) for r in rows] == [
+        (0, 0, "image/jpeg"), (1, 40, "image/jpeg")]
+    for r in rows:
+        assert bytes(r.frame) == sample
+        assert (decode_jpeg(bytes(r.frame)) == decode_jpeg(sample)).all()

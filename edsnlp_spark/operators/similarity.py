@@ -704,7 +704,10 @@ def cluster_diverse_sample(emb: DataFrame, centroids: list[list[float]],
     assigned = emb.select(
         F.col(id_col),
         best["cell"].alias("cell"),
-        F.round(-best["negcos"], 4).alias("cos_sim"),
+        # + 0.0 normalizes -0.0 (trained vectors have negative
+        # components, so a tiny negative cosine rounds to -0.0 and
+        # breaks the value hash — the r8 lesson; oracle adds the same)
+        (F.round(-best["negcos"], 4) + F.lit(0.0)).alias("cos_sim"),
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("cos_sim").desc(), F.col(id_col))
@@ -776,7 +779,10 @@ def knn_label_propagation(emb: DataFrame, seeds: DataFrame,
     cand = (
         probed.join(F.broadcast(sassign), "cell")
         .select("n_id", "s_id", "label",
-                F.round(cosine(F.col("v"), F.col("sv")), 4).alias("cos"))
+                # + 0.0: -0.0 normalization for negative trained-vector
+                # cosines (see cluster_diverse_sample)
+                (F.round(cosine(F.col("v"), F.col("sv")), 4)
+                 + F.lit(0.0)).alias("cos"))
     )
     w = Window.partitionBy("n_id").orderBy(F.col("cos").desc(),
                                            F.col("s_id"))

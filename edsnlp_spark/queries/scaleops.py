@@ -322,13 +322,15 @@ def _dedup_seed_index(spark, sf_dir) -> str:
     repo = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(repo, ".dedup_seed", tag)
-    # two sub-artifacts, each with its own meta: the banded postings
-    # under {path}/bands, the component label index under {path}/comps
+    # three sub-artifacts, each with its own meta: the banded postings
+    # under {path}/bands, the component label index under {path}/comps,
+    # the per-cluster keeper index under {path}/keep (r13)
     if tag not in _DEDUP_SEED_BUILT:
         done = all(
             os.path.exists(os.path.join(path, sub, part, "_SUCCESS"))
             for sub, part in (("bands", "postings"), ("bands", "meta"),
-                              ("comps", "labels"), ("comps", "meta"))
+                              ("comps", "labels"), ("comps", "meta"),
+                              ("keep", "labels"), ("keep", "meta"))
         ) and _art.version_ok(path)
         if not done:
             from ..core.caching import tracked_persist
@@ -348,9 +350,21 @@ def _dedup_seed_index(spark, sf_dir) -> str:
             D.components_index_build(
                 D.connected_components(base_pairs), f"{path}/comps",
                 n_buckets=64)
+            D.keeper_index_build(
+                spark.read.parquet(f"{path}/comps/labels"),
+                _doc_nd(base_docs), f"{path}/keep", n_buckets=64)
             _art.stamp_version(path)
         _DEDUP_SEED_BUILT.add(tag)
     return path
+
+
+def _doc_nd(docs):
+    """(doc_id, nd) quality table: distinct-token count — the keeper
+    election metric (all-integer, oracle-trivial)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ", -1)))
+        .cast("bigint").alias("nd"))
 
 
 def dedup_components_incremental(spark, sf_dir):
@@ -393,6 +407,63 @@ def dedup_components_incremental(spark, sf_dir):
             (F.coalesce("__c", F.col("id")) == F.col("id"))
             .alias("is_canonical"),
         ))
+
+
+def dedup_keeper_incremental(spark, sf_dir):
+    """INGEST-SHAPED incremental keeper election (VERDICT r12 Next
+    #6): composes the persisted dedup state (postings + component
+    label index + the r13 per-cluster KEEPER index) with the
+    batch-bounded probe.  Per run: the ingest batch (doc_id %% 7 == 3)
+    probes the postings, candidates Jaccard-verify, the component
+    index folds the verified pairs in place, and keepers are
+    re-elected ONLY for touched clusters — the union of the verified
+    endpoints' PRE- and POST-update component labels (every cluster
+    whose membership changed contains such an endpoint; merged-away
+    clusters appear as pre-labels and are deleted from the keeper
+    index).  Untouched clusters serve their STORED keeper, so the
+    result equals the full election the oracle replays (the argmax is
+    a per-cluster aggregate — elections compose).  Idempotent like the
+    components update."""
+    from ..core.caching import tracked_persist
+    docs = _docs(spark, sf_dir)
+    path = _dedup_seed_index(spark, sf_dir)
+    batch_docs = docs.filter(F.col("doc_id") % 7 == 3)
+    cands = D.minhash_index_candidates(spark, f"{path}/bands",
+                                       batch_docs, n=3,
+                                       num_hashes=12, bands=6)
+    verified = tracked_persist(_verified_jaccard_pairs(cands, docs),
+                               "dedup")
+    ends = (verified.select(F.col("id_a").alias("id"))
+            .union(verified.select(F.col("id_b").alias("id")))
+            .distinct())
+    # PRE-update endpoint labels must be materialized BEFORE the
+    # component update rewrites the partitions this plan reads
+    # (batch-reach-bounded, so the eager checkpoint is small)
+    pre = (spark.read.parquet(f"{path}/comps/labels")
+           .select("id", "comp").join(ends, "id")
+           .select(F.col("comp").alias("cluster"))
+           .localCheckpoint(eager=True))
+    D.components_index_update(spark, f"{path}/comps", verified)
+    labels = spark.read.parquet(f"{path}/comps/labels")
+    post = (labels.select("id", "comp").join(ends, "id")
+            .select(F.col("comp").alias("cluster")))
+    D.keeper_index_update(spark, f"{path}/comps", f"{path}/keep",
+                          pre.union(post).distinct(), _doc_nd(docs))
+    keep = spark.read.parquet(f"{path}/keep/labels")
+    lab = (docs.select("doc_id")
+           .join(labels.withColumnRenamed("id", "doc_id")
+                 .withColumnRenamed("comp", "__c"), "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("__c", F.col("doc_id")).alias("cluster")))
+    return (lab.join(keep.select("cluster", "keeper_id"),
+                     "cluster", "left")
+            .select("doc_id",
+                    F.col("cluster").cast("bigint").alias("cluster"),
+                    F.coalesce("keeper_id", F.col("doc_id"))
+                    .cast("bigint").alias("keeper_id"),
+                    (F.col("doc_id") == F.coalesce("keeper_id",
+                                                   F.col("doc_id")))
+                    .alias("keep")))
 
 
 def dedup_keeper_election(spark, sf_dir):
@@ -488,6 +559,36 @@ SELECT l.doc_id, l.cluster::BIGINT AS cluster,
        l.doc_id = k.keeper_id AS keep
 FROM lab l JOIN keep k USING (cluster)
 """
+
+
+# Full-recompute replay for the INCREMENTAL keeper election: the
+# banded-MinHash ∩ Jaccard pair universe (the components-incremental
+# chain), then the same per-cluster quality argmax.
+DEDUP_KEEPER_INCREMENTAL_SQL = DEDUP_COMPONENTS_INCREMENTAL_SQL.replace(
+    """comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id)::BIGINT AS component,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+""",
+    """comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+ki_lab AS (
+  SELECT d.doc_id,
+         len(list_distinct(string_split(d.text, ' ')))::BIGINT AS nd,
+         COALESCE(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+),
+ki_keep AS (
+  SELECT cluster, doc_id AS keeper_id FROM (
+    SELECT cluster, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY nd DESC, doc_id) AS rn
+    FROM ki_lab) WHERE rn = 1
+)
+SELECT l.doc_id, l.cluster::BIGINT AS cluster,
+       k.keeper_id::BIGINT AS keeper_id,
+       l.doc_id = k.keeper_id AS keep
+FROM ki_lab l JOIN ki_keep k USING (cluster)
+""")
 
 
 def dedup_components_star(spark, sf_dir):
@@ -3239,6 +3340,10 @@ QUERIES = {
     # band-collision ∩ Jaccard-verified pair universe
     "a0_dedup_components_incremental": (dedup_components_incremental,
                                         DEDUP_COMPONENTS_INCREMENTAL_SQL),
+    # NEW r13: ingest-shaped keeper election — touched-cluster-only
+    # re-election over the persisted keeper index (VERDICT r12 #6)
+    "a0_dedup_keeper_incremental": (dedup_keeper_incremental,
+                                    DEDUP_KEEPER_INCREMENTAL_SQL),
     # NEW r12: quality-aware keeper election over near-dup clusters
     # (keep the most informative member, not the smallest id)
     "a0_dedup_keeper_election": (dedup_keeper_election,

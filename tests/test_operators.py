@@ -3184,3 +3184,73 @@ def test_mp4_demux_guards_and_frame_sample(spark):
     for r in rows:
         assert bytes(r.frame) == sample
         assert (decode_jpeg(bytes(r.frame)) == decode_jpeg(sample)).all()
+
+
+def test_keeper_index_update_merge_delete_carryover(spark, tmp_path):
+    """r13 incremental keeper election: a batch merge re-elects the
+    keeper over the MERGED membership, the absorbed cluster's row is
+    deleted from the index, and an untouched cluster sharing a bucket
+    is carried over verbatim."""
+    from edsnlp_spark.operators.dedup import (
+        components_index_build, keeper_index_build, keeper_index_update)
+
+    nd = spark.createDataFrame(
+        [(1, 5), (2, 9), (5, 7), (6, 3), (8, 4), (9, 4)],
+        "doc_id long, nd long")
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)],
+        "id long, comp long")
+    cpath, kpath = str(tmp_path / "comps"), str(tmp_path / "keep")
+    components_index_build(base, cpath, n_buckets=2)
+    keeper_index_build(base, nd, kpath, n_buckets=2)
+    k0 = {r.cluster: r.keeper_id for r in
+          spark.read.parquet(f"{kpath}/labels").collect()}
+    # per-cluster argmax (nd, -id): {1,2}->2 (nd 9), {5,6}->5, {8,9}->8
+    assert k0 == {1: 2, 5: 5, 8: 8}
+    # batch edge (2,5) merges comps 1 and 5 -> comp 1
+    merged = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 1), (6, 1), (8, 8), (9, 8)],
+        "id long, comp long")
+    components_index_build(merged, cpath, n_buckets=2)
+    touched = spark.createDataFrame([(1,), (5,)], "cluster long")
+    keeper_index_update(spark, cpath, kpath, touched, nd)
+    k1 = {r.cluster: r.keeper_id for r in
+          spark.read.parquet(f"{kpath}/labels").collect()}
+    # merged {1,2,5,6}: nd max 9 -> keeper 2; cluster 5 DELETED;
+    # untouched cluster 8 carried over
+    assert k1 == {1: 2, 8: 8}
+    # idempotent: same touched set re-elects the same keepers
+    keeper_index_update(spark, cpath, kpath, touched, nd)
+    k2 = {r.cluster: r.keeper_id for r in
+          spark.read.parquet(f"{kpath}/labels").collect()}
+    assert k2 == k1
+
+
+def test_keeper_index_update_drops_emptied_partition(spark, tmp_path):
+    """A bucket whose only cluster is merged away receives no rows in
+    the rewrite and must be physically dropped."""
+    import os
+
+    from edsnlp_spark.operators.dedup import (
+        components_index_build, keeper_index_build, keeper_index_update)
+
+    nd = spark.createDataFrame([(1, 2), (2, 1), (5, 9), (6, 1)],
+                               "doc_id long, nd long")
+    base = spark.createDataFrame([(1, 1), (2, 1), (5, 5), (6, 5)],
+                                 "id long, comp long")
+    cpath, kpath = str(tmp_path / "comps"), str(tmp_path / "keep")
+    components_index_build(base, cpath, n_buckets=64)
+    keeper_index_build(base, nd, kpath, n_buckets=64)
+    from pyspark.sql import functions as F
+    b5 = spark.createDataFrame([(5,)], "cluster long").select(
+        F.pmod(F.xxhash64("cluster"), F.lit(64)).alias("b")).first()["b"]
+    assert os.path.exists(f"{kpath}/labels/bucket={b5}")
+    merged = spark.createDataFrame([(1, 1), (2, 1), (5, 1), (6, 1)],
+                                   "id long, comp long")
+    components_index_build(merged, cpath, n_buckets=64)
+    touched = spark.createDataFrame([(1,), (5,)], "cluster long")
+    keeper_index_update(spark, cpath, kpath, touched, nd)
+    assert not os.path.exists(f"{kpath}/labels/bucket={b5}")
+    k = {r.cluster: r.keeper_id for r in
+         spark.read.parquet(f"{kpath}/labels").collect()}
+    assert k == {1: 5}

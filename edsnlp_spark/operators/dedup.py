@@ -1413,3 +1413,34 @@ def keeper_index_update(spark, comps_path: str, keep_path: str,
     for b in sorted(set(blist) - written):
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{keep_path}/labels/bucket={b}"), True)
+
+
+def dedup_keeper_view(spark, index_path: str,
+                      before_batch: int | None = None) -> DataFrame:
+    """Current KEEPER view of a streaming dedup-resolution index
+    (``dedup_resolution_stream`` layout: delta/postings/quality per
+    batch) -> (doc_id, cluster, keeper_id, keep) over every ingested
+    doc — the SAME quality-argmax policy as the batch election
+    (keeper = max_by(id, (nd, -id)) per cluster, singletons keep
+    themselves).  Labels come from :func:`components_index_view`;
+    quality rows are static per doc (nd is a pure function of the
+    text), so replayed batches fold away with a MAX."""
+    q = spark.read.parquet(f"{index_path}/quality")
+    if before_batch is not None:
+        q = q.filter(F.col("batch") < F.lit(int(before_batch)))
+    nd = q.groupBy("doc_id").agg(F.max("nd").alias("nd"))
+    labels = components_index_view(spark, index_path,
+                                   before_batch=before_batch)
+    lab = (nd.join(labels.withColumnRenamed("id", "doc_id"),
+                   "doc_id", "left")
+           .select("doc_id", "nd",
+                   F.coalesce("comp", F.col("doc_id")).alias("cluster")))
+    keepers = lab.groupBy("cluster").agg(
+        F.max_by("doc_id", F.struct(F.col("nd").alias("a"),
+                                    (-F.col("doc_id")).alias("b")))
+        .alias("keeper_id"))
+    return (lab.join(keepers, "cluster")
+            .select("doc_id", F.col("cluster").cast("long"),
+                    F.col("keeper_id").cast("long"),
+                    (F.col("doc_id") == F.col("keeper_id"))
+                    .alias("keep")))

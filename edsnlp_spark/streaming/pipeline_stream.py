@@ -369,15 +369,22 @@ def dedup_resolution_stream(stream_docs: DataFrame, index_path: str,
     2. contract the edges against the folded label view
        (``components_index_view`` with the ``before_batch`` replay
        filter) and persist the component DELTA;
-    3. append the batch's own postings as the next index increment.
+    3. append the batch's own postings as the next index increment;
+    4. persist the batch docs' QUALITY rows (doc_id, nd =
+       distinct-token count) so the keeper policy is electable from
+       the accumulated state alone (r13, VERDICT r12 Next #7: text
+       streams by — later batches cannot re-read it), making
+       :func:`~edsnlp_spark.operators.dedup.dedup_keeper_view` serve
+       the SAME keepers as the batch election.
 
-    Layout under ``index_path``: ``postings/batch=<id>`` and
-    ``delta/batch=<id>`` (plus ``labels/`` if a compaction seeded a
-    base).  All writes are idempotent ``batch=<id>`` overwrites and
-    every read filters ``batch < batch_id``, so a restarted batch
-    converges to the same table
-    (test_dedup_resolution_stream_with_restart pins view == full
-    recompute across a restart)."""
+    Layout under ``index_path``: ``postings/batch=<id>``,
+    ``delta/batch=<id>`` and ``quality/batch=<id>`` (plus ``labels/``
+    if a compaction seeded a base).  All writes are idempotent
+    ``batch=<id>`` overwrites and every read filters
+    ``batch < batch_id``, so a restarted batch converges to the same
+    table (test_dedup_resolution_stream_with_restart pins view ==
+    full recompute AND stream keepers == batch keepers across a
+    restart)."""
     from pyspark.errors import AnalysisException
 
     from ..core.caching import tracked_persist
@@ -419,6 +426,12 @@ def dedup_resolution_stream(stream_docs: DataFrame, index_path: str,
                 f"{index_path}/delta/batch={batch_id}")
             banded.write.mode("overwrite").parquet(
                 f"{index_path}/postings/batch={batch_id}")
+            docs.select(
+                "doc_id",
+                F.size(F.array_distinct(F.split("text", " ", -1)))
+                .cast("long").alias("nd"),
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/quality/batch={batch_id}")
         finally:
             caching.release_since(snap)
 

@@ -687,3 +687,27 @@ def test_dedup_resolution_stream_with_restart(spark, tmp_path):
     d2 = {r.id for r in spark.read.parquet(f"{index_path}/delta")
           .filter("batch = 1").collect()}
     assert 3 in d2 and not {20, 21} & d2
+
+    # r13 (VERDICT r12 Next #7): the streaming KEEPER view must elect
+    # the same keepers as the batch quality-argmax election over the
+    # full ingested corpus (nd = distinct-token count, max_by(id,
+    # (nd, -id)) per cluster, singletons keep themselves)
+    from pyspark.sql import functions as F
+    from edsnlp_spark.operators.dedup import dedup_keeper_view
+    got_keep = {r.doc_id: (r.cluster, r.keeper_id, r.keep)
+                for r in dedup_keeper_view(spark, index_path).collect()}
+    nd = all_docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ", -1)))
+        .cast("long").alias("nd"))
+    lab = (nd.join(connected_components(full_pairs)
+                   .withColumnRenamed("id", "doc_id"), "doc_id", "left")
+           .select("doc_id", "nd",
+                   F.coalesce("comp", F.col("doc_id")).alias("cluster")))
+    keepers = lab.groupBy("cluster").agg(
+        F.max_by("doc_id", F.struct(F.col("nd").alias("a"),
+                                    (-F.col("doc_id")).alias("b")))
+        .alias("keeper_id"))
+    want = {r.doc_id: (r.cluster, r.keeper_id, r.doc_id == r.keeper_id)
+            for r in lab.join(keepers, "cluster").collect()}
+    assert got_keep == want, (got_keep, want)

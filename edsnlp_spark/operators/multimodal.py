@@ -746,16 +746,136 @@ def encode_jpeg(ycbcr, quant=None, subsample: str = "444",
     return bytes(out)
 
 
+def encode_jpeg_progressive(ycbcr, quant=None) -> bytes:
+    """PROGRESSIVE (SOF2) spectral-selection JFIF encoder (r13,
+    VERDICT r12 Next #8): 4:4:4 / grayscale frames, one interleaved
+    DC scan (Ss=0, Se=0) followed by one full-band AC scan per
+    component (Ss=1, Se=63), Ah=Al=0.  AC bands use EOB1 coding
+    (symbol 0x00 = end-of-band run of exactly one block), so the
+    decoder's EOBn run-length path is exercised on every block with a
+    zero tail.  Same canonical Huffman tables and quantization as
+    :func:`encode_jpeg`; a stream produced here decodes bit-identically
+    to the baseline encoding of the same pixels."""
+    import struct
+
+    import numpy as np
+
+    a8 = np.asarray(ycbcr, dtype=np.uint8)
+    gray = a8.ndim == 2
+    h, w = a8.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_progressive needs h, w "
+                         "multiples of 8")
+    ncomp = 1 if gray else 3
+    if quant is None:
+        quant = (np.ones(64, dtype=np.int64),
+                 np.ones(64, dtype=np.int64))
+    qluma = np.asarray(quant[0], dtype=np.int64).reshape(64)
+    qchroma = np.asarray(quant[1], dtype=np.int64).reshape(64)
+    C = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_J_DC_BITS, _J_DC_VALS)
+    ac_codes = _huff_codes(_J_AC_BITS, _J_AC_VALS)
+    zz_idx = np.array(_J_ZZ)
+    planes = ([a8.astype(np.int64)] if gray else
+              [a8[:, :, c].astype(np.int64) for c in range(3)])
+    zzs: list[list] = []
+    for c, plane in enumerate(planes):
+        q = qluma if c == 0 else qchroma
+        blocks = []
+        for y0 in range(0, h, 8):
+            for x0 in range(0, w, 8):
+                f = (C @ (plane[y0:y0 + 8, x0:x0 + 8]
+                          .astype(np.float64) - 128.0) @ C.T)
+                coef = np.round(f).astype(np.int64).reshape(64)
+                czz = coef[zz_idx]
+                blocks.append(np.sign(czz) * (np.abs(czz) // q))
+        zzs.append(blocks)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")                    # SOI
+    out += seg(0xFFDB, bytes([0]) + bytes(
+        int(qluma[i]) for i in range(64)))
+    if ncomp == 3:
+        out += seg(0xFFDB, bytes([1]) + bytes(
+            int(qchroma[i]) for i in range(64)))
+    comp_spec = b"".join(
+        bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+        for cid in range(ncomp))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp)
+               + comp_spec)                         # SOF2
+    for tc_th, bits, vals in ((0x00, _J_DC_BITS, _J_DC_VALS),
+                              (0x10, _J_AC_BITS, _J_AC_VALS),
+                              (0x01, _J_DC_BITS, _J_DC_VALS),
+                              (0x11, _J_AC_BITS, _J_AC_VALS)):
+        if ncomp == 1 and tc_th in (0x01, 0x11):
+            continue
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    # scan 1: interleaved DC (Ss=0, Se=0, Ah=Al=0)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    nb = (h // 8) * (w // 8)
+    for b in range(nb):
+        for c in range(ncomp):
+            dc = int(zzs[c][b][0])
+            diff = dc - pred[c]
+            pred[c] = dc
+            size, bits_v = _dc_magnitude(diff)
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits_v, size)
+    out += seg(0xFFDA, bytes([ncomp]) + b"".join(
+        bytes([cid + 1, (0 if cid == 0 else 1) << 4])
+        for cid in range(ncomp)) + bytes([0, 0, 0]))
+    out += bw.flush()
+    # scans 2..: one AC band scan per component (Ss=1, Se=63)
+    for c in range(ncomp):
+        bw = _BitWriter()
+        for b in range(nb):
+            zz = zzs[c][b]
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i] != 0),
+                          default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]       # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, bits_v = _dc_magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits_v, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]           # EOB1
+                bw.write(code, ln)
+        out += seg(0xFFDA, bytes([1, c + 1, 0 if c == 0 else 0x11])
+                   + bytes([1, 63, 0]))
+        out += bw.flush()
+    out += b"\xFF\xD9"                              # EOI
+    return bytes(out)
+
+
 def decode_jpeg(raw: bytes):
-    """Baseline JFIF bytes -> numpy (h, w, 3) uint8 RGB (grayscale
-    replicates Y): marker parse (DQT/SOF0/DHT/SOS), huffman entropy
-    decode, dequant, exact orthonormal 8x8 IDCT, and EXACT int64
-    fixed-point YCbCr->RGB (constants _J_CR_R etc., positive-dividend
-    shift so the floor is engine-portable).  Interleaved baseline with
-    any integer sampling ratios (4:4:4, 4:2:0, 4:2:2, grayscale;
-    subsampled components upsample by pixel replication) and restart
-    intervals (DRI + cycling RSTn resync, DC predictors reset);
-    progressive streams raise."""
+    """JFIF bytes -> numpy (h, w, 3) uint8 RGB (grayscale replicates
+    Y): marker parse (DQT/SOF0|SOF2/DHT/SOS), huffman entropy decode,
+    dequant, exact orthonormal 8x8 IDCT, and EXACT int64 fixed-point
+    YCbCr->RGB (constants _J_CR_R etc., positive-dividend shift so the
+    floor is engine-portable).  Interleaved baseline with any integer
+    sampling ratios (4:4:4, 4:2:0, 4:2:2, grayscale; subsampled
+    components upsample by pixel replication) and restart intervals
+    (DRI + cycling RSTn resync, DC predictors reset).  PROGRESSIVE
+    (SOF2, r13): spectral-selection multi-scan decode — an interleaved
+    DC scan followed by per-component AC band scans with EOBn
+    run-length coding — for 4:4:4 / grayscale frames; successive
+    approximation (Ah/Al != 0), subsampled progressive components and
+    progressive restart intervals raise honestly."""
     import struct
 
     import numpy as np
@@ -768,7 +888,71 @@ def decode_jpeg(raw: bytes):
     comps: list[tuple[int, int, int, int]] = []   # (id, h_samp, v_samp, tq)
     h = w = 0
     restart_interval = 0
+    progressive = False
+    pcoefs: list | None = None        # per-comp (n_blocks, 64) zigzag
+    ppred: list | None = None
     scan_map: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+
+    def _prog_scan(smap, ss, se, ah, al, start):
+        """Decode ONE progressive scan's entropy data into pcoefs;
+        returns the byte position after the scan (the next marker)."""
+        if ah or al:
+            raise NotImplementedError(
+                "progressive successive approximation (Ah/Al != 0)")
+        if restart_interval:
+            raise NotImplementedError("progressive restart intervals")
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        br = _BitReader(raw, start)
+        if ss == 0:
+            # DC scan: interleaved MCU order (all-1 sampling), Se must
+            # be 0 per T.81 G.1.1.1.1
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            for b in range(bh_ * bw_):
+                for (ci, dc_id, _a) in smap:
+                    size = br.huff(htabs[(0, dc_id)])
+                    diff = _extend(br.read(size), size) if size else 0
+                    ppred[ci] += diff
+                    pcoefs[ci][b][0] = ppred[ci]
+        else:
+            # AC band scan: exactly one component, row-major blocks,
+            # EOBn run-length coding (EOBRUN is per-scan state)
+            if len(smap) != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "single-component")
+            ci, _dc, ac_id = smap[0]
+            eobrun = 0
+            for b in range(bh_ * bw_):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = pcoefs[ci][b]
+                k = ss
+                while k <= se:
+                    sym = br.huff(htabs[(1, ac_id)])
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            k += 16               # ZRL
+                            continue
+                        eobrun = (1 << run) - 1   # EOBn
+                        if run:
+                            eobrun += br.read(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[k] = _extend(br.read(size), size)
+                    k += 1
+        # byte-align: find the next unstuffed marker
+        p = br.pos
+        while p + 1 < len(raw):
+            if raw[p] == 0xFF and raw[p + 1] != 0x00:
+                return p
+            p += 2 if (raw[p] == 0xFF and raw[p + 1] == 0x00) else 1
+        raise ValueError("truncated progressive JPEG: missing marker "
+                         "after scan")
+
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -787,13 +971,20 @@ def decode_jpeg(raw: bytes):
                 qtabs[tq] = np.frombuffer(
                     body[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
                 o += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack(">BHHB", body[:6])
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+            if progressive and any(c[1] != 1 or c[2] != 1
+                                   for c in comps):
+                raise NotImplementedError(
+                    "progressive with subsampled components")
+        elif marker in (0xC1, 0xC3):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) and progressive "
+                "spectral selection (SOF2)")
         elif marker == 0xC4:
             o = 0
             while o < len(body):
@@ -810,17 +1001,47 @@ def decode_jpeg(raw: bytes):
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
+            smap = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(j for j, c in enumerate(comps)
                            if c[0] == cid)
-                scan_map.append((idx, tt >> 4, tt & 0x0F))
+                smap.append((idx, tt >> 4, tt & 0x0F))
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                a = body[3 + 2 * ns]
+                if pcoefs is None:
+                    nb = ((h + 7) // 8) * ((w + 7) // 8)
+                    pcoefs = [np.zeros((nb, 64), dtype=np.int64)
+                              for _ in comps]
+                    ppred = [0] * len(comps)
+                pos = _prog_scan(smap, ss, se, a >> 4, a & 0x0F,
+                                 pos + ln)
+                continue
+            scan_map = smap
             pos += ln
             break
         pos += ln
-    if not comps or not scan_map:
+    if not comps or not (scan_map or pcoefs is not None):
         raise ValueError("JPEG missing SOF0/SOS")
     C = _jpeg_dct_matrix()
+    inv_zz_a = np.array(_J_ZZ)
+    if progressive:
+        # all scans decoded into pcoefs: dequantize + IDCT per block
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        planes = []
+        for ci, c in enumerate(comps):
+            q = qtabs[c[3]]
+            p = np.zeros((bh_ * 8, bw_ * 8), dtype=np.int64)
+            for b in range(bh_ * bw_):
+                by, bx = divmod(b, bw_)
+                coef = np.zeros(64, dtype=np.int64)
+                coef[inv_zz_a] = pcoefs[ci][b] * q
+                f = C.T @ coef.reshape(8, 8).astype(np.float64) @ C
+                p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                    np.round(f) + 128, 0, 255)
+            planes.append(p[:h, :w])
+        return _jpeg_mix_planes(planes)
     br = _BitReader(raw, pos)
     # general interleaved-scan sampling (r12 session 2): hmax x vmax
     # MCUs, each component contributes h_i x v_i blocks per MCU —
@@ -886,6 +1107,15 @@ def decode_jpeg(raw: bytes):
         np.repeat(np.repeat(p, vmax // vi, axis=0),
                   hmax // hi, axis=1)[:h, :w]
         for p, hi, vi in zip(planes, hs, vs)]
+    return _jpeg_mix_planes(planes)
+
+
+def _jpeg_mix_planes(planes):
+    """Frame-sized YCbCr (or single gray) int planes -> uint8 RGB via
+    the EXACT int64 fixed-point conversion (shared by the baseline and
+    progressive decode paths)."""
+    import numpy as np
+
     if len(planes) == 1:
         g = planes[0].astype(np.uint8)
         return np.stack([g, g, g], axis=2)

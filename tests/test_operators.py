@@ -2914,11 +2914,17 @@ def test_jpeg_lossy_path_and_guards():
     assert got.shape == (24, 16, 3) and got.dtype == np.uint8
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
-    # patch SOF0 -> SOF2 (progressive): must refuse, not corrupt
+    # patch SOF0 -> SOF2: the baseline-shaped scan (Ss=0, Se=63) is
+    # malformed AS progressive (a progressive DC scan must have Se=0)
+    # — must refuse, not corrupt (r13: SOF2 itself now decodes)
     i = blob.index(b"\xFF\xC0")
     patched = bytearray(blob)
     patched[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="baseline"):
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(patched))
+    # patch SOF0 -> SOF1 (extended sequential): still an honest raise
+    patched[i + 1] = 0xC1
+    with _pytest.raises(NotImplementedError, match="SOF0"):
         decode_jpeg(bytes(patched))
 
 
@@ -3254,3 +3260,45 @@ def test_keeper_index_update_drops_emptied_partition(spark, tmp_path):
     k = {r.cluster: r.keeper_id for r in
          spark.read.parquet(f"{kpath}/labels").collect()}
     assert k == {1: 5}
+
+
+def test_jpeg_progressive_spectral_selection():
+    """r13 (VERDICT r12 Next #8): SOF2 spectral-selection streams
+    (interleaved DC scan + per-component AC band scans with EOBn
+    coding) decode bit-identically to the baseline encoding of the
+    same pixels; successive approximation and subsampled progressive
+    components raise honestly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from edsnlp_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+    rng = np.random.RandomState(3)
+    for shape in [(16, 24, 3), (8, 8, 3), (8, 8), (32, 32, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg_progressive(img))
+                == decode_jpeg(encode_jpeg(img))).all()
+    # lossy quant agrees too (dequant happens after all scans)
+    q = (np.full(64, 16, dtype=np.int64), np.full(64, 17, dtype=np.int64))
+    img = rng.randint(0, 256, (24, 16, 3)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(img, quant=q))
+            == decode_jpeg(encode_jpeg(img, quant=q))).all()
+    # constant image: every block takes the EOBn path
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat))
+            == decode_jpeg(encode_jpeg(flat))).all()
+    # successive approximation (Al != 0 in the DC scan header) raises
+    blob = bytearray(encode_jpeg_progressive(flat))
+    i = blob.index(b"\xFF\xDA")        # first SOS; header ends Ss Se A
+    ln = int.from_bytes(blob[i + 2:i + 4], "big")
+    blob[i + 2 + ln - 1] = 0x01        # Al = 1
+    with _pytest.raises(NotImplementedError, match="successive"):
+        decode_jpeg(bytes(blob))
+    # subsampled SOF2 raises before any scan decodes
+    base420 = bytearray(encode_jpeg(
+        np.full((16, 16, 3), 90, dtype=np.uint8), subsample="420"))
+    j = base420.index(b"\xFF\xC0")
+    base420[j + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(base420))

@@ -165,6 +165,15 @@ HEADLINE = R1_SET + [
     # band-index probe path; its best re-baselines on first run)
     "a0_jpeg_decode",
     "a0_dedup_keeper_election",
+    # round-13 additions: the last pytest-only misc pipes (tables /
+    # reason+consultation_dates / pollution-strip -> suicide matcher),
+    # MJPEG-in-MP4 container decode, and the ingest-shaped keeper
+    # election over the persisted keeper index
+    "a0_table_cells",
+    "a0_note_dates",
+    "a0_suicide_pollution",
+    "a0_mp4_frames",
+    "a0_dedup_keeper_incremental",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -284,3 +284,62 @@ def rouge_l(cands: DataFrame, refs: DataFrame,
         F.round(p, 4).alias("precision"),
         F.round(r, 4).alias("recall"),
         F.round(f, 4).alias("f1"))
+
+
+def binary_auc_calibration(scored: DataFrame, score_col: str = "score",
+                           label_col: str = "label",
+                           n_buckets: int = 10) -> DataFrame:
+    """Classifier-quality monitoring for model-based filtering (the
+    FineWeb/CCNet quality-model loop): per-score-decile calibration
+    (mean predicted score vs observed positive rate) plus the
+    Mann-Whitney AUC -> one row per nonempty bucket
+    ``(bucket, n_docs, avg_score, pos_rate, auc)`` (auc repeated on
+    every row — it is a corpus-level scalar).
+
+    Engine-exact arithmetic: scores are 1e6-integer-quantized, so the
+    rank statistic uses MIDRANK DOUBLES kept as integers
+    (2*midrank = 2*N_below + c + 1 per tie group) and every sum is an
+    exact int64; the only float ops are the three final divisions,
+    written identically in the SQL oracle.  Degenerate corpora (all
+    positive / all negative) pin AUC at 0.5.
+
+    Scale shape: ONE groupBy on the quantized score (<= 1e6 + 1
+    distinct values — corpus-size-independent, the histogram-quantiles
+    bound), a cumulative window over that bounded plane, and a 1-row
+    totals broadcast; the corpus itself is touched by exactly one
+    partial-aggregated shuffle."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("binary_auc_calibration requires n_buckets >= 1")
+    s6 = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    d = scored.select(s6.alias("s6"),
+                      F.col(label_col).cast("long").alias("y"))
+    agg = d.groupBy("s6").agg(F.count(F.lit(1)).alias("c"),
+                              F.sum("y").alias("p"))
+    w = Window.orderBy("s6").rowsBetween(Window.unboundedPreceding, -1)
+    cum = agg.withColumn(
+        "below", F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")))
+    tot = cum.agg(
+        F.sum(F.col("p") * (2 * F.col("below") + F.col("c") + 1))
+        .alias("s2"),
+        F.sum("c").alias("n"), F.sum("p").alias("np"))
+    auc = tot.select(
+        F.when((F.col("np") == 0) | (F.col("np") == F.col("n")),
+               F.lit(0.5))
+        .otherwise(F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + 1))
+            / (F.lit(2.0) * F.col("np") * (F.col("n") - F.col("np"))),
+            6)).alias("auc"))
+    step = 1000000 // n_buckets
+    b = cum.groupBy(
+        F.least(F.col("s6") / F.lit(step),
+                F.lit(n_buckets - 1)).cast("long").alias("bucket")
+    ).agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.round(F.sum(F.col("s6") * F.col("c"))
+                / (F.lit(1e6) * F.sum("c")), 6).alias("avg_score"),
+        F.round(F.sum("p") / (F.lit(1.0) * F.sum("c")), 6)
+        .alias("pos_rate"),
+    )
+    return b.crossJoin(F.broadcast(auc))

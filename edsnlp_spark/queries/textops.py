@@ -164,6 +164,83 @@ FROM feats
 """
 
 
+def quality_auc(spark, sf_dir):
+    """Calibration + AUC monitoring for the quality model (r13): the
+    fixed-logistic quality score is evaluated as a CLASSIFIER against
+    a deterministic lexical gold (doc mentions 'slow') — per-decile
+    calibration rows (mean predicted vs observed positive rate) plus
+    the Mann-Whitney AUC, all integer-rank arithmetic
+    (operators/metrics.py binary_auc_calibration).  The metric family
+    a model-based filtering loop monitors for drift."""
+    from ..operators.metrics import binary_auc_calibration
+    d = _t(spark, sf_dir, "documents")
+    toks = X.word_tokens(F.col("text"))
+    feats = {
+        "n_tokens": F.size(toks).cast("double"),
+        "avg_word_len": X.avg_word_len(F.col("text")),
+        "distinct_ratio": F.size(F.array_distinct(toks)) / F.size(toks),
+    }
+    z = F.lit(float(_QM_BIAS))
+    for k, w in _QM_WEIGHTS.items():
+        z = z + F.lit(float(w)) * feats[k]
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = d.select(
+        score.alias("score"),
+        F.array_contains(F.split("text", " ", -1), "slow")
+        .cast("int").alias("label"))
+    return binary_auc_calibration(scored)
+
+
+QUALITY_AUC_SQL = f"""
+WITH sc AS (
+  SELECT CAST(ROUND(ROUND(1.0 / (1.0 + exp(-({_QM_BIAS}
+           + {_QM_WEIGHTS['n_tokens']}
+             * len(string_split(text, ' '))::DOUBLE
+           + {_QM_WEIGHTS['avg_word_len']}
+             * (list_sum(list_transform(string_split(text, ' '),
+                                        t -> len(t)))
+                / len(string_split(text, ' ')))
+           + {_QM_WEIGHTS['distinct_ratio']}
+             * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' ')))))), 6) * 1e6, 0)
+         AS BIGINT) AS s6,
+         CASE WHEN list_contains(string_split(text, ' '), 'slow')
+              THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (
+  SELECT s6, COUNT(*)::BIGINT AS c, SUM(y)::BIGINT AS p
+  FROM sc GROUP BY s6
+),
+cum AS (
+  SELECT s6, c, p,
+         COALESCE(SUM(c) OVER (ORDER BY s6 ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS below
+  FROM agg
+),
+tot AS (
+  SELECT SUM(p * (2 * below + c + 1))::BIGINT AS s2,
+         SUM(c)::BIGINT AS n, SUM(p)::BIGINT AS np
+  FROM cum
+),
+auc_t AS (
+  SELECT CASE WHEN np = 0 OR np = n THEN 0.5
+              ELSE ROUND((s2 - np * (np + 1))
+                         / (2.0 * np * (n - np)), 6) END AS auc
+  FROM tot
+),
+b AS (
+  SELECT LEAST(s6 // 100000, 9) AS bucket,
+         SUM(c)::BIGINT AS n_docs,
+         ROUND(SUM(s6 * c) / (1e6 * SUM(c)), 6) AS avg_score,
+         ROUND(SUM(p) / (1.0 * SUM(c)), 6) AS pos_rate
+  FROM cum GROUP BY 1
+)
+SELECT bucket, n_docs, avg_score, pos_rate, auc FROM b, auc_t
+"""
+
+
 # ---- BPE-ish token counting (training-budget estimation) --------------
 
 def bpe_token_counts(spark, sf_dir):
@@ -4403,6 +4480,9 @@ QUERIES = {
     "token_stats_by_lang": (token_stats_by_lang, TOKEN_STATS_BY_LANG_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "quality_model_scores": (quality_model_scores, QUALITY_MODEL_SCORES_SQL),
+    # NEW r13: per-decile calibration + Mann-Whitney AUC for the
+    # quality classifier (integer midrank arithmetic)
+    "a0_quality_auc": (quality_auc, QUALITY_AUC_SQL),
     "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_COUNTS_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_HEURISTIC_SQL),
     # NEW r10: trained model-based language ID (integer-quantized

@@ -20,6 +20,8 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "edsnlp_spark"
 
 # (relative file, substring of the code line) -> why the side is bounded.
 ALLOWED = {
+    ("operators/metrics.py", "F.broadcast(auc)"):
+        "1-row AUC scalar aggregate (binary_auc_calibration)",
     ("queries/lexicon.py", "F.broadcast(ranked)"):
         "checked-in resource lexicon (config-scale)",
     ("queries/relational.py", "F.broadcast(n)"):

@@ -69,3 +69,31 @@ def test_suicide_match_requires_pollution_strip(spark):
     lens = {r.note_id: r.excluded_text for r in clean.collect()}
     assert lens[1] == "scan table tentative de suicide"
     assert lens[2] == "scan table autolyse"
+
+
+def test_binary_auc_calibration_hand_computed(spark):
+    """Midrank AUC on a tied score set: scores asc [.3(-), .8(-),
+    .8(+), .9(+)] -> positive midranks {2.5, 4}, U = 3.5, AUC =
+    0.875; degenerate single-class corpora pin AUC at 0.5."""
+    from edsnlp_spark.operators.metrics import binary_auc_calibration
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.8, 1), (0.3, 0)],
+        "score double, label int")
+    rows = binary_auc_calibration(df).collect()
+    assert {r.auc for r in rows} == {0.875}
+    by_bucket = {r.bucket: r for r in rows}
+    assert by_bucket[3].n_docs == 1 and by_bucket[3].pos_rate == 0.0
+    assert by_bucket[8].n_docs == 2 and by_bucket[8].pos_rate == 0.5
+    assert by_bucket[9].n_docs == 1 and by_bucket[9].pos_rate == 1.0
+    assert by_bucket[8].avg_score == 0.8
+    # all-positive corpus: AUC degenerates to 0.5
+    pos = spark.createDataFrame([(0.4, 1), (0.6, 1)],
+                                "score double, label int")
+    assert {r.auc for r in binary_auc_calibration(pos).collect()} \
+        == {0.5}
+    # score = 1.0 lands in the TOP bucket (least-clamp), not bucket 10
+    edge = spark.createDataFrame([(1.0, 1), (0.0, 0)],
+                                 "score double, label int")
+    assert {r.bucket for r in binary_auc_calibration(edge).collect()} \
+        == {0, 9}

@@ -174,6 +174,7 @@ HEADLINE = R1_SET + [
     "a0_suicide_pollution",
     "a0_mp4_frames",
     "a0_dedup_keeper_incremental",
+    "a0_quality_auc",
 ]
 
 # Timed and reported, but OUTSIDE the headline total / regression gate

@@ -1164,7 +1164,8 @@ def components_index_build(labels: DataFrame, path: str,
 def components_index_update(spark, path: str, new_edges: DataFrame,
                             id_a: str = "id_a", id_b: str = "id_b",
                             max_iter: int = 25,
-                            stats: dict | None = None) -> None:
+                            stats: dict | None = None,
+                            return_touched: bool = False):
     """INCREMENTAL update of a :func:`components_index_build` label
     index with a batch of near-dup edges — only AFFECTED comp-hash
     partitions are rewritten (VERDICT r10 #6): per batch this touches
@@ -1181,6 +1182,13 @@ def components_index_update(spark, path: str, new_edges: DataFrame,
     Searches against the index during the rewrite see the usual
     non-transactional window (the streaming-sink caveat shared by the
     whole artifact family).
+
+    ``return_touched=True`` returns the (batch-reach-bounded,
+    eagerly-checkpointed) DataFrame of cluster ids whose MEMBERSHIP
+    the batch changed — remap sources, remap targets, and new nodes'
+    clusters — the exact re-election set :func:`keeper_index_update`
+    needs (clusters an edge touches without relabeling keep their
+    membership, so their per-cluster aggregates are unchanged).
 
     Refuses to run on an index carrying streaming deltas
     (``{path}/delta`` written by ``streaming.components_stream``):
@@ -1221,19 +1229,31 @@ def components_index_update(spark, path: str, new_edges: DataFrame,
                      F.col("comp").alias("__new")))
     new_rows = sub.join(lab_ids.select("id"), "id", "left_anti") \
         .select("id", "comp")
+    # the clusters whose MEMBERSHIP this batch changes: remapped
+    # sources (possibly merged away), remap targets, and the clusters
+    # new nodes land in.  Clusters an edge touches WITHOUT relabeling
+    # (both endpoints already share the comp) keep their membership,
+    # so downstream per-cluster aggregates (keeper election) need not
+    # revisit them.  Eagerly checkpointed (batch-reach-bounded) BEFORE
+    # the partition rewrite below invalidates the labels it reads.
+    tc = (remap.select(F.col("comp").alias("cluster"))
+          .union(remap.select(F.col("__new").alias("cluster")))
+          .union(new_rows.select(F.col("comp").alias("cluster")))
+          .distinct())
+    if return_touched:
+        # only checkpoint when the caller consumes tc AFTER the
+        # partition rewrite below (the bucket collect runs before it)
+        tc = tc.localCheckpoint(eager=True)
     # bounded collect: source buckets (old comps being remapped) +
     # target buckets (new labels) + new nodes' buckets
     bkt = F.pmod(F.xxhash64("comp"), F.lit(n_buckets))
     buckets = {
         r["b"] for r in
-        remap.select(bkt.alias("b"))
-        .union(remap.select(F.pmod(F.xxhash64("__new"),
-                                   F.lit(n_buckets)).alias("b")))
-        .union(new_rows.select(bkt.alias("b")))
-        .distinct().collect()
+        tc.select(F.pmod(F.xxhash64("cluster"), F.lit(n_buckets))
+                  .alias("b")).distinct().collect()
     }
     if not buckets:
-        return
+        return tc if return_touched else None
     blist = sorted(int(b) for b in buckets)
     touched = (
         lab.filter(F.col("bucket").isin(blist))
@@ -1264,6 +1284,7 @@ def components_index_update(spark, path: str, new_edges: DataFrame,
     for b in sorted(set(blist) - written):
         fs.delete(jvm.org.apache.hadoop.fs.Path(
             f"{path}/labels/bucket={b}"), True)
+    return tc if return_touched else None
 
 
 def components_index_view(spark, path: str,

@@ -415,15 +415,17 @@ def dedup_keeper_incremental(spark, sf_dir):
     label index + the r13 per-cluster KEEPER index) with the
     batch-bounded probe.  Per run: the ingest batch (doc_id %% 7 == 3)
     probes the postings, candidates Jaccard-verify, the component
-    index folds the verified pairs in place, and keepers are
-    re-elected ONLY for touched clusters — the union of the verified
-    endpoints' PRE- and POST-update component labels (every cluster
-    whose membership changed contains such an endpoint; merged-away
-    clusters appear as pre-labels and are deleted from the keeper
-    index).  Untouched clusters serve their STORED keeper, so the
+    index folds the verified pairs in place RETURNING the
+    batch-reach-bounded TOUCHED-cluster set (remap sources/targets +
+    new nodes' clusters — exactly the clusters whose membership
+    changed; merged-away clusters appear as remap sources and are
+    deleted from the keeper index), and keepers re-elect ONLY for
+    those.  Untouched clusters serve their STORED keeper, so the
     result equals the full election the oracle replays (the argmax is
-    a per-cluster aggregate — elections compose).  Idempotent like the
-    components update."""
+    a per-cluster aggregate — elections compose; a cluster an edge
+    touches WITHOUT relabeling keeps its membership, so skipping it
+    is a provable no-op).  Idempotent: a replayed batch yields an
+    empty touched set and the keeper refresh no-ops."""
     from ..core.caching import tracked_persist
     docs = _docs(spark, sf_dir)
     path = _dedup_seed_index(spark, sf_dir)
@@ -433,22 +435,11 @@ def dedup_keeper_incremental(spark, sf_dir):
                                        num_hashes=12, bands=6)
     verified = tracked_persist(_verified_jaccard_pairs(cands, docs),
                                "dedup")
-    ends = (verified.select(F.col("id_a").alias("id"))
-            .union(verified.select(F.col("id_b").alias("id")))
-            .distinct())
-    # PRE-update endpoint labels must be materialized BEFORE the
-    # component update rewrites the partitions this plan reads
-    # (batch-reach-bounded, so the eager checkpoint is small)
-    pre = (spark.read.parquet(f"{path}/comps/labels")
-           .select("id", "comp").join(ends, "id")
-           .select(F.col("comp").alias("cluster"))
-           .localCheckpoint(eager=True))
-    D.components_index_update(spark, f"{path}/comps", verified)
+    touched = D.components_index_update(spark, f"{path}/comps",
+                                        verified, return_touched=True)
     labels = spark.read.parquet(f"{path}/comps/labels")
-    post = (labels.select("id", "comp").join(ends, "id")
-            .select(F.col("comp").alias("cluster")))
     D.keeper_index_update(spark, f"{path}/comps", f"{path}/keep",
-                          pre.union(post).distinct(), _doc_nd(docs))
+                          touched, _doc_nd(docs))
     keep = spark.read.parquet(f"{path}/keep/labels")
     lab = (docs.select("doc_id")
            .join(labels.withColumnRenamed("id", "doc_id")

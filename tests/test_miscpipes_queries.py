@@ -97,3 +97,119 @@ def test_binary_auc_calibration_hand_computed(spark):
                                  "score double, label int")
     assert {r.bucket for r in binary_auc_calibration(edge).collect()} \
         == {0, 9}
+
+
+def test_tables_extractor_differential_fuzz(spark):
+    """TablesExtractor vs a pure-Python run/cell model over seeded
+    random line mixes (pipe lines of 1-5 cells, prose lines, broken
+    bars, leading/trailing delimiters handled by both sides)."""
+    import random
+    import re
+
+    from edsnlp_spark.operators.tables import TablesExtractor
+
+    rng = random.Random(13)
+    words = ["scan", "slow", "fast", "table", "key", "agg", "row"]
+    docs = []
+    for doc_id in range(40):
+        lines = []
+        for _ in range(rng.randint(0, 10)):
+            kind = rng.random()
+            n = rng.randint(1, 5)
+            cells = [" ".join(rng.sample(words, rng.randint(1, 2)))
+                     for _ in range(n)]
+            if kind < 0.6:
+                sep = "|" if rng.random() < 0.8 else "¦"
+                line = sep.join(cells)
+                if rng.random() < 0.2:
+                    line = sep + line
+                if rng.random() < 0.2:
+                    line = line + sep
+            else:
+                line = " ".join(cells)
+            lines.append(line)
+        docs.append((doc_id, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "note_id long, note_text string")
+    got = {(r.note_id, r.table_id, r.row_id, r.col_id, r.cell)
+           for r in TablesExtractor(min_cells=2).tables(df).collect()}
+
+    want = set()
+    for doc_id, text in docs:
+        runs, cur = [], []
+        for line in text.split("\n"):
+            # the operator strips ONE leading/trailing delimiter
+            # before splitting, but classifies on the RAW line
+            is_table = len(re.split(r"[|¦]", line)) > 2
+            if is_table:
+                cur.append(re.split(r"[|¦]",
+                                    re.sub(r"^[|¦]|[|¦]$", "", line)))
+            elif cur:
+                runs.append(cur)
+                cur = []
+        if cur:
+            runs.append(cur)
+        for ti, run in enumerate(runs, 1):
+            for ri, cells in enumerate(run, 1):
+                for ci, cell in enumerate(cells):
+                    want.add((doc_id, ti, ri, ci, cell.strip()))
+    assert got == want
+
+
+def test_mp4_container_fuzz():
+    """Random frame counts / sample sizes / chunkings round-trip: the
+    demuxed sample table returns every frame's exact bytes in order
+    with correct timestamps."""
+    import random
+
+    from edsnlp_spark.operators.multimodal import (
+        encode_mp4_mjpeg, mp4_sample_table)
+
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randint(1, 9)
+        samples = [bytes(rng.getrandbits(8) for _ in
+                         range(rng.randint(1, 400))) for _ in range(n)]
+        spc = rng.choice([None, 1, 2, 3, n])
+        fm = rng.choice([10, 40, 100])
+        mp4 = encode_mp4_mjpeg(samples, 16, 16, frame_ms=fm,
+                               samples_per_chunk=spc)
+        codec, w, h, table = mp4_sample_table(mp4)
+        assert (codec, w, h) == (b"jpeg", 16, 16)
+        assert len(table) == n
+        for i, (off, size, t) in enumerate(table):
+            assert mp4[off:off + size] == samples[i]
+            assert t == i * fm
+
+
+def test_binary_auc_matches_python_reference(spark):
+    """binary_auc_calibration's AUC equals a pure-Python midrank
+    Mann-Whitney over seeded random scored sets (ties included)."""
+    import random
+
+    from edsnlp_spark.operators.metrics import binary_auc_calibration
+
+    rng = random.Random(5)
+    for trial in range(5):
+        rows = [(round(rng.choice([0.1, 0.25, 0.5, 0.5, 0.73, 0.9]),
+                       6), rng.randint(0, 1)) for _ in range(30)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = {r.auc for r in binary_auc_calibration(df).collect()}
+        # python midrank reference
+        srt = sorted(rows)
+        ranks = {}
+        i = 0
+        while i < len(srt):
+            j = i
+            while j < len(srt) and srt[j][0] == srt[i][0]:
+                j += 1
+            mid = (i + 1 + j) / 2
+            ranks.setdefault(srt[i][0], mid)
+            i = j
+        np_ = sum(y for _, y in rows)
+        nn = len(rows) - np_
+        if np_ == 0 or nn == 0:
+            want = 0.5
+        else:
+            s = sum(ranks[sc] for sc, y in rows if y == 1)
+            want = round((s - np_ * (np_ + 1) / 2) / (np_ * nn), 6)
+        assert got == {want}, (trial, got, want)

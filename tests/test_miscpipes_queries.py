@@ -213,3 +213,39 @@ def test_binary_auc_matches_python_reference(spark):
             s = sum(ranks[sc] for sc, y in rows if y == 1)
             want = round((s - np_ * (np_ + 1) / 2) / (np_ * nn), 6)
         assert got == {want}, (trial, got, want)
+
+
+def test_misc_queries_edge_corpus_parity(spark, tmp_path):
+    """Empty / 1-token / 2-token / non-ASCII docs flow through the
+    three r13 misc queries AND their DuckDB oracles with identical
+    values (the empty-input robustness convention, upgraded to full
+    value parity on a synthetic edge corpus)."""
+    import duckdb
+
+    from edsnlp_spark.queries.miscpipes import QUERIES
+
+    rows = [(0, "", "fr", "s", 0), (1, "a", "fr", "s", 1),
+            (2, "a the", "fr", "s", 5), (6, "scan", "fr", "s", 4),
+            (3, "key agg row scan slow fast table value part hash",
+             "fr", "s", 48),
+            (13, "mérge batch" + " table key row scan" * 3, "fr", "s",
+             68)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "edge")
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    for name, (fn, sql) in QUERIES.items():
+        sp = fn(spark, sf).toPandas()
+        cols = sorted(sp.columns)
+        sp = sp.reindex(cols, axis=1).sort_values(cols) \
+            .reset_index(drop=True)
+        od = con.execute(sql).fetchdf()
+        od = od.reindex(cols, axis=1).sort_values(cols) \
+            .reset_index(drop=True)
+        assert sp.shape == od.shape, (name, sp.shape, od.shape)
+        assert (sp.astype(str).values == od.astype(str).values).all(), \
+            (name, sp, od)

@@ -25,7 +25,13 @@ import os
 
 # "2": .dedup_seed gains the per-cluster keeper index sub-artifact
 # ({path}/keep) — r13 incremental keeper election
-ARTIFACT_VERSION = "2"
+# "3": r14 — dedup_components_incremental now MAINTAINS the keeper
+# index alongside the label index (the keeper invariant: {path}/keep
+# always reflects {path}/comps).  Pre-r14 artifacts whose batch was
+# first folded by the components query carry permanently-stale
+# keepers (the first-fold-order latent bug a fresh host exposed);
+# the bump forces a clean rebuild.
+ARTIFACT_VERSION = "3"
 
 # underscore-prefixed so Spark's file listing ignores it — the marker
 # may live INSIDE a parquet directory (.graph_emb/<tag> is itself the

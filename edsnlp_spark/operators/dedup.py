@@ -343,20 +343,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
         )
+        # the per-round change flag rides ON the checkpointed plane
+        # (r14, guide §2.4): the former separate new-join-labels count
+        # re-joined (and re-shuffled) the label table every round just
+        # to compare columns the update expression already sees —
+        # `least(comp, coalesce(nbr, comp)) != comp` is exactly
+        # `coalesce(nbr, comp) < comp`, so the count is now a cheap
+        # scan of the checkpoint (one join + one shuffle saved/round).
         new = (
             labels.join(nbr, "src", "left")
             .select("src", F.least(
-                "comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"))
+                "comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp"))
+                .alias("__chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(labels, "src")
-            .filter(F.col("new_comp") != F.col("comp")).count()
-        )
+        changed = new.filter(F.col("__chg")).count()
         # old labels' checkpoint blocks are freed by the ContextCleaner
         # once the rebinding drops the last RDD reference
-        labels = new
+        labels = new.select("src", "comp")
         iterations += 1
         if changed == 0:
             converged = True
@@ -437,6 +442,7 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
         .filter(F.col("u") != F.col("v"))
         .distinct().localCheckpoint(eager=True)
     )
+    prev_cnt = edges.count()
     iterations, converged = 0, False
     for _ in range(max_iter):
         # large-star over the bidirected neighborhood
@@ -460,9 +466,15 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
             .filter(F.col("u") != F.col("v"))
             .distinct().localCheckpoint(eager=True)
         )
-        changed = (
-            new.exceptAll(edges).count() + edges.exceptAll(new).count()
-        )
+        # set-equality check without exceptAll (r14): both planes are
+        # DISTINCT and checkpointed, so new == edges iff new ⊆ edges
+        # (one left_anti count) and |new| == |edges| (cheap counts over
+        # checkpoints) — replaces two exceptAll passes (4 shuffles)
+        # with one anti-join per round.
+        new_cnt = new.count()
+        changed = (new.join(edges, ["u", "v"], "left_anti").count()
+                   + abs(new_cnt - prev_cnt))
+        prev_cnt = new_cnt
         edges = new
         iterations += 1
         if changed == 0:
@@ -1445,7 +1457,21 @@ def dedup_keeper_view(spark, index_path: str,
     (keeper = max_by(id, (nd, -id)) per cluster, singletons keep
     themselves).  Labels come from :func:`components_index_view`;
     quality rows are static per doc (nd is a pure function of the
-    text), so replayed batches fold away with a MAX."""
+    text), so replayed batches fold away with a MAX.
+
+    Raises a clear format error when the index has no ``quality/``
+    directory (ADVICE r13 #3): an index written by a pre-r13
+    ``dedup_resolution_stream`` (or a labels-only compaction) lacks
+    per-batch quality rows, and the keeper view cannot be derived from
+    labels alone."""
+    import os
+
+    if not os.path.isdir(os.path.join(index_path, "quality")):
+        raise ValueError(
+            f"dedup_keeper_view: {index_path} has no quality/ directory "
+            "— this index predates the r13 streaming-keeper layout "
+            "(dedup_resolution_stream writes quality/batch=<id> rows); "
+            "re-ingest or backfill quality before deriving keepers")
     q = spark.read.parquet(f"{index_path}/quality")
     if before_batch is not None:
         q = q.filter(F.col("batch") < F.lit(int(before_batch)))

@@ -423,9 +423,15 @@ def train_graph_embeddings(pairs: DataFrame, dim: int = 8,
     if ratio_scale < 1 or emb_scale < 1 or assoc_cap < 1:
         raise ValueError("train_graph_embeddings scales must be >= 1")
     d = int(dim)
-    p = pairs.select(F.col(center_col).cast("long").alias("c"),
+    # persisted: D/ncs/nxs/assoc all derive from it (4 references) —
+    # unpersisted, the caller's pair-generation subtree (walk explode +
+    # groupBy) re-executed per reference (r14; the pagerank edge-plane
+    # lesson).  Bounded by distinct (center, context) pairs.
+    p = tracked_persist(
+        pairs.select(F.col(center_col).cast("long").alias("c"),
                      F.col(context_col).cast("long").alias("x"),
-                     F.col(count_col).cast("long").alias("n"))
+                     F.col(count_col).cast("long").alias("n")),
+        "graph")
     tot = p.agg(F.sum("n").cast("long").alias("D"))
     ncs = p.groupBy("c").agg(F.sum("n").cast("long").alias("nc"))
     nxs = p.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))

@@ -312,14 +312,41 @@ def binary_auc_calibration(scored: DataFrame, score_col: str = "score",
 
     if n_buckets < 1:
         raise ValueError("binary_auc_calibration requires n_buckets >= 1")
-    s6 = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    s6r = F.round(F.col(score_col) * 1e6, 0).cast("long")
+    # in-data-path range guard (ADVICE r13 #2): a score outside [0, 1]
+    # would silently produce a negative bucket id (trunc-division) and
+    # an out-of-range quantized plane; raise instead.  The guard feeds
+    # the groupBy key, so Catalyst cannot prune it.
+    s6 = F.when((s6r >= 0) & (s6r <= 1_000_000), s6r).otherwise(
+        F.raise_error(F.lit(
+            "binary_auc_calibration: score outside [0, 1] — quantized "
+            "rank statistics and decile buckets require bounded scores")))
     d = scored.select(s6.alias("s6"),
                       F.col(label_col).cast("long").alias("y"))
     agg = d.groupBy("s6").agg(F.count(F.lit(1)).alias("c"),
                               F.sum("y").alias("p"))
-    w = Window.orderBy("s6").rowsBetween(Window.unboundedPreceding, -1)
-    cum = agg.withColumn(
-        "below", F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")))
+    # two-pass range-partitioned prefix sum (r14, VERDICT r13 #8): the
+    # former global Window.orderBy("s6") funneled the whole (bounded,
+    # but up to 1e6+1-row) plane through ONE task.  s6 DIV 16384 gives
+    # <= 62 ordered ranges: per-range totals prefix-sum on a 62-row
+    # plane, then a PARTITIONED window supplies the within-range
+    # prefix — identical `below` values, no single-task ceiling.
+    agg = agg.withColumn("__part", F.expr("s6 DIV 16384"))
+    wpt = Window.orderBy("__part").rowsBetween(
+        Window.unboundedPreceding, -1)
+    parts = (agg.groupBy("__part").agg(F.sum("c").alias("__pc"))
+             .withColumn("__pbelow",
+                         F.coalesce(F.sum("__pc").over(wpt),
+                                    F.lit(0).cast("long")))
+             .drop("__pc"))
+    w = Window.partitionBy("__part").orderBy("s6").rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = (agg.join(parts, "__part")
+           .withColumn(
+               "below",
+               F.col("__pbelow")
+               + F.coalesce(F.sum("c").over(w), F.lit(0).cast("long")))
+           .drop("__part", "__pbelow"))
     tot = cum.agg(
         F.sum(F.col("p") * (2 * F.col("below") + F.col("c") + 1))
         .alias("s2"),

@@ -345,6 +345,39 @@ def pq_adc_col(qv: Column, codes: Column,
     return sum((adc_j(j) for j in range(1, m)), adc_j(0))
 
 
+def adc_lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-QUERY ADC lookup table (Jegou et al. 2011 §IV.A, the
+    asymmetric-distance table): ``lut[j][c] = ||q_j -
+    codebook[j][c]||^2`` as a literal-free expression over the query
+    vector — computed ONCE per query row on the (tiny, broadcast)
+    query side, so the corpus-side pair score degrades to m array
+    lookups instead of m re-evaluated :func:`l2sq` folds (r14, guide
+    §2.3/'compute once': the per-pair subexpression depends only on
+    (query, j, code), never on the corpus row).  Each cell is the
+    IDENTICAL expression :func:`pq_adc_col` evaluates inline, so sums
+    over the table are bit-identical to the inline form."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    def lut_j(j: int) -> Column:
+        qsub = F.slice(qv, j * dsub + 1, dsub)
+        return F.array(*[
+            l2sq(qsub, F.array(*[F.lit(float(x)) for x in cent]))
+            for cent in codebooks[j]
+        ])
+
+    return F.array(*[lut_j(j) for j in range(m)])
+
+
+def adc_from_lut(lut: Column, codes: Column, m: int) -> Column:
+    """ADC distance from a precomputed :func:`adc_lut_col` table —
+    ``sum_j lut[j][codes[j]]`` with the same left-to-right float
+    addition order as :func:`pq_adc_col` (bit-identical results)."""
+    terms = [F.element_at(F.element_at(lut, j + 1), codes[j] + 1)
+             for j in range(m)]
+    return sum(terms[1:], terms[0])
+
+
 def pq_adc_topk(emb: DataFrame, queries: DataFrame,
                 codebooks: list[list[list[float]]], k: int = 10,
                 rerank: int | None = None,
@@ -374,11 +407,16 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
         .select(F.col(id_col).alias("n_id"), "codes")
     qvec = F.transform(F.col(q_vec_col), lambda x: x.cast("double"))
     qs = queries.select(F.col(q_id_col).alias("q_id"), qvec.alias("qv"))
+    # ADC lookup table materialized on the broadcast (query) side —
+    # m*k doubles per query — so each corpus pair costs m lookups
+    # instead of m l2sq folds (bit-identical; see adc_lut_col).
+    qlut = qs.select("q_id", "qv",
+                     adc_lut_col(F.col("qv"), codebooks).alias("__lut"))
     scored = (
-        codes.join(F.broadcast(qs), F.col("n_id") != F.col("q_id"))
+        codes.join(F.broadcast(qlut), F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id",
-                pq_adc_col(F.col("qv"), F.col("codes"), codebooks)
-                .alias("adc"))
+                adc_from_lut(F.col("__lut"), F.col("codes"),
+                             len(codebooks)).alias("adc"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w))
@@ -505,12 +543,17 @@ def _ivfpq_search(corpus: DataFrame, queries: DataFrame,
             1, n_probe,
         )).alias("p"),
     ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+    # per-query ADC table on the broadcast side (see adc_lut_col): the
+    # probed-cell scan then does m lookups per pair, never l2sq folds
+    probed = probed.select(
+        "q_id", "cell",
+        adc_lut_col(F.col("qv"), codebooks).alias("__lut"))
     scored = (
         corpus.join(F.broadcast(probed), "cell")
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id",
-                pq_adc_col(F.col("qv"), F.col("codes"), codebooks)
-                .alias("adc"))
+                adc_from_lut(F.col("__lut"), F.col("codes"),
+                             len(codebooks)).alias("adc"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w))

@@ -866,6 +866,18 @@ def train_doc_classifier(docs: DataFrame, n_classes: int,
     Scale shape: identical to the NER trainer — the labeled plane is
     built once (persisted), each epoch is ONE mapInPandas emitting one
     bounded parameter row per shard; the corpus never moves.
+
+    Perf (r14, guide §4): the hashed-ngram buckets are PRECOMPUTED on
+    the persisted plane with the JVM md5 recipe (the exact expression
+    :func:`classify_docs` scores with — conv(substring(md5(gram),1,4),
+    16,10) % n_buckets — which equals the Python
+    ``_gram_buckets`` bucket-for-bucket: same code-point windowing,
+    same UTF-8 md5), so each epoch ships int arrays and does one
+    ``np.bincount`` per doc instead of re-hashing every gram in Python
+    n_epochs times.  Counts are exact small ints, so
+    ``bincount(...).astype(float) * (n_buckets/n)`` is bit-identical
+    to the former per-gram increment loop — trained parameters do not
+    change (pinned-weights tests enforce this).
     """
     import numpy as np
 
@@ -873,11 +885,24 @@ def train_doc_classifier(docs: DataFrame, n_classes: int,
         raise ValueError("train_doc_classifier requires n_epochs >= 1")
     if n_classes < 2:
         raise ValueError("train_doc_classifier requires n_classes >= 2")
+    ln = F.length(F.col(text_col))
+    grams = F.when(
+        ln >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), ln - (ngram - 1)),
+            _substr_fn(text_col, ngram)),
+    ).otherwise(F.array().cast("array<string>"))
+    bks_col = F.when(
+        F.col(text_col).isNotNull(),
+        F.transform(
+            grams,
+            lambda g: (F.conv(F.substring(F.md5(g), 1, 4), 16, 10)
+                       .cast("int") % n_buckets)))
     plane = (
         docs.select(id_col, text_col, label_col)
         .repartition(n_shards, id_col)
         .sortWithinPartitions(id_col)
-        .select(text_col, label_col)
+        .select(bks_col.alias("__bks"), label_col)
         .persist()
     )
     plane.count()
@@ -910,16 +935,17 @@ def train_doc_classifier(docs: DataFrame, n_classes: int,
                 errs = 0
                 n_docs = 0
                 for pdf in batches:
-                    for text, label in zip(pdf[text_col], pdf[label_col]):
-                        if text is None:
+                    for bks, label in zip(pdf["__bks"], pdf[label_col]):
+                        if bks is None:
                             continue
                         n_docs += 1
-                        bks = _gram_buckets(text, ngram, n_buckets)
-                        x = np.zeros(n_buckets, dtype=np.float64)
-                        if bks:
-                            for bk in bks:
-                                x[bk] += 1.0
-                            x *= n_buckets / len(bks)
+                        bk = np.asarray(bks, dtype=np.int64)
+                        if bk.size:
+                            x = (np.bincount(bk, minlength=n_buckets)
+                                 .astype(np.float64))
+                            x *= n_buckets / bk.size
+                        else:
+                            x = np.zeros(n_buckets, dtype=np.float64)
                         scores = Wp @ x + bp
                         pred = int(np.argmax(scores))  # first-max ties
                         y = int(label)

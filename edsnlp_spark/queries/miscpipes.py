@@ -144,9 +144,12 @@ def note_dates(spark, sf_dir):
                F.concat(F.lit(" signe le "), d3, F.lit(".")))
         .otherwise(F.lit("")),
     )
-    notes = Pipeline([Tokenizer(mode="pretokenized")])(
-        _notes(spark, sf_dir).select("note_id", txt.alias("note_text"))
-    ).persist()
+    from ..core.caching import tracked_persist
+    notes = tracked_persist(
+        Pipeline([Tokenizer(mode="pretokenized")])(
+            _notes(spark, sf_dir).select("note_id",
+                                         txt.alias("note_text"))),
+        "miscpipes")
     reasons = reason_spans(notes, use_sections=True).select(
         F.col("note_id").alias("doc_id"),
         F.when(F.col("source") == "pattern", F.lit("reason"))
@@ -228,9 +231,12 @@ def suicide_pollution(spark, sf_dir):
     txt = F.concat(
         F.col("note_text"),
         F.when(doc_id % 7 == 6, F.lit(" nbnbnbnbnb")).otherwise(inj))
-    notes = _notes(spark, sf_dir).select(
-        "note_id", txt.alias("note_text")).persist()
-    clean = strip_pollution(PollutionTagger()(notes)).persist()
+    from ..core.caching import tracked_persist
+    notes = tracked_persist(
+        _notes(spark, sf_dir).select("note_id", txt.alias("note_text")),
+        "miscpipes")
+    clean = tracked_persist(strip_pollution(PollutionTagger()(notes)),
+                            "miscpipes")
     matcher = RegexMatcher(SUICIDE_ATTEMPT_PATTERNS, attr="TEXT",
                            text_col="excluded_text")
     ents = matcher.entities(clean).select(

@@ -394,7 +394,17 @@ def dedup_components_incremental(spark, sf_dir):
                                        batch_docs, n=3,
                                        num_hashes=12, bands=6)
     verified = _verified_jaccard_pairs(cands, docs)
-    D.components_index_update(spark, f"{path}/comps", verified)
+    # the keeper index is a SIBLING sub-artifact of the label index:
+    # every label fold must re-elect the touched clusters' keepers or
+    # the shared artifact's keeper invariant breaks for whichever
+    # query folds the batch FIRST (r14: on a fresh host this query
+    # runs before a0_dedup_keeper_incremental, and a labels-only fold
+    # left the stored keepers permanently stale — replays no-op, so
+    # the staleness never heals)
+    touched = D.components_index_update(spark, f"{path}/comps",
+                                        verified, return_touched=True)
+    D.keeper_index_update(spark, f"{path}/comps", f"{path}/keep",
+                          touched, _doc_nd(docs))
     labels = spark.read.parquet(f"{path}/comps/labels")
     return (
         docs.select(F.col("doc_id").alias("id"))

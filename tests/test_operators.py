@@ -2478,6 +2478,47 @@ def test_components_index_update_rewrites_only_affected(spark, tmp_path):
     assert files_before[d] == after
 
 
+def test_keeper_invariant_under_components_first_fold(spark, tmp_path):
+    """r14 regression pin for the first-fold-order latent bug: when a
+    LABELS-ONLY consumer folds a batch into the shared artifact before
+    the keeper query runs (the bench/parity order on a fresh host),
+    the keeper index must still be re-elected for the touched clusters
+    — a labels-only components_index_update left stored keepers
+    permanently stale (replays no-op, so the staleness never healed).
+    The fix: every fold path calls keeper_index_update with the
+    touched set, exactly as queries/scaleops.dedup_components_
+    incremental now does."""
+    from edsnlp_spark.operators.dedup import (
+        _keeper_elect, components_index_build, components_index_update,
+        connected_components, keeper_index_build, keeper_index_update)
+
+    cpath = str(tmp_path / "comps")
+    kpath = str(tmp_path / "keep")
+    base_edges = [(1, 2), (10, 11)]
+    nd = spark.createDataFrame(
+        [(1, 5), (2, 9), (4, 20), (10, 3), (11, 2), (50, 1)],
+        "doc_id long, nd long")
+    labels = connected_components(
+        spark.createDataFrame(base_edges, "id_a long, id_b long"))
+    components_index_build(labels, cpath, n_buckets=4)
+    keeper_index_build(spark.read.parquet(f"{cpath}/labels"), nd,
+                       kpath, n_buckets=4)
+    # the batch brings high-quality doc 4 into cluster 1 — its keeper
+    # MUST flip from 2 (nd 9) to 4 (nd 20) even though the fold is
+    # driven by the components-first code path
+    batch = spark.createDataFrame([(2, 4)], "id_a long, id_b long")
+    touched = components_index_update(spark, cpath, batch,
+                                      return_touched=True)
+    keeper_index_update(spark, cpath, kpath, touched, nd)
+    got = {r.cluster: r.keeper_id for r in
+           spark.read.parquet(f"{kpath}/labels").collect()}
+    full = _keeper_elect(
+        spark.read.parquet(f"{cpath}/labels").select("id", "comp"), nd)
+    want = {r.cluster: r.keeper_id for r in full.collect()}
+    assert got == want
+    assert got[1] == 4
+
+
 def test_components_index_update_drops_emptied_partition(spark, tmp_path):
     """Dynamic partition overwrite cannot rewrite a partition that
     receives no rows — a source bucket whose every component was

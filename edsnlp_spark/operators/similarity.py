@@ -299,7 +299,15 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     """
     return emb.select(
         F.col(id_col),
-        pq_codes_col(F.col(vec_col), codebooks).alias(out_col),
+        pq_codes_col_named(vec_col, codebooks).alias(out_col),
+    )
+
+
+def _cb_fp(codebooks) -> tuple:
+    """Hashable fingerprint of a codebook/centroid nest (memo key)."""
+    return tuple(
+        tuple(tuple(float(x) for x in cent) for cent in cb)
+        for cb in codebooks
     )
 
 
@@ -327,6 +335,19 @@ def pq_codes_col(raw_vec: Column, codebooks: list[list[list[float]]]
     return F.array(*[code_for(j) for j in range(m)])
 
 
+def pq_codes_col_named(vec_col: str, codebooks) -> Column:
+    """Memoized :func:`pq_codes_col` over a NAMED column (r14): the
+    m*k l2sq sub-trees cost thousands of py4j round-trips to build —
+    measured ~7-15s of pq_adc_topk's wall was DRIVER-side plan
+    construction vs ~2s execution (the r4 memo_column lesson).  The
+    expression is a pure function of (column name, codebook values),
+    so the built Column template is reused across runs."""
+    from ..functions.memo import memo_column
+    return memo_column(
+        ("pq_codes", vec_col, _cb_fp(codebooks)),
+        lambda: pq_codes_col(F.col(vec_col), codebooks))
+
+
 def pq_adc_col(qv: Column, codes: Column,
                codebooks: list[list[list[float]]]) -> Column:
     """ADC distance expression between an exact (double) query vector
@@ -343,6 +364,16 @@ def pq_adc_col(qv: Column, codes: Column,
         return l2sq(qsub, F.element_at(cb, codes[j] + 1))
 
     return sum((adc_j(j) for j in range(1, m)), adc_j(0))
+
+
+def adc_lut_named(qv_col: str, codebooks) -> Column:
+    """Memoized :func:`adc_lut_col` over a NAMED column (r14; the
+    pq_codes_col_named rationale — the LUT is another m*k l2sq
+    forest)."""
+    from ..functions.memo import memo_column
+    return memo_column(
+        ("adc_lut", qv_col, _cb_fp(codebooks)),
+        lambda: adc_lut_col(F.col(qv_col), codebooks))
 
 
 def adc_lut_col(qv: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -411,7 +442,7 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
     # m*k doubles per query — so each corpus pair costs m lookups
     # instead of m l2sq folds (bit-identical; see adc_lut_col).
     qlut = qs.select("q_id", "qv",
-                     adc_lut_col(F.col("qv"), codebooks).alias("__lut"))
+                     adc_lut_named("qv", codebooks).alias("__lut"))
     scored = (
         codes.join(F.broadcast(qlut), F.col("n_id") != F.col("q_id"))
         .select("q_id", "n_id",
@@ -547,7 +578,7 @@ def _ivfpq_search(corpus: DataFrame, queries: DataFrame,
     # probed-cell scan then does m lookups per pair, never l2sq folds
     probed = probed.select(
         "q_id", "cell",
-        adc_lut_col(F.col("qv"), codebooks).alias("__lut"))
+        adc_lut_named("qv", codebooks).alias("__lut"))
     scored = (
         corpus.join(F.broadcast(probed), "cell")
         .filter(F.col("n_id") != F.col("q_id"))

@@ -1012,7 +1012,8 @@ def classify_docs(docs: DataFrame, weights_int, bias_int,
                   class_names: list[str] | None = None,
                   ngram: int = 3, n_buckets: int = 64,
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  keep_cols: tuple = ()) -> DataFrame:
     """Pure-projection scorer for an integer-quantized
     :func:`train_doc_classifier` export -> (id_col, pred, pred_name?,
     score_<c>...): one transform pass hashes every char-ngram to its
@@ -1021,7 +1022,12 @@ def classify_docs(docs: DataFrame, weights_int, bias_int,
     (linear, codegen-friendly; never an array-growing accumulator).
     All-integer scores, first-max (lowest class) ties -> exact DuckDB
     parity.  No shuffle, no Python — the trained model IS a Spark
-    projection, exactly like the rule-based scorers."""
+    projection, exactly like the rule-based scorers.
+
+    ``keep_cols`` (r14): extra input columns carried through the
+    projection, so callers that would otherwise JOIN the scores back
+    onto the instance plane by id (a corpus-scale shuffle for a pure
+    per-row computation) can read everything off one pass."""
     n_classes = len(weights_int)
     ln = F.length(F.col(text_col))
     grams = F.when(
@@ -1045,21 +1051,22 @@ def classify_docs(docs: DataFrame, weights_int, bias_int,
         return (F.aggregate(F.col("__bks"), F.lit(0).cast("bigint"), step)
                 + n_grams * F.lit(int(bias_int[c])))
 
+    keep = [F.col(c) for c in keep_cols]
     scored = docs.withColumn("__bks", bks).select(
-        F.col(id_col), *[score(c).alias(f"score_{c}")
-                         for c in range(n_classes)])
+        F.col(id_col), *keep, *[score(c).alias(f"score_{c}")
+                                for c in range(n_classes)])
     best = F.array_min(F.array(*[
         F.struct((-F.col(f"score_{c}")).alias("neg"),
                  F.lit(c).cast("int").alias("c"))
         for c in range(n_classes)
     ]))["c"]
     out = scored.select(
-        id_col, best.alias("pred"),
+        id_col, *keep_cols, best.alias("pred"),
         *[F.col(f"score_{c}") for c in range(n_classes)])
     if class_names is not None:
         names = F.array(*[F.lit(n) for n in class_names])
         out = out.select(
-            id_col, "pred",
+            id_col, *keep_cols, "pred",
             F.element_at(names, F.col("pred") + 1).alias("pred_name"),
             *[F.col(f"score_{c}") for c in range(n_classes)])
     return out

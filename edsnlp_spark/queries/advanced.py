@@ -464,15 +464,20 @@ def negation_distillation(spark, sf_dir):
     scorer, so a hash mismatch catches ANY training-pipeline drift."""
     from ..operators.trainable import classify_docs
     inst, (Wq, bq) = _train_negation_student(spark, sf_dir)
+    # keep_cols carries the instance metadata THROUGH the pure
+    # projection instead of joining scores back by inst_id (r14: the
+    # scorer is shuffle-free, so the join was a corpus-scale shuffle
+    # for nothing)
     scored = classify_docs(inst, Wq, bq, ngram=_NEG_NGRAM,
                            n_buckets=_NEG_NB, id_col="inst_id",
-                           text_col="wtext")
-    return (inst.join(scored, "inst_id")
-            .select("doc_id", "pos", "term",
-                    (F.col("label") == 1).alias("teacher_negated"),
-                    (F.col("pred") == 1).alias("student_negated"),
-                    F.col("score_0").alias("score_not"),
-                    F.col("score_1").alias("score_neg")))
+                           text_col="wtext",
+                           keep_cols=("doc_id", "pos", "term", "label"))
+    return scored.select(
+        "doc_id", "pos", "term",
+        (F.col("label") == 1).alias("teacher_negated"),
+        (F.col("pred") == 1).alias("student_negated"),
+        F.col("score_0").alias("score_not"),
+        F.col("score_1").alias("score_neg"))
 
 
 def negation_distillation_eval(spark, sf_dir):
@@ -484,10 +489,9 @@ def negation_distillation_eval(spark, sf_dir):
     inst, (Wq, bq) = _train_negation_student(spark, sf_dir,
                                              heldout_mod=(5, 4))
     held = inst.filter(F.col("doc_id") % 5 == 4)
-    scored = classify_docs(held, Wq, bq, ngram=_NEG_NGRAM,
-                           n_buckets=_NEG_NB, id_col="inst_id",
-                           text_col="wtext")
-    j = held.join(scored, "inst_id")
+    j = classify_docs(held, Wq, bq, ngram=_NEG_NGRAM,
+                      n_buckets=_NEG_NB, id_col="inst_id",
+                      text_col="wtext", keep_cols=("label",))
     agg = j.agg(
         F.sum(F.when((F.col("label") == 1) & (F.col("pred") == 1), 1)
               .otherwise(0)).cast("bigint").alias("tp"),

@@ -126,6 +126,20 @@ def pagerank(edges: DataFrame, iterations: int = 8,
         init = F.when(in_seeds, F.lit(int(scale))).otherwise(F.lit(0))
     ranks = nodes.select("node", init.cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
+    # Static/dynamic split (r14, guide §2.4 'remove shuffles'): a node
+    # with NO in-edges receives zero propagated mass, so from round 1
+    # on its rank is the teleport CONSTANT — and because every in-edge
+    # contributes a row to the explode (even c=0), groupBy(dst) covers
+    # EXACTLY the has-in-edge nodes each round.  The former per-round
+    # `nodes LEFT JOIN contribs` therefore decomposes into a
+    # precomputed static leg ∪ the contrib-driven leg — one join per
+    # iteration removed, bit-identical ranks by the recurrence.
+    if iterations > 0:
+        static = tracked_persist(
+            nodes.join(e.select(F.col("dst").alias("node")).distinct(),
+                       "node", "left_anti")
+            .select("node", teleport.cast("long").alias("rank")),
+            "graph")
     for it in range(iterations):
         joined = adj.join(ranks, adj["src"] == ranks["node"])
         if weight_col:
@@ -138,16 +152,15 @@ def pagerank(edges: DataFrame, iterations: int = 8,
             expanded = joined.select(
                 F.explode("dsts").alias("dst"),
                 F.expr("rank DIV deg").alias("c"))
-        contribs = expanded.groupBy("dst").agg(
-            F.sum("c").alias("in_sum"))
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        dyn = (
+            expanded.groupBy("dst").agg(F.sum("c").alias("in_sum"))
             .select(
-                F.col("node"),
-                (teleport
-                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0))"
-                          f" DIV {_DAMP_DEN}")).alias("rank"))
+                F.col("dst").alias("node"),
+                F.expr(f"({_DAMP_NUM} * in_sum) DIV {_DAMP_DEN}")
+                .alias("__d"))
+            .select("node", (teleport + F.col("__d")).alias("rank"))
         )
+        ranks = dyn.unionByName(static)
         if (it + 1) % checkpoint_interval == 0 or it + 1 == iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

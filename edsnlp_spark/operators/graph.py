@@ -251,7 +251,8 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
 def random_walks(edges: DataFrame, walks_per_node: int = 2,
                  walk_len: int = 6, src_col: str = "src",
                  dst_col: str = "dst",
-                 max_degree: int = 100_000) -> DataFrame:
+                 max_degree: int = 100_000,
+                 checkpoint_interval: int = 3) -> DataFrame:
     """Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
     corpus-generation step, Perozzi et al. 2014) ->
     (walk_key, start_node, steps, walk) where ``walk`` is the
@@ -283,6 +284,8 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
                          "and walk_len >= 0")
     if max_degree < 1:
         raise ValueError("random_walks requires max_degree >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("random_walks requires checkpoint_interval >= 1")
     e = tracked_persist(
         edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")).distinct(),
@@ -348,7 +351,16 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
                 .cast("long").alias("steps"),
             )
         )
-        frontier = stepped.localCheckpoint(eager=True)
+        # checkpoint every k steps, not every step (r14, measured
+        # interleaved A/B at sf0.1: interval 3 = 3.7s vs 1 = 4.1-5.6s
+        # vs fully fused = 4.4s; a step is a BROADCAST join + pure
+        # projection — no shuffle — so the per-step barrier was mostly
+        # overhead, while a fully fused 6-join plan pays in expression
+        # growth.  Output is interval-independent (hash-pinned in the
+        # A/B and by the oracle).
+        if (t + 1) % checkpoint_interval == 0 or t + 1 == int(walk_len):
+            stepped = stepped.localCheckpoint(eager=True)
+        frontier = stepped
     return frontier.select("walk_key", "start_node", "steps", "walk")
 
 

@@ -40,6 +40,9 @@ ALLOWED = {
         "one row per configured disorder label",
     ("operators/similarity.py", "F.broadcast(qs)"):
         "caller-provided query set (ANN contract: queries << corpus)",
+    ("operators/similarity.py", "F.broadcast(qlut)"):
+        "query set + per-query m*k ADC lookup table (r14): still one "
+        "bounded row per query, table size is codebook-config-bounded",
     ("operators/similarity.py", "F.broadcast(probed)"):
         "nprobe cell ids per query (bounded by query set)",
     ("operators/similarity.py", "F.broadcast(sassign)"):

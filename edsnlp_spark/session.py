@@ -24,8 +24,12 @@ _DEFAULTS = {
     # Arrow for any toPandas / pandas-UDF boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # Local-mode shuffle sizing; a cluster deployment overrides this.
-    "spark.sql.shuffle.partitions": "32",
+    # Shuffle sizing: env-parameterised so a cluster deployment sets it
+    # to ~2-3x total executor cores (and lets AQE coalesce down); the
+    # local default matches local[32].  AQE's coalescePartitions makes
+    # the exact value non-critical — it is a ceiling, not a target.
+    "spark.sql.shuffle.partitions":
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     # Broadcast small dims aggressively (nation/region/terms tables).
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

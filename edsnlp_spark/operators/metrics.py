@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..core.caching import scoped, tracked_persist
+
 
 def _prf(per: DataFrame) -> DataFrame:
     prec = F.try_divide(F.col("tp"), F.col("tp") + F.col("fp"))
@@ -286,6 +288,7 @@ def rouge_l(cands: DataFrame, refs: DataFrame,
         F.round(f, 4).alias("f1"))
 
 
+@scoped("metrics")
 def binary_auc_calibration(scored: DataFrame, score_col: str = "score",
                            label_col: str = "label",
                            n_buckets: int = 10) -> DataFrame:
@@ -323,8 +326,16 @@ def binary_auc_calibration(scored: DataFrame, score_col: str = "score",
             "rank statistics and decile buckets require bounded scores")))
     d = scored.select(s6.alias("s6"),
                       F.col(label_col).cast("long").alias("y"))
-    agg = d.groupBy("s6").agg(F.count(F.lit(1)).alias("c"),
-                              F.sum("y").alias("p"))
+    # agg feeds the range-totals plane AND the cumulative plane, and
+    # cum (below) feeds the AUC totals, the decile groupBy and the
+    # final crossJoin — unpersisted, the corpus scan + partial-agg
+    # shuffle re-executes once per reference (measured 0.52 -> 1.24s
+    # at sf0.1 when the r14 two-pass prefix sum added the extra
+    # reference).  The plane is bounded at <= 1e6 + 1 rows.
+    agg = tracked_persist(
+        d.groupBy("s6").agg(F.count(F.lit(1)).alias("c"),
+                            F.sum("y").alias("p")),
+        "metrics")
     # two-pass range-partitioned prefix sum (r14, VERDICT r13 #8): the
     # former global Window.orderBy("s6") funneled the whole (bounded,
     # but up to 1e6+1-row) plane through ONE task.  s6 DIV 16384 gives
@@ -341,7 +352,7 @@ def binary_auc_calibration(scored: DataFrame, score_col: str = "score",
              .drop("__pc"))
     w = Window.partitionBy("__part").orderBy("s6").rowsBetween(
         Window.unboundedPreceding, -1)
-    cum = (agg.join(parts, "__part")
+    cum = (agg.join(F.broadcast(parts), "__part")
            .withColumn(
                "below",
                F.col("__pbelow")

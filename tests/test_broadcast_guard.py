@@ -22,6 +22,9 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "edsnlp_spark"
 ALLOWED = {
     ("operators/metrics.py", "F.broadcast(auc)"):
         "1-row AUC scalar aggregate (binary_auc_calibration)",
+    ("operators/metrics.py", "F.broadcast(parts)"):
+        "<= 62 range-offset rows by construction (s6 in [0, 1e6] DIV "
+        "16384; the prefix-sum range plane, never corpus-scale)",
     ("queries/lexicon.py", "F.broadcast(ranked)"):
         "checked-in resource lexicon (config-scale)",
     ("queries/relational.py", "F.broadcast(n)"):

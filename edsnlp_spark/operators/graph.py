@@ -252,7 +252,8 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
                  walk_len: int = 6, src_col: str = "src",
                  dst_col: str = "dst",
                  max_degree: int = 100_000,
-                 checkpoint_interval: int = 3) -> DataFrame:
+                 checkpoint_interval: int = 3,
+                 assume_distinct: bool = False) -> DataFrame:
     """Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
     corpus-generation step, Perozzi et al. 2014) ->
     (walk_key, start_node, steps, walk) where ``walk`` is the
@@ -286,10 +287,17 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
         raise ValueError("random_walks requires max_degree >= 1")
     if checkpoint_interval < 1:
         raise ValueError("random_walks requires checkpoint_interval >= 1")
-    e = tracked_persist(
-        edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst")).distinct(),
-        "graph")
+    # assume_distinct: every in-repo caller feeds an already-distinct
+    # edge plane (the co-purchase build ends in .distinct()), so the
+    # defensive re-distinct here was a redundant corpus-scale shuffle
+    # (r14, guide §2.2 "shuffle fewer bytes").  Walks over a multigraph
+    # differ (the md5 index is modulo the neighbor MULTIplicity list),
+    # hence the explicit opt-in rather than a silent drop.
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = tracked_persist(e, "graph")
     # deg carries BOTH guards: it feeds every step's neighbor-index
     # pmod, so Catalyst cannot prune it (the repo's in-data-path
     # raise convention).
@@ -327,8 +335,12 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
             F.col("node").alias("start_node"),
             F.col("node").alias("cur"),
             F.col("node").cast("string").alias("walk"),
-            F.lit(0).cast("long").alias("steps"))
-        .localCheckpoint(eager=True))
+            F.lit(0).cast("long").alias("steps")))
+    # the init frontier is referenced exactly once (the first step's
+    # join) and derives from the PERSISTED edge plane, so its former
+    # eager checkpoint was a pure job barrier (~0.5s at sf0.1, r14) —
+    # the first interval checkpoint materializes it fused with the
+    # first steps instead
     for t in range(int(walk_len)):
         idx = (F.pmod(
             F.conv(F.substring(F.md5(F.concat_ws(
@@ -459,7 +471,18 @@ def train_graph_embeddings(pairs: DataFrame, dim: int = 8,
         "graph")
     tot = p.agg(F.sum("n").cast("long").alias("D"))
     ncs = p.groupBy("c").agg(F.sum("n").cast("long").alias("nc"))
-    nxs = p.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    # the {-1,+1} sketch entry r_j(x) depends only on the NODE x, so it
+    # is computed once per distinct x on the nxs plane (r14, guide §2.3
+    # "compute once, reuse"): the former in-row evaluation re-derived
+    # dim md5s per assoc PAIR row (~9x more md5 work at sf0.1).  Same
+    # expression, same values — carried through the existing nxs join.
+    sig_expr = F.expr(
+        f"transform(sequence(0, {d - 1}), j -> "
+        f"CASE WHEN CAST(conv(substring(md5(concat(CAST(x AS string), "
+        f"':', CAST(j AS string))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+        f"THEN 1 ELSE -1 END)")
+    nxs = (p.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+           .select("x", "nx", sig_expr.alias("sig")))
     a_expr = (
         F.greatest(
             F.lit(0).cast("long"),
@@ -468,17 +491,14 @@ def train_graph_embeddings(pairs: DataFrame, dim: int = 8,
             - F.lit(int(shift) * int(ratio_scale))))
     assoc = (p.join(ncs, "c").join(nxs, "x")
              .crossJoin(F.broadcast(tot))  # 1-row totals
-             .select("c", "x", a_expr.alias("a"))
+             .select("c", "x", a_expr.alias("a"), "sig")
              .filter(F.col("a") > 0))
     assoc = tracked_persist(assoc, "graph")
     ecols = [f"e{j}" for j in range(d)]
 
-    # deterministic {-1,+1} sketch entry r_j(x), computed in-row
-    contrib = F.expr(
-        f"transform(sequence(0, {d - 1}), j -> a * "
-        f"(CASE WHEN CAST(conv(substring(md5(concat(CAST(x AS string), "
-        f"':', CAST(j AS string))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
-        f"THEN 1 ELSE -1 END))")
+    # a-weighted sketch row: the precomputed per-node signs scaled by
+    # the association (element order = dimension order, as before)
+    contrib = F.expr("transform(sig, s -> a * s)")
 
     def _requant(df):
         """Per-dimension integer requantization to +-emb_scale."""

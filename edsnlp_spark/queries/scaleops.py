@@ -2198,7 +2198,8 @@ def graph_walks(spark, sf_dir):
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct())
-    return random_walks(edges, walks_per_node=2, walk_len=6)
+    return random_walks(edges, walks_per_node=2, walk_len=6,
+                        assume_distinct=True)
 
 
 GRAPH_WALKS_SQL = """
@@ -2270,7 +2271,8 @@ def walk_skipgram_pairs(spark, sf_dir):
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct())
-    walks = random_walks(edges, walks_per_node=2, walk_len=6)
+    walks = random_walks(edges, walks_per_node=2, walk_len=6,
+                         assume_distinct=True)
     return skipgram_pairs(walks, window=2)
 
 
@@ -2319,7 +2321,8 @@ def graph_embeddings(spark, sf_dir):
     from ..operators.graph import (random_walks, skipgram_pairs,
                                    train_graph_embeddings)
     edges = _copurchase_edges_1995(spark, sf_dir)
-    walks = random_walks(edges, walks_per_node=2, walk_len=6)
+    walks = random_walks(edges, walks_per_node=2, walk_len=6,
+                         assume_distinct=True)
     pairs = skipgram_pairs(walks, window=2)
     emb = train_graph_embeddings(pairs, dim=8, iters=1)
     return emb.select(
@@ -2429,7 +2432,8 @@ def _graph_emb_seed(spark, sf_dir) -> str:
                 and _art.version_ok(path))
         if not done:
             edges = _copurchase_edges_1995(spark, sf_dir)
-            walks = random_walks(edges, walks_per_node=2, walk_len=6)
+            walks = random_walks(edges, walks_per_node=2, walk_len=6,
+                                 assume_distinct=True)
             pairs = skipgram_pairs(walks, window=2)
             emb = train_graph_embeddings(pairs, dim=8, iters=1)
             emb.write.mode("overwrite").parquet(path)

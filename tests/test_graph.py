@@ -178,6 +178,32 @@ def test_random_walks_negative_node_id_raises(spark):
         random_walks(as_src, walks_per_node=1, walk_len=2).collect()
 
 
+def test_random_walks_assume_distinct_parity(spark):
+    """r14 optimization contract: assume_distinct=True drops the
+    defensive corpus-scale .distinct() shuffle, so (a) on an
+    already-distinct edge plane both paths produce identical walks,
+    and (b) the DEFAULT path still dedupes a multigraph — duplicate
+    edges must not change the md5 neighbor-index modulus (which is
+    why the flag is an explicit opt-in, not a silent drop)."""
+    from edsnlp_spark.operators.graph import random_walks
+
+    raw = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    want = {r.walk_key: (r.start_node, r.steps, r.walk)
+            for r in random_walks(edges, walks_per_node=2,
+                                  walk_len=4).collect()}
+    got = {r.walk_key: (r.start_node, r.steps, r.walk)
+           for r in random_walks(edges, walks_per_node=2, walk_len=4,
+                                 assume_distinct=True).collect()}
+    assert got == want
+    multi = spark.createDataFrame(raw + raw + [(1, 2)],
+                                  "src long, dst long")
+    deduped = {r.walk_key: (r.start_node, r.steps, r.walk)
+               for r in random_walks(multi, walks_per_node=2,
+                                     walk_len=4).collect()}
+    assert deduped == want
+
+
 def test_random_walks_empty_edges(spark):
     from edsnlp_spark.operators.graph import random_walks
 

@@ -242,8 +242,20 @@ def fuzzy_dedup_stream(stream_docs: DataFrame, out_path: str,
                             F.min("min_id").alias("min_id")))
             except AnalysisException:
                 idx = None  # cold start: no index yet
-            banded = _minhash_banded(docs, "doc_id", "text",
-                                     n, num_hashes, bands)
+            # persisted: the batch's banded signature plane feeds FOUR
+            # evaluations per micro-batch (within-batch election
+            # groupBy + join-back, the corpus probe inside
+            # cross_minhash_candidates, and the index increment inside
+            # minhash_band_index — the latter two rebuild the SAME
+            # canonical plan from the same ``docs``, so the cache
+            # manager substitutes this plane for them); unpersisted,
+            # the shingle + signature fold ran per reference (r14,
+            # guide §2.3 — the dedup_resolution_stream sibling already
+            # did this).  release_since(snap) frees it after the batch.
+            from ..core.caching import tracked_persist
+            banded = tracked_persist(
+                _minhash_banded(docs, "doc_id", "text",
+                                n, num_hashes, bands), "dedup")
             # within-batch first-arrival: a doc is a dup of the batch's
             # smallest id sharing any band
             within = (

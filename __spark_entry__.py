@@ -47,87 +47,71 @@ from edsnlp_spark.queries import all_queries  # noqa: E402
 #      a0_source_divergence, a0_strip_duplicated_spans, a0_winnowing_fp
 #      — robust under ANY driver keying model.
 #
-# Rotation #9 (set at r13 START; the driver grades the round-END
-# keying — rotate once, early, never re-rotate mid-round): the 43
-# queries whose newest driver-green row is r10 (they would exceed the
-# 3-round staleness cap once CORRECTNESS_r13 lands).  17 of the 43 are
+# Rotation #10 (set at r15 START; the driver grades the round-END
+# keying — rotate once, early, never re-rotate mid-round): the 46
+# queries whose newest driver-green row is r11 (they would exceed the
+# 3-round staleness cap once CORRECTNESS_r14 lands).  33 of the 46 are
 # canonical a0_ names — those re-enter the window simply by NOT being
-# listed in _ROTATE_OUT_OF_WINDOW; the 26 plain names below gain the
+# listed in _ROTATE_OUT_OF_WINDOW; the 13 plain names below gain the
 # prefix via _ROTATE_INTO_WINDOW.  Slots are freed by dropping the
-# prefix from the driver key of r11/r12-verified canonical a0_ names
-# whose behavior is unchanged in r13 (_ROTATE_OUT_OF_WINDOW) —
+# prefix from the driver key of r13/r14-verified canonical a0_ names
+# whose behavior is unchanged in r15 (_ROTATE_OUT_OF_WINDOW) —
 # canonical registry keys stay stable so bench_best / COVERAGE / tests
 # don't churn.  Window budget (slot arithmetic FIRST, the r12 lesson):
-# 26 rotated-in + 17 due canonical a0_ + a0_knn_label_propagation
-# (trained-vector migration changes its plan in r13; diversity_sample
-# and a0_mmr_diversified_search migrate too but are due anyway) = 44,
-# leaving 6 slots for new r13 queries (canonical a0_ keys).
+# 13 rotated-in + 33 due canonical a0_ + 3 r14-verified names whose
+# PLANS change in this optimization round and must stay windowed
+# (a0_bpe_lifecycle, a0_unigram_tokenizer, a0_hybrid_retrieval — the
+# VERDICT r14 #2/#3 targets) = 49, leaving 1 spare slot (filled by the
+# first plain name, badwords_filter — a free extra verification).
 _ROTATE_INTO_WINDOW = frozenset({
-    # newest driver row r10 (plain canonical names):
-    "decontamination_overlap", "dedup_components",
-    "dedup_components_star", "dedup_exact", "disorders_full_diabetes",
-    "diversity_sample", "doc_fingerprint", "doc_quality",
-    "drugs_lexicon_match", "dsir_selection", "durations_extraction",
-    "embedding_neardup", "embedding_topk", "embedding_topk_ivf",
-    "embedding_topk_ivfpq", "embedding_topk_lsh", "endlines_rule",
-    "event_sessions", "exact_substring_dedup", "hll_distinct_windows",
-    "hourly_event_rollup", "hypothesis_tokens", "lang_id_heuristic",
-    "late_shipments", "markup_extraction", "minhash_lsh_dedup",
+    # newest driver row r11 (plain canonical names):
+    "adicap_decode", "composed_units", "contextual_match",
+    "cross_corpus_dedup", "customers_without_orders",
+    "dates_extraction", "family_tokens", "filter_spans_greedy",
+    "gopher_line_repetition", "gopher_repetition", "hf_ner_spans",
+    "history_qualifier", "simhash_fingerprints",
 })
 
-# r11/r12-verified canonical a0_ names whose behavior is UNCHANGED in
-# r13: the driver key drops the prefix so they leave the window and
-# free slots.  Canonical a0_ names NOT listed here either hit the r10
-# staleness cap (the 17 enumerated in the budget comment above) or are
-# CHANGED in r13 and stay windowed: a0_knn_label_propagation
-# (trained-vector migration) — plus every NEW r13 query (a0_ canonical
-# keys).
+# r13/r14-verified canonical a0_ names whose behavior is UNCHANGED in
+# r15: the driver key drops the prefix so they leave the window and
+# free slots.  Canonical a0_ names NOT listed here either hit the r11
+# staleness cap (the 33 in the budget comment above) or have their
+# plans CHANGED in r15 and stay windowed (a0_bpe_lifecycle,
+# a0_unigram_tokenizer, a0_hybrid_retrieval).
 _ROTATE_OUT_OF_WINDOW = frozenset({
+    "a0_badwords_filter",
     "a0_bigram_pmi",
-    "a0_bm25_indexed_search",
-    "a0_chunk_retrieval",
+    "a0_bloom_decontamination",
+    "a0_clustering_coefficient",
     "a0_contrastive_pairs",
     "a0_corpus_curation_strip",
-    "a0_corpus_length_profile",
+    "a0_crf_distillation",
+    "a0_cross_minhash_dedup",
     "a0_dedup_components_incremental",
     "a0_dedup_keeper_election",
-    "a0_dedup_recall_eval",
-    "a0_document_chunking",
+    "a0_dedup_keeper_incremental",
+    "a0_distillation_eval",
     "a0_duplication_profile",
-    "a0_graph_embeddings",
-    "a0_graph_walks",
+    "a0_ivfpq_indexed_search",
     "a0_jpeg_decode",
-    "a0_multimodal_decode",
-    "a0_negation_distillation",
-    "a0_negation_distillation_eval",
+    "a0_knn_label_propagation",
+    "a0_langid_trained",
+    "a0_length_quantiles",
+    "a0_mmr_diversified_search",
+    "a0_mp4_frames",
     "a0_ner_crf_viterbi",
-    "a0_png_decode",
-    "a0_rouge_l",
-    "a0_rouge_overlap",
+    "a0_note_dates",
+    "a0_pagerank_copurchase",
+    "a0_phrase_search",
+    "a0_quality_auc",
+    "a0_related_parts_ppr",
     "a0_semantic_clusters",
     "a0_semdedup_embeddings",
-    "a0_sentence_boundaries",
-    "a0_sequence_packing",
-    "a0_simhash_neardup",
-    "a0_simhash_neardup_capped",
-    "a0_source_divergence",
-    "a0_source_mixture_sample",
-    "a0_source_vocab_saturation",
-    "a0_split_assignment",
-    "a0_strip_duplicated_spans",
+    "a0_suicide_pollution",
+    "a0_table_cells",
     "a0_temperature_mixture",
-    "a0_tfidf_keywords",
-    "a0_tnm_mentions",
     "a0_tokenizer_fertility",
-    "a0_trained_ann_topk",
-    "a0_umls_scale_match",
-    "a0_unigram_logppl",
-    "a0_url_domain_filtering",
-    "a0_walk_skipgram_pairs",
-    "a0_wav_spectral",
-    "a0_weighted_doc_sample",
-    "a0_winnowing_fp",
-    "a0_wordpiece_lifecycle",
+    "a0_weighted_pagerank",
 })
 
 

@@ -317,15 +317,29 @@ def main() -> None:
     # start-of-run cpu calib ratio — raw per-query ratios stay in the
     # artifact unchanged, so the driver still sees absolute slowdowns;
     # only the flag/probe machinery stops chasing host speed.
-    flag_gate = 1.3 * max(1.0, calib_ratio or 1.0)
+    # ADVICE r14 #2: the scaling is CAPPED at 1.5x — on a persistently
+    # 2x-loaded host an uncapped gate would silently de-flag a genuine
+    # 1.5x code regression for the whole run — and queries that exceed
+    # the flat 1.3x bar but not the scaled gate are emitted as a
+    # separate `watch` list instead of being dropped entirely.
+    flag_gate = 1.3 * min(max(1.0, calib_ratio or 1.0), 1.5)
     print(f"# flag gate: {round(flag_gate, 2)}x of best "
-          f"(1.3 x max(1, cpu calib))", file=sys.stderr)
+          f"(1.3 x min(max(1, cpu calib), 1.5))", file=sys.stderr)
     regressions = {
         name: {"warm": t, "best": best[name],
                "ratio": round(t / best[name], 2)}
         for name, t in times.items()
         if name in best and best[name] > 0.05 and t > flag_gate * best[name]
     }
+    watch = {
+        name: round(t / best[name], 2)
+        for name, t in times.items()
+        if name in best and best[name] > 0.05
+        and 1.3 * best[name] < t <= flag_gate * best[name]
+    }
+    if watch:
+        print(f"# watch (above 1.3x, de-flagged by calib): "
+              f"{watch}", file=sys.stderr)
     # Single samples carry lucky/unlucky bias at EVERY magnitude: a
     # 0.165s "best" vs a ~0.30s steady-state floor flags a phantom
     # 1.8x (r4), embedding_neardup repro'd it at 1-2s (r6/r7), and a
@@ -418,7 +432,13 @@ def main() -> None:
                  # bar: the 10x ratio must drop from corpus-linear to
                  # the indexed profile) and incremental components
                  "a0_graph_embeddings", "a0_chunk_retrieval",
-                 "a0_dedup_components_incremental"]
+                 "a0_dedup_components_incremental",
+                 # r15 (VERDICT r14 #8): the query whose r13 plan was
+                 # the single-task global-window hazard — its 10x ratio
+                 # is the proof the partitioned-prefix fix banks at
+                 # scale — plus the reworked tokenizer lifecycles
+                 "a0_quality_auc", "a0_bpe_lifecycle",
+                 "a0_wordpiece_lifecycle"]
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -480,6 +500,15 @@ def main() -> None:
             (r["ratio_vs_sf01"] for name, r in scale_10x.items()
              if r["ratio_vs_sf01"] and name not in EVAL_ONLY),
             default=None),
+        # VERDICT r14 #5a: the sf0.1 8-vs-32-core ratios are overhead-
+        # dominated (fixed costs, not parallel fraction).  The driver
+        # reruns this bench at a lower core count; the 10x-replica
+        # scale-set total is the number whose low-vs-high-core ratio
+        # actually measures parallel fraction, so it rides the summary
+        # line as ONE scalar.
+        "scale_10x_total": round(
+            sum(r["sec"] for name, r in scale_10x.items()
+                if name not in EVAL_ONLY), 3) if scale_10x else None,
         # the eval-only configs' ratios, kept visible but separate —
         # the narrow simhash's superlinearity is documented, not a
         # regression (SCALE.md)
@@ -501,14 +530,70 @@ def main() -> None:
     # BENCH_r04.parsed null).  Self-validate both, flush stderr first,
     # then emit.  If the per-query map pushes the line over budget,
     # keep only the slowest queries in the line (the full map is always
-    # in BENCH_DETAIL.json) rather than failing or overflowing.
-    line = json.dumps(summary)
-    while len(line) >= 1500 and len(summary["queries"]) > 10:
+    # in BENCH_DETAIL.json, and `full_map` names that file) rather than
+    # failing or overflowing.
+    # VERDICT r14 #5b: pure slowest-N truncation made the round-over-
+    # round comparison lie by omission — a query that got FASTER fell
+    # out of the window and showed as "dropped", while the slower query
+    # it displaced showed as "new".  The truncation now always RETAINS
+    # every name present in the previous committed round's summary (so
+    # the comparison's common set never loses an improved query), and
+    # the line is emitted compact to buy the extra entries room.
+    summary["full_map"] = os.path.basename(detail_path)
+    prev_names: set[str] = set()
+    try:
+        import glob as _glob
+        import re as _re
+        benches = sorted(
+            _glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r[0-9]*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", p).group(1)))
+        if benches:
+            with open(benches[-1]) as f:
+                prev = json.load(f)
+            prev_names = set((prev.get("parsed") or {})
+                             .get("queries", {}))
+    except Exception:
+        prev_names = set()
+
+    def _dump(s: dict) -> str:
+        return json.dumps(s, separators=(",", ":"))
+
+    # Degrade ladder when the line overflows: (1) shrink the slowest-N
+    # window; (2) drop purely-diagnostic fields from the LINE (they all
+    # stay in BENCH_DETAIL.json) — measured: retention + the full field
+    # set lands ~30 chars over budget, so this step is what usually
+    # saves the retention; (3) only as a last resort give up prev-name
+    # retention.
+    droppable = ["worst_regression", "calib_marks",
+                 "scale_10x_max_ratio_eval_only", "eval_only",
+                 "calib_shuffle_sec", "calib_shuffle_ratio"]
+    line = _dump(summary)
+    keep_n = len(summary["queries"])
+    retain_prev = True
+    while len(line) >= 1500 and keep_n > 10:
+        keep_n = max(10, keep_n - 5)
         slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])
-                       [:max(10, len(summary["queries"]) - 5)])
+                       [:keep_n])
+        if retain_prev:
+            # previous-round names survive the cut so the driver's
+            # round-over-round common set never loses an improved query
+            slowest.update({n: times[n] for n in prev_names
+                            if n in times})
         summary["queries"] = slowest
         summary["queries_truncated_to_slowest"] = len(slowest)
-        line = json.dumps(summary)
+        line = _dump(summary)
+        if keep_n == 10 and len(line) >= 1500:
+            if droppable:
+                summary.pop(droppable.pop(0), None)
+                line = _dump(summary)
+                keep_n = 15  # re-enter the loop for one more pass
+            elif retain_prev:
+                # diagnostics gone and retention alone still blows the
+                # budget: degrade to pure slowest-N rather than overflow
+                retain_prev = False
+                keep_n = len(times)
     json.loads(line)
     assert len(line) < 1500, f"bench summary line too long: {len(line)}"
     print(f"# detail -> {detail_path} ({len(json.dumps(detail))} bytes); "

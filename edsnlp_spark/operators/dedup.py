@@ -1482,10 +1482,14 @@ def dedup_keeper_view(spark, index_path: str,
     directory (ADVICE r13 #3): an index written by a pre-r13
     ``dedup_resolution_stream`` (or a labels-only compaction) lacks
     per-batch quality rows, and the keeper view cannot be derived from
-    labels alone."""
-    import os
-
-    if not os.path.isdir(os.path.join(index_path, "quality")):
+    labels alone.  The existence check goes through the Hadoop FS API
+    (ADVICE r14 #1): ``os.path.isdir`` only understands bare local
+    paths, so a valid index at an hdfs://, s3://, or file:-scheme URI
+    would be spuriously rejected."""
+    jvm = spark._jvm
+    qpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/quality")
+    fs = qpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(qpath):
         raise ValueError(
             f"dedup_keeper_view: {index_path} has no quality/ directory "
             "— this index predates the r13 streaming-keeper layout "

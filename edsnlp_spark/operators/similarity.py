@@ -541,7 +541,7 @@ def _ivfpq_corpus(emb: DataFrame, centers: list[list[float]],
                 c["cell"].alias("cell"),
             ),
         ))[0]["cell"].alias("cell"),
-        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+        pq_codes_col_named(vec_col, codebooks).alias("codes"),
     )
 
 

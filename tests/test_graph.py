@@ -143,14 +143,18 @@ def test_random_walks_celebrity_degree_raises(spark):
     materializes several stages concurrently and more than one fails,
     Spark 4 surfaces STAGE_MATERIALIZATION_MULTIPLE_FAILURES (a
     Py4JJavaError) instead of the single SparkRuntimeException —
-    timing-dependent, so assert on Exception + match."""
+    timing-dependent, so assert on Exception + the guard's full
+    distinctive message prefix (ADVICE r14 #4: a bare parameter-name
+    match could be satisfied by an unrelated error quoting the plan)."""
     import pytest
 
     from edsnlp_spark.operators.graph import random_walks
 
     hot = spark.createDataFrame(
         [(0, d) for d in range(1, 8)], "src long, dst long")
-    with pytest.raises(Exception, match="max_degree"):
+    with pytest.raises(Exception,
+                       match="random_walks: out-degree exceeds "
+                             "max_degree"):
         random_walks(hot, walks_per_node=1, walk_len=2,
                      max_degree=5).collect()
     # at the cap it runs fine
@@ -161,20 +165,23 @@ def test_random_walks_celebrity_degree_raises(spark):
 def test_random_walks_negative_node_id_raises(spark):
     """ADVICE r10 #4: '-'-joined walk encoding cannot round-trip a
     negative node id; the guard fires whether the negative id appears
-    as a source or only as a destination.  (Exception + match, not
-    SparkRuntimeException: see the celebrity-degree test's docstring —
-    concurrent stage materialization can wrap the user raise.)"""
+    as a source or only as a destination.  (Exception + the guard's
+    full message prefix, not SparkRuntimeException: see the
+    celebrity-degree test's docstring — concurrent stage
+    materialization can wrap the user raise.)"""
     import pytest
 
     from edsnlp_spark.operators.graph import random_walks
 
     as_dst = spark.createDataFrame([(1, -2), (1, 3)],
                                    "src long, dst long")
-    with pytest.raises(Exception, match="negative node"):
+    with pytest.raises(Exception,
+                       match="random_walks: negative node ids break"):
         random_walks(as_dst, walks_per_node=1, walk_len=2).collect()
     as_src = spark.createDataFrame([(-1, 2), (2, 3)],
                                    "src long, dst long")
-    with pytest.raises(Exception, match="negative node"):
+    with pytest.raises(Exception,
+                       match="random_walks: negative node ids break"):
         random_walks(as_src, walks_per_node=1, walk_len=2).collect()
 
 

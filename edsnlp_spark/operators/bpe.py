@@ -299,6 +299,12 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
         if not adopted:
             break
         merges.extend(adopted)
+        if len(merges) >= n_merges:
+            # the final round's successor vocab is never read (the
+            # trainer returns merges only) — building and eagerly
+            # checkpointing it was a pure wasted materialization
+            # (r15, guide §1.2 "don't compute things you throw away")
+            break
         # one fold applies the whole round; eager checkpoint cuts
         # lineage AND materializes (old checkpoint blocks are freed by
         # the ContextCleaner when the Python handle rebinds)

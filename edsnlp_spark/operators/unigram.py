@@ -118,11 +118,14 @@ def unigram_train(docs: DataFrame, vocab_size: int = 300,
         f"flatten(transform(sequence(1, length(word)), i -> "
         f"transform(sequence(1, least({int(max_piece_len)}, "
         f"length(word) - i + 1)), l -> substring(word, i, l))))")
-    piece_counts = (
+    # persisted: referenced twice (singles collect + multi top-k) —
+    # unpersisted, the substring-explode aggregation subtree executed
+    # twice per training run (r15, guide §2.3 compute-once)
+    piece_counts = tracked_persist(
         words.select(F.explode(subs).alias("piece"), F.col("wcount"))
         .filter(F.length("piece") >= 1)
-        .groupBy("piece").agg(F.sum("wcount").alias("c"))
-    )
+        .groupBy("piece").agg(F.sum("wcount").alias("c")),
+        "unigram")
     singles = {
         r["piece"]: int(r["c"])
         for r in piece_counts.filter(F.length("piece") == 1).collect()
@@ -133,6 +136,8 @@ def unigram_train(docs: DataFrame, vocab_size: int = 300,
                   .orderBy(F.col("c").desc(), F.col("piece"))
                   .limit(int(seed_size)).collect())
     }
+    from ..core.caching import release_plane
+    release_plane(piece_counts, "unigram")  # seed-only; EM reads words
     counts = dict(singles)
     counts.update(multi)
     if not counts:  # empty corpus: everything encodes as unk

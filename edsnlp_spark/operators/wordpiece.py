@@ -88,26 +88,49 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 48,
     vocab = tracked_persist(
         words.select("freq", _wp_sym0(F.col("w")).alias("sym")),
         "wordpiece")
-    # bounded by the corpus CHARACTER set x2 (bare + '##' forms)
-    alphabet = sorted(
-        r["s"] for r in
-        vocab.select(F.explode("sym").alias("s")).distinct().collect())
-    pieces: list[str] = list(alphabet)
+    # the initial alphabet (bounded by the corpus CHARACTER set x2,
+    # bare + '##' forms) is read off round 1's cached agg plane below
+    # — its NULL-r sentinel rows ARE the distinct symbol set — instead
+    # of a dedicated full-scan distinct+collect (r15: ~0.5s/run)
+    pieces: list[str] = []
     merges: list[tuple[str, str]] = []
     retired: DataFrame | None = None
+    first_round = True
     while len(merges) < n_merges:
-        adj = vocab.select(
+        # ONE scan + ONE shuffle per round (r15, guide §2.3/§2.4): the
+        # explode emits the adjacent PAIRS and a NULL-r sentinel row
+        # per SYMBOL, so pair counts and symbol counts come out of the
+        # same aggregation (measured 0.13-0.17s/round at sf0.1, counts
+        # bit-identical to the former two-aggregation shape).  The agg
+        # plane is vocabulary-bounded; persisted because the score
+        # projection reads it on three legs (pairs + both symc joins).
+        ent = vocab.select(
             "freq",
-            F.explode(F.zip_with(
-                F.slice(F.col("sym"), 1, F.size("sym") - 1),
-                F.slice(F.col("sym"), 2, F.size("sym") - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            F.explode(F.concat(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                ),
+                F.transform(F.col("sym"), lambda s: F.struct(
+                    s.alias("l"),
+                    F.lit(None).cast("string").alias("r"))),
             )).alias("p"))
-        pairs = adj.groupBy(F.col("p.l").alias("l"),
-                            F.col("p.r").alias("r")) \
-            .agg(F.sum("freq").alias("c"))
-        symc = (vocab.select("freq", F.explode("sym").alias("s"))
-                .groupBy("s").agg(F.sum("freq").alias("cs")))
+        agg = tracked_persist(
+            ent.groupBy(F.col("p.l").alias("l"),
+                        F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c")),
+            "wordpiece")
+        agg.count()
+        if first_round:
+            # round 1's symbols are exactly the initial alphabet
+            pieces = sorted(
+                r["l"] for r in
+                agg.filter(F.col("r").isNull()).select("l").collect())
+            first_round = False
+        pairs = agg.filter(F.col("r").isNotNull())
+        symc = agg.filter(F.col("r").isNull()).select(
+            F.col("l").alias("s"), F.col("c").alias("cs"))
         scored = (
             pairs.filter(F.col("c") >= 2)
             .join(symc.select(F.col("s").alias("l"),
@@ -122,8 +145,9 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 48,
         top = (scored.orderBy(F.col("score").desc(), F.col("c").desc(),
                               "l", "r")
                .limit(4 * want + 8).collect())
+        from ..core.caching import release_plane
+        release_plane(agg, "wordpiece")  # round-local
         if retired is not None:
-            from ..core.caching import release_plane
             release_plane(retired, "wordpiece")
             retired = None
         adopted = _adopt_disjoint_wp(
@@ -132,6 +156,11 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 48,
             break
         merges.extend(adopted)
         pieces.extend(wp_merged(l, r) for l, r in adopted)
+        if len(merges) >= n_merges:
+            # the final round's successor vocab is never read (the
+            # trainer returns pieces only) — skip its fold + eager
+            # checkpoint (r15, guide §1.2; mirrors bpe_train_batched)
+            break
         new_vocab = vocab.select(
             "freq",
             _apply_merge_batch(

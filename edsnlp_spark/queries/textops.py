@@ -2970,18 +2970,27 @@ def bpe_lifecycle(spark, sf_dir):
     scripts/pin_bpe_merges.py) and replayed via the wrapped-symbol
     string rewrite — a hash mismatch catches trainer drift, encoder
     drift, or batch-adoption drift."""
+    from ..core.caching import scope_call, tracked_persist
     from ..operators.bpe import bpe_encode, bpe_train_batched
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    corpus = _bpe_pair_corpus(d)
-    merges = bpe_train_batched(corpus, n_merges=_BPE_LIFECYCLE_MERGES,
-                               batch=_BPE_LIFECYCLE_BATCH)
-    enc = bpe_encode(corpus, merges)
-    return enc.select(
-        "doc_id",
-        F.size("tokens").cast("bigint").alias("n_tokens"),
-        F.concat_ws(" ", "tokens").alias("encoded"),
-    )
+    with scope_call("bpe"):
+        d = _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism)
+        # persisted: the pair-word derivation fed BOTH the trainer's
+        # word-frequency build and the encode pass — two full corpus
+        # derivations for one plane (r15, guide §2.3 compute-once).
+        # Registered under the query's own top-level "bpe" entry (the
+        # trainer's nested entry is a reentrant no-op), released on
+        # the next call.
+        corpus = tracked_persist(_bpe_pair_corpus(d), "bpe")
+        merges = bpe_train_batched(corpus,
+                                   n_merges=_BPE_LIFECYCLE_MERGES,
+                                   batch=_BPE_LIFECYCLE_BATCH)
+        enc = bpe_encode(corpus, merges)
+        return enc.select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", "tokens").alias("encoded"),
+        )
 
 
 def _bpe_lifecycle_sql() -> str | None:
@@ -3074,13 +3083,20 @@ def wordpiece_lifecycle(spark, sf_dir):
     scripts/pin_wordpiece_vocab.py) and the oracle replays the greedy
     longest-match scan as a recursive CTE over a piece-lookup MAP — a
     hash mismatch catches trainer OR encoder drift."""
+    from ..core.caching import scope_call, tracked_persist
     from ..operators.wordpiece import (wordpiece_encode_words,
                                        wordpiece_train)
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    corpus = _bpe_pair_corpus(d)
-    vocab = wordpiece_train(corpus, n_merges=_WP_MERGES,
-                            batch=_WP_BATCH)
+    with scope_call("wordpiece"):
+        d = _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism)
+        # persisted: referenced THREE times (trainer word-frequency
+        # build + distinct-word encode plane + per-doc token join) —
+        # three full pair-word derivations for one plane (r15, guide
+        # §2.3).  Registered under the query's top-level "wordpiece"
+        # entry; released on the next call.
+        corpus = tracked_persist(_bpe_pair_corpus(d), "wordpiece")
+        vocab = wordpiece_train(corpus, n_merges=_WP_MERGES,
+                                batch=_WP_BATCH)
     words = corpus.select(
         F.explode(F.split("text", " ", -1)).alias("word")).distinct()
     enc = wordpiece_encode_words(words, vocab)
@@ -3952,12 +3968,19 @@ def unigram_tokenizer(spark, sf_dir):
     (resources/unigram_vocab.json) and the oracle replays the integer
     encode dp as a recursive CTE — a hash mismatch catches trainer OR
     encoder drift."""
+    from ..core.caching import scope_call, tracked_persist
     from ..operators.unigram import unigram_encode_words, unigram_train
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    vocab, unk = unigram_train(
-        d, vocab_size=300, seed_size=800, max_piece_len=6,
-        iterations=2, scale=4096)
+    with scope_call("unigram"):
+        d = _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism)
+        # persisted: the repartitioned doc scan feeds the trainer's
+        # word-frequency build, the distinct-word encode plane AND the
+        # per-doc token join — three scans+shuffles of the full text
+        # for one plane (r15, guide §2.3).  Released on the next call.
+        d = tracked_persist(d, "unigram")
+        vocab, unk = unigram_train(
+            d, vocab_size=300, seed_size=800, max_piece_len=6,
+            iterations=2, scale=4096)
     words = d.select(
         F.explode(F.split("text", " ", -1)).alias("word")).distinct()
     enc = unigram_encode_words(words, vocab, unk, max_piece_len=6)

@@ -935,20 +935,39 @@ def train_doc_classifier(docs: DataFrame, n_classes: int,
                 errs = 0
                 n_docs = 0
                 for pdf in batches:
-                    for bks, label in zip(pdf["__bks"], pdf[label_col]):
-                        if bks is None:
-                            continue
-                        n_docs += 1
-                        bk = np.asarray(bks, dtype=np.int64)
-                        if bk.size:
-                            x = (np.bincount(bk, minlength=n_buckets)
-                                 .astype(np.float64))
-                            x *= n_buckets / bk.size
-                        else:
-                            x = np.zeros(n_buckets, dtype=np.float64)
+                    # Vectorized feature build (r15, guide §4.2): the
+                    # whole batch's count matrix comes from ONE
+                    # np.add.at pass instead of per-row
+                    # asarray+bincount+astype+scale.  Bit-identical to
+                    # the former per-row path: add.at of 1.0s yields
+                    # the exact integer counts bincount did, and the
+                    # per-row scale multiplies by the same
+                    # n_buckets/len scalar.  Only the inherently
+                    # sequential predict/update loop stays per-row.
+                    col = pdf["__bks"]
+                    rows = [np.asarray(b, dtype=np.int64)
+                            for b in col if b is not None]
+                    labels = [int(lb) for b, lb in
+                              zip(col, pdf[label_col]) if b is not None]
+                    nv = len(rows)
+                    if not nv:
+                        continue
+                    lens = np.fromiter((r.size for r in rows),
+                                       dtype=np.int64, count=nv)
+                    X = np.zeros((nv, n_buckets), dtype=np.float64)
+                    if lens.sum():
+                        flat = np.concatenate(
+                            [r for r in rows if r.size])
+                        row_idx = np.repeat(np.arange(nv), lens)
+                        np.add.at(X, (row_idx, flat), 1.0)
+                        nz = lens > 0
+                        X[nz] *= (n_buckets / lens[nz])[:, None]
+                    n_docs += nv
+                    for i in range(nv):
+                        x = X[i]
                         scores = Wp @ x + bp
                         pred = int(np.argmax(scores))  # first-max ties
-                        y = int(label)
+                        y = labels[i]
                         if pred != y:
                             errs += 1
                             Wp[y] += x

@@ -83,8 +83,9 @@ ALLOWED = {
     ("operators/dedup.py",
      'touched.select("bucket").distinct().collect()'):
         "written bucket ids: subset of the affected-bucket set",
-    ("operators/wordpiece.py", '.alias("s")).distinct().collect()'):
-        "initial alphabet: bounded by the corpus CHARACTER set x2 "
+    ("operators/wordpiece.py", '.isNull()).select("l").collect()'):
+        "initial alphabet off round 1's agg plane (NULL-r sentinel "
+        "rows): bounded by the corpus CHARACTER set x2 "
         "(bare + '##' forms)",
     ("operators/wordpiece.py", ".limit(4 * want + 8).collect()"):
         "wordpiece top-M candidate collect: M bounded by batch config",

@@ -503,31 +503,32 @@ def train_graph_embeddings(pairs: DataFrame, dim: int = 8,
     def _requant(df):
         """Per-dimension integer requantization to +-emb_scale.
 
-        The per-dimension maxima ride a broadcast 1-row crossJoin (the
-        ``tot`` pattern above) instead of a driver ``.first()`` (r14):
-        the arithmetic is unchanged — ``sign(v) * ((|v|*S) DIV max)``
-        with a 0 result when the dimension is all-zero — but the three
-        requant points no longer force sequential driver barriers, so
-        the whole train chain materializes as one planned job.  The
-        persist stays: ``df`` feeds both the maxima agg and the
-        projection leg."""
+        The per-dimension maxima are a ``dim``-value driver collect
+        (bounded by config).  r14 #15 routed them through a broadcast
+        1-row crossJoin to drop the sequential driver barriers, but the
+        barrier is what populated the persisted ``df`` cache BEFORE the
+        projection leg read it — without it the maxima agg (broadcast
+        side) and the projection leg race to compute the same uncached
+        subtree, duplicating the upstream work (r15 interleaved A/B:
+        r13-shape floors 8.8-9.2s vs 9.6-9.7s with 2/5 rounds blown to
+        12-19s; reverted per VERDICT r14 #1).  Maxima-as-literals also
+        keep the downstream plan smaller."""
         df = tracked_persist(df, "graph")
-        mcols = [f"__m_{e}" for e in ecols]
-        maxima = df.agg(*[F.max(F.abs(F.col(e))).alias(m)
-                          for e, m in zip(ecols, mcols)])
+        s = df.agg(*[F.max(F.abs(F.col(e))).alias(e)
+                     for e in ecols]).first()
         cols = []
-        for e, m in zip(ecols, mcols):
-            sign = F.when(F.col(e) < 0, F.lit(-1)) \
-                .otherwise(F.lit(1)).cast("long")
-            cols.append(
-                F.when(F.coalesce(F.col(m), F.lit(0)) == 0,
-                       F.lit(0).cast("long"))
-                .otherwise(
+        for e in ecols:
+            sj = int(s[e] or 0)
+            if sj == 0:
+                cols.append(F.lit(0).cast("long").alias(e))
+            else:
+                sign = F.when(F.col(e) < 0, F.lit(-1)) \
+                    .otherwise(F.lit(1)).cast("long")
+                cols.append(
                     (sign * F.expr(
-                        f"(abs({e}) * {int(emb_scale)}) DIV __m_{e}"))
-                    .cast("long")).alias(e))
-        # 1-row maxima plane: broadcast is bounded by construction
-        return df.crossJoin(F.broadcast(maxima)).select("node", *cols)
+                        f"(abs({e}) * {int(emb_scale)}) DIV {sj}"))
+                    .cast("long").alias(e))
+        return df.select("node", *cols)
 
     def _matvec(vecs, from_col, to_col):
         """(node-keyed vecs) -> A-weighted sums re-keyed on to_col."""

@@ -81,8 +81,6 @@ ALLOWED = {
         "simstring lexicon char-grams (resource-scale)",
     ("operators/graph.py", "F.broadcast(tot)"):
         "1-row pair-count total (embedding association denominator)",
-    ("operators/graph.py", "F.broadcast(maxima)"):
-        "1-row per-dimension requantization maxima (dim columns)",
     ("queries/scaleops.py", "F.broadcast(probes)"):
         "8 probe rows by construction (orderBy(node).limit(8))",
 }

@@ -75,6 +75,9 @@ ALLOWED = {
     ("operators/unigram.py", "used_rows.collect()"):
         "unigram E-step piece usage: groupBy over the current "
         "vocabulary — at most vocab_size+charset rows per iteration",
+    ("operators/graph.py", "for e in ecols]).first()"):
+        "embedding requantization: 1-row per-dimension max aggregate "
+        "(dim values, config-bounded)",
     ("operators/dedup.py", '.agg(F.max("n_buckets")).first()'):
         "component-index meta: exactly one n_buckets record",
     ("operators/dedup.py", ".distinct().collect()"):

@@ -273,7 +273,7 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
     )
     vocab = tracked_persist(vocab, "bpe")
     merges: list[tuple[str, str]] = []
-    first_round = True
+    retired: DataFrame | None = None
     while len(merges) < n_merges:
         pairs = (
             vocab.select(
@@ -294,6 +294,12 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
         top = (pairs.filter(F.col("c") >= 2)
                .orderBy(F.col("c").desc(), "l", "r")
                .limit(4 * want + 8).collect())
+        if retired is not None:
+            # this round's collect materialized the lazy checkpoint of
+            # the current vocab, so its predecessor is now free —
+            # never sooner, or the fold would recompute from scratch
+            release_plane(retired, "bpe")
+            retired = None
         adopted = _adopt_disjoint(
             [(row["l"], row["r"]) for row in top], want)
         if not adopted:
@@ -305,19 +311,17 @@ def bpe_train_batched(docs: DataFrame, n_merges: int = 50,
             # checkpointing it was a pure wasted materialization
             # (r15, guide §1.2 "don't compute things you throw away")
             break
-        # one fold applies the whole round; eager checkpoint cuts
-        # lineage AND materializes (old checkpoint blocks are freed by
-        # the ContextCleaner when the Python handle rebinds)
-        prev = vocab
+        # one fold applies the whole round; a LAZY checkpoint still
+        # cuts lineage at materialization time (old checkpoint blocks
+        # are freed by the ContextCleaner when the Python handle
+        # rebinds) but folds the checkpoint write into the NEXT
+        # round's top-M collect job instead of paying a dedicated job
+        # per round (r15; mirrors the wordpiece trainer)
+        retired = vocab
         vocab = vocab.select(
             "freq",
             _apply_merge_batch(F.col("sym"), adopted).alias("sym"),
-        ).localCheckpoint(eager=True)
-        if first_round:
-            # the checkpoint materialized round 1's successor; the
-            # original persisted word-frequency plane is now free
-            release_plane(prev, "bpe")
-            first_round = False
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -95,7 +95,8 @@ def _scores_from_counts(counts: dict, scale: int) -> dict:
 def unigram_train(docs: DataFrame, vocab_size: int = 300,
                   seed_size: int = 800, max_piece_len: int = 6,
                   iterations: int = 2, scale: int = 4096,
-                  text_col: str = "text") -> tuple[dict, int]:
+                  text_col: str = "text",
+                  word_freqs: DataFrame | None = None) -> tuple[dict, int]:
     """Train a unigram-LM piece vocabulary -> (vocab, unk_score).
 
     1. Distinct-word counts (one explode + groupBy).
@@ -108,8 +109,15 @@ def unigram_train(docs: DataFrame, vocab_size: int = 300,
        piece usage (exact ints), re-score, prune multi-char pieces to
        vocab_size keeping every single char (count floor 1 so chars
        never hit log(0)).
+
+    ``word_freqs``: optional pre-aggregated AND PERSISTED
+    ``(word, wcount)`` plane — the exact explode+groupBy this function
+    would derive from ``docs``.  A caller that needs the distinct-word
+    set anyway (the lifecycle query encodes it) passes the shared
+    plane so the corpus is exploded and shuffled once per run (r15,
+    guide §2.3 compute-once); counts are identical either way.
     """
-    words = tracked_persist(
+    words = word_freqs if word_freqs is not None else tracked_persist(
         docs.select(F.explode(F.split(F.col(text_col), " ", -1))
                     .alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")),

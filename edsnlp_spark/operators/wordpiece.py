@@ -73,18 +73,27 @@ def _wp_sym0(col_w):
 @scoped("wordpiece")
 def wordpiece_train(docs: DataFrame, n_merges: int = 48,
                     batch: int = 16, id_col: str = "doc_id",
-                    text_col: str = "text") -> list[str]:
+                    text_col: str = "text",
+                    word_freqs: DataFrame | None = None) -> list[str]:
     """Learn a WordPiece vocabulary -> ordered piece list: the sorted
     initial alphabet (bare first-chars + '##'-prefixed continuations
     actually present) followed by merge outputs in adoption order.
-    Stops early when no pair occurs twice."""
+    Stops early when no pair occurs twice.
+
+    ``word_freqs``: optional pre-aggregated ``(w, freq)`` plane (the
+    exact explode+groupBy this function would derive from ``docs``).
+    A caller that needs the distinct-word set anyway (the lifecycle
+    query encodes it) passes the shared persisted plane so the corpus
+    is exploded and shuffled ONCE per run instead of twice (r15, guide
+    §2.3 compute-once); the ''-word filter stays here, so counts are
+    identical either way."""
     if n_merges < 1 or batch < 1:
         raise ValueError("wordpiece_train requires n_merges >= 1 "
                          "and batch >= 1")
-    words = docs.select(
+    words = word_freqs if word_freqs is not None else docs.select(
         F.explode(F.split(F.col(text_col), " ", -1)).alias("w")
-    ).filter(F.col("w") != "").groupBy("w").agg(
-        F.count(F.lit(1)).alias("freq"))
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    words = words.filter(F.col("w") != "")
     vocab = tracked_persist(
         words.select("freq", _wp_sym0(F.col("w")).alias("sym")),
         "wordpiece")
@@ -116,12 +125,16 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 48,
                     s.alias("l"),
                     F.lit(None).cast("string").alias("r"))),
             )).alias("p"))
+        # no explicit .count() barrier: the round's FIRST collect
+        # (round 1: the alphabet read; later rounds: the top-M collect)
+        # materializes the cache — partition-level BlockManager locking
+        # makes the 3-leg read compute each partition once (r15: one
+        # fewer job per round)
         agg = tracked_persist(
             ent.groupBy(F.col("p.l").alias("l"),
                         F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("c")),
             "wordpiece")
-        agg.count()
         if first_round:
             # round 1's symbols are exactly the initial alphabet
             pieces = sorted(
@@ -168,8 +181,15 @@ def wordpiece_train(docs: DataFrame, n_merges: int = 48,
                 merged=[wp_merged(l, r) for l, r in adopted])
             .alias("sym"))
         retired = vocab
+        # LAZY checkpoint (r15): the next round's top-M collect is the
+        # first materialization, so it computes the fold AND saves the
+        # checkpoint blocks in the SAME job — the eager variant paid a
+        # dedicated job per round for the same work.  Lineage is still
+        # cut at materialization time (the r6 iterative-plan rule), and
+        # ``retired`` stays cached until after that collect, so the
+        # fold always reads its predecessor from cache.
         vocab = tracked_persist(
-            new_vocab.localCheckpoint(eager=True), "wordpiece")
+            new_vocab.localCheckpoint(eager=False), "wordpiece")
     return pieces
 
 

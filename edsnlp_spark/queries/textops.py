@@ -3095,10 +3095,20 @@ def wordpiece_lifecycle(spark, sf_dir):
         # §2.3).  Registered under the query's top-level "wordpiece"
         # entry; released on the next call.
         corpus = tracked_persist(_bpe_pair_corpus(d), "wordpiece")
+        # ONE corpus explode+shuffle feeds BOTH the trainer's word-
+        # frequency table and the distinct-word encode plane (r15,
+        # guide §2.3): the groupBy(word) keys ARE the distinct set the
+        # encode needs, so the former second explode+distinct shuffle
+        # was pure duplication.  Pair-words are never '' (always
+        # 'a_b'), so the sets coincide exactly.
+        wfreq = tracked_persist(
+            corpus.select(
+                F.explode(F.split("text", " ", -1)).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("freq")),
+            "wordpiece")
         vocab = wordpiece_train(corpus, n_merges=_WP_MERGES,
-                                batch=_WP_BATCH)
-    words = corpus.select(
-        F.explode(F.split("text", " ", -1)).alias("word")).distinct()
+                                batch=_WP_BATCH, word_freqs=wfreq)
+    words = wfreq.select(F.col("w").alias("word"))
     enc = wordpiece_encode_words(words, vocab)
     tok = corpus.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
@@ -3978,11 +3988,18 @@ def unigram_tokenizer(spark, sf_dir):
         # per-doc token join — three scans+shuffles of the full text
         # for one plane (r15, guide §2.3).  Released on the next call.
         d = tracked_persist(d, "unigram")
+        # ONE corpus explode+shuffle feeds BOTH the trainer's word
+        # counts and the distinct-word encode plane (r15, guide §2.3):
+        # the groupBy(word) keys ARE the distinct set, so the former
+        # second explode+distinct shuffle was pure duplication.
+        wfreq = tracked_persist(
+            d.select(F.explode(F.split("text", " ", -1)).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("wcount")),
+            "unigram")
         vocab, unk = unigram_train(
             d, vocab_size=300, seed_size=800, max_piece_len=6,
-            iterations=2, scale=4096)
-    words = d.select(
-        F.explode(F.split("text", " ", -1)).alias("word")).distinct()
+            iterations=2, scale=4096, word_freqs=wfreq)
+    words = wfreq.select("word")
     enc = unigram_encode_words(words, vocab, unk, max_piece_len=6)
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("word"))

@@ -120,21 +120,34 @@ class HistoryQualifier:
             ctx_cols.append("birth_datetime")
         d = dm.join(gated.select(*ctx_cols), "note_id")
 
-        sc, ec = F.col("start_char"), F.col("end_char")
-        tok_s = F.size(F.filter("tokens", lambda t: t["end"] <= sc))
-        tok_e = F.size(F.filter("tokens", lambda t: t["start"] < ec))
-        d = d.select(
-            "note_id", "kind", "direction", "offset_seconds", "norm",
-            *( ["note_datetime"] if has_dt else [] ),
-            *( ["birth_datetime"] if has_bd else [] ),
-            tok_s.cast("int").alias("tok_s"), tok_e.cast("int").alias("tok_e"),
-            F.coalesce(
+        from ..functions.memo import memo_column
+
+        def _tok_sent_cols():
+            # pure functions of column names (start_char/end_char/
+            # tokens/sentences) — memoizable template (r15, the r4
+            # memo_column rule: HOF construction is py4j-chatty and
+            # identical across calls)
+            sc, ec = F.col("start_char"), F.col("end_char")
+            tok_s = F.size(F.filter("tokens", lambda t: t["end"] <= sc))
+            tok_e = F.size(F.filter("tokens", lambda t: t["start"] < ec))
+            sent = F.coalesce(
                 F.element_at(F.filter(
                     "sentences",
                     lambda s: (s["tok_start"] <= tok_s)
                     & (tok_s < s["tok_end"])), 1),
                 F.element_at("sentences", 1),
-            ).alias("__sent"),
+            )
+            return (tok_s.cast("int").alias("tok_s"),
+                    tok_e.cast("int").alias("tok_e"),
+                    sent.alias("__sent"))
+
+        tok_s_c, tok_e_c, sent_c = memo_column(
+            ("history_date_tok_sent",), _tok_sent_cols)
+        d = d.select(
+            "note_id", "kind", "direction", "offset_seconds", "norm",
+            *( ["note_datetime"] if has_dt else [] ),
+            *( ["birth_datetime"] if has_bd else [] ),
+            tok_s_c, tok_e_c, sent_c,
         )
         # Barrier: the date-classification projection below (regexp
         # component recovery + try_make_timestamp + recency whens) fused

@@ -155,9 +155,18 @@ class PhraseMatcher(Transformer):
                 )
             return F.flatten(F.array(*grams))
 
+        # the n-gram builder is a pure function of (attr, tokens_col,
+        # n-set) column names — a large nested-HOF tree (py4j-chatty),
+        # built once per (gateway, config) and reused across plans
+        # (r15, the r4 memo_column rule)
+        from ..functions.memo import memo_column
+        grams_col = memo_column(
+            ("phrase_grams", self.attr, self.tokens_col,
+             tuple(self.ns)),
+            lambda: let_bound(bound, with_bound))
         exploded = (
             df.select("note_id", F.col(self.text_col).alias("__text"),
-                      F.explode(let_bound(bound, with_bound)).alias("g"))
+                      F.explode(grams_col).alias("g"))
             .select("note_id", "__text", "g.*")
         )
         joined = exploded.join(F.broadcast(terms_df), "ngram_key", "inner")

@@ -149,9 +149,19 @@ def bm25_topk_batch(docs: DataFrame, queries: DataFrame, k: int = 10,
     )
     # read 2x (df, scoring join) — tiny after the term filter
     postings = tracked_persist(postings, "retrieval")
+    # Corpus stats WITHOUT a second tokenize pass (r15, guide §2.3):
+    # size(split(lower(t), ' ', -1)) == regexp_count(t, ' ') + 1 exactly
+    # (split -1 keeps empties so size = separators + 1, and no Unicode
+    # lowercase mapping produces or removes U+0020 — pinned by
+    # tests/test_properties.py::test_bm25_dl_regexp_count_equivalence).
+    # Values are integer-valued doubles, so the sum is exact regardless
+    # of aggregation order.  The former F.sum(F.size(toks)) re-ran the
+    # full split+lower+array-alloc over the corpus text just for this
+    # 1-row aggregate.
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum(F.size(toks).cast("double")).alias("sum_dl"),
+        F.sum((F.regexp_count(F.col(text_col), F.lit(" ")) + F.lit(1))
+              .cast("double")).alias("sum_dl"),
     )
     term_df = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
@@ -402,9 +412,12 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 64,
     postings.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     spark = docs.sparkSession
+    # regexp_count(t,' ')+1 == size(split(lower(t),' ',-1)) exactly —
+    # see bm25_topk_batch: stats never pay the split+lower array alloc.
     stats = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+        F.sum(F.regexp_count(F.col(text_col), F.lit(" ")) + F.lit(1))
+        .cast("long").alias("sum_dl"),
         F.lit(int(n_buckets)).alias("n_buckets"))
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -520,7 +533,8 @@ def text_index_append(new_docs: DataFrame, path: str,
         .parquet(f"{path}/postings")
     add = new_docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks)).cast("long").alias("sum_dl")).first()
+        F.sum(F.regexp_count(F.col(text_col), F.lit(" ")) + F.lit(1))
+        .cast("long").alias("sum_dl")).first()
     stats = spark.createDataFrame(
         [(int(meta["n_docs"]) + int(add["n_docs"]),
           int(meta["sum_dl"]) + int(add["sum_dl"] or 0),

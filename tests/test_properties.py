@@ -770,6 +770,37 @@ def test_bm25_whitespace_and_empty_terms(spark):
         bm25_topk(df, [], k=3)
 
 
+def test_bm25_dl_regexp_count_equivalence(spark, sf_dir):
+    """r15 (guide §2.3): bm25_topk_batch's 1-row stats aggregate now
+    computes sum_dl via regexp_count(text, ' ') + 1 instead of
+    re-tokenizing the corpus with size(split(lower(text), ' ', -1)).
+    Pin the per-row equality of the two expressions over the real
+    corpus AND a hostile edge set (empties, space runs, tabs/newlines,
+    trailing spaces, Unicode chars with expanding lowercase mappings
+    like U+0130, nulls)."""
+    import pyspark.sql.functions as F
+
+    edge = spark.createDataFrame(
+        [(0, ""), (1, " "), (2, "  "), (3, "a b"), (4, "a  b "),
+         (5, "\ta\nb "), (6, "İ STRASSE ß"), (7, None),
+         (8, "x" * 500 + " " + "y" * 500)],
+        "doc_id long, text string")
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    for df in (edge, corpus):
+        bad = df.select(
+            (F.size(F.split(F.lower("text"), " ", -1))
+             != F.regexp_count(F.col("text"), F.lit(" ")) + F.lit(1))
+            .alias("neq")).filter(F.coalesce(F.col("neq"), F.lit(False)))
+        assert bad.count() == 0
+        # NULL text: both sides must be NULL (excluded from the sum)
+    nulls = edge.filter(F.col("text").isNull()).select(
+        F.size(F.split(F.lower("text"), " ", -1)).alias("a"),
+        (F.regexp_count(F.col("text"), F.lit(" ")) + F.lit(1)).alias("b"))
+    row = nulls.collect()[0]
+    assert row["a"] is None and row["b"] is None
+
+
 @settings(max_examples=12, deadline=None)
 @given(st.lists(st.lists(_DWORD, min_size=0, max_size=14),
                 min_size=1, max_size=5),

@@ -55,10 +55,17 @@ def canon_rows(cols, rows):
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(name, spark, sf_dir):
+    import concurrent.futures
+
     fn, sql = _QUERIES[name]
-    sdf = fn(spark, sf_dir).toPandas()
-    con = duck_con(sf_dir)
-    odf = con.execute(sql).df()
+    # Run the DuckDB oracle concurrently with the Spark side (r15,
+    # VERDICT r14 #6 suite wall time): the two engines are independent
+    # processes/threads over read-only parquet, both release the GIL
+    # while executing, and the comparison below is unchanged.
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+        ofut = ex.submit(lambda: duck_con(sf_dir).execute(sql).df())
+        sdf = fn(spark, sf_dir).toPandas()
+        odf = ofut.result()
 
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: column mismatch {sorted(sdf.columns)} vs {sorted(odf.columns)}"

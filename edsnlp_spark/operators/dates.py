@@ -498,27 +498,36 @@ def temporal_mentions(notes: DataFrame, text_col: str = "note_text") -> DataFram
     # source text rides along instead of a notes re-join (r4; was two
     # extra exchanges).  FP matches are dropped after resolution, like
     # dates.py:352.
-    spans = F.sort_array(F.transform("ms", lambda s: F.struct(
-        (-(s["end_char"] - s["start_char"])).cast("int").alias("neg_len"),
-        s["start_char"].alias("start"),
-        s["end_char"].alias("end"),
-        s["label"].alias("label"),
-        s["lexical_variant"].alias("lexical_variant"),
-        F.lit("date").alias("span_type"),
-        s["full_start"].alias("full_start"),
-        s["full_end"].alias("full_end"),
-    )))
-    kept = let_bound(spans, lambda sp: F.aggregate(
-        sp,
-        F.slice(sp, 1, 0),
-        lambda acc, s: F.when(
-            F.exists(acc, lambda k: (s["start"] < k["end"])
-                     & (k["start"] < s["end"])),
-            acc,
-        ).otherwise(F.array_append(acc, s)),
-    ))
+    def _overlap_resolved():
+        # pure function of the 'ms' column name — memoizable template
+        # (r15; the r4 memo_column rule: nested-HOF construction is
+        # py4j-chatty and identical across calls)
+        spans = F.sort_array(F.transform("ms", lambda s: F.struct(
+            (-(s["end_char"] - s["start_char"])).cast("int")
+            .alias("neg_len"),
+            s["start_char"].alias("start"),
+            s["end_char"].alias("end"),
+            s["label"].alias("label"),
+            s["lexical_variant"].alias("lexical_variant"),
+            F.lit("date").alias("span_type"),
+            s["full_start"].alias("full_start"),
+            s["full_end"].alias("full_end"),
+        )))
+        kept = let_bound(spans, lambda sp: F.aggregate(
+            sp,
+            F.slice(sp, 1, 0),
+            lambda acc, s: F.when(
+                F.exists(acc, lambda k: (s["start"] < k["end"])
+                         & (k["start"] < s["end"])),
+                acc,
+            ).otherwise(F.array_append(acc, s)),
+        ))
+        return F.explode(kept).alias("s")
+
+    exploded_kept = _memo_column(("dates_overlap_resolve",),
+                                 _overlap_resolved)
     m = g.select(
-        "note_id", "__text", F.explode(kept).alias("s")
+        "note_id", "__text", exploded_kept
     ).filter(F.col("s.label") != "FP")
     # Materialization barrier (persist).  The downstream classification
     # is ~50 regexp_extracts over the normalized variant plus the

@@ -212,16 +212,25 @@ class QualifierEngine(Transformer):
             F.transform("sentences", lambda s: s["tok_start"]).alias("__sc"),
             F.size("tokens").alias("__n"),
         ).join(term, "note_id", "left")
-        cuts = F.array_sort(F.array_distinct(F.concat(
-            F.col("__sc"),
-            F.coalesce(F.col("__tc"), F.expr("cast(array() as array<int>)")),
-            F.array(F.col("__n")))))
-        pairs = F.filter(
-            F.zip_with(
-                cuts,
-                F.slice(cuts, 2, F.greatest(F.size(cuts) - 1, F.lit(1))),
-                lambda a, b: F.struct(a.alias("b_start"), b.alias("b_end"))),
-            lambda x: x["b_end"].isNotNull())
+        def _cut_pairs():
+            # pure function of the __sc/__tc/__n column names —
+            # memoizable template (r15; the r4 memo_column rule)
+            cuts = F.array_sort(F.array_distinct(F.concat(
+                F.col("__sc"),
+                F.coalesce(F.col("__tc"),
+                           F.expr("cast(array() as array<int>)")),
+                F.array(F.col("__n")))))
+            return F.filter(
+                F.zip_with(
+                    cuts,
+                    F.slice(cuts, 2,
+                            F.greatest(F.size(cuts) - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("b_start"),
+                                          b.alias("b_end"))),
+                lambda x: x["b_end"].isNotNull())
+
+        from ..functions.memo import memo_column
+        pairs = memo_column(("qualifier_boundary_pairs",), _cut_pairs)
         return base.select(
             "note_id", F.posexplode(pairs).alias("__i", "__b")
         ).select(
